@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Capability query corpus Q1–Q17 (SURVEY.md §2.3) over the TPC-H-ish
+  * testdata. Each query has a DataFrame implementation and an ANSI-SQL
+  * oracle (DuckDB) with identical column names + deterministic ORDER BY.
+  *
+  * Determinism rules (both engines must hash-match):
+  *  - double aggregation goes through an exact DECIMAL sum, then a final
+  *    cast back to double (order-of-summation independent);
+  *  - averages are (exact decimal sum → double) / count — one double
+  *    division, identical in both engines;
+  *  - every query ends in a total ORDER BY with a unique tie-break key;
+  *  - int-valued computed columns (row_number, datediff) are cast to
+  *    BIGINT on the Spark side to match DuckDB's default integer width.
+  *
+  * Scale notes (100 TB posture): filters/projections sit directly on the
+  * parquet scan (pushdown + column pruning verified via explain);
+  * dimension joins (region/nation/part/customer) are broadcast; fact-fact
+  * work is hash-aggregated with map-side partial aggregation, which
+  * Catalyst supplies for free on groupBy/agg.
+  */
+object CapabilityQueries {
+
+  /** Exact, order-independent sum of a double column: sum as decimal,
+    * final value back to double. `scale` must cover the column's true
+    * decimal scale (testdata money columns have 2, derived products 4). */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  // ---------------------------------------------------------------- Q1
+  def q01FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-01-01").cast(TimestampType) &&
+        col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- Q2
+  /** TPC-H Q1 shape: wide hash aggregation with map-side combine. */
+  def q02HashAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q02Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q3
+  /** Equi-join chain over two broadcast dims + aggregation. */
+  def q03JoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+
+  val q03Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- Q4
+  /** Fact ⋈ broadcast dimension: part is small at every SF — broadcast
+    * avoids shuffling the lineitem fact entirely. */
+  def q04BroadcastJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  val q04Sql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- Q5
+  def q05SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    Tables.customer(s, d).select("c_custkey", "c_name")
+      .join(o, Seq("c_custkey"), "left_semi")
+      .orderBy("c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q6
+  def q06AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    Tables.customer(s, d).select("c_custkey", "c_name")
+      .join(o, Seq("c_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q7
+  /** Left outer join preserving customers with zero orders;
+    * COUNT(o_orderkey) ignores the null-extended rows. */
+  def q07OuterJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+
+  val q07Sql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 0.0) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+  /** O11's array-top-1 pattern at table scale: rank-within-partition.
+    * Unique tie-break on o_orderkey keeps both engines' output identical. */
+  def q08WindowTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  val q08Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+  /** ROLLUP grouping sets. DuckDB sorts NULLS LAST by default, Spark
+    * NULLS FIRST — pinned explicitly on both sides. */
+  def q09Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q09Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- Q10
+  def q10Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val q10Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q11
+  /** Top-k via sort+limit; Spark plans this as TakeOrderedAndProject —
+    * no full sort materialization at scale. */
+  def q11TopkSort(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q11Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------- Q12
+  /** union / intersect / except across two date slices of orders. */
+  def q12SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cut = lit("1995-01-01").cast(TimestampType)
+    val a = o.filter(col("o_orderdate") < cut).select("o_custkey").distinct()
+    val b = o.filter(col("o_orderdate") >= cut).select("o_custkey").distinct()
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_a")))
+      .unionByName(b.except(a).withColumn("tag", lit("only_b")))
+      .select("tag", "o_custkey")
+      .orderBy("tag", "o_custkey")
+  }
+
+  val q12Sql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate < TIMESTAMP '1995-01-01'),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1995-01-01')
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_a' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_b' AS tag, o_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  // --------------------------------------------------------------- Q13
+  /** Scalar-function battery: date arithmetic, truncation, strings, CASE. */
+  def q13ScalarBattery(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        datediff(lit("1998-12-31").cast(DateType), col("o_orderdate").cast(DateType))
+          .cast(LongType).as("days_to_end"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+          .as("status_prio"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"))
+      .orderBy("o_orderkey")
+
+  val q13Sql: String =
+    """SELECT o_orderkey,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      |  substring(o_orderpriority, 1, 1) AS prio_code,
+      |  concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+      |  CASE WHEN o_totalprice > 200000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- Q14
+  /** JSON path extraction from the events.props string column. */
+  def q14Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_with_k"))
+      .orderBy("event_type")
+
+  val q14Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- Q15
+  /** Tumbling 1-hour event aggregation (batch twin of the streaming
+    * pipeline in graft.streaming). */
+  def q15EventWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  val q15Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST("value" AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- Q16
+  /** Array ops over embeddings.embedding (no float arithmetic — values
+    * pass through bit-exact). */
+  def q16ArrayOps(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        array_min(col("embedding")).as("min_val"),
+        array_max(col("embedding")).as("max_val"),
+        slice(col("embedding"), 1, 4).as("head4"))
+      .orderBy("vec_id")
+
+  val q16Sql: String =
+    """SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_val,
+      |  list_min(embedding) AS min_val, list_max(embedding) AS max_val,
+      |  embedding[1:4] AS head4
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- Q17
+  /** approx_count_distinct (HLL++). No DuckDB oracle — sketch results
+    * are implementation-defined; correctness is spec-tested against the
+    * exact count with a tolerance instead. */
+  def q17ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  /** name -> (impl, optional oracle) */
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
+    ("q02_hash_agg", q02HashAgg _, Some(q02Sql)),
+    ("q03_join_agg", q03JoinAgg _, Some(q03Sql)),
+    ("q04_broadcast_join", q04BroadcastJoin _, Some(q04Sql)),
+    ("q05_semi_join", q05SemiJoin _, Some(q05Sql)),
+    ("q06_anti_join", q06AntiJoin _, Some(q06Sql)),
+    ("q07_outer_join", q07OuterJoin _, Some(q07Sql)),
+    ("q08_window_topk", q08WindowTopk _, Some(q08Sql)),
+    ("q09_rollup", q09Rollup _, Some(q09Sql)),
+    ("q10_distinct", q10Distinct _, Some(q10Sql)),
+    ("q11_topk_sort", q11TopkSort _, Some(q11Sql)),
+    ("q12_set_ops", q12SetOps _, Some(q12Sql)),
+    ("q13_scalar_battery", q13ScalarBattery _, Some(q13Sql)),
+    ("q14_json", q14Json _, Some(q14Sql)),
+    ("q15_event_window", q15EventWindow _, Some(q15Sql)),
+    ("q16_array_ops", q16ArrayOps _, Some(q16Sql)),
+    ("q17_approx_distinct", q17ApproxDistinct _, None),
+  )
+}
