@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CapabilityQueries
+import graft.queries.{CapabilityQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.queries.CapabilityQueries
 object SparkEntry {
 
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    CapabilityQueries.entries
+    CapabilityQueries.entries ++ ParityQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Join-chain + aggregation — exercises scan, broadcast join, hash agg. */

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+import graft.core.{EntitySchemas, SchemaConform}
+import graft.operators.{Sinks, Transforms}
+import graft.sources.ODataPageReader
+
+/** Parity queries P1–P5 (SURVEY.md §2.3): the reference's two pipelines
+  * end-to-end over Graph-shaped JSON fixtures, oracle-checked by DuckDB
+  * reading the same fixture files with read_json.
+  *
+  * Load timestamps are fixed constants (not wall clock) so results are
+  * deterministic and the batch-constant `timeGenerated` semantics
+  * (one GETDATE() per load, MD-SQL:177) are directly visible in the
+  * oracle comparison.
+  */
+object ParityQueries {
+
+  def fixtureRoot: String =
+    sys.env.getOrElse("GRAFT_REPO", "/root/repo") +
+      "/src/main/resources/graft/fixtures"
+
+  val ts1: Timestamp = Timestamp.valueOf("2024-09-01 00:00:00")
+  val ts2: Timestamp = Timestamp.valueOf("2024-11-08 00:00:00")
+
+  // ------------------------------------------------------ Spark pipelines
+
+  /** P1: ManagedDevices E2E — paginated extract, engine-side Windows
+    * filter (O3), struct flatten + array top-1 (O10/O11), drop (O13),
+    * conform (O14), batch-constant stamp (O16). */
+  def managedDevicesPipeline(s: SparkSession, loadTime: Timestamp): DataFrame = {
+    val raw = ODataPageReader.readPages(s,
+      s"$fixtureRoot/managedDevices/page1.json",
+      EntitySchemas.managedDeviceSource)
+    val out = SchemaConform.conform(
+      Transforms.managedDevices(raw.filter(col("operatingSystem") === "Windows")),
+      EntitySchemas.managedDeviceSink)
+    out.withColumn("timeGenerated", lit(loadTime))
+  }
+
+  /** P2: CloudPCs E2E — passthrough into the wider sink schema; the four
+    * never-populated DDL columns conform to NULL (O14 absent rule). */
+  def cloudPcsPipeline(s: SparkSession, loadTime: Timestamp): DataFrame = {
+    val raw = ODataPageReader.readPages(s,
+      s"$fixtureRoot/cloudPCs/page1.json", EntitySchemas.cloudPcSource)
+    SchemaConform.conform(Transforms.cloudPcs(raw), EntitySchemas.cloudPcSink)
+      .withColumn("timeGenerated", lit(loadTime))
+  }
+
+  /** P3: CloudPCAuditEvents E2E — actor/resources flatten (O12). */
+  def auditEventsPipeline(s: SparkSession, loadTime: Timestamp): DataFrame = {
+    val raw = ODataPageReader.readPages(s,
+      s"$fixtureRoot/auditEvents/page1.json", EntitySchemas.auditEventSource)
+    SchemaConform.conform(Transforms.auditEvents(raw),
+      EntitySchemas.auditEventSink)
+      .withColumn("timeGenerated", lit(loadTime))
+  }
+
+  def p01(s: SparkSession, d: String): DataFrame =
+    managedDevicesPipeline(s, ts2).orderBy("id")
+
+  def p02(s: SparkSession, d: String): DataFrame =
+    cloudPcsPipeline(s, ts2).orderBy("id")
+
+  def p03(s: SparkSession, d: String): DataFrame =
+    auditEventsPipeline(s, ts2).orderBy("id")
+
+  /** P4: snapshot-overwrite semantics (O15) — two loads into the same
+    * target; the second fully replaces the first. */
+  def p04(s: SparkSession, d: String): DataFrame = {
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_p04").resolve("cloudpcs").toString
+    Sinks.snapshot(cloudPcsPipeline(s, ts1).drop("timeGenerated"), target, ts1)
+    Sinks.snapshot(cloudPcsPipeline(s, ts2).drop("timeGenerated"), target, ts2)
+    s.read.schema(EntitySchemas.cloudPcSink).parquet(target).orderBy("id")
+  }
+
+  /** P5: retention mode (O17) — append two batches 68 days apart with a
+    * 40-day window; only the second survives the age-out. */
+  def p05(s: SparkSession, d: String): DataFrame = {
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_p05").resolve("audit").toString
+    Sinks.retentionAppend(s, auditEventsPipeline(s, ts1).drop("timeGenerated"),
+      target, ts1, maxAgeDays = 40)
+    Sinks.retentionAppend(s, auditEventsPipeline(s, ts2).drop("timeGenerated"),
+      target, ts2, maxAgeDays = 40)
+    s.read.schema(EntitySchemas.auditEventSink).parquet(target).orderBy("id")
+  }
+
+  // ------------------------------------------------------- DuckDB oracles
+
+  /** Oracle column expression for a sink field: cast through VARCHAR/
+    * TIMESTAMP to undo read_json's UUID/timestamp inference; fields the
+    * extract never populates become typed NULLs. */
+  private def oracleCol(f: StructField, sourceFields: Set[String]): String = {
+    val sqlType = f.dataType match {
+      case StringType => "VARCHAR"
+      case TimestampType => "TIMESTAMP"
+      case LongType => "BIGINT"
+      case BooleanType => "BOOLEAN"
+      case t => sys.error(s"unmapped oracle type $t")
+    }
+    if (!sourceFields.contains(f.name)) s"CAST(NULL AS $sqlType) AS ${f.name}"
+    else s"CAST(v.${f.name} AS $sqlType) AS ${f.name}"
+  }
+
+  private def pages(entity: String, n: Int): String =
+    (1 to n).map(i => s"'$fixtureRoot/$entity/page$i.json'")
+      .mkString("[", ",", "]")
+
+  private def mdOracle(loadTs: String): String = {
+    val derived = Map(
+      "configurationManagerClientHealthState" ->
+        "CAST(v.configurationManagerClientHealthState.state AS VARCHAR) AS configurationManagerClientHealthState",
+      "configurationManagerClientErrorCode" ->
+        "CAST(v.configurationManagerClientHealthState.errorCode AS BIGINT) AS configurationManagerClientErrorCode",
+      "configurationManagerClientlastSyncDateTime" ->
+        "CAST(v.configurationManagerClientHealthState.lastSyncDateTime AS TIMESTAMP) AS configurationManagerClientlastSyncDateTime",
+      "userLoggedOnUserId" -> "CAST(top1.p AS VARCHAR) AS userLoggedOnUserId",
+      "userLoggedOnLastLogOnDateTime" ->
+        "CAST(top1.k AS TIMESTAMP) AS userLoggedOnLastLogOnDateTime",
+      "timeGenerated" -> s"TIMESTAMP '$loadTs' AS timeGenerated")
+    val src = EntitySchemas.managedDeviceSource.fieldNames.toSet
+    val cols = EntitySchemas.managedDeviceSink.fields.toSeq
+      .map(f => derived.getOrElse(f.name, oracleCol(f, src)))
+      .mkString(",\n  ")
+    s"""SELECT
+       |  $cols
+       |FROM (
+       |  SELECT v,
+       |    CASE WHEN v.usersLoggedOn IS NULL OR len(v.usersLoggedOn) = 0
+       |         THEN NULL
+       |         ELSE list_sort(list_transform(v.usersLoggedOn,
+       |                x -> {'k': x.lastLogOnDateTime, 'p': x.userId}))[-1]
+       |    END AS top1
+       |  FROM (SELECT unnest(value) AS v
+       |        FROM read_json(${pages("managedDevices", 2)}, union_by_name=true))
+       |) WHERE CAST(v.operatingSystem AS VARCHAR) = 'Windows'
+       |ORDER BY id""".stripMargin
+  }
+
+  private def cpcOracle(loadTs: String): String = {
+    val src = EntitySchemas.cloudPcSource.fieldNames.toSet
+    val cols = EntitySchemas.cloudPcSink.fields.toSeq.map {
+      case f if f.name == "timeGenerated" => s"TIMESTAMP '$loadTs' AS timeGenerated"
+      case f => oracleCol(f, src)
+    }.mkString(",\n  ")
+    s"""SELECT
+       |  $cols
+       |FROM (SELECT unnest(value) AS v
+       |      FROM read_json(${pages("cloudPCs", 1)}))
+       |ORDER BY id""".stripMargin
+  }
+
+  private def audOracle(loadTs: String): String = {
+    val derived = Map(
+      "actorApplicationDisplayName" ->
+        "CAST(v.actor.applicationDisplayName AS VARCHAR) AS actorApplicationDisplayName",
+      "actorUserPrincipalName" ->
+        "CAST(v.actor.userPrincipalName AS VARCHAR) AS actorUserPrincipalName",
+      "resourcesDisplayName" ->
+        """CASE WHEN v.resources IS NULL OR len(v.resources) = 0 THEN NULL
+          |       ELSE array_to_string(list_transform(v.resources,
+          |              r -> CAST(r.displayName AS VARCHAR)), ',')
+          |  END AS resourcesDisplayName""".stripMargin,
+      "timeGenerated" -> s"TIMESTAMP '$loadTs' AS timeGenerated")
+    val src = EntitySchemas.auditEventSource.fieldNames.toSet
+    val cols = EntitySchemas.auditEventSink.fields.toSeq
+      .map(f => derived.getOrElse(f.name, oracleCol(f, src)))
+      .mkString(",\n  ")
+    s"""SELECT
+       |  $cols
+       |FROM (SELECT unnest(value) AS v
+       |      FROM read_json(${pages("auditEvents", 1)}))
+       |ORDER BY id""".stripMargin
+  }
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("p01_managed_devices", p01 _, Some(mdOracle("2024-11-08 00:00:00"))),
+    ("p02_cloud_pcs", p02 _, Some(cpcOracle("2024-11-08 00:00:00"))),
+    ("p03_audit_events", p03 _, Some(audOracle("2024-11-08 00:00:00"))),
+    ("p04_snapshot_overwrite", p04 _, Some(cpcOracle("2024-11-08 00:00:00"))),
+    ("p05_retention", p05 _, Some(audOracle("2024-11-08 00:00:00"))),
+  )
+}
