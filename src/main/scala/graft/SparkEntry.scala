@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CapabilityQueries, ParityQueries}
+import graft.queries.{CapabilityQueries, ParityQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{CapabilityQueries, ParityQueries}
 object SparkEntry {
 
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    CapabilityQueries.entries ++ ParityQueries.entries
+    CapabilityQueries.entries ++ ParityQueries.entries ++
+      TrainingQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Join-chain + aggregation — exercises scan, broadcast join, hash agg. */

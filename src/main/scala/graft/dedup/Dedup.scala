@@ -1,0 +1,143 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{TextOps, VectorFunctions}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is a shuffle-on-key relational plan —
+  * nothing ever materializes the O(N²) pair space.
+  *  - exact: hash aggregation on the dedup key;
+  *  - n-gram Jaccard: inverted-index self-join on shingles (pairs only
+  *    exist where documents actually share a shingle);
+  *  - MinHash LSH: band-bucket self-join (pairs only where a band
+  *    collides), then exact Jaccard verification of the candidates;
+  *  - SimHash: 64-bit signature, near-dup candidates via 16-bit
+  *    chunk-collision join (Hamming ≤ 3 ⇒ some 16-bit chunk equal);
+  *  - embedding: cosine over pairs blocked on a coarse key.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id representative per identical key. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Documents with distinct word-shingle sets attached. */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted index:
+    * explode shingles → self-join on shingle → per-pair intersection
+    * count → Jaccard from per-doc set sizes. Output: (a_id, b_id,
+    * jaccard) for pairs ≥ threshold, a_id < b_id. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val tok = withShingles(docs, idCol, textCol, n).cache()
+    val sizes = tok.select(col(idCol), size(col("sh")).as("n_sh"))
+    val inv = tok.select(col(idCol), explode(col("sh")).as("s"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed(idCol, "a_id")
+        .withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed(idCol, "b_id")
+        .withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash signature: k independent 64-bit hashes (xxhash64 seeded by
+    * slot index), each the min over the document's shingles. */
+  def minhashSignature(sh: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(sh, s => xxhash64(i, s))))
+
+  /** MinHash+LSH near-dup detection: signatures → band hashes →
+    * bucket self-join for candidates → exact Jaccard verify.
+    * bands*rowsPerBand must equal k; with 16 bands × 4 rows the LSH
+    * S-curve puts ~0.5 collision probability at J≈0.5. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val tok = withShingles(docs, idCol, textCol, n)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .cache()
+    // band hash = xxhash64 over the band's slice of the signature
+    val banded = tok.select(col(idCol), posexplode(array(
+        (0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
+      .toDF(idCol, "band", "bhash")
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    // exact verification of the candidate set only
+    val withSets = candidates
+      .join(tok.select(col(idCol).as("a_id"), col("sh").as("sha")), "a_id")
+      .join(tok.select(col(idCol).as("b_id"), col("sh").as("shb")), "b_id")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token stream: per bit, sign of the sum of
+    * ±1 contributions from each token hash. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextOps.tokens(text), w => xxhash64(w))
+    // bit positions unrolled at plan-build time (shift amounts must be
+    // literals); codegen's common-subexpression elimination shares the
+    // token-hash array across the 64 folds
+    (0 until 64).map { j =>
+      when(aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        > 0L, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: Hamming(a,b) ≤ maxHamming. Blocked by
+    * the pigeonhole principle on four 16-bit chunks (≤3 differing bits
+    * ⇒ at least one chunk identical) — a bucket join, never N².
+    * Hamming distance via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol), simhash64(col(textCol)).as("sig")).cache()
+    val chunked = sigs.select(col(idCol), col("sig"), posexplode(array(
+        (0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF(idCol, "sig", "chunk", "chash")
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chash") === col("b.chash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked on `blockCol` (e.g. a
+    * cluster/label id, an LSH bucket, or an IVF cell): only intra-block
+    * pairs are scored. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame =
+    emb.as("a").join(emb.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos",
+        VectorFunctions.cosineSim(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .filter(col("cos") >= threshold)
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis building blocks for training-data pipelines: token
+  * ops, word-shingle n-grams, language-ID heuristic, quality metrics,
+  * and a polynomial document fingerprint. All pure Column expressions
+  * (codegen'd, no UDFs) — they run inside the parquet scan's
+  * whole-stage-codegen span, so a 100 TB corpus pays one pass with no
+  * extra shuffle or ser/de.
+  *
+  * Arithmetic is engineered to be engine-portable for the DuckDB
+  * oracles: integer-only accumulation (exact), with any final ratio a
+  * single int/int double division.
+  */
+object TextOps {
+
+  /** English stopword profile for the language-ID heuristic. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Whitespace tokens with empties dropped (split keeps them). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Distinct word n-gram shingles; fewer than n tokens ⇒ empty array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (1 to n).map(j => element_at(w, i + j)): _*))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Fraction of tokens that are English stopwords (0 if no tokens). */
+  def stopwordRatio(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) > 0,
+      size(filter(w, t => t.isInCollection(EnStopwords))) / size(w))
+      .otherwise(lit(0.0))
+  }
+
+  /** n-gram-profile language ID, reduced to a stopword heuristic:
+    * classify as "en" when ≥5% of tokens are English stopwords. */
+  def langId(text: Column): Column =
+    when(stopwordRatio(text) >= 0.05, "en").otherwise("und")
+
+  /** Exact token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword count: runs of letters/digits plus lone
+    * non-space symbols, ~the unit a byte-pair tokenizer would split. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), w => w =!= "")).cast(LongType) +
+      size(filter(split(text, "[A-Za-z0-9\\s]+"), w => w =!= "")).cast(LongType)
+
+  /** Type-token ratio: distinct tokens / tokens (0 if empty). */
+  def distinctRatio(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) > 0, size(array_distinct(w)) / size(w)).otherwise(lit(0.0))
+  }
+
+  /** Mean token length in chars (0 if empty): exact int sum / count. */
+  def meanTokenLen(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) > 0,
+      aggregate(transform(w, x => length(x)), lit(0), (acc, x) => acc + x) / size(w))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]-ish: favors stopword presence,
+    * lexical diversity, and moderate token length. Fixed double
+    * arithmetic order → bit-identical across engines. */
+  def qualityScore(text: Column): Column =
+    stopwordRatio(text) * 0.4 + distinctRatio(text) * 0.4 +
+      when(meanTokenLen(text) >= 3.0 && meanTokenLen(text) <= 10.0, 0.2)
+        .otherwise(lit(0.0))
+
+  private val Mod = 1000000007L
+
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * acc = (acc*31 + tokenVal) mod 1e9+7, tokenVal = 31*len + first
+    * char code. Integer-exact, order-sensitive (a true rolling hash),
+    * and reproducible in any engine with a left fold. */
+  def fingerprint(text: Column): Column = {
+    val vals = transform(tokens(text), w =>
+      (length(w) * 31 + ascii(w)).cast(LongType))
+    aggregate(vals, lit(0L), (acc, x) => (acc * 31L + x) % Mod)
+  }
+}

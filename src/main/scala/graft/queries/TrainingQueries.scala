@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.TextOps
+import graft.similarity.Ann
+
+/** Training-data pipeline operators as driver-checkable queries:
+  * deduplication (d*), text analysis (t*), similarity search (s*).
+  *
+  * Oracle strategy: everything built from engine-portable arithmetic
+  * (integer set algebra, exact fold hashes, double division) carries
+  * full DuckDB SQL; operators whose outputs depend on Spark-internal
+  * hashes (xxhash64 in MinHash/SimHash/LSH) are spec-tested against
+  * their exact counterparts instead and run here as rows-only checks.
+  */
+object TrainingQueries {
+
+  // ------------------------------------------------------------- dedup
+
+  /** d01: exact dedup — representative id + copy count per duplicate
+    * group (grouped on the full text). */
+  def d01Exact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", Seq("text"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  val d01Sql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  /** d02: exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  val d02Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |cnt AS (SELECT doc_id, len(sh) AS n FROM tok),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM tok) a
+      |  JOIN (SELECT doc_id, unnest(sh) AS s FROM tok) b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, inter/(ca.n + cb.n - inter) AS jaccard
+      |FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+      |WHERE inter/(ca.n + cb.n - inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** d03: MinHash+LSH near-dup pairs (candidates via band-bucket join,
+    * exact-Jaccard verified). Spark-hash dependent — no SQL oracle;
+    * DedupSpec proves pairs ⊆ exact d02 pairs with full recall on the
+    * planted near-dups. */
+  def d03MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  /** d04: SimHash near-dup candidates (Hamming ≤ 3 via chunk-collision
+    * join). Spark-hash dependent — spec-tested, rows-only here. */
+  def d04Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  /** d05: embedding-cosine near-dup pairs blocked on label. */
+  def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", threshold = 0.45)
+      .orderBy("a_id", "b_id")
+
+  val d05Sql: String =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) >= 0.45
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------------------- text
+
+  /** t01: language ID (stopword-profile heuristic) + distribution. */
+  def t01LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  val t01Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+      |              t -> t IN ('the','a','of','and','in','to','is')))
+      |       / len(list_filter(string_split(text,' '), x -> x <> '')) >= 0.05
+      |       THEN 'en' ELSE 'und' END AS pred_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t02: quality metrics battery per document. */
+  def t02Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.distinctRatio(col("text")).as("distinct_ratio"),
+        TextOps.meanTokenLen(col("text")).as("mean_token_len"),
+        TextOps.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+
+  val t02Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_chars, len(w) AS n_tokens,
+      |    CASE WHEN len(w) > 0 THEN
+      |      len(list_filter(w, x -> x IN ('the','a','of','and','in','to','is'))) / len(w)
+      |      ELSE 0.0 END AS stopword_ratio,
+      |    CASE WHEN len(w) > 0 THEN len(list_distinct(w)) / len(w)
+      |      ELSE 0.0 END AS distinct_ratio,
+      |    CASE WHEN len(w) > 0 THEN
+      |      list_sum(list_transform(w, x -> length(x))) / len(w)
+      |      ELSE 0.0 END AS mean_token_len
+      |  FROM t)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio, distinct_ratio,
+      |  CAST(mean_token_len AS DOUBLE) AS mean_token_len,
+      |  stopword_ratio * 0.4 + distinct_ratio * 0.4 +
+      |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+      |          THEN 0.2 ELSE 0.0 END) AS quality_score
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** t03: document fingerprint (polynomial rolling hash, exact). */
+  def t03Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val t03Sql: String =
+    """SELECT doc_id,
+      |  CAST(list_reduce(
+      |    list_prepend(0, list_transform(
+      |      list_filter(string_split(text, ' '), x -> x <> ''),
+      |      x -> length(x)*31 + ascii(x))),
+      |    (acc, x) -> (acc*31 + x) % 1000000007) AS BIGINT) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t04: corpus roll-up by language — token totals and mean quality. */
+  def t04CorpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"))
+      .orderBy("lang")
+
+  val t04Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split(text,' '), x -> x <> ''))) AS BIGINT)
+      |    AS total_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------- similarity
+
+  /** s01: exact brute-force cosine top-5 for query vectors vec_id<10.
+    * Output is rank-only (no float column) — rankings agree across
+    * engines because score gaps (~1e-3) dwarf fp noise (~1e-15). */
+  def s01AnnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val s01Sql: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |               CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT) AS rank
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** s02: IVF-style top-3 within the query's coarse cell (label). */
+  def s02AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "label", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  val s02Sql: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |               CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT) AS rank
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.label = c.label AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** s03: LSH-bucketed ANN (random hyperplanes). Spark-hash dependent
+    * — spec-tested for recall against s01; rows-only here. */
+  def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, nBits = 8, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
+    ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
+    ("d03_minhash_lsh", d03MinhashLsh _, None),
+    ("d04_simhash", d04Simhash _, None),
+    ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
+    ("t01_lang_id", t01LangId _, Some(t01Sql)),
+    ("t02_quality", t02Quality _, Some(t02Sql)),
+    ("t03_fingerprint", t03Fingerprint _, Some(t03Sql)),
+    ("t04_corpus_stats", t04CorpusStats _, Some(t04Sql)),
+    ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
+    ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
+    ("s03_ann_lsh", s03AnnLsh _, None),
+  )
+}

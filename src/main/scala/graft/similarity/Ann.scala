@@ -1,0 +1,97 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorFunctions
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Brute-force is the exact baseline: broadcast the (small) query set
+  * against the full corpus — one scan, no shuffle of the corpus, the
+  * cosine kernel runs inside codegen. The scale paths prune the
+  * candidate set: IVF (inverted file) restricts to the query's coarse
+  * cell(s); random-hyperplane LSH restricts to signature buckets.
+  */
+object Ann {
+
+  /** Exact top-k: score queries × corpus, keep k best per query.
+    * `queries` must be broadcast-sized (the corpus side is never
+    * shuffled; ranking shuffles only (queries × corpus) scored rows,
+    * pruned per-partition by the window's rank pushdown in AQE). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val scored = corpus.as("c").join(
+        broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("qvec"))),
+        col("query_id") =!= col(s"c.$idCol"))
+      .withColumn("score",
+        VectorFunctions.cosineSim(col("qvec"), col(s"c.$vecCol")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(s"c.$idCol"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        col("rank"))
+  }
+
+  /** IVF top-k: candidates restricted to the query's coarse cell
+    * (here: a precomputed partition key such as a cluster label; in a
+    * full IVF build the cell is argmin-centroid). Same output shape as
+    * brute force but scans |cell| instead of |corpus| per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val scored = corpus.as("c").join(
+        broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("qvec"), col(cellCol).as("qcell"))),
+        col("qcell") === col(s"c.$cellCol") &&
+          col("query_id") =!= col(s"c.$idCol"))
+      .withColumn("score",
+        VectorFunctions.cosineSim(col("qvec"), col(s"c.$vecCol")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(s"c.$idCol"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        col("rank"))
+  }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
+    * with pseudo-random hyperplanes. Hyperplane j component i is a
+    * deterministic hash-derived value in [-1,1] — no stored model. */
+  def lshSignature(vecCol: Column, dim: Int, nBits: Int = 16): Column =
+    (0 until nBits).map { j =>
+      val dotp = aggregate(
+        zip_with(vecCol, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x.cast(DoubleType) *
+            ((pmod(xxhash64(lit(j), i), lit(2000001L)) - 1000000L)
+              .cast(DoubleType) / 1000000.0)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dotp >= 0.0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed ANN: join on LSH signature, rank within bucket. Recall
+    * grows with fewer bits / multiple tables; this single-table variant
+    * is the scale skeleton (bucket join instead of cross product). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
+    val sig = (df: DataFrame) =>
+      df.withColumn("bucket", lshSignature(col(vecCol), dim, nBits))
+    val scored = sig(corpus).as("c").join(
+        broadcast(sig(queries).select(col(idCol).as("query_id"),
+          col(vecCol).as("qvec"), col("bucket"))),
+        Seq("bucket"))
+      .filter(col("query_id") =!= col(s"c.$idCol"))
+      .withColumn("score",
+        VectorFunctions.cosineSim(col("qvec"), col(s"c.$vecCol")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(s"c.$idCol"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH recovers the exact jaccard>=0.5 pair set (full recall on planted dups)") {
+    val exact = Dedup.ngramJaccardPairs(Tables.documents(spark, sf),
+      "doc_id", "text", 3, 0.5).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(Tables.documents(spark, sf),
+      "doc_id", "text", 3, 64, 16, 0.5).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)        // data has planted near-dups
+    assert(lsh == exact)          // verified candidates = exact answer
+  }
+
+  test("simhash: identical text -> identical signature; near-dups cluster at low hamming") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different words about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("exact dedup groups identical keys and keeps min id") {
+    val df = Seq((5L, "x"), (2L, "x"), (9L, "y")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", Seq("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(2L -> 2L, 9L -> 1L))
+  }
+
+  test("simhash candidate blocking never produces an N^2 plan (bucket join)") {
+    val plan = Dedup.simhashPairs(Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
