@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Media (image/audio/video) travels as an opaque `binary` column with
+  * typed metadata alongside — the same pattern as parquet-backed
+  * datasets of tensors: the engine never interprets the payload in the
+  * plan, only in well-bounded per-partition decode stages.
+  *
+  * The actual codec work (JPEG decode, resample, frame extraction) is
+  * STUBBED — the container ships no image/audio libraries — behind
+  * [[MediaCodec]], with a deterministic fake so the Spark-side
+  * contract (schema, partitioning, batch shape, null handling) is real
+  * and testable. The Scala analog of a Pandas-UDF `mapInPandas` decode
+  * is the typed `mapPartitions` below: one codec init per partition,
+  * streaming row batches through it.
+  */
+object Multimodal {
+
+  /** A media row: payload + self-describing metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      media: Array[Byte],
+      mediaType: String,            // e.g. image/jpeg, audio/wav
+      sourceUri: String,
+      width: Option[Int],
+      height: Option[Int],
+      durationMs: Option[Long])
+
+  final case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      digest: String,
+      feature: Array[Float])        // decoded embedding/feature vector
+
+  /** STUB decode: a real implementation hands `bytes` to an image or
+    * audio codec. The deterministic fake derives a feature vector from
+    * the payload bytes so downstream plumbing (ANN over features,
+    * dedup on digests) is exercised with stable values. */
+  object MediaCodec {
+    val FeatureDim = 8
+
+    def decodeFeature(bytes: Array[Byte]): Array[Float] = {
+      // ??? — codec unavailable in this environment; deterministic fake:
+      val out = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < bytes.length) {
+        out(i % FeatureDim) += (bytes(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Fabricate a media table from the documents fixture: the text bytes
+    * stand in for an encoded payload. Real pipelines read
+    * `binaryFile` sources or parquet with a binary column. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        lit("application/octet-stream").as("mediaType"),
+        concat(lit("mem://documents/"), col("doc_id")).as("sourceUri"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("durationMs"))
+      .as[MediaRecord]
+  }
+
+  /** Per-partition decode stage (mapInPandas analog): codec state is
+    * initialized once per partition, rows stream through. Output is a
+    * narrow typed Dataset — no shuffle introduced. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map { r =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.media).map("%02x".format(_)).mkString
+        MediaFeatures(r.media_id, r.media.length.toLong, digest,
+          MediaCodec.decodeFeature(r.media))
+      }
+    }
+  }
+
+  /** Frame sampling stub: every `stride`-th fixed-size block of the
+    * payload (stands in for video frame extraction; the slicing/batch
+    * shape is the real contract). */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+      stride: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.flatMap { r =>
+      r.media.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (frame, idx) => (r.media_id, idx.toLong, frame) }
+    }.toDF("media_id", "frame_idx", "frame")
+  }
+}

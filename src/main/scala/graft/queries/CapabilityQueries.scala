@@ -342,6 +342,84 @@ object CapabilityQueries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  // --------------------------------------------------------------- Q18
+  /** Sessionization via analytic windows: a new session starts after a
+    * >30-minute gap; session id = running count of session starts. */
+  def q18Sessionization(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          col("ts").cast(LongType) - col("prev_ts").cast(LongType) > 1800,
+          1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q18Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts)//1000000 - epoch_us(lag(ts) OVER w)//1000000 > 1800
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM x)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // --------------------------------------------------------------- Q19
+  /** session_window batch aggregation (same state machine Structured
+    * Streaming uses; streaming twin spec-tested in EventsStreamSpec). */
+  def q19SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
+  val q19Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM x)
+      |SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // --------------------------------------------------------------- Q20
+  /** Streaming twin of Q15: the same tumbling-window aggregation
+    * executed by the Structured Streaming engine (file source →
+    * watermark → windowed agg → memory sink), checked against the same
+    * batch oracle SQL. */
+  def q20StreamTumbling(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.EventsStream
+    val out = EventsStream.runToCompletion(s,
+      EventsStream.tumblingHourly(EventsStream.readEvents(s, d)),
+      "q20_stream_tumbling_mem")
+    out.orderBy("hour_start", "event_type")
+  }
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -361,5 +439,8 @@ object CapabilityQueries {
     ("q15_event_window", q15EventWindow _, Some(q15Sql)),
     ("q16_array_ops", q16ArrayOps _, Some(q16Sql)),
     ("q17_approx_distinct", q17ApproxDistinct _, None),
+    ("q18_sessionization", q18Sessionization _, Some(q18Sql)),
+    ("q19_session_window", q19SessionWindow _, Some(q19Sql)),
+    ("q20_stream_tumbling", q20StreamTumbling _, Some(q15Sql)),
   )
 }

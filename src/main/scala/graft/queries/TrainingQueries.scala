@@ -218,6 +218,33 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  // -------------------------------------------------------- multimodal
+
+  /** m01: multimodal column plumbing — opaque binary payloads through
+    * the per-partition decode stage; byte counts and digests are
+    * engine-portable (md5 of the same UTF-8 bytes). */
+  def m01MediaMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))
+      .select(col("media_id"), col("n_bytes"), col("digest"))
+      .orderBy("media_id")
+  }
+
+  val m01Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** m02: decoded feature vectors (stub codec) — deterministic fake
+    * values; spec-tested, rows-only here. */
+  def m02MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))
+      .select(col("media_id"), col("feature"))
+      .orderBy("media_id")
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -231,5 +258,7 @@ object TrainingQueries {
     ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
     ("s03_ann_lsh", s03AnnLsh _, None),
+    ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
+    ("m02_media_features", m02MediaFeatures _, None),
   )
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event queries.
+  *
+  * The reference has no streaming (each run is a batch snapshot), but
+  * its audit-event entity is event-shaped and its retention mode is a
+  * poor-man's watermark (SURVEY §2.2) — these pipelines are the
+  * capability extension: file-source stream → event-time windowed
+  * aggregation with a watermark → sink. `foreachBatch` + Sinks.snapshot
+  * reproduces the reference's overwrite-load semantics per micro-batch.
+  *
+  * At scale the file source becomes Kafka/eventhub; the query shape
+  * (watermark + window + stateful agg) is unchanged.
+  */
+object EventsStream {
+
+  /** Raw parquet schema of the events table (ts = epoch nanos long,
+    * see Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming DataFrame over the events parquet with proper event-time. */
+  def readEvents(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // file-stream sources take a directory; select just the events
+      // file out of the shared SF dir
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour counts with a 2-hour watermark (streaming twin of
+    * q15_event_window). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 2))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Per-user session aggregation with a 30-minute inactivity gap
+    * (session_window handles merge-and-extend state under streaming). */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"))
+
+  /** Run a streaming query to completion against the (static) fixture
+    * and return the materialized result. Proves the plan runs under
+    * the streaming engine, not just batch. */
+  def runToCompletion(spark: SparkSession, streamed: DataFrame,
+      name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
