@@ -25,10 +25,19 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Documents with distinct word-shingle sets attached. */
+  /** Documents with distinct word-shingle sets attached.
+    *
+    * Repartitioned to the session's parallelism first: the corpus often
+    * arrives as few large files (here: one), and shingling/hashing is
+    * CPU-bound — without the spread the whole compute runs on the scan's
+    * partition count. At real scale file splits already provide
+    * parallelism and AQE coalesces the excess. */
   def withShingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
-    docs.select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
+      n: Int = 3): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(p, col(idCol))
+      .select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index:
     * explode shingles → self-join on shingle → per-pair intersection
@@ -114,7 +123,9 @@ object Dedup {
     * Hamming distance via bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), simhash64(col(textCol)).as("sig")).cache()
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val sigs = docs.repartition(p, col(idCol))
+      .select(col(idCol), simhash64(col(textCol)).as("sig")).cache()
     val chunked = sigs.select(col(idCol), col("sig"), posexplode(array(
         (0 until 4).map(c =>
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))

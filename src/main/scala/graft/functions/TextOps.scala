@@ -25,13 +25,24 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
-  /** Distinct word n-gram shingles; fewer than n tokens ⇒ empty array. */
+  /** Distinct word n-gram shingles; fewer than n tokens ⇒ empty array.
+    *
+    * Built by zipping n shifted copies of the token array rather than
+    * `element_at` inside a lambda: higher-order lambdas re-evaluate
+    * captured subtrees per ELEMENT, so indexing into `tokens(text)`
+    * would re-split the full text O(tokens) times per shingle —
+    * quadratic string work per row (observed 5× slowdown at sf0.1).
+    * With slices, the split is evaluated O(n) times per row total.
+    * `concat` (unlike concat_ws) null-propagates, so the zip's ragged
+    * tail self-eliminates in the final filter. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
-        concat_ws(" ", (1 to n).map(j => element_at(w, i + j)): _*))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    val joined = (1 until n).foldLeft(w) { (acc, k) =>
+      val shifted = when(size(w) > k, slice(w, lit(k + 1), size(w) - k))
+        .otherwise(array().cast(ArrayType(StringType)))
+      zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, s => s.isNotNull))
   }
 
   /** Fraction of tokens that are English stopwords (0 if no tokens). */
