@@ -90,6 +90,21 @@ object ParityQueries {
     s.read.schema(EntitySchemas.auditEventSink).parquet(target).orderBy("id")
   }
 
+  /** P6: same E2E as P1 but extracted through the DataSource V2
+    * connector — the Windows filter and the column set reach the scan
+    * as OData $filter/$select pushdown instead of post-scan work. */
+  def p06(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.format("graft-odata")
+      .schema(EntitySchemas.managedDeviceSource)
+      .option("firstPage", s"$fixtureRoot/managedDevices/page1.json")
+      .load()
+      .filter(col("operatingSystem") === "Windows")
+    SchemaConform.conform(Transforms.managedDevices(raw),
+        EntitySchemas.managedDeviceSink)
+      .withColumn("timeGenerated", lit(ts2))
+      .orderBy("id")
+  }
+
   // ------------------------------------------------------- DuckDB oracles
 
   /** Oracle column expression for a sink field: cast through VARCHAR/
@@ -184,5 +199,6 @@ object ParityQueries {
     ("p03_audit_events", p03 _, Some(audOracle("2024-11-08 00:00:00"))),
     ("p04_snapshot_overwrite", p04 _, Some(cpcOracle("2024-11-08 00:00:00"))),
     ("p05_retention", p05 _, Some(audOracle("2024-11-08 00:00:00"))),
+    ("p06_connector_pipeline", p06 _, Some(mdOracle("2024-11-08 00:00:00"))),
   )
 }
