@@ -407,6 +407,22 @@ object CapabilityQueries {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // --------------------------------------------------------------- Q21
+  /** CUBE grouping sets (all 4 combinations of status × priority). */
+  def q21Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q21Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // --------------------------------------------------------------- Q20
   /** Streaming twin of Q15: the same tumbling-window aggregation
     * executed by the Structured Streaming engine (file source →
@@ -442,5 +458,6 @@ object CapabilityQueries {
     ("q18_sessionization", q18Sessionization _, Some(q18Sql)),
     ("q19_session_window", q19SessionWindow _, Some(q19Sql)),
     ("q20_stream_tumbling", q20StreamTumbling _, Some(q15Sql)),
+    ("q21_cube", q21Cube _, Some(q21Sql)),
   )
 }
