@@ -47,6 +47,17 @@ object Sinks {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** O15 variant — JDBC snapshot: truncate-overwrite into a relational
+    * store, the closest analog of the reference's TVP+sproc load when
+    * the target stays a SQL database. Same trait shape as the parquet
+    * sink; untested here (no database in the build environment). */
+  def jdbcSnapshot(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, loadTime: Timestamp): Unit =
+    df.withColumn("timeGenerated", lit(loadTime))
+      .write.mode(SaveMode.Overwrite)
+      .option("truncate", "true")   // preserve DDL, delete+insert semantics
+      .jdbc(url, table, props)
+
   /** O18 — surrogate key. `monotonically_increasing_id` is the
     * scale-correct choice (no shuffle, no driver bottleneck);
     * `contiguous=true` reproduces the reference's IDENTITY(1,1)

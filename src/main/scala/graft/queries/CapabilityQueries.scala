@@ -423,6 +423,17 @@ object CapabilityQueries {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- Q22
+  /** Cross join (dimension × dimension lattice). */
+  def q22CrossJoin(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  val q22Sql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
   // --------------------------------------------------------------- Q20
   /** Streaming twin of Q15: the same tumbling-window aggregation
     * executed by the Structured Streaming engine (file source →
@@ -459,5 +470,6 @@ object CapabilityQueries {
     ("q19_session_window", q19SessionWindow _, Some(q19Sql)),
     ("q20_stream_tumbling", q20StreamTumbling _, Some(q15Sql)),
     ("q21_cube", q21Cube _, Some(q21Sql)),
+    ("q22_cross_join", q22CrossJoin _, Some(q22Sql)),
   )
 }

@@ -218,6 +218,17 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s04: full IVF — centroids trained with the VectorMean Aggregator,
+    * queries assigned to nearest centroid, search within cell.
+    * Centroid floats are merge-order sensitive — spec-tested,
+    * rows-only here. */
+  def s04AnnIvfTrained(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.ivfTrainedTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "label", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   // -------------------------------------------------------- multimodal
 
   /** m01: multimodal column plumbing — opaque binary payloads through
@@ -258,6 +269,7 @@ object TrainingQueries {
     ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
     ("s03_ann_lsh", s03AnnLsh _, None),
+    ("s04_ann_ivf_trained", s04AnnIvfTrained _, None),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, None),
   )

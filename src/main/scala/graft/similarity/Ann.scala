@@ -59,6 +59,36 @@ object Ann {
         col("rank"))
   }
 
+  /** Full IVF: train coarse centroids (one aggregation pass with the
+    * VectorMean Aggregator), assign each query to its nearest centroid,
+    * then search only that cell. The centroid table is tiny — both the
+    * assignment join and the cell restriction broadcast it. */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val centroids = corpus.groupBy(col(cellCol))
+      .agg(graft.functions.VectorMean.asColumn(col(vecCol)).as("centroid"))
+    val assigned = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"))
+      .join(broadcast(centroids))
+      .withColumn("cscore",
+        VectorFunctions.cosineSim(col("qvec"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cscore").desc, col(cellCol))))
+      .filter(col("crank") === 1)
+      .select(col("query_id"), col("qvec"), col(cellCol).as("qcell"))
+    val scored = corpus.as("c").join(broadcast(assigned),
+        col("qcell") === col(s"c.$cellCol") &&
+          col("query_id") =!= col(s"c.$idCol"))
+      .withColumn("score",
+        VectorFunctions.cosineSim(col("qvec"), col(s"c.$vecCol")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(s"c.$idCol"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"), col("rank"))
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
     * with pseudo-random hyperplanes. Hyperplane j component i is a
     * deterministic hash-derived value in [-1,1] — no stored model. */
