@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: bucketing for shuffle-free co-located joins and
+  * salting for skewed keys. Neither changes query semantics — both are
+  * physical-layout levers for the 100 TB posture.
+  */
+object Scale {
+
+  /** Persist `df` as a bucketed+sorted table. Equi-joins between two
+    * tables bucketed on the same key with the same bucket count read
+    * co-partitioned data — no Exchange in the join plan (verified in
+    * ScaleSpec). At 100 TB this turns the recurring fact⋈fact join
+    * from a full shuffle into a local zip of bucket files. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", s"${warehouseDir(df.sparkSession)}/$table")
+      .saveAsTable(table)
+
+  private def warehouseDir(spark: SparkSession): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+
+  /** Salted aggregation for heavily skewed group keys: pre-aggregate on
+    * (key, salt) — spreading one hot key over `salts` reducers — then
+    * combine partials. Only valid for algebraic aggregates; the caller
+    * supplies both phases. */
+  def saltedAgg(df: DataFrame, key: Column, salts: Int,
+      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col("__key"))
+      .agg(finalAgg.head, finalAgg.tail: _*)
+
+  /** Salted broadcast-replicated join for a skewed fact key against a
+    * small dimension: fact rows get a deterministic salt, the dimension
+    * is replicated once per salt value, and the join key becomes
+    * (key, salt) — splitting a hot key's rows across `salts` tasks.
+    * Semantically identical to the unsalted equi-join (ScaleSpec). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

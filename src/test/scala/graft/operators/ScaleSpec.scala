@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    Scale.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 8)
+    Scale.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"))
+    // and it is still correct
+    val expected = Tables.orders(spark, sf).join(
+      Tables.lineitem(spark, sf)
+        .withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey").count()
+    assert(joined.count() == expected)
+  }
+
+  test("salted join equals the unsalted equi-join") {
+    val fact = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val dim = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    val salted = Scale.saltedJoin(fact, dim, "k", salts = 4)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("k").count().orderBy("k").collect().toSeq
+    val b = plain.groupBy("k").count().orderBy("k").collect().toSeq
+    assert(a == b)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = Tables.lineitem(spark, sf)
+    val salted = Scale.saltedAgg(df, col("l_returnflag"), salts = 8,
+        partial = Seq(sum("l_quantity").as("s"), count(lit(1)).as("c")),
+        finalAgg = Seq(sum("s").as("total_qty"), sum("c").as("n")))
+      .orderBy("__key")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val direct = df.groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(salted.map(t => (t._1, math.round(t._2 * 100), t._3)) ==
+      direct.map(t => (t._1, math.round(t._2 * 100), t._3)))
+  }
+}
