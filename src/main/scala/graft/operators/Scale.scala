@@ -24,6 +24,16 @@ object Scale {
   private def warehouseDir(spark: SparkSession): String =
     spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
 
+  /** Persist an event table partitioned by event date — the layout the
+    * retention sink's age-out becomes a partition drop on, and scans
+    * with a time predicate prune to the matching directories
+    * (PartitionFilters, verified in ScaleSpec). */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path)
+
   /** Salted aggregation for heavily skewed group keys: pre-aggregate on
     * (key, salt) — spreading one hot key over `salts` reducers — then
     * combine partials. Only valid for algebraic aggregates; the caller

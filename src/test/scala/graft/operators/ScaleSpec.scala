@@ -25,6 +25,22 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("date-partitioned layout prunes partitions under a time predicate") {
+    val path = java.nio.file.Files.createTempDirectory("graft_part")
+      .resolve("events").toString
+    Scale.writePartitionedByDay(Tables.events(spark, sf), "ts", path)
+    val q = spark.read.parquet(path)
+      .filter(col("event_date") === "2024-01-02")
+    val scan = q.queryExecution.executedPlan.toString
+    // the predicate lands in PartitionFilters (directory pruning), not
+    // in post-scan Filter or data filters
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"))
+    assert(scan.contains("event_date#") && scan.contains("= 2024-01-02"))
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === "2024-01-02").count()
+    assert(q.count() == expected && expected > 0)
+  }
+
   test("salted join equals the unsalted equi-join") {
     val fact = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("k"), col("l_quantity"))
