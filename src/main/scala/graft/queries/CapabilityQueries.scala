@@ -447,6 +447,105 @@ object CapabilityQueries {
     out.orderBy("hour_start", "event_type")
   }
 
+  // --------------------------------------------------------------- Q23
+  /** Pivot: event counts per user-bucket × event type. Explicit value
+    * list keeps column order deterministic. */
+  def q23Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10L)))
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
+  val q23Sql: String =
+    """SELECT user_id % 10 AS user_bucket,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- Q24
+  /** Exact percentiles (linear interpolation — the ANSI
+    * PERCENTILE_CONT definition both engines implement). */
+  def q24Percentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+      .orderBy("l_returnflag")
+
+  val q24Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- Q25
+  /** String/null scalar battery: case ops, trim/pad, replace, regexp,
+    * coalesce/nullif/greatest/least. */
+  def q25StringBattery(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        length(trim(col("c_name"))).cast(LongType).as("name_len"),
+        lpad(col("c_custkey").cast(StringType), 10, "0").as("key_padded"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+          lit("OTHER")).as("seg_or_other"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_acctbal"), lit(5000.0)).as("bal_cap"))
+      .orderBy("c_custkey")
+
+  val q25Sql: String =
+    """SELECT c_custkey,
+      |  upper(c_name) AS name_upper,
+      |  lower(c_mktsegment) AS seg_lower,
+      |  CAST(length(trim(c_name)) AS BIGINT) AS name_len,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+      |  greatest(c_acctbal, 0.0) AS bal_floor,
+      |  least(c_acctbal, 5000.0) AS bal_cap
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- Q26
+  /** Window analytics battery: lead/lag/first/last + running frame agg
+    * over each customer's order history. */
+  def q26WindowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(frame).as("first_price"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2))).over(frame)
+          .cast(DoubleType).as("running_spend"),
+        row_number().over(w).cast(LongType).as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  val q26Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_spend,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -471,5 +570,9 @@ object CapabilityQueries {
     ("q20_stream_tumbling", q20StreamTumbling _, Some(q15Sql)),
     ("q21_cube", q21Cube _, Some(q21Sql)),
     ("q22_cross_join", q22CrossJoin _, Some(q22Sql)),
+    ("q23_pivot", q23Pivot _, Some(q23Sql)),
+    ("q24_percentile", q24Percentile _, Some(q24Sql)),
+    ("q25_string_battery", q25StringBattery _, Some(q25Sql)),
+    ("q26_window_analytics", q26WindowAnalytics _, Some(q26Sql)),
   )
 }
