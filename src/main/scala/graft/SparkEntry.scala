@@ -16,10 +16,19 @@ object SparkEntry {
     CapabilityQueries.entries ++ ParityQueries.entries ++
       TrainingQueries.entries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Join-chain + aggregation — exercises scan, broadcast join, hash agg. */
-  def entry(spark: SparkSession): DataFrame =
-    CapabilityQueries.q03JoinAgg(spark, "/root/testdata/sf0.001")
+  /** Flagship: SURVEY §7's minimum end-to-end slice — the
+    * ManagedDevices pipeline (paginated extract, Windows filter,
+    * struct/array transforms, schema conform, batch timestamp) feeding
+    * an analytic query: devices not synced in 7+ days per manufacturer.
+    * Driver smoke-checks rows>0 (fixtures contain 2 stale devices). */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ParityQueries.managedDevicesPipeline(spark, ParityQueries.ts2)
+      .filter(datediff(col("timeGenerated"), col("lastSyncDateTime")) > 7)
+      .groupBy("manufacturer")
+      .agg(count(lit(1)).as("stale_devices"))
+      .orderBy("manufacturer")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
