@@ -113,17 +113,21 @@ object Dedup {
 
   /** 64-bit SimHash of the token stream: per bit, sign of the sum of
     * ±1 contributions from each token hash. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(text), w => xxhash64(w))
-    // bit positions unrolled at plan-build time (shift amounts must be
-    // literals); codegen's common-subexpression elimination shares the
-    // token-hash array across the 64 folds
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(transform(TextOps.tokens(text), w => xxhash64(w)))
+
+  /** SimHash over a precomputed token-hash array. Callers that control
+    * the projection should materialize the hash array in its own
+    * select first — the 64 bit-folds each re-evaluate the `hashes`
+    * subtree, so an inline tokenize+hash runs 64× per row. Bit
+    * positions are unrolled at plan-build time (shift amounts must be
+    * literals). */
+  def simhash64FromHashes(hashes: Column): Column =
     (0 until 64).map { j =>
       when(aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         > 0L, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** SimHash near-dup candidates: Hamming(a,b) ≤ maxHamming. Blocked by
     * the pigeonhole principle on four 16-bit chunks (≤3 differing bits
@@ -132,8 +136,24 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    val sigs = docs.repartition(p, col(idCol))
-      .select(col(idCol), simhash64(col(textCol)).as("sig")).cache()
+    // Relational formulation of simhash64 (identical result): explode
+    // token hashes, 64 ±1 sums in ONE hash aggregate (map-side partial
+    // combine), then fold the signs into the signature. Equivalent to
+    // the per-row expression but far cheaper to codegen-compile than
+    // 64 nested lambda folds, and it scales through the shuffle path.
+    val perTok = docs.repartition(p, col(idCol))
+      .select(col(idCol),
+        explode(transform(graft.functions.TextOps.tokens(col(textCol)),
+          w => xxhash64(w))).as("h"))
+    val sumCols = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$j"))
+    val sums = perTok.groupBy(idCol).agg(sumCols.head, sumCols.tail: _*)
+    val sigs = sums.select(col(idCol),
+      (0 until 64).map(j =>
+        when(col(s"s$j") > 0L, shiftleft(lit(1L), j)).otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+      .cache()
     val chunked = sigs.select(col(idCol), col("sig"), posexplode(array(
         (0 until 4).map(c =>
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
