@@ -167,6 +167,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Resolve near-dup pairs into duplicate clusters: every document
+    * gets the minimum doc-id reachable through the pair graph as its
+    * cluster root (connected components via iterative label
+    * propagation — converges in graph-diameter rounds, which for
+    * near-dup graphs is tiny; `maxIter` bounds pathological chains).
+    * Output: (id, root) for every input document; singletons are their
+    * own root. A dedup pipeline keeps `id == root` representatives. */
+  def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("root"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts the min root among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("root", "nroot"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nroot")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("root", "old"), "id")
+        .filter(col("root") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on `blockCol` (e.g. a
     * cluster/label id, an LSH bucket, or an IVF cell): only intra-block
     * pairs are scored. */

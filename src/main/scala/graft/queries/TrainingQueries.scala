@@ -86,7 +86,61 @@ object TrainingQueries {
       |        CAST(b.embedding AS DOUBLE[])) >= 0.45
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** d06: duplicate clusters — connected components over the exact
+    * near-dup pair graph; every doc labeled with its cluster root.
+    * Oracle: recursive-CTE transitive closure over the same pairs. */
+  def d06DupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    Dedup.duplicateClusters(docs, "doc_id", pairs)
+      .orderBy("id")
+  }
+
+  val d06Sql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |cnt AS (SELECT doc_id, len(sh) AS n FROM tok),
+      |p AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |    FROM (SELECT doc_id, unnest(sh) AS s FROM tok) a
+      |    JOIN (SELECT doc_id, unnest(sh) AS s FROM tok) b
+      |      ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) j
+      |  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE inter/(ca.n + cb.n - inter) >= 0.5),
+      |edges AS (SELECT a_id AS a, b_id AS b FROM p
+      |          UNION SELECT b_id, a_id FROM p),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |  WHERE e.b <> r.a)
+      |SELECT d.doc_id AS id,
+      |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS root
+      |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |GROUP BY d.doc_id ORDER BY id""".stripMargin
+
   // ------------------------------------------------------------- text
+
+  /** t05: cleaning/normalization — whitespace collapse, digit
+    * redaction, lowercasing: the standard pre-tokenization scrub. */
+  def t05Clean(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        lower(regexp_replace(
+          regexp_replace(trim(col("text")), "[0-9]+", "<num>"),
+          "\\s+", " ")).as("clean_text"))
+      .orderBy("doc_id")
+
+  val t05Sql: String =
+    """SELECT doc_id,
+      |  lower(regexp_replace(regexp_replace(trim(text), '[0-9]+', '<num>', 'g'),
+      |        '\s+', ' ', 'g')) AS clean_text
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** t01: language ID (stopword-profile heuristic) + distribution. */
   def t01LangId(s: SparkSession, d: String): DataFrame =
@@ -262,10 +316,12 @@ object TrainingQueries {
     ("d03_minhash_lsh", d03MinhashLsh _, None),
     ("d04_simhash", d04Simhash _, None),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
+    ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),
     ("t01_lang_id", t01LangId _, Some(t01Sql)),
     ("t02_quality", t02Quality _, Some(t02Sql)),
     ("t03_fingerprint", t03Fingerprint _, Some(t03Sql)),
     ("t04_corpus_stats", t04CorpusStats _, Some(t04Sql)),
+    ("t05_clean", t05Clean _, Some(t05Sql)),
     ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
     ("s03_ann_lsh", s03AnnLsh _, None),

@@ -38,6 +38,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("duplicate clusters: chains collapse to one root, singletons self-root") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("exact dedup groups identical keys and keeps min id") {
     val df = Seq((5L, "x"), (2L, "x"), (9L, "y")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "doc_id", Seq("text"))
