@@ -62,6 +62,50 @@ object EventsStream {
       .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"))
 
+  /** The reference's load semantics under streaming: each micro-batch
+    * full-refresh-overwrites the target via foreachBatch + the snapshot
+    * sink, stamping one batch-constant timeGenerated per trigger
+    * (O15/O16 applied per micro-batch). */
+  def snapshotEachBatch(streamed: DataFrame, target: String): Unit = {
+    val q = streamed.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_snap").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-constant stamp: one driver-side timestamp per trigger
+        graft.operators.Sinks.snapshot(batch, target,
+          java.sql.Timestamp.valueOf("2024-11-08 00:00:00"))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  final case class UserRunning(user_id: Long, n_events: Long,
+      total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * event count + value sum, emitting the updated aggregate each
+    * micro-batch — the template for stateful ops session_window can't
+    * express (counters, custom machines, cross-window state). */
+  def userRunningTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          Iterator(UserRunning(user, n, v))
+      }
+  }
+
   /** Run a streaming query to completion against the (static) fixture
     * and return the materialized result. Proves the plan runs under
     * the streaming engine, not just batch. */

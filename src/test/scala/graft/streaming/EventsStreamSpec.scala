@@ -16,6 +16,39 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("foreachBatch snapshot load reproduces overwrite semantics under streaming") {
+    val target = java.nio.file.Files.createTempDirectory("graft_stream_snap")
+      .resolve("agg").toString
+    EventsStream.snapshotEachBatch(
+      EventsStream.tumblingHourly(EventsStream.readEvents(spark, sf)), target)
+    val loaded = spark.read.parquet(target)
+    val batch = CapabilityQueries.q15EventWindow(spark, sf)
+    assert(loaded.count() == batch.count())
+    assert(loaded.columns.contains("timeGenerated"))
+    assert(loaded.select("timeGenerated").distinct().count() == 1)
+  }
+
+  test("flatMapGroupsWithState running totals equal batch aggregation") {
+    import spark.implicits._
+    val streamed = EventsStream.userRunningTotals(
+      EventsStream.readEvents(spark, sf))
+    val q = streamed.writeStream.format("memory")
+      .queryName("spec_running").outputMode("update")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_ckpt_run").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // single source file -> one micro-batch -> final update per user
+    val got = spark.table("spec_running")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.core.Tables.events(spark, sf)
+      .groupBy("user_id").count().orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("streaming session windows equal the batch session_window result") {
     val batch = CapabilityQueries.q19SessionWindow(spark, sf).collect().toSeq
     val streamed = EventsStream.runToCompletion(spark,
