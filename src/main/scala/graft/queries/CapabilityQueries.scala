@@ -546,6 +546,40 @@ object CapabilityQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, order_seq""".stripMargin
 
+  // --------------------------------------------------------------- Q27
+  /** As-of join — for each purchase, the user's most recent prior (or
+    * simultaneous) click. Spark lacks a native ASOF JOIN; composed per
+    * the compose-first rule: tag + union both sides, one window pass
+    * carrying the last click id forward, keep purchase rows. One
+    * shuffle on user_id — no range cross-product, no N² — versus the
+    * naive join+filter+rank which shuffles every (purchase × click)
+    * pair per user. */
+  def q27AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
+    // clicks sort before purchases on ts ties (kind 0 < 1), so an
+    // equal-ts click is visible to the purchase — ASOF's <= semantics
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("click_id"))
+      .orderBy("purchase_id")
+  }
+
+  val q27Sql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -574,5 +608,6 @@ object CapabilityQueries {
     ("q24_percentile", q24Percentile _, Some(q24Sql)),
     ("q25_string_battery", q25StringBattery _, Some(q25Sql)),
     ("q26_window_analytics", q26WindowAnalytics _, Some(q26Sql)),
+    ("q27_asof_join", q27AsofJoin _, Some(q27Sql)),
   )
 }
