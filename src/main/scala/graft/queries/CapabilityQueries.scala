@@ -580,6 +580,26 @@ object CapabilityQueries {
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  // --------------------------------------------------------------- Q28
+  /** Correlated + scalar subqueries through the SQL text interface:
+    * ONE SQL string runs verbatim on Spark (temp views over the same
+    * parquet) and on DuckDB — Catalyst decorrelates the correlated
+    * aggregate into a join; the threshold is an exact decimal sum so
+    * both engines compute the identical double. */
+  val q28Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |  AND (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+      |       FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |      > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+      |               / COUNT(DISTINCT o_custkey) FROM orders)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q28Subqueries(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q28Sql)
+  }
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -609,5 +629,6 @@ object CapabilityQueries {
     ("q25_string_battery", q25StringBattery _, Some(q25Sql)),
     ("q26_window_analytics", q26WindowAnalytics _, Some(q26Sql)),
     ("q27_asof_join", q27AsofJoin _, Some(q27Sql)),
+    ("q28_subqueries", q28Subqueries _, Some(q28Sql)),
   )
 }
