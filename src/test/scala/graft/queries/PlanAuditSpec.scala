@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Plan hygiene audit: no query may plan a CartesianProduct, and
+  * nested-loop joins are allowed only where they are the intended
+  * algorithm. This is the 100 TB guard — a plan that degenerates to
+  * an unkeyed pair enumeration at sf0.001 will not survive scale-up.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose construction executes jobs or writes (audited by
+    * their own specs instead of a dry plan build). */
+  private val effectful = Set("p04_snapshot_overwrite", "p05_retention",
+    "q20_stream_tumbling", "d06_dup_clusters")
+
+  /** Intentional nested-loop/cross plans:
+    * q22 is a cross join by definition; s01 brute-force ANN scores
+    * every (query, corpus) pair by design — the broadcast side is the
+    * tiny query set; s04's assignment step scores every (query,
+    * centroid) pair — the centroid table is nlist rows by
+    * construction. */
+  private val nestedLoopAllowed = Set("q22_cross_join", "s01_ann_bruteforce",
+    "s04_ann_ivf_trained")
+
+  test("no query plans a CartesianProduct; nested-loop only where intended") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => effectful(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !nestedLoopAllowed(name)
+        if (cartesian || bnlj)
+          Some(s"$name: cartesian=$cartesian nestedLoop=$bnlj")
+        else None
+      }
+    assert(offenders.isEmpty, s"\nplan red flags:\n${offenders.mkString("\n")}")
+  }
+}
