@@ -175,7 +175,50 @@ object Dedup {
     * Output: (id, root) for every input document; singletons are their
     * own root. A dedup pipeline keeps `id == root` representatives. */
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10, driverPairLimit: Long = 10000000L): DataFrame = {
+    // The dup-pair graph is a tiny fraction of the corpus (that's what
+    // makes it a dup graph); when it fits the driver, a union-find +
+    // broadcast-mapping join resolves components in one job instead of
+    // diameter× iterative joins. The iterative path remains for
+    // pathological graphs past the limit.
+    val p = pairs.cache() // size probe + resolution reuse one computation
+    if (p.limit(driverPairLimit.toInt + 1).count() <= driverPairLimit)
+      return duplicateClustersUnionFind(docs, idCol, p)
+    duplicateClustersIterative(docs, idCol, p, maxIter)
+  }
+
+  /** Driver union-find over the collected pair list; only non-singleton
+    * membership is broadcast — every other doc is its own root. */
+  private def duplicateClustersUnionFind(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo // min-id root, matching the oracle's least()
+      }
+    }
+    val mapping = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(x => (x, find(x))).toSeq.toDF("id", "__root")
+    docs.select(col(idCol).as("id"))
+      .join(broadcast(mapping), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("root"))
+  }
+
+  private def duplicateClustersIterative(docs: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int): DataFrame = {
     val spark = docs.sparkSession
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
