@@ -169,22 +169,31 @@ object Dedup {
 
   /** Resolve near-dup pairs into duplicate clusters: every document
     * gets the minimum doc-id reachable through the pair graph as its
-    * cluster root (connected components via iterative label
-    * propagation — converges in graph-diameter rounds, which for
-    * near-dup graphs is tiny; `maxIter` bounds pathological chains).
-    * Output: (id, root) for every input document; singletons are their
-    * own root. A dedup pipeline keeps `id == root` representatives. */
+    * cluster root. Output: (id, root) for every input document;
+    * singletons are their own root. A dedup pipeline keeps
+    * `id == root` representatives.
+    *
+    * Strategy: the dup-pair graph is a tiny fraction of the corpus
+    * (that's what makes it a dup graph) — when it fits the driver
+    * (`driverPairLimit`, integral ids only), union-find + a broadcast
+    * mapping join resolve components in one job and `maxIter` is
+    * unused. Past the limit, or for non-integral id types,
+    * distributed iterative label propagation runs instead (converges
+    * in graph-diameter rounds; `maxIter` bounds pathological chains).
+    */
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 10, driverPairLimit: Long = 10000000L): DataFrame = {
-    // The dup-pair graph is a tiny fraction of the corpus (that's what
-    // makes it a dup graph); when it fits the driver, a union-find +
-    // broadcast-mapping join resolves components in one job instead of
-    // diameter× iterative joins. The iterative path remains for
-    // pathological graphs past the limit.
+      maxIter: Int = 10, driverPairLimit: Int = 2000000): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val integralIds = docs.schema(idCol).dataType match {
+      case LongType | IntegerType => true
+      case _ => false
+    }
     val p = pairs.cache() // size probe + resolution reuse one computation
-    if (p.limit(driverPairLimit.toInt + 1).count() <= driverPairLimit)
-      return duplicateClustersUnionFind(docs, idCol, p)
-    duplicateClustersIterative(docs, idCol, p, maxIter)
+    try {
+      if (integralIds && p.limit(driverPairLimit + 1).count() <= driverPairLimit)
+        duplicateClustersUnionFind(docs, idCol, p)
+      else duplicateClustersIterative(docs, idCol, p, maxIter)
+    } finally p.unpersist()
   }
 
   /** Driver union-find over the collected pair list; only non-singleton
@@ -237,8 +246,11 @@ object Dedup {
         .select(col("id"),
           least(col("root"), coalesce(col("nmin"), col("root"))).as("root"))
         .cache()
+      // the changed-probe also materializes next's cache, so the old
+      // generation can be dropped immediately
       val changed = next.join(labels.withColumnRenamed("root", "old"), "id")
         .filter(col("root") =!= col("old")).limit(1).count()
+      if (i > 0) labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1

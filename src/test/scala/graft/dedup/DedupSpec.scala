@@ -41,9 +41,23 @@ class DedupSpec extends SparkSpec {
   test("duplicate clusters: chains collapse to one root, singletons self-root") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
-    val out = Dedup.duplicateClusters(docs, "doc_id", pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+    val unionFind = Dedup.duplicateClusters(docs, "doc_id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    assert(unionFind == expected)
+    // driverPairLimit=0 forces the distributed iterative fallback
+    val iterative = Dedup.duplicateClusters(docs, "doc_id", pairs,
+        driverPairLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iterative == expected)
+  }
+
+  test("duplicate clusters: non-integral ids take the iterative path correctly") {
+    val docs = Seq("a", "b", "c", "d").toDF("doc_id")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
   }
 
   test("exact dedup groups identical keys and keeps min id") {
