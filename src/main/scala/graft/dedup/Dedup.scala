@@ -17,6 +17,13 @@ import graft.functions.{TextOps, VectorFunctions}
   *  - SimHash: 64-bit signature, near-dup candidates via 16-bit
   *    chunk-collision join (Hamming ≤ 3 ⇒ some 16-bit chunk equal);
   *  - embedding: cosine over pairs blocked on a coarse key.
+  *
+  * Caching contract: the pair-producing operators cache their shingle/
+  * signature intermediates (each is referenced by several plan
+  * branches); because the returned DataFrame is lazy, the operator
+  * cannot know when to release them. Long-lived applications that
+  * sweep many corpora should `spark.catalog.clearCache()` between
+  * corpora (the Bench/Verify harnesses do).
   */
 object Dedup {
 
@@ -256,6 +263,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicate-cluster label propagation did not converge in $maxIter " +
+          "rounds (graph diameter exceeds maxIter); raise maxIter — " +
+          "returning partial labels would silently split clusters")
     labels
   }
 

@@ -61,11 +61,12 @@ object TextOps {
   /** Exact token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
-  /** BPE-ish subword count: runs of letters/digits plus lone
-    * non-space symbols, ~the unit a byte-pair tokenizer would split. */
+  /** BPE-ish subword count: runs of letters/digits plus individual
+    * non-space symbols — roughly the unit count a byte-pair tokenizer
+    * starts from. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "[^A-Za-z0-9]+"), w => w =!= "")).cast(LongType) +
-      size(filter(split(text, "[A-Za-z0-9\\s]+"), w => w =!= "")).cast(LongType)
+    (regexp_count(text, lit("[A-Za-z0-9]+")) +
+      regexp_count(text, lit("[^A-Za-z0-9\\s]"))).cast(LongType)
 
   /** Type-token ratio: distinct tokens / tokens (0 if empty). */
   def distinctRatio(text: Column): Column = {

@@ -20,10 +20,12 @@ object VectorMean extends Aggregator[Array[Float], VectorMeanBuf, Array[Float]] 
   override def reduce(b: VectorMeanBuf, v: Array[Float]): VectorMeanBuf = {
     if (v == null) return b
     if (b.sums.length == 0) b.sums = new Array[Double](v.length)
+    // ragged input is a data bug — fail loudly rather than silently
+    // truncating or overrunning in merge
+    require(v.length == b.sums.length,
+      s"VectorMean: inconsistent vector dimension ${v.length} vs ${b.sums.length}")
     var i = 0
-    while (i < v.length && i < b.sums.length) {
-      b.sums(i) += v(i); i += 1
-    }
+    while (i < v.length) { b.sums(i) += v(i); i += 1 }
     b.n += 1
     b
   }
@@ -31,6 +33,8 @@ object VectorMean extends Aggregator[Array[Float], VectorMeanBuf, Array[Float]] 
   override def merge(a: VectorMeanBuf, b: VectorMeanBuf): VectorMeanBuf = {
     if (b.sums.length == 0) return a
     if (a.sums.length == 0) return b
+    require(a.sums.length == b.sums.length,
+      s"VectorMean: inconsistent vector dimension ${b.sums.length} vs ${a.sums.length}")
     var i = 0
     while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
     a.n += b.n

@@ -38,13 +38,13 @@ object Scale {
     * (key, salt) — spreading one hot key over `salts` reducers — then
     * combine partials. Only valid for algebraic aggregates; the caller
     * supplies both phases. */
-  def saltedAgg(df: DataFrame, key: Column, salts: Int,
+  def saltedAgg(df: DataFrame, keyCol: String, salts: Int,
       partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
     df.withColumn("__salt",
         pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
-      .groupBy(key.as("__key"), col("__salt"))
+      .groupBy(col(keyCol), col("__salt"))
       .agg(partial.head, partial.tail: _*)
-      .groupBy(col("__key"))
+      .groupBy(col(keyCol))   // caller's key name is preserved
       .agg(finalAgg.head, finalAgg.tail: _*)
 
   /** Salted broadcast-replicated join for a skewed fact key against a

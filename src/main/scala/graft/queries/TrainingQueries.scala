@@ -162,6 +162,7 @@ object TrainingQueries {
         col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.subwordCount(col("text")).as("n_subwords"),
         TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
         TextOps.distinctRatio(col("text")).as("distinct_ratio"),
         TextOps.meanTokenLen(col("text")).as("mean_token_len"),
@@ -170,11 +171,11 @@ object TrainingQueries {
 
   val t02Sql: String =
     """WITH t AS (
-      |  SELECT doc_id, length(text) AS n_chars,
+      |  SELECT doc_id, length(text) AS n_chars, text,
       |         list_filter(string_split(text, ' '), x -> x <> '') AS w
       |  FROM documents),
       |m AS (
-      |  SELECT doc_id, n_chars, len(w) AS n_tokens,
+      |  SELECT doc_id, n_chars, text, len(w) AS n_tokens,
       |    CASE WHEN len(w) > 0 THEN
       |      len(list_filter(w, x -> x IN ('the','a','of','and','in','to','is'))) / len(w)
       |      ELSE 0.0 END AS stopword_ratio,
@@ -185,7 +186,11 @@ object TrainingQueries {
       |      ELSE 0.0 END AS mean_token_len
       |  FROM t)
       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-      |  CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio, distinct_ratio,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+      |     + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+      |    AS n_subwords,
+      |  stopword_ratio, distinct_ratio,
       |  CAST(mean_token_len AS DOUBLE) AS mean_token_len,
       |  stopword_ratio * 0.4 + distinct_ratio * 0.4 +
       |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0

@@ -108,43 +108,47 @@ class ODataScan(required: StructType, firstPage: String,
     s"ODataScan($$select=$sel${if (fil.nonEmpty) s", $$filter=$fil" else ""})"
   }
 
-  /** Driver-side cursor walk: read each page only for its nextLink,
-    * emit one partition per page. */
+  /** Driver-side cursor walk, one partition per page. Cursor chains
+    * are inherently sequential, so the driver must touch every page
+    * once to discover the next link — the fetched body is carried into
+    * the partition rather than re-fetched by the executor (halves the
+    * request count against a rate-limited live API; bodies are held
+    * only until task dispatch). Sources whose cursors are computable
+    * (e.g. $skiptoken arithmetic) can skip the bodies entirely. */
   override def planInputPartitions(): Array[InputPartition] = {
     val fetcher = new RetryingPageFetcher(new LocalPageFetcher, maxRetries,
       retrySleepMs)
-    Iterator.iterate(Option(firstPage)) {
-      case Some(p) => PageCursor.nextLink(fetcher.fetch(p), p)
+    Iterator.iterate(Option(firstPage).map(p => (p, fetcher.fetch(p)))) {
+      case Some((path, body)) =>
+        PageCursor.nextLink(body, path).map(p => (p, fetcher.fetch(p)))
       case None => None
     }.takeWhile(_.isDefined).take(100000).flatten
-      .map(p => ODataInputPartition(p, maxRetries, retrySleepMs): InputPartition)
+      .map { case (p, body) => ODataInputPartition(p, body): InputPartition }
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ODataReaderFactory(required, pushed, maxRetries, retrySleepMs)
+    new ODataReaderFactory(required, pushed)
 }
 
-case class ODataInputPartition(pagePath: String, maxRetries: Int,
-    retrySleepMs: Long) extends InputPartition
+case class ODataInputPartition(pagePath: String, body: String)
+    extends InputPartition
 
-class ODataReaderFactory(required: StructType, pushed: Array[Filter],
-    maxRetries: Int, retrySleepMs: Long) extends PartitionReaderFactory {
+class ODataReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ODataPartitionReader(
       partition.asInstanceOf[ODataInputPartition], required, pushed)
 }
 
-/** Executor-side page reader: fetch + parse one page, emit the pruned
-  * rows with pushed filters applied at the source. */
+/** Executor-side page reader: parse one already-fetched page, emit the
+  * pruned rows with pushed filters applied at the source. */
 class ODataPartitionReader(partition: ODataInputPartition,
     required: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    val fetcher = new RetryingPageFetcher(new LocalPageFetcher,
-      partition.maxRetries, partition.retrySleepMs)
-    val body = fetcher.fetch(partition.pagePath)
+    val body = partition.body
     val pageSchema = StructType(Seq(StructField("value", ArrayType(required))))
     val parser = new JacksonParser(pageSchema,
       new JSONOptions(Map("multiLine" -> "true"), "UTC"), false, Seq.empty)
@@ -179,10 +183,18 @@ class ODataPartitionReader(partition: ODataInputPartition,
   override def close(): Unit = ()
 }
 
+/** Thrown by a PageFetcher for failures worth retrying (HTTP 429/503,
+  * transient transport errors). Anything else propagates immediately —
+  * the reference retries only on 429 (MD-PS:138-148); a 404/401 must
+  * fail fast so the per-entity skip policy (O9) can engage. */
+class RetryableFetchException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
 /** Page transport. Live mode would be an HTTP client with auth (O8);
   * fixture mode reads local files. */
 trait PageFetcher extends Serializable {
-  /** @return raw page body; throw to signal a retryable failure. */
+  /** @return raw page body; throw [[RetryableFetchException]] for
+    * transient failures, any other exception for permanent ones. */
   def fetch(path: String): String
 }
 
@@ -193,7 +205,8 @@ class LocalPageFetcher extends PageFetcher {
 }
 
 /** O7 — bounded fixed-backoff retry (the reference's 429 loop:
-  * ≤5 tries, fixed sleep; MD-PS:138-148). */
+  * ≤5 tries, fixed sleep; MD-PS:138-148). Retries ONLY retryable
+  * failures; permanent errors surface on the first attempt. */
 class RetryingPageFetcher(inner: PageFetcher, maxRetries: Int,
     sleepMs: Long) extends PageFetcher {
   override def fetch(path: String): String = {
@@ -201,7 +214,7 @@ class RetryingPageFetcher(inner: PageFetcher, maxRetries: Int,
     while (true) {
       try return inner.fetch(path)
       catch {
-        case e: Exception =>
+        case e: RetryableFetchException =>
           attempt += 1
           if (attempt > maxRetries) throw e
           if (sleepMs > 0) Thread.sleep(sleepMs)

@@ -56,10 +56,10 @@ class ScaleSpec extends SparkSpec {
 
   test("salted aggregation equals direct aggregation") {
     val df = Tables.lineitem(spark, sf)
-    val salted = Scale.saltedAgg(df, col("l_returnflag"), salts = 8,
+    val salted = Scale.saltedAgg(df, "l_returnflag", salts = 8,
         partial = Seq(sum("l_quantity").as("s"), count(lit(1)).as("c")),
         finalAgg = Seq(sum("s").as("total_qty"), sum("c").as("n")))
-      .orderBy("__key")
+      .orderBy("l_returnflag")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
     val direct = df.groupBy(col("l_returnflag"))
       .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n"))

@@ -79,7 +79,7 @@ class ODataSourceSpec extends SparkSpec {
       private val real = new LocalPageFetcher
       override def fetch(path: String): String = {
         if (failures.getAndDecrement() > 0)
-          throw new RuntimeException("429 Too Many Requests")
+          throw new RetryableFetchException("429 Too Many Requests")
         real.fetch(path)
       }
     }
@@ -91,9 +91,22 @@ class ODataSourceSpec extends SparkSpec {
   test("retry budget exhausts after maxRetries (error policy)") {
     val alwaysFail = new PageFetcher {
       override def fetch(path: String): String =
-        throw new RuntimeException("429")
+        throw new RetryableFetchException("429")
     }
     val r = new RetryingPageFetcher(alwaysFail, maxRetries = 2, sleepMs = 0)
-    assertThrows[RuntimeException](r.fetch(mdFirstPage))
+    assertThrows[RetryableFetchException](r.fetch(mdFirstPage))
+  }
+
+  test("permanent failures are NOT retried (fail fast for skip policy)") {
+    val calls = new AtomicInteger(0)
+    val notFound = new PageFetcher {
+      override def fetch(path: String): String = {
+        calls.incrementAndGet()
+        throw new IllegalArgumentException("404 Not Found")
+      }
+    }
+    val r = new RetryingPageFetcher(notFound, maxRetries = 5, sleepMs = 0)
+    assertThrows[IllegalArgumentException](r.fetch(mdFirstPage))
+    assert(calls.get() == 1) // no retry burned on a permanent error
   }
 }
