@@ -51,10 +51,22 @@ object Dedup {
     * count → Jaccard from per-doc set sizes. Output: (a_id, b_id,
     * jaccard) for pairs ≥ threshold, a_id < b_id. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     val tok = withShingles(docs, idCol, textCol, n).cache()
     val sizes = tok.select(col(idCol), size(col("sh")).as("n_sh"))
-    val inv = tok.select(col(idCol), explode(col("sh")).as("s"))
+    val invAll = tok.select(col(idCol), explode(col("sh")).as("s"))
+    // Optional stop-shingle cut: the join blows up quadratically in
+    // per-shingle document frequency (measured 68.6s vs 6.4s for LSH
+    // under 10x duplication), and shingles present in a large fraction
+    // of the corpus carry no dedup signal. Dropping df > cap shingles
+    // bounds the join at the cost of exactness for pairs whose overlap
+    // is exclusively stop-shingles — default OFF to stay oracle-exact.
+    val inv = maxDocFreq.fold(invAll) { cap =>
+      val hot = invAll.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("s")
+      invAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

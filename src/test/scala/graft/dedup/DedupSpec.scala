@@ -60,6 +60,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
   }
 
+  test("stop-shingle cap above the max df changes nothing; a tight cap only prunes") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxDocFreq = Some(1000000))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == exact)
+    val tight = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxDocFreq = Some(2))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(exact)) // pruning can only lose pairs
+  }
+
   test("exact dedup groups identical keys and keeps min id") {
     val df = Seq((5L, "x"), (2L, "x"), (9L, "y")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "doc_id", Seq("text"))
