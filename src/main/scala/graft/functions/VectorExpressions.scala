@@ -89,11 +89,18 @@ object VectorFunctions {
   /** Make cosine_sim/dot_product/l2_distance usable from SQL text. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def binary(name: String, mk: (Expression, Expression) => Expression)
+        : Seq[Expression] => Expression = es => {
+      if (es.length != 2)
+        throw new IllegalArgumentException(
+          s"$name requires exactly 2 arguments, got ${es.length}")
+      mk(es.head, es(1))
+    }
     reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSimilarity(es.head, es(1)), "scala_udf")
+      binary("cosine_sim", CosineSimilarity.apply), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
-      es => DotProduct(es.head, es(1)), "scala_udf")
+      binary("dot_product", DotProduct.apply), "scala_udf")
     reg.createOrReplaceTempFunction("l2_distance",
-      es => L2Distance(es.head, es(1)), "scala_udf")
+      binary("l2_distance", L2Distance.apply), "scala_udf")
   }
 }

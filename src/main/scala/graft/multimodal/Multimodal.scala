@@ -61,7 +61,7 @@ object Multimodal {
     * `binaryFile` sources or parquet with a binary column. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.core.Tables.documents(spark, sfDir)
       .select(
         col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("media"),
@@ -79,11 +79,16 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition codec init would go here
+      // per-partition codec init: one digest instance (reset per row)
+      // and a hex table — no per-row provider lookups or Formatters
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
       rows.map { r =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.media).map("%02x".format(_)).mkString
-        MediaFeatures(r.media_id, r.media.length.toLong, digest,
+        md.reset()
+        val d = md.digest(r.media)
+        val sb = new java.lang.StringBuilder(32)
+        d.foreach { b => sb.append(hex((b >> 4) & 0xF)).append(hex(b & 0xF)) }
+        MediaFeatures(r.media_id, r.media.length.toLong, sb.toString,
           MediaCodec.decodeFeature(r.media))
       }
     }
@@ -94,6 +99,8 @@ object Multimodal {
     * shape is the real contract). */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
       stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     val s = media.sparkSession
     import s.implicits._
     media.flatMap { r =>

@@ -229,8 +229,12 @@ object CapabilityQueries {
   def q12SetOps(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val cut = lit("1995-01-01").cast(TimestampType)
-    val a = o.filter(col("o_orderdate") < cut).select("o_custkey").distinct()
-    val b = o.filter(col("o_orderdate") >= cut).select("o_custkey").distinct()
+    // each side feeds three set-op branches — cache so orders is
+    // scanned/aggregated twice total, not six times
+    val a = o.filter(col("o_orderdate") < cut).select("o_custkey")
+      .distinct().cache()
+    val b = o.filter(col("o_orderdate") >= cut).select("o_custkey")
+      .distinct().cache()
     a.intersect(b).withColumn("tag", lit("both"))
       .unionByName(a.except(b).withColumn("tag", lit("only_a")))
       .unionByName(b.except(a).withColumn("tag", lit("only_b")))

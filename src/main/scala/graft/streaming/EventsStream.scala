@@ -66,15 +66,18 @@ object EventsStream {
     * full-refresh-overwrites the target via foreachBatch + the snapshot
     * sink, stamping one batch-constant timeGenerated per trigger
     * (O15/O16 applied per micro-batch). */
-  def snapshotEachBatch(streamed: DataFrame, target: String): Unit = {
+  def snapshotEachBatch(streamed: DataFrame, target: String,
+      loadTimeForBatch: Long => java.sql.Timestamp =
+        _ => new java.sql.Timestamp(System.currentTimeMillis())): Unit = {
     val q = streamed.writeStream
       .outputMode("complete")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_ckpt_snap").toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch-constant stamp: one driver-side timestamp per trigger
+        // batch-constant stamp: ONE driver-side timestamp per trigger,
+        // derived per batchId (injectable for deterministic tests)
         graft.operators.Sinks.snapshot(batch, target,
-          java.sql.Timestamp.valueOf("2024-11-08 00:00:00"))
+          loadTimeForBatch(batchId))
       }
       .start()
     q.processAllAvailable()

@@ -20,7 +20,8 @@ class EventsStreamSpec extends SparkSpec {
     val target = java.nio.file.Files.createTempDirectory("graft_stream_snap")
       .resolve("agg").toString
     EventsStream.snapshotEachBatch(
-      EventsStream.tumblingHourly(EventsStream.readEvents(spark, sf)), target)
+      EventsStream.tumblingHourly(EventsStream.readEvents(spark, sf)), target,
+      bid => java.sql.Timestamp.valueOf(s"2024-11-08 00:00:0$bid"))
     val loaded = spark.read.parquet(target)
     val batch = CapabilityQueries.q15EventWindow(spark, sf)
     assert(loaded.count() == batch.count())
