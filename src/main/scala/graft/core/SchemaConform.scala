@@ -16,12 +16,17 @@ import org.apache.spark.sql.types.StructType
   */
 object SchemaConform {
 
-  /** Project `df` onto `schema`: by-name lookup, absent → typed NULL,
-    * present → cast, output column order = schema order. */
+  /** Project `df` onto `schema`: by-name lookup (case-insensitive,
+    * matching Spark's own default resolution — a source column that
+    * differs only in case must conform, not silently null out),
+    * absent → typed NULL, present → cast, output column order =
+    * schema order. */
   def conform(df: DataFrame, schema: StructType): DataFrame = {
-    val present = df.columns.toSet
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
     val cols: Seq[Column] = schema.fields.toSeq.map { f =>
-      val c = if (present.contains(f.name)) col(f.name) else lit(null)
+      val c = byLower.get(f.name.toLowerCase)
+        .map(actual => col(s"`$actual`"))
+        .getOrElse(lit(null))
       c.cast(f.dataType).as(f.name)
     }
     df.select(cols: _*)

@@ -38,10 +38,18 @@ object Scale {
     * (key, salt) — spreading one hot key over `salts` reducers — then
     * combine partials. Only valid for algebraic aggregates; the caller
     * supplies both phases. */
+  /** Deterministic content-derived salt: a task retry must re-assign
+    * the same salt to the same row or partial aggregates double-count
+    * (monotonically_increasing_id/rand change under recomputation —
+    * the classic repartition-retry corruption). Identical rows share a
+    * salt, which slightly weakens spreading for exact-duplicate-heavy
+    * keys but keeps results exact under failure. */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
+
   def saltedAgg(df: DataFrame, keyCol: String, salts: Int,
       partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
-    df.withColumn("__salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    df.withColumn("__salt", contentSalt(df, salts))
       .groupBy(col(keyCol), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(keyCol))   // caller's key name is preserved
@@ -54,8 +62,7 @@ object Scale {
     * Semantically identical to the unsalted equi-join (ScaleSpec). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val saltedFact = fact.withColumn("__salt", contentSalt(fact, salts))
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")

@@ -39,12 +39,17 @@ object Sinks {
     val tmp = path + "_compact"
     aged.write.mode(SaveMode.Overwrite).parquet(tmp)
     // atomic-ish swap; a table format (Delta/Iceberg) would make this a
-    // real transaction
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // real transaction. The FS is resolved from the path's own URI (not
+    // the default FS) and both steps are checked — an unreported failed
+    // rename after a successful delete would silently lose the table.
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(dst, true) && fs.exists(dst))
+      throw new java.io.IOException(s"retention swap: failed to delete $dst")
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"retention swap: failed to rename $src -> $dst; retained data is at $src")
   }
 
   /** O15 variant — JDBC snapshot: truncate-overwrite into a relational

@@ -34,6 +34,15 @@ final case class StageMetrics(entity: String, rows: Long, planSec: Double,
 final class PipelineRunner(spark: SparkSession) {
 
   val metrics: mutable.Buffer[StageMetrics] = mutable.Buffer.empty
+  private val cached = mutable.Buffer.empty[DataFrame]
+
+  /** Release the cached entity outputs of every prior run() — call
+    * after the sinks have consumed them; the frames remain usable
+    * (recomputed on access) but no longer pin executor storage. */
+  def release(): Unit = {
+    cached.foreach(_.unpersist())
+    cached.clear()
+  }
 
   /** Run every endpoint; failed entities are skipped (error policy O9)
     * and reported in the second element. */
@@ -48,6 +57,7 @@ final class PipelineRunner(spark: SparkSession) {
         val filtered = cfg.filter.fold(raw)(raw.filter)
         val out = SchemaConform.conform(cfg.transform(filtered), cfg.sinkSchema)
           .cache() // materialize once: metrics count + caller reads share it
+        cached += out // released via release()
         val planSec = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
         val n = out.count()

@@ -3,19 +3,19 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.types._
-import java.nio.file.Paths
 
 /** O5/O6 — paginated OData scan over local JSON page fixtures.
   *
   * A page is one JSON object `{"value": [...], "@odata.nextLink": "..."}`
   * (MD-PS:164-194). The reference accumulates all pages into one
   * driver-side list; here only the *link chain* is walked on the driver
-  * (one tiny read per page to fetch the cursor) — row data stays
-  * distributed, and the per-page DataFrames are combined with
-  * `unionByName`, Spark's union-all. Against a live service this
-  * becomes a DataSource V2 connector emitting one InputPartition per
-  * page so executors fetch pages in parallel; the fixture reader keeps
-  * the same page semantics for tests.
+  * — a plain Jackson read per page for the cursor (PageCursor, shared
+  * with the V2 connector; no Spark job, no value parsing) — and row
+  * data stays distributed: the per-page DataFrames are combined with
+  * a balanced `unionByName`. Against a live service this becomes the
+  * DataSource V2 connector (graft.sources.v2) emitting one
+  * InputPartition per page so executors process pages in parallel;
+  * this reader keeps the same page semantics as a simple fixture path.
   */
 object ODataPageReader {
 
@@ -23,10 +23,10 @@ object ODataPageReader {
 
   /** Follow the nextLink chain starting at `firstPagePath`, returning
     * one DataFrame of all pages' `value[]` rows with `valueSchema`.
-    * Relative nextLinks resolve against the first page's directory. */
+    * Relative nextLinks resolve against the current page's directory
+    * (or the cwd for a bare filename). */
   def readPages(spark: SparkSession, firstPagePath: String,
       valueSchema: StructType, maxPages: Int = 10000): DataFrame = {
-    val dir = Paths.get(firstPagePath).getParent
     val pageSchema = StructType(Seq(
       StructField("value", ArrayType(valueSchema)),
       StructField(nextLinkField, StringType)))
@@ -34,21 +34,22 @@ object ODataPageReader {
     def pageDf(path: String): DataFrame =
       spark.read.schema(pageSchema).option("multiLine", "true").json(path)
 
-    def nextLink(path: String): Option[String] = {
-      // cursor fetch only — single row, no value data collected
-      // backticks: the field name itself contains a dot
-      val links = pageDf(path).select(col(s"`$nextLinkField`")).limit(1).collect()
-      Option(links.headOption.map(_.getString(0)).orNull)
-        .map(l => if (Paths.get(l).isAbsolute) l else dir.resolve(l).toString)
-    }
-
+    val fetcher = new graft.sources.v2.LocalPageFetcher
     val pages = Iterator.iterate(Option(firstPagePath)) {
-      case Some(p) => nextLink(p)
+      case Some(p) => graft.sources.v2.PageCursor.nextLink(fetcher.fetch(p), p)
       case None => None
     }.takeWhile(_.isDefined).take(maxPages).flatten.toSeq
 
-    pages.map(p => pageDf(p).select(explode(col("value")).as("v"))
-        .select(col("v.*")))
-      .reduce(_.unionByName(_))
+    // balanced union: a left-nested reduce builds an O(pages)-deep
+    // plan that strains the analyzer on long chains
+    def union(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.size == 1) dfs.head
+      else union(dfs.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a) => a
+      }.toSeq)
+
+    union(pages.map(p => pageDf(p).select(explode(col("value")).as("v"))
+      .select(col("v.*"))))
   }
 }

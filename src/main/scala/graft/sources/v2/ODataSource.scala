@@ -47,10 +47,13 @@ class ODataSource extends TableProvider
         "the source of truth; inference is never used in the prod path)")
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ODataTable(schema, properties.get("firstPage"),
-      Option(properties.get("maxRetries")).map(_.toInt).getOrElse(5),
-      Option(properties.get("retrySleepMs")).map(_.toLong).getOrElse(0L))
+      properties: util.Map[String, String]): Table = {
+    // DSv2 option names are conventionally case-insensitive
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ODataTable(schema, opts.get("firstPage"),
+      Option(opts.get("maxRetries")).map(_.toInt).getOrElse(5),
+      Option(opts.get("retrySleepMs")).map(_.toLong).getOrElse(0L))
+  }
 }
 
 class ODataTable(entitySchema: StructType, firstPage: String, maxRetries: Int,
@@ -160,6 +163,7 @@ class ODataPartitionReader(partition: ODataInputPartition,
       else {
         val arr = page.getArray(0)
         (0 until arr.numElements()).iterator
+          .filterNot(arr.isNullAt) // a null entity in value[] is not a row
           .map(i => arr.getStruct(i, required.length).copy())
           .filter(filterEval)
       }
@@ -234,7 +238,12 @@ object PageCursor {
     Option(node).filter(!_.isNull).map(_.asText()).map { l =>
       val p = java.nio.file.Paths.get(l)
       if (p.isAbsolute) l
-      else java.nio.file.Paths.get(currentPath).getParent.resolve(l).toString
+      else {
+        // a bare filename has no parent — resolve against the cwd
+        val dir = Option(java.nio.file.Paths.get(currentPath).getParent)
+          .getOrElse(java.nio.file.Paths.get("."))
+        dir.resolve(l).toString
+      }
     }
   }
 }
