@@ -30,6 +30,39 @@ class SourcesSpec extends SparkSpec {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves data") {
+    val customer = Tables.customer(spark, sf)
+    val path = Files.createTempDirectory("graft_orc").resolve("customer").toString
+    customer.write.mode(SaveMode.Overwrite).orc(path)
+    val back = spark.read.schema(customer.schema).orc(path)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+  }
+
+  test("long nextLink chains read correctly through both readers (7 pages)") {
+    import graft.core.EntitySchemas
+    val dir = Files.createTempDirectory("graft_pages")
+    val n = 7
+    (1 to n).foreach { i =>
+      val next = if (i < n) s""","@odata.nextLink": "page${i + 1}.json"""" else ""
+      val rows = (1 to 3).map(j =>
+        s"""{"id": "p$i-r$j", "displayName": "CPC-$i-$j"}""").mkString(",")
+      Files.writeString(dir.resolve(s"page$i.json"),
+        s"""{"value": [$rows]$next}""")
+    }
+    val first = dir.resolve("page1.json").toString
+    val loop = ODataPageReader.readPages(spark, first,
+      EntitySchemas.cloudPcSource)
+    assert(loop.count() == n * 3)
+    val v2 = spark.read.format("graft-odata")
+      .schema(EntitySchemas.cloudPcSource)
+      .option("firstPage", first).load()
+    assert(v2.count() == n * 3)
+    assert(v2.rdd.getNumPartitions == n) // one partition per page
+    assert(v2.orderBy("id").collect().toSeq ==
+      loop.orderBy("id").collect().toSeq)
+  }
+
   test("parquet append mode accumulates batches") {
     val path = Files.createTempDirectory("graft_app").resolve("t").toString
     val r = Tables.region(spark, sf)
