@@ -37,19 +37,24 @@ object Multimodal {
       digest: String,
       feature: Array[Float])        // decoded embedding/feature vector
 
-  /** STUB decode: a real implementation hands `bytes` to an image or
-    * audio codec. The deterministic fake derives a feature vector from
-    * the payload bytes so downstream plumbing (ANN over features,
-    * dedup on digests) is exercised with stable values. */
+  /** STUB decode: a real implementation hands the payload bytes to an
+    * image or audio codec. The deterministic fake derives a feature
+    * vector from the payload's MD5 hex digest (lane sums of the 32
+    * ASCII char codes, 4 chars per lane) so downstream plumbing (ANN
+    * over features, dedup on digests) is exercised with stable values
+    * that an external SQL oracle can reproduce (`md5()` + `ord()` are
+    * portable; raw-byte folds in float32 are not). Lane sums are small
+    * integers, so the Float values are exact. */
   object MediaCodec {
     val FeatureDim = 8
 
-    def decodeFeature(bytes: Array[Byte]): Array[Float] = {
+    def decodeFeature(digestHex: String): Array[Float] = {
       // ??? — codec unavailable in this environment; deterministic fake:
+      require(digestHex.length == 32, s"expected 32 hex chars, got ${digestHex.length}")
       val out = new Array[Float](FeatureDim)
       var i = 0
-      while (i < bytes.length) {
-        out(i % FeatureDim) += (bytes(i) & 0xFF) / 255.0f
+      while (i < digestHex.length) {
+        out(i % FeatureDim) += digestHex.charAt(i).toInt
         i += 1
       }
       out
@@ -88,8 +93,9 @@ object Multimodal {
         val d = md.digest(r.media)
         val sb = new java.lang.StringBuilder(32)
         d.foreach { b => sb.append(hex((b >> 4) & 0xF)).append(hex(b & 0xF)) }
-        MediaFeatures(r.media_id, r.media.length.toLong, sb.toString,
-          MediaCodec.decodeFeature(r.media))
+        val digest = sb.toString
+        MediaFeatures(r.media_id, r.media.length.toLong, digest,
+          MediaCodec.decodeFeature(digest))
       }
     }
   }

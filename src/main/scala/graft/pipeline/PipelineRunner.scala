@@ -65,7 +65,10 @@ final class PipelineRunner(spark: SparkSession) {
           (System.nanoTime() - t1) / 1e9)
         ok += cfg.name -> out
       } catch {
-        case e: Throwable => failed += cfg.name -> e
+        // NonFatal only: an OOM/thread-interrupt means the JVM is no
+        // longer trustworthy — propagate instead of reporting the
+        // entity as skipped and running on
+        case scala.util.control.NonFatal(e) => failed += cfg.name -> e
       }
     }
     (ok.toMap, failed.toSeq)

@@ -229,12 +229,14 @@ object CapabilityQueries {
   def q12SetOps(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val cut = lit("1995-01-01").cast(TimestampType)
-    // each side feeds three set-op branches — cache so orders is
-    // scanned/aggregated twice total, not six times
+    // each side feeds three set-op branches — no cache needed: the
+    // three branches contain identical exchange subtrees, which
+    // ReuseExchange collapses within the single physical plan, so
+    // nothing is pinned in the block manager after the query returns
     val a = o.filter(col("o_orderdate") < cut).select("o_custkey")
-      .distinct().cache()
+      .distinct()
     val b = o.filter(col("o_orderdate") >= cut).select("o_custkey")
-      .distinct().cache()
+      .distinct()
     a.intersect(b).withColumn("tag", lit("both"))
       .unionByName(a.except(b).withColumn("tag", lit("only_a")))
       .unionByName(b.except(a).withColumn("tag", lit("only_b")))
@@ -316,8 +318,12 @@ object CapabilityQueries {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------- Q16
-  /** Array ops over embeddings.embedding (no float arithmetic — values
-    * pass through bit-exact). */
+  /** Array ops over embeddings.embedding. Scalar float columns pass
+    * through bit-exact; the array-valued slice is rendered array-free
+    * for the hash harness (pandas cannot sort array columns) as JSON of
+    * scaled-truncated ints: float→double promotion, ×1e9, trunc-to-zero
+    * are all exact IEEE ops both engines compute identically — no
+    * float-to-text formatting is ever compared. */
   def q16ArrayOps(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(
@@ -326,13 +332,17 @@ object CapabilityQueries {
         element_at(col("embedding"), 1).as("first_val"),
         array_min(col("embedding")).as("min_val"),
         array_max(col("embedding")).as("max_val"),
-        slice(col("embedding"), 1, 4).as("head4"))
+        to_json(transform(slice(col("embedding"), 1, 4),
+          x => (x.cast(DoubleType) * lit(1e9)).cast(LongType)))
+          .as("head4_json"))
       .orderBy("vec_id")
 
   val q16Sql: String =
     """SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_val,
       |  list_min(embedding) AS min_val, list_max(embedding) AS max_val,
-      |  embedding[1:4] AS head4
+      |  CAST(to_json(list_transform(embedding[1:4], x ->
+      |    CAST(trunc(CAST(x AS DOUBLE) * 1e9) AS BIGINT))) AS VARCHAR)
+      |    AS head4_json
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------- Q17
@@ -560,7 +570,12 @@ object CapabilityQueries {
     * pair per user. */
   def q27AsofJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    // pre-reduce clicks to one row per (user_id, ts): ASOF tie-break
+    // among equal-ts matches is engine-unspecified, so pin it to
+    // max(event_id) on BOTH sides rather than rely on fixture luck
     val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
       .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
@@ -580,7 +595,9 @@ object CapabilityQueries {
   val q27Sql: String =
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+      |                FROM events WHERE event_type = 'click'
+      |                GROUP BY user_id, ts) c
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 

@@ -306,14 +306,27 @@ object TrainingQueries {
       |  md5(text) AS digest
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** m02: decoded feature vectors (stub codec) — deterministic fake
-    * values; spec-tested, rows-only here. */
+  /** m02: decoded feature vectors (stub codec). The stub's lane sums
+    * are exact small integers, so the compared output renders the
+    * vector as a JSON string of ints — array-free (the hash harness
+    * cannot sort array columns) and bit-exactly reproducible by the
+    * DuckDB oracle from `md5(text)`. */
   def m02MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.Multimodal
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(s, d))
-      .select(col("media_id"), col("feature"))
+      .select(col("media_id"),
+        to_json(col("feature").cast(ArrayType(IntegerType)))
+          .as("feature_json"))
       .orderBy("media_id")
   }
+
+  val m02Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(to_json(list_transform(range(0, 8), j ->
+      |    CAST(list_sum(list_transform(range(0, 4), k ->
+      |      ord(substr(md5(text), 1 + j + 8 * k, 1)))) AS INTEGER)))
+      |    AS VARCHAR) AS feature_json
+      |FROM documents ORDER BY media_id""".stripMargin
 
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
@@ -332,6 +345,6 @@ object TrainingQueries {
     ("s03_ann_lsh", s03AnnLsh _, None),
     ("s04_ann_ivf_trained", s04AnnIvfTrained _, None),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
-    ("m02_media_features", m02MediaFeatures _, None),
+    ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
   )
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
 import org.apache.spark.unsafe.types.UTF8String
 import java.util
@@ -17,23 +18,44 @@ import scala.collection.JavaConverters._
   * re-expression of the reference's Get-GraphData + pagination loop
   * (MD-PS:53-85,164-194).
   *
-  * - The driver walks only the nextLink cursor chain (tiny reads) and
-  *   plans ONE InputPartition PER PAGE, so executors parse/fetch pages
-  *   in parallel — the reference's serial accumulate-all-pages list
-  *   (O5) becomes a distributed scan.
+  * - The driver walks only the nextLink cursor chain and plans ONE
+  *   InputPartition PER PAGE, so executors parse pages in parallel —
+  *   the reference's serial accumulate-all-pages list (O5) becomes a
+  *   distributed scan. Page bodies fetched during the walk are carried
+  *   into their partitions only while the cumulative `bodyBudgetBytes`
+  *   allows (avoids a second request per page against a rate-limited
+  *   API); past the budget, partitions carry only the page URL and the
+  *   EXECUTOR fetches the body — driver memory stays O(budget), never
+  *   O(dataset).
   * - `$select` (O2): SupportsPushDownRequiredColumns — only requested
-  *   fields are parsed (and, live, would join the URL's $select).
+  *   fields are parsed, and in live mode the column list joins the
+  *   request URL.
   * - `$filter` (O3): SupportsPushDownFilters — top-level string
   *   equality becomes an OData `field eq 'value'` filter evaluated at
   *   the source, mirroring the only predicate form Graph supports in
   *   the reference (MD-PS:24).
-  * - 429 retry (O7): page loads go through [[PageFetcher]] with
-  *   bounded fixed-backoff retries.
+  * - `$expand` (O4): pass-through URL slot (`expand` option) — the
+  *   reference declares it for navigation properties (MD-PS:70-80);
+  *   expanded objects arrive as nested JSON and parse through any
+  *   nested StructType/ArrayType fields in the entity schema.
+  * - `$top` ("Graph page size", BASELINE.md): `pageSize` option.
+  * - 429 retry (O7): all page loads go through [[RetryingPageFetcher]]
+  *   with bounded fixed-backoff retries; [[HttpPageFetcher]] maps
+  *   HTTP 429/503 and transport errors to [[RetryableFetchException]],
+  *   anything else fails fast for the skip policy (O9).
   *
-  * Usage:
+  * Usage (fixture/file mode):
   * {{{
   *   spark.read.format("graft-odata").schema(entitySchema)
   *     .option("firstPage", path).load()
+  * }}}
+  * Live mode (an OData endpoint such as a Microsoft Graph entity URL):
+  * {{{
+  *   spark.read.format("graft-odata").schema(entitySchema)
+  *     .option("endpoint", "https://host/v1.0/some/entity")
+  *     .option("pageSize", "999").option("expand", "nav")
+  *     .option("authToken", token)   // rendered as a Bearer header
+  *     .load()
   * }}}
   */
 class ODataSource extends TableProvider
@@ -50,25 +72,68 @@ class ODataSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     // DSv2 option names are conventionally case-insensitive
     val opts = new CaseInsensitiveStringMap(properties)
-    new ODataTable(schema, opts.get("firstPage"),
-      Option(opts.get("maxRetries")).map(_.toInt).getOrElse(5),
-      Option(opts.get("retrySleepMs")).map(_.toLong).getOrElse(0L))
+    val firstPage = Option(opts.get("firstPage"))
+    val endpoint = Option(opts.get("endpoint"))
+    require(firstPage.isDefined != endpoint.isDefined,
+      "exactly one of 'firstPage' (a page document) or 'endpoint' (an " +
+        "OData entity URL that the connector composes $select/$filter/" +
+        "$top/$expand onto) is required")
+    val isUrl = endpoint.isDefined ||
+      firstPage.exists(p => p.startsWith("http://") || p.startsWith("https://"))
+    val conf = ODataConf(
+      firstPage = firstPage,
+      endpoint = endpoint,
+      transport = Option(opts.get("transport"))
+        .getOrElse(if (isUrl) "http" else "file"),
+      pageSize = Option(opts.get("pageSize")).map(_.toInt),
+      expand = Option(opts.get("expand")),
+      maxRetries = Option(opts.get("maxRetries")).map(_.toInt).getOrElse(5),
+      retrySleepMs = Option(opts.get("retrySleepMs")).map(_.toLong).getOrElse(0L),
+      bodyBudgetBytes = Option(opts.get("bodyBudgetBytes")).map(_.toLong)
+        .getOrElse(64L << 20),
+      authToken = Option(opts.get("authToken")))
+    new ODataTable(schema, conf)
   }
 }
 
-class ODataTable(entitySchema: StructType, firstPage: String, maxRetries: Int,
-    retrySleepMs: Long) extends Table with SupportsRead {
-  require(firstPage != null, "option 'firstPage' is required")
-  override def name(): String = s"odata:$firstPage"
+/** Connector configuration; serialized into reader factories so
+  * executors can construct an identical transport for cursor-only
+  * partitions. (`authToken` therefore travels inside task binaries —
+  * the same exposure class as Spark's own JDBC credentials.) */
+case class ODataConf(
+    firstPage: Option[String],
+    endpoint: Option[String],
+    transport: String,
+    pageSize: Option[Int],
+    expand: Option[String],
+    maxRetries: Int,
+    retrySleepMs: Long,
+    bodyBudgetBytes: Long,
+    authToken: Option[String]) {
+
+  def newFetcher(): PageFetcher = {
+    val inner = transport match {
+      case "file" => new LocalPageFetcher
+      case "http" => new HttpPageFetcher(authToken)
+      case other => throw new IllegalArgumentException(
+        s"unknown transport '$other' (expected 'file' or 'http')")
+    }
+    new RetryingPageFetcher(inner, maxRetries, retrySleepMs)
+  }
+}
+
+class ODataTable(entitySchema: StructType, conf: ODataConf)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"odata:${conf.endpoint.orElse(conf.firstPage).get}"
   override def schema(): StructType = entitySchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ODataScanBuilder(entitySchema, firstPage, maxRetries, retrySleepMs)
+    new ODataScanBuilder(entitySchema, conf)
 }
 
-class ODataScanBuilder(fullSchema: StructType, firstPage: String,
-    maxRetries: Int, retrySleepMs: Long)
+class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -93,89 +158,133 @@ class ODataScanBuilder(fullSchema: StructType, firstPage: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new ODataScan(required, firstPage, pushed, maxRetries, retrySleepMs)
+  override def build(): Scan = new ODataScan(required, pushed, conf)
 }
 
-class ODataScan(required: StructType, firstPage: String,
-    pushed: Array[Filter], maxRetries: Int, retrySleepMs: Long)
+class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Live-mode first-page URL: the pushed-down scan state composed
+    * onto the endpoint. Fixture mode starts from the given page
+    * document; $select/$filter are then applied by the parser. */
+  private def startPage: String = conf.endpoint match {
+    case Some(ep) => ODataUrl.build(ep, required.fieldNames.toSeq,
+      pushed, conf.pageSize, conf.expand)
+    case None => conf.firstPage.get
+  }
+
   override def description(): String = {
     val sel = required.fieldNames.mkString(",")
-    val fil = pushed.collect { case EqualTo(a, v) => s"$a eq '$v'" }
-      .mkString(" and ")
-    s"ODataScan($$select=$sel${if (fil.nonEmpty) s", $$filter=$fil" else ""})"
+    val fil = ODataUrl.renderFilter(pushed)
+    s"ODataScan($$select=$sel" +
+      (if (fil.nonEmpty) s", $$filter=$fil" else "") +
+      conf.pageSize.map(n => s", $$top=$n").getOrElse("") +
+      conf.expand.map(e => s", $$expand=$e").getOrElse("") + ")"
   }
 
   /** Driver-side cursor walk, one partition per page. Cursor chains
     * are inherently sequential, so the driver must touch every page
-    * once to discover the next link — the fetched body is carried into
-    * the partition rather than re-fetched by the executor (halves the
-    * request count against a rate-limited live API; bodies are held
-    * only until task dispatch). Sources whose cursors are computable
-    * (e.g. $skiptoken arithmetic) can skip the bodies entirely. */
+    * once to discover the next link; the fetched body is embedded in
+    * its partition only while the cumulative byte budget allows
+    * (saves the executor's re-fetch against a rate-limited live API).
+    * Past the budget the partition is cursor-only and the driver
+    * retains nothing — heap stays O(bodyBudgetBytes) regardless of
+    * page count. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val fetcher = new RetryingPageFetcher(new LocalPageFetcher, maxRetries,
-      retrySleepMs)
-    Iterator.iterate(Option(firstPage).map(p => (p, fetcher.fetch(p)))) {
-      case Some((path, body)) =>
-        PageCursor.nextLink(body, path).map(p => (p, fetcher.fetch(p)))
-      case None => None
-    }.takeWhile(_.isDefined).take(100000).flatten
-      .map { case (p, body) => ODataInputPartition(p, body): InputPartition }
-      .toArray
+    val fetcher = conf.newFetcher()
+    val out = Array.newBuilder[InputPartition]
+    var budget = conf.bodyBudgetBytes
+    var next: Option[String] = Some(startPage)
+    var pages = 0
+    while (next.isDefined && pages < 100000) {
+      val path = next.get
+      val body = fetcher.fetch(path)
+      if (body.length <= budget) {
+        budget -= body.length
+        out += ODataInputPartition(path, Some(body))
+      } else {
+        out += ODataInputPartition(path, None)
+      }
+      next = PageCursor.nextLink(body, path)
+      pages += 1
+    }
+    out.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ODataReaderFactory(required, pushed)
+    new ODataReaderFactory(required, pushed, conf)
 }
 
-case class ODataInputPartition(pagePath: String, body: String)
+/** One page of the scan. `body` present ⇒ fetched on the driver within
+  * the byte budget; absent ⇒ the executor fetches `pagePath` itself. */
+case class ODataInputPartition(pagePath: String, body: Option[String])
     extends InputPartition
 
-class ODataReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
+class ODataReaderFactory(required: StructType, pushed: Array[Filter],
+    conf: ODataConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ODataPartitionReader(
-      partition.asInstanceOf[ODataInputPartition], required, pushed)
+      partition.asInstanceOf[ODataInputPartition], required, pushed, conf)
 }
 
-/** Executor-side page reader: parse one already-fetched page, emit the
-  * pruned rows with pushed filters applied at the source. */
+/** Executor-side page reader: parse one page (fetching it first if the
+  * partition is cursor-only), apply pushed filters at the source, and
+  * emit the pruned rows. */
 class ODataPartitionReader(partition: ODataInputPartition,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], conf: ODataConf)
     extends PartitionReader[InternalRow] {
 
+  /** Parse with required + any pushed-filter columns Spark pruned away
+    * (a fully-pushed equality's column needn't survive in `required`),
+    * then project back down. Keeps correctness independent of which
+    * columns the optimizer decides to retain. Pushed filters are
+    * string equalities by construction, so missing attrs are Strings. */
+  private val filterOnly: Array[String] = pushed.collect {
+    case EqualTo(attr, _) if !required.fieldNames.contains(attr) => attr
+  }
+  private val parseSchema: StructType =
+    filterOnly.foldLeft(required)((s, a) => s.add(a, StringType))
+
   private val rows: Iterator[InternalRow] = {
-    val body = partition.body
-    val pageSchema = StructType(Seq(StructField("value", ArrayType(required))))
+    val body = partition.body.getOrElse(
+      conf.newFetcher().fetch(partition.pagePath))
+    val pageSchema = StructType(Seq(StructField("value", ArrayType(parseSchema))))
     val parser = new JacksonParser(pageSchema,
       new JSONOptions(Map("multiLine" -> "true"), "UTC"), false, Seq.empty)
     val parsed = parser.parse[String](body, CreateJacksonParser.string,
       UTF8String.fromString)
     val filterEval = sourceFilter _
+    // required is a prefix of parseSchema, so the pruning projection
+    // reads ordinals 0..required.length-1 as-is
+    val prune: InternalRow => InternalRow =
+      if (filterOnly.isEmpty) identity
+      else {
+        val proj = UnsafeProjection.create(required.fields.map(_.dataType))
+        r => proj(r).copy()
+      }
     parsed.iterator.flatMap { page =>
       if (page.isNullAt(0)) Iterator.empty
       else {
         val arr = page.getArray(0)
         (0 until arr.numElements()).iterator
           .filterNot(arr.isNullAt) // a null entity in value[] is not a row
-          .map(i => arr.getStruct(i, required.length).copy())
+          .map(i => arr.getStruct(i, parseSchema.length).copy())
           .filter(filterEval)
+          .map(prune)
       }
     }
   }
 
   /** Source-side evaluation of the pushed OData $filter (the "server"
-    * in fixture mode). */
+    * in fixture mode; a live server has already applied it — re-
+    * applying an equality is idempotent). */
   private def sourceFilter(row: InternalRow): Boolean =
     pushed.forall {
       case EqualTo(attr, v: String) =>
-        val ord = required.fieldIndex(attr)
+        val ord = parseSchema.fieldIndex(attr)
         !row.isNullAt(ord) && row.getUTF8String(ord).toString == v
       case _ => true
     }
@@ -194,8 +303,8 @@ class ODataPartitionReader(partition: ODataInputPartition,
 class RetryableFetchException(msg: String, cause: Throwable = null)
   extends RuntimeException(msg, cause)
 
-/** Page transport. Live mode would be an HTTP client with auth (O8);
-  * fixture mode reads local files. */
+/** Page transport: live mode is HTTP with auth, fixture mode reads
+  * local files. */
 trait PageFetcher extends Serializable {
   /** @return raw page body; throw [[RetryableFetchException]] for
     * transient failures, any other exception for permanent ones. */
@@ -206,6 +315,41 @@ class LocalPageFetcher extends PageFetcher {
   override def fetch(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
+}
+
+/** Live OData transport (the reference's authenticated GET,
+  * MD-PS:132-148): GET with a Bearer token, JSON accept; HTTP 429
+  * (throttle) and 503 (transient) and socket-level failures are
+  * retryable, everything else is permanent. Token ACQUISITION is out
+  * of engine scope (O8) — callers supply a valid token string. */
+class HttpPageFetcher(authToken: Option[String]) extends PageFetcher {
+  override def fetch(path: String): String = {
+    val conn = java.net.URI.create(path).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(120000)
+      conn.setRequestProperty("Accept", "application/json")
+      authToken.foreach(t =>
+        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      val code =
+        try conn.getResponseCode
+        catch { case e: java.io.IOException =>
+          throw new RetryableFetchException(s"transport error for $path", e) }
+      code match {
+        case 200 =>
+          val in = conn.getInputStream
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        case 429 | 503 =>
+          throw new RetryableFetchException(s"HTTP $code for $path")
+        case other =>
+          throw new java.io.IOException(s"HTTP $other for $path")
+      }
+    } finally conn.disconnect()
+  }
 }
 
 /** O7 — bounded fixed-backoff retry (the reference's 429 loop:
@@ -228,21 +372,57 @@ class RetryingPageFetcher(inner: PageFetcher, maxRetries: Int,
   }
 }
 
+/** OData request-URL composition from pushed-down scan state — the
+  * Spark-native analog of the reference's string-built entity URL
+  * (`?$filter=...&$select=...`, MD-PS:53-85). */
+object ODataUrl {
+
+  /** `field eq 'value' and ...`; single quotes in values are doubled
+    * per the OData literal-escaping rule. */
+  def renderFilter(pushed: Array[Filter]): String =
+    pushed.collect { case EqualTo(a, v) =>
+      s"$a eq '${v.toString.replace("'", "''")}'"
+    }.mkString(" and ")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  def build(endpoint: String, select: Seq[String], pushed: Array[Filter],
+      top: Option[Int], expand: Option[String]): String = {
+    val filter = renderFilter(pushed)
+    val params = Seq(
+      if (select.nonEmpty) Some("$select=" + select.mkString(",")) else None,
+      if (filter.nonEmpty) Some("$filter=" + enc(filter)) else None,
+      expand.map(e => "$expand=" + enc(e)),
+      top.map(n => "$top=" + n)).flatten
+    if (params.isEmpty) endpoint
+    else endpoint + (if (endpoint.contains("?")) "&" else "?") +
+      params.mkString("&")
+  }
+}
+
 object PageCursor {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Extract @odata.nextLink from a page body; relative links resolve
-    * against the current page's directory. */
+  /** Extract @odata.nextLink from a page body. Absolute URLs (the live
+    * Graph shape) pass through; relative links resolve against the
+    * current page's URL or directory. */
   def nextLink(body: String, currentPath: String): Option[String] = {
     val node = mapper.readTree(body).get("@odata.nextLink")
     Option(node).filter(!_.isNull).map(_.asText()).map { l =>
-      val p = java.nio.file.Paths.get(l)
-      if (p.isAbsolute) l
+      if (l.startsWith("http://") || l.startsWith("https://")) l
+      else if (currentPath.startsWith("http://") ||
+        currentPath.startsWith("https://"))
+        java.net.URI.create(currentPath).resolve(l).toString
       else {
-        // a bare filename has no parent — resolve against the cwd
-        val dir = Option(java.nio.file.Paths.get(currentPath).getParent)
-          .getOrElse(java.nio.file.Paths.get("."))
-        dir.resolve(l).toString
+        val p = java.nio.file.Paths.get(l)
+        if (p.isAbsolute) l
+        else {
+          // a bare filename has no parent — resolve against the cwd
+          val dir = Option(java.nio.file.Paths.get(currentPath).getParent)
+            .getOrElse(java.nio.file.Paths.get("."))
+          dir.resolve(l).toString
+        }
       }
     }
   }

@@ -40,4 +40,35 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"\nplan red flags:\n${offenders.mkString("\n")}")
   }
+
+  test("q12 set ops shares its distinct sides via ReusedExchange, not cache") {
+    spark.catalog.clearCache() // drop registrations from earlier plan builds
+    val df = CapabilityQueries.q12SetOps(spark, sf)
+    df.collect() // AQE finalizes the plan (and reuse decisions) on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedSubquery"),
+      s"expected exchange reuse across set-op branches:\n$plan")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q12 must not leave pinned storage behind")
+  }
+
+  /** Operators whose Scaladoc documents a deliberate caching contract
+    * (Dedup pair producers: shingle/signature intermediates feed
+    * several non-identical plan branches; callers clearCache between
+    * corpora). Everything else must leave the cache manager empty. */
+  private val documentedCaching = Set("d02_ngram_jaccard", "d03_minhash_lsh",
+    "d04_simhash")
+
+  test("no library query pins storage after materialization") {
+    spark.catalog.clearCache() // drop registrations from earlier plan builds
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) =>
+        effectful(name) || documentedCaching(name) }
+      .foreach { case (name, fn) =>
+        fn(spark, sf).limit(1).collect()
+        assert(spark.sharedState.cacheManager.isEmpty,
+          s"$name left cached plans pinned")
+        spark.catalog.clearCache()
+      }
+  }
 }

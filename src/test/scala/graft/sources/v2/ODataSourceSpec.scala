@@ -7,6 +7,7 @@ import graft.sources.ODataPageReader
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
 
 class ODataSourceSpec extends SparkSpec {
 
@@ -108,5 +109,125 @@ class ODataSourceSpec extends SparkSpec {
     val r = new RetryingPageFetcher(notFound, maxRetries = 5, sleepMs = 0)
     assertThrows[IllegalArgumentException](r.fetch(mdFirstPage))
     assert(calls.get() == 1) // no retry burned on a permanent error
+  }
+
+  // ------------------------------------------------ partition modes
+
+  private def fileConf(budget: Long) = ODataConf(
+    firstPage = Some(mdFirstPage), endpoint = None, transport = "file",
+    pageSize = None, expand = None, maxRetries = 0, retrySleepMs = 0L,
+    bodyBudgetBytes = budget, authToken = None)
+
+  test("bodies are embedded in partitions while the byte budget allows") {
+    val parts = new ODataScan(EntitySchemas.managedDeviceSource,
+      Array.empty, fileConf(64L << 20)).planInputPartitions()
+    assert(parts.length == 2)
+    assert(parts.forall(_.asInstanceOf[ODataInputPartition].body.isDefined))
+  }
+
+  test("past the budget partitions are cursor-only and the read still works") {
+    val parts = new ODataScan(EntitySchemas.managedDeviceSource,
+      Array.empty, fileConf(0L)).planInputPartitions()
+    assert(parts.length == 2)
+    assert(parts.forall(_.asInstanceOf[ODataInputPartition].body.isEmpty),
+      "no page body may ride in a partition once the budget is exhausted")
+    val df = spark.read.format("graft-odata")
+      .schema(EntitySchemas.managedDeviceSource)
+      .option("firstPage", mdFirstPage)
+      .option("bodyBudgetBytes", "0")
+      .load()
+    assert(df.count() == 6) // executors fetched the pages themselves
+  }
+
+  test("fully-pushed filter survives even when its column is pruned away") {
+    // select deviceName only, filter on operatingSystem: Spark prunes
+    // operatingSystem from the required schema because the equality is
+    // fully pushed — the reader must still evaluate it (parses with
+    // required + filter columns, projects back down)
+    val q = readMd.filter(col("operatingSystem") === "Windows")
+      .select("deviceName")
+    assert(q.collect().map(_.getString(0)).sorted.length == 4)
+  }
+
+  // ------------------------------------------------ URL composition
+
+  test("ODataUrl composes $select/$filter/$expand/$top with OData escaping") {
+    import org.apache.spark.sql.sources.EqualTo
+    val url = ODataUrl.build("https://unit.example/v1.0/things",
+      Seq("id", "name"), Array(EqualTo("state", "o'brien")),
+      top = Some(999), expand = Some("owner"))
+    assert(url == "https://unit.example/v1.0/things?" +
+      "$select=id,name&$filter=state%20eq%20%27o%27%27brien%27" +
+      "&$expand=owner&$top=999")
+    // no params → endpoint untouched; existing query string appends with &
+    assert(ODataUrl.build("https://unit.example/e", Nil, Array.empty, None,
+      None) == "https://unit.example/e")
+    assert(ODataUrl.build("https://unit.example/e?a=1", Nil, Array.empty,
+      Some(5), None) == "https://unit.example/e?a=1&$top=5")
+  }
+
+  // ------------------------------------------------ live HTTP transport
+
+  test("live transport: composed URL, bearer auth, 429 retry, page chain") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentLinkedQueue
+
+    val seen = new ConcurrentLinkedQueue[(String, String)]() // (uri, auth)
+    val throttled = new AtomicInteger(0)
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    def record(ex: HttpExchange): Unit = seen.add(
+      ex.getRequestURI.toString ->
+        Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+    server.createContext("/v1.0/devices", (ex: HttpExchange) => {
+      record(ex)
+      if (throttled.getAndIncrement() == 0) {
+        ex.sendResponseHeaders(429, -1); ex.close() // first hit: throttle
+      } else respond(ex, 200,
+        s"""{"value":[{"id":"a","os":"linux"},{"id":"b","os":"mac"}],
+           |"@odata.nextLink":"http://127.0.0.1:$port/v1.0/devices/page2"}"""
+          .stripMargin)
+    })
+    server.createContext("/v1.0/devices/page2", (ex: HttpExchange) => {
+      record(ex)
+      respond(ex, 200, """{"value":[{"id":"c","os":"linux"}]}""")
+    })
+    server.start()
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("os",
+          org.apache.spark.sql.types.StringType)))
+      val rows = spark.read.format("graft-odata").schema(schema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/devices")
+        .option("pageSize", "2")
+        .option("expand", "owner")
+        .option("authToken", "tok-123")
+        .option("retrySleepMs", "0")
+        .load()
+        .filter(col("os") === "linux")
+        .collect()
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+      val uris = seen.asScala.toSeq
+      // every request carried the bearer token
+      assert(uris.forall(_._2 == "Bearer tok-123"))
+      // the first-page URL composed the pushed-down scan state
+      val first = uris.map(_._1).filter(_.startsWith("/v1.0/devices?"))
+      assert(first.nonEmpty)
+      assert(first.head.contains("$select=id,os"))
+      assert(first.head.contains("$filter=os%20eq%20%27linux%27"))
+      assert(first.head.contains("$top=2"))
+      assert(first.head.contains("$expand=owner"))
+      // the 429 was retried: the composed URL was requested 2+ times
+      assert(first.size >= 2)
+    } finally server.stop(0)
   }
 }
