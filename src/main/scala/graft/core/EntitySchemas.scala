@@ -36,6 +36,17 @@ object EntitySchemas {
     StructField("usersLoggedOn", ArrayType(StructType(Seq(
       s("userId"), s("lastLogOnDateTime")))))))
 
+  /** ManagedDevices with the `detectedApps` navigation property
+    * expanded ($expand, O4 — the URL slot the reference declares at
+    * MD-PS:70-80): the expanded objects arrive as an array of nested
+    * structs alongside the entity's own fields. Field shape is the
+    * public Graph detectedApp resource. */
+  val managedDeviceExpandSource: StructType = StructType(Seq(
+    s("id"), s("deviceName"), s("operatingSystem"),
+    StructField("detectedApps", ArrayType(StructType(Seq(
+      s("id"), s("displayName"), s("version"),
+      StructField("sizeInByte", LongType)))))))
+
   /** Sink: 25 passthrough + 5 derived + timeGenerated (MD-SQL:7-40).
     * The lowercase-l in configurationManagerClientlastSyncDateTime is the
     * reference's preserved typo (MD-SQL:31). */

@@ -24,38 +24,38 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** O17 — retention mode (the reference's commented alternative,
-    * MD-SQL:107-111): append this batch, then age out rows older than
-    * `maxAgeDays` relative to `loadTime`. The rewrite reads back the
-    * whole table; at scale this becomes a partitioned table
-    * (partition by date(timeGenerated)) where aging out is a partition
-    * drop, not a rewrite. */
+    * MD-SQL:107-111): append this batch as a `load_date=<date>`
+    * partition (the date of the batch-constant `timeGenerated`), then
+    * age out by DROPPING expired partition directories. Surviving data
+    * is never read back or rewritten — a load touches one new
+    * partition plus the expired deletes, so the cost is O(batch), not
+    * O(table), and there is no delete/rename swap window: the only
+    * destructive step removes directories that are expired by
+    * definition. Readers prune on `load_date` for free
+    * (PartitionFilters). */
   def retentionAppend(spark: SparkSession, df: DataFrame, path: String,
       loadTime: Timestamp, maxAgeDays: Int = 40): Unit = {
     df.withColumn("timeGenerated", lit(loadTime))
-      .write.mode(SaveMode.Append).parquet(path)
-    val aged = spark.read.parquet(path)
-      .filter(datediff(lit(loadTime).cast("date"),
-        col("timeGenerated").cast("date")) <= maxAgeDays)
-    val tmp = path + "_compact"
-    aged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap; a table format (Delta/Iceberg) would make this a
-    // real transaction. The FS is resolved from the path's own URI (not
-    // the default FS) and both steps are checked — an unreported failed
-    // rename after a successful delete would silently lose the table.
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val src = new org.apache.hadoop.fs.Path(tmp)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.delete(dst, true) && fs.exists(dst))
-      throw new java.io.IOException(s"retention swap: failed to delete $dst")
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(
-        s"retention swap: failed to rename $src -> $dst; retained data is at $src")
+      .withColumn("load_date", lit(loadTime).cast("date"))
+      .write.mode(SaveMode.Append).partitionBy("load_date").parquet(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = loadTime.toLocalDateTime.toLocalDate.minusDays(maxAgeDays)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("load_date=")) {
+        val d = java.time.LocalDate.parse(name.stripPrefix("load_date="))
+        if (d.isBefore(cutoff) && !fs.delete(st.getPath, true))
+          throw new java.io.IOException(
+            s"retention: failed to drop expired partition ${st.getPath}")
+      }
+    }
   }
 
   /** O15 variant — JDBC snapshot: truncate-overwrite into a relational
-    * store, the closest analog of the reference's TVP+sproc load when
-    * the target stays a SQL database. Same trait shape as the parquet
-    * sink; untested here (no database in the build environment). */
+    * store, the closest analog of the reference's TVP+sproc load
+    * (MD-SQL:98-181) when the target stays a SQL database. Same trait
+    * shape as the parquet sink; spec-tested against embedded Derby. */
   def jdbcSnapshot(df: DataFrame, url: String, table: String,
       props: java.util.Properties, loadTime: Timestamp): Unit =
     df.withColumn("timeGenerated", lit(loadTime))

@@ -87,7 +87,10 @@ object ParityQueries {
       target, ts1, maxAgeDays = 40)
     Sinks.retentionAppend(s, auditEventsPipeline(s, ts2).drop("timeGenerated"),
       target, ts2, maxAgeDays = 40)
-    s.read.schema(EntitySchemas.auditEventSink).parquet(target).orderBy("id")
+    // load_date is the sink's storage-layout partition column, not part
+    // of the table contract — drop it from the read-back
+    s.read.schema(EntitySchemas.auditEventSink).parquet(target)
+      .drop("load_date").orderBy("id")
   }
 
   /** P6: same E2E as P1 but extracted through the DataSource V2
@@ -104,6 +107,34 @@ object ParityQueries {
       .withColumn("timeGenerated", lit(ts2))
       .orderBy("id")
   }
+
+  /** P7: $expand relationship (O4) — the connector reads a page where
+    * the `detectedApps` navigation property arrives expanded as nested
+    * objects; the query flattens device→app rows through the nested
+    * array-of-struct column. Devices with no apps (empty or null
+    * array) contribute no rows, matching OData's inner expansion. */
+  def p07(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-odata")
+      .schema(EntitySchemas.managedDeviceExpandSource)
+      .option("firstPage", s"$fixtureRoot/managedDevicesExpand/page1.json")
+      .option("expand", "detectedApps")
+      .load()
+      .select(col("id"), explode(col("detectedApps")).as("app"))
+      .select(col("id"),
+        col("app.displayName").as("app_name"),
+        col("app.version").as("app_version"),
+        col("app.sizeInByte").as("app_bytes"))
+      .orderBy("id", "app_name")
+
+  private def expandOracle: String =
+    s"""SELECT id, CAST(a.displayName AS VARCHAR) AS app_name,
+       |  CAST(a.version AS VARCHAR) AS app_version,
+       |  CAST(a.sizeInByte AS BIGINT) AS app_bytes
+       |FROM (SELECT CAST(v.id AS VARCHAR) AS id,
+       |        unnest(v.detectedApps) AS a
+       |      FROM (SELECT unnest(value) AS v
+       |            FROM read_json(${pages("managedDevicesExpand", 1)})))
+       |ORDER BY id, app_name""".stripMargin
 
   // ------------------------------------------------------- DuckDB oracles
 
@@ -200,5 +231,6 @@ object ParityQueries {
     ("p04_snapshot_overwrite", p04 _, Some(cpcOracle("2024-11-08 00:00:00"))),
     ("p05_retention", p05 _, Some(audOracle("2024-11-08 00:00:00"))),
     ("p06_connector_pipeline", p06 _, Some(mdOracle("2024-11-08 00:00:00"))),
+    ("p07_expand", p07 _, Some(expandOracle)),
   )
 }

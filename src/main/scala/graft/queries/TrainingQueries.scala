@@ -65,6 +65,48 @@ object TrainingQueries {
         n = 3, k = 64, bands = 16, threshold = 0.5)
       .orderBy("a_id", "b_id")
 
+  /** d07: oracle-checked LSH — the at-scale dedup path (d03's
+    * MinHash+LSH) inner-joined against the exact inverted-index pairs
+    * (d02) computed in the same query. Hash-match here proves two
+    * things about the scale path: recall is 1.0 on this corpus (a
+    * missed pair drops a row and fails the count), and the
+    * hashed-shingle Jaccard (`jaccard_lsh`, longs through
+    * array_intersect) equals the string-set Jaccard bit-for-bit
+    * (a 64-bit shingle collision would perturb it). Precision is
+    * structural — LSH candidates are exact-verified before emission —
+    * so this gives the documented 100 TB dedup path the same
+    * correctness signal as the exact path it replaces. */
+  def d07LshVsExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+        k = 64, bands = 16, threshold = 0.5)
+      .withColumnRenamed("jaccard", "jaccard_lsh")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5)
+    exact.join(lsh, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("jaccard"), col("jaccard_lsh"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val d07Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |cnt AS (SELECT doc_id, len(sh) AS n FROM tok),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM tok) a
+      |  JOIN (SELECT doc_id, unnest(sh) AS s FROM tok) b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, inter/(ca.n + cb.n - inter) AS jaccard,
+      |  inter/(ca.n + cb.n - inter) AS jaccard_lsh
+      |FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+      |WHERE inter/(ca.n + cb.n - inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** d04: SimHash near-dup candidates (Hamming ≤ 3 via chunk-collision
     * join). Spark-hash dependent — spec-tested, rows-only here. */
   def d04Simhash(s: SparkSession, d: String): DataFrame =
@@ -332,6 +374,7 @@ object TrainingQueries {
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
     ("d03_minhash_lsh", d03MinhashLsh _, None),
+    ("d07_lsh_vs_exact", d07LshVsExact _, Some(d07Sql)),
     ("d04_simhash", d04Simhash _, None),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
     ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),

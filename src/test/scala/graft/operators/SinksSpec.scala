@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 import java.nio.file.Files
 
@@ -41,6 +42,58 @@ class SinksSpec extends SparkSpec {
       Timestamp.valueOf("2024-11-08 00:00:00"), maxAgeDays = 40)
     val ids = spark.read.parquet(path).select("id").as[String].collect().toSet
     assert(ids == Set("b1", "b2")) // 19 days <= 40 retained
+  }
+
+  test("retention ages out by partition drop, never rewriting survivors") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("ret3")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String): Map[String, (Long, Long)] =
+      fs.listStatus(new Path(s"$path/$p")).filter(_.isFile)
+        .map(s => s.getPath.toString -> (s.getLen, s.getModificationTime))
+        .toMap
+    Sinks.retentionAppend(spark, Seq(("old", 1)).toDF("id", "v"), path,
+      Timestamp.valueOf("2024-09-01 00:00:00"), maxAgeDays = 40)
+    Sinks.retentionAppend(spark, Seq(("b1", 1)).toDF("id", "v"), path,
+      Timestamp.valueOf("2024-10-20 00:00:00"), maxAgeDays = 40)
+    val survivor = files("load_date=2024-10-20")
+    Sinks.retentionAppend(spark, Seq(("b2", 2)).toDF("id", "v"), path,
+      Timestamp.valueOf("2024-11-08 00:00:00"), maxAgeDays = 40)
+    // expired partition directory is gone ...
+    assert(!fs.exists(new Path(s"$path/load_date=2024-09-01")))
+    // ... and the surviving partition's files are byte-for-byte the
+    // ones written at load time — the age-out never rewrote them
+    assert(files("load_date=2024-10-20") == survivor)
+    assert(fs.exists(new Path(s"$path/load_date=2024-11-08")))
+    // readers prune on load_date: only the matching partition is scanned
+    val pruned = spark.read.parquet(path)
+      .filter(col("load_date") === "2024-11-08")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("load_date"))
+    assert(pruned.select("id").as[String].collect().toSeq == Seq("b2"))
+  }
+
+  test("jdbc snapshot: second load replaces the first on a real SQL target") {
+    // embedded Derby (on the Spark-jars classpath) stands in for the
+    // reference's SQL Server target — truncate-overwrite, batch ts
+    val dbDir = Files.createTempDirectory("graft_derby")
+    System.setProperty("derby.stream.error.file",
+      dbDir.resolve("derby.log").toString)
+    val url = s"jdbc:derby:${dbDir.resolve("db")};create=true"
+    val props = new java.util.Properties()
+    Sinks.jdbcSnapshot(Seq(("a", 1), ("b", 2)).toDF("id", "v"), url,
+      "snap", props, Timestamp.valueOf("2024-09-01 00:00:00"))
+    Sinks.jdbcSnapshot(Seq(("c", 3)).toDF("id", "v"), url,
+      "snap", props, Timestamp.valueOf("2024-11-08 00:00:00"))
+    val rows = spark.read.jdbc(url, "snap", props).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("id") == "c")
+    assert(rows.head.getAs[Timestamp]("timeGenerated") ==
+      Timestamp.valueOf("2024-11-08 00:00:00"))
+    // truncate=true preserved the DDL: the table was emptied, not
+    // dropped and recreated, so a second read sees the same columns
+    assert(spark.read.jdbc(url, "snap", props).columns.toSet ==
+      Set("id", "v", "timeGenerated"))
   }
 
   test("surrogate keys are unique; contiguous mode matches IDENTITY(1,1)") {

@@ -149,6 +149,25 @@ class ODataSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).sorted.length == 4)
   }
 
+  test("expanded navigation property parses as a nested array of structs") {
+    val df = spark.read.format("graft-odata")
+      .schema(EntitySchemas.managedDeviceExpandSource)
+      .option("firstPage",
+        s"${ParityQueries.fixtureRoot}/managedDevicesExpand/page1.json")
+      .option("expand", "detectedApps")
+      .load()
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 4)
+    val alpha = rows(0)
+      .getSeq[org.apache.spark.sql.Row](rows(0).fieldIndex("detectedApps"))
+    assert(alpha.map(_.getAs[String]("displayName")).toSeq ==
+      Seq("Contoso Editor", "Fabrikam Agent"))
+    assert(alpha.head.getAs[Long]("sizeInByte") == 52428800L)
+    // empty array and null array both survive the nested parse
+    assert(rows(2).getSeq(rows(2).fieldIndex("detectedApps")).isEmpty)
+    assert(rows(3).isNullAt(rows(3).fieldIndex("detectedApps")))
+  }
+
   // ------------------------------------------------ URL composition
 
   test("ODataUrl composes $select/$filter/$expand/$top with OData escaping") {
