@@ -91,14 +91,16 @@ class ODataSource extends TableProvider
       retrySleepMs = Option(opts.get("retrySleepMs")).map(_.toLong).getOrElse(0L),
       bodyBudgetBytes = Option(opts.get("bodyBudgetBytes")).map(_.toLong)
         .getOrElse(64L << 20),
-      authToken = Option(opts.get("authToken")))
+      tokenProvider = TokenProvider.fromOptions(
+        Option(opts.get("authToken")),
+        Option(opts.get("tokenProviderClass"))))
     new ODataTable(schema, conf)
   }
 }
 
 /** Connector configuration; serialized into reader factories so
   * executors can construct an identical transport for cursor-only
-  * partitions. (`authToken` therefore travels inside task binaries —
+  * partitions. (A static token therefore travels inside task binaries —
   * the same exposure class as Spark's own JDBC credentials.) */
 case class ODataConf(
     firstPage: Option[String],
@@ -109,17 +111,78 @@ case class ODataConf(
     maxRetries: Int,
     retrySleepMs: Long,
     bodyBudgetBytes: Long,
-    authToken: Option[String]) {
+    tokenProvider: Option[TokenProvider]) {
 
   def newFetcher(): PageFetcher = {
     val inner = transport match {
       case "file" => new LocalPageFetcher
-      case "http" => new HttpPageFetcher(authToken)
+      case "http" => new HttpPageFetcher(tokenProvider)
       case other => throw new IllegalArgumentException(
         s"unknown transport '$other' (expected 'file' or 'http')")
     }
     new RetryingPageFetcher(inner, maxRetries, retrySleepMs)
   }
+}
+
+/** O8 — credential acquisition with bounded retry (the reference's
+  * managed-identity login loop: ≤5 tries, fixed sleep, MD-PS:95-117)
+  * behind a pluggable seam. `acquire()` is the provider-specific call
+  * (managed identity, client secret, test stub, ...); the engine
+  * retries acquisition through [[token]], caches the result per JVM
+  * (the reference's lazily-acquired second token, MD-PS:249-252), and
+  * re-acquires after [[invalidate]] — which [[HttpPageFetcher]] calls
+  * when the server rejects a token with HTTP 401. The cache is
+  * `@transient`, so each executor acquires its own token on first use
+  * rather than shipping one in task binaries. */
+abstract class TokenProvider extends Serializable {
+  /** One acquisition attempt; throw on failure (retried by [[token]]). */
+  protected def acquire(): String
+  protected def acquireRetries: Int = 5
+  protected def acquireSleepMs: Long = 10000L
+
+  @transient private var cached: String = _
+
+  final def token(): String = synchronized {
+    if (cached == null) {
+      var attempt = 0
+      var t: String = null
+      while (t == null) {
+        try t = acquire()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            attempt += 1
+            if (attempt > acquireRetries) throw e
+            if (acquireSleepMs > 0) Thread.sleep(acquireSleepMs)
+        }
+      }
+      cached = t
+    }
+    cached
+  }
+
+  final def invalidate(): Unit = synchronized { cached = null }
+}
+
+/** A pre-acquired token (the caller owns acquisition). */
+class StaticTokenProvider(t: String) extends TokenProvider {
+  override protected def acquire(): String = t
+}
+
+object TokenProvider {
+  /** Connector options → provider: `authToken` wraps a literal token;
+    * `tokenProviderClass` names a public no-arg [[TokenProvider]]
+    * subclass instantiated reflectively (the DSv2 string-options analog
+    * of a credential-provider registry). */
+  def fromOptions(authToken: Option[String],
+      providerClass: Option[String]): Option[TokenProvider] =
+    (authToken, providerClass) match {
+      case (Some(t), None) => Some(new StaticTokenProvider(t))
+      case (None, Some(c)) => Some(Class.forName(c)
+        .getDeclaredConstructor().newInstance().asInstanceOf[TokenProvider])
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "at most one of 'authToken' and 'tokenProviderClass' may be set")
+    }
 }
 
 class ODataTable(entitySchema: StructType, conf: ODataConf)
@@ -318,12 +381,28 @@ class LocalPageFetcher extends PageFetcher {
 }
 
 /** Live OData transport (the reference's authenticated GET,
-  * MD-PS:132-148): GET with a Bearer token, JSON accept; HTTP 429
-  * (throttle) and 503 (transient) and socket-level failures are
-  * retryable, everything else is permanent. Token ACQUISITION is out
-  * of engine scope (O8) — callers supply a valid token string. */
-class HttpPageFetcher(authToken: Option[String]) extends PageFetcher {
-  override def fetch(path: String): String = {
+  * MD-PS:132-148): GET with a Bearer token from the [[TokenProvider]]
+  * seam (O8), JSON accept; HTTP 429 (throttle) and 503 (transient) and
+  * socket-level failures are retryable, everything else is permanent.
+  * HTTP 401 invalidates the cached token and the request is retried
+  * ONCE with a freshly acquired one (an expired token mid-run is
+  * routine); a second 401 is a permanent credential failure. */
+class HttpPageFetcher(tokenProvider: Option[TokenProvider])
+    extends PageFetcher {
+
+  override def fetch(path: String): String = fetchOnce(path) match {
+    case Right(body) => body
+    case Left(_) => // 401: token expired or revoked — refresh and retry
+      tokenProvider.foreach(_.invalidate())
+      fetchOnce(path) match {
+        case Right(body) => body
+        case Left(code) => throw new java.io.IOException(
+          s"HTTP $code for $path after token refresh")
+      }
+  }
+
+  /** Right(body) on 200, Left(401) on auth rejection, throws otherwise. */
+  private def fetchOnce(path: String): Either[Int, String] = {
     val conn = java.net.URI.create(path).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
@@ -331,8 +410,8 @@ class HttpPageFetcher(authToken: Option[String]) extends PageFetcher {
       conn.setConnectTimeout(30000)
       conn.setReadTimeout(120000)
       conn.setRequestProperty("Accept", "application/json")
-      authToken.foreach(t =>
-        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      tokenProvider.foreach(p =>
+        conn.setRequestProperty("Authorization", s"Bearer ${p.token()}"))
       val code =
         try conn.getResponseCode
         catch { case e: java.io.IOException =>
@@ -340,9 +419,10 @@ class HttpPageFetcher(authToken: Option[String]) extends PageFetcher {
       code match {
         case 200 =>
           val in = conn.getInputStream
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8)
+          try Right(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8))
           finally in.close()
+        case 401 => Left(401)
         case 429 | 503 =>
           throw new RetryableFetchException(s"HTTP $code for $path")
         case other =>

@@ -116,7 +116,7 @@ class ODataSourceSpec extends SparkSpec {
   private def fileConf(budget: Long) = ODataConf(
     firstPage = Some(mdFirstPage), endpoint = None, transport = "file",
     pageSize = None, expand = None, maxRetries = 0, retrySleepMs = 0L,
-    bodyBudgetBytes = budget, authToken = None)
+    bodyBudgetBytes = budget, tokenProvider = None)
 
   test("bodies are embedded in partitions while the byte budget allows") {
     val parts = new ODataScan(EntitySchemas.managedDeviceSource,
@@ -185,6 +185,42 @@ class ODataSourceSpec extends SparkSpec {
       Some(5), None) == "https://unit.example/e?a=1&$top=5")
   }
 
+  test("O8: acquisition retries, token caches, 401 refresh-and-retry") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    val provider = new ODataSourceSpec.FlakyTokenProvider
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new AtomicInteger(0)
+    server.createContext("/page", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (auth.contains("Bearer tok-2")) { // tok-1 is expired
+        val b = """{"value":[]}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      } else ex.sendResponseHeaders(401, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val f = new HttpPageFetcher(Some(provider))
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/page"
+      assert(f.fetch(url) == """{"value":[]}""")
+      // acquire() threw once, then yielded tok-1 (rejected, invalidated)
+      // and tok-2 (accepted): 3 attempts for 2 tokens, 2 HTTP requests
+      assert(provider.attempts.get() == 3)
+      assert(hits.get() == 2)
+      // the accepted token is cached: another fetch re-acquires nothing
+      assert(f.fetch(url) == """{"value":[]}""")
+      assert(provider.attempts.get() == 3)
+      // a permanently rejected credential fails after ONE refresh cycle
+      provider.invalidate() // next acquire yields tok-3, always 401
+      val before = hits.get()
+      assertThrows[java.io.IOException](f.fetch(url))
+      assert(hits.get() == before + 2) // one try + one refresh retry
+    } finally server.stop(0)
+  }
+
   // ------------------------------------------------ live HTTP transport
 
   test("live transport: composed URL, bearer auth, 429 retry, page chain") {
@@ -248,5 +284,20 @@ class ODataSourceSpec extends SparkSpec {
       // the 429 was retried: the composed URL was requested 2+ times
       assert(first.size >= 2)
     } finally server.stop(0)
+  }
+}
+
+object ODataSourceSpec {
+  /** O8 test double: first acquisition attempt throws (exercising the
+    * bounded acquire retry), later ones hand out tok-1, tok-2, ... */
+  class FlakyTokenProvider extends TokenProvider {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    override protected def acquireRetries: Int = 5
+    override protected def acquireSleepMs: Long = 0L
+    override protected def acquire(): String = {
+      val n = attempts.incrementAndGet()
+      if (n == 1) throw new RuntimeException("transient STS failure")
+      s"tok-${n - 1}"
+    }
   }
 }
