@@ -148,30 +148,54 @@ object Dedup {
         > 0L, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Relational 64-bit SimHash signatures from a pluggable per-token
+    * hash: explode token hashes, 64 ±1 bit-sums in ONE hash aggregate
+    * (map-side partial combine), then fold the signs into the
+    * signature. Equivalent to the per-row lambda expression but far
+    * cheaper to codegen-compile than 64 nested folds, and it scales
+    * through the shuffle path. Documents with no tokens emit no row. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val perTok = docs.repartition(p, col(idCol))
+      .select(col(idCol),
+        explode(transform(graft.functions.TextOps.tokens(col(textCol)),
+          tokenHash)).as("h"))
+    val sumCols = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$j"))
+    val sums = perTok.groupBy(idCol).agg(sumCols.head, sumCols.tail: _*)
+    sums.select(col(idCol),
+      (0 until 64).map(j =>
+        when(col(s"s$j") > 0L, shiftleft(lit(1L), j)).otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
+  /** Engine-portable per-token 64-bit hash: two seeded 31-bit
+    * polynomial folds over the token's character codepoints, packed
+    * into one non-negative long. Every step is exact BIGINT arithmetic
+    * (products stay < 2^39) that external SQL engines reproduce
+    * bit-for-bit — unlike xxhash64 — so SimHash built on it carries a
+    * real DuckDB oracle. The production path ([[simhashPairs]]) keeps
+    * xxhash64 (better-mixed bits, one codegen'd call per token); this
+    * hash exists to give the signature MACHINERY an exact external
+    * check. */
+  def portableTokenHash(tok: Column): Column = {
+    def fold(seed: Long, base: Int, mod: Long): Column =
+      aggregate(
+        transform(regexp_extract_all(tok, lit("."), lit(0)),
+          c => ascii(c).cast(LongType)),
+        lit(seed), (acc, c) => (acc * base + c) % mod)
+    shiftleft(fold(13L, 137, 2147483629L), 32) + fold(7L, 131, 2147483647L)
+  }
+
   /** SimHash near-dup candidates: Hamming(a,b) ≤ maxHamming. Blocked by
     * the pigeonhole principle on four 16-bit chunks (≤3 differing bits
     * ⇒ at least one chunk identical) — a bucket join, never N².
     * Hamming distance via bit_count(xor). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    // Relational formulation of simhash64 (identical result): explode
-    // token hashes, 64 ±1 sums in ONE hash aggregate (map-side partial
-    // combine), then fold the signs into the signature. Equivalent to
-    // the per-row expression but far cheaper to codegen-compile than
-    // 64 nested lambda folds, and it scales through the shuffle path.
-    val perTok = docs.repartition(p, col(idCol))
-      .select(col(idCol),
-        explode(transform(graft.functions.TextOps.tokens(col(textCol)),
-          w => xxhash64(w))).as("h"))
-    val sumCols = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$j"))
-    val sums = perTok.groupBy(idCol).agg(sumCols.head, sumCols.tail: _*)
-    val sigs = sums.select(col(idCol),
-      (0 until 64).map(j =>
-        when(col(s"s$j") > 0L, shiftleft(lit(1L), j)).otherwise(0L))
-        .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+    val sigs = simhashSignatures(docs, idCol, textCol, w => xxhash64(w))
       .cache()
     val chunked = sigs.select(col(idCol), col("sig"), posexplode(array(
         (0 until 4).map(c =>

@@ -114,6 +114,48 @@ object TrainingQueries {
         maxHamming = 3)
       .orderBy("a_id", "b_id")
 
+  /** d08: oracle-checked SimHash — the d04 signature machinery (token
+    * explode → 64 ±1 bit-sums in one hash aggregate → sign fold) run
+    * over [[Dedup.portableTokenHash]] instead of xxhash64, so DuckDB
+    * reproduces every signature bit-for-bit. d04 stays the production
+    * path (xxhash64's bits mix better); this pins the machinery. */
+  def d08SimhashPortable(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text",
+        Dedup.portableTokenHash)
+      .orderBy("doc_id")
+
+  val d08Sql: String = {
+    // the same 64 bit-sums the Spark plan builds, generated not typed
+    val sums = (0 until 64).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val bits = (0 until 64).map(j =>
+      s"CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" |\n    ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    x -> x <> '')) AS w
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    (list_reduce(list_prepend(CAST(13 AS BIGINT),
+       |       list_transform(regexp_extract_all(w, '.'),
+       |         c -> CAST(ascii(c) AS BIGINT))),
+       |       (acc, c) -> (acc * 137 + c) % 2147483629) << 32)
+       |    + list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |       list_transform(regexp_extract_all(w, '.'),
+       |         c -> CAST(ascii(c) AS BIGINT))),
+       |       (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+       |  FROM tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM th GROUP BY doc_id)
+       |SELECT doc_id,
+       |  $bits AS sig
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
   /** d05: embedding-cosine near-dup pairs blocked on label. */
   def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
@@ -376,6 +418,7 @@ object TrainingQueries {
     ("d03_minhash_lsh", d03MinhashLsh _, None),
     ("d07_lsh_vs_exact", d07LshVsExact _, Some(d07Sql)),
     ("d04_simhash", d04Simhash _, None),
+    ("d08_simhash_portable", d08SimhashPortable _, Some(d08Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
     ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),
     ("t01_lang_id", t01LangId _, Some(t01Sql)),

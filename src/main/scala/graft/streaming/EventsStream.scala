@@ -109,15 +109,55 @@ object EventsStream {
       }
   }
 
+  /** Raw parquet schema of the documents table. */
+  val documentsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  /** Streaming DataFrame over the documents parquet (the corpus as an
+    * ingestion stream — at scale, the object-store listing feed). */
+  def readDocuments(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(documentsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
+  /** Streaming exact dedup — d01's operator under the streaming
+    * engine: the first-seen document per content digest is emitted,
+    * later copies are dropped as they arrive. State is one digest per
+    * DISTINCT document and never ages out: correct for a bounded
+    * corpus backfill. For endless streams where duplicates arrive
+    * close together (at-least-once delivery), use
+    * [[dedupEventsWithinWatermark]] — its state is bounded by the
+    * watermark horizon. */
+  def dedupDocuments(docs: DataFrame): DataFrame =
+    docs.withColumn("digest", md5(col("text")))
+      .dropDuplicates("digest")
+      .select(col("doc_id"), col("digest"))
+
+  /** Watermark-bounded streaming dedup: duplicate event_ids arriving
+    * within the 2-hour event-time horizon are dropped; state for keys
+    * older than the watermark is evicted, so memory is O(horizon), not
+    * O(stream) — the production dedup for redelivering transports. */
+  def dedupEventsWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
   /** Run a streaming query to completion against the (static) fixture
     * and return the materialized result. Proves the plan runs under
-    * the streaming engine, not just batch. */
+    * the streaming engine, not just batch. Aggregating queries use
+    * `complete` mode; non-aggregating ones (dedup, maps) use `append`. */
   def runToCompletion(spark: SparkSession, streamed: DataFrame,
-      name: String): DataFrame = {
+      name: String, outputMode: String = "complete"): DataFrame = {
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString)
       .start()

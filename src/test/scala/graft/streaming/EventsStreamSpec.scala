@@ -50,6 +50,41 @@ class EventsStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming exact dedup emits exactly one row per content digest") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val batchDigests = graft.core.Tables.documents(spark, sf)
+      .select(md5(col("text")).as("digest")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val streamed = EventsStream.runToCompletion(spark,
+      EventsStream.dedupDocuments(EventsStream.readDocuments(spark, sf)),
+      "spec_dedup_docs", outputMode = "append")
+    assert(streamed.count() == batchDigests.size)
+    assert(streamed.select("digest").collect().map(_.getString(0)).toSet
+      == batchDigests)
+  }
+
+  test("watermark-bounded dedup drops a full redelivery across micro-batches") {
+    // two copies of the events file in one source dir + one file per
+    // trigger = the second micro-batch is an exact redelivery; every
+    // event_id is inside the watermark horizon, so all copies drop
+    val dir = java.nio.file.Files.createTempDirectory("graft_redeliver")
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("batch_a.parquet"))
+    java.nio.file.Files.copy(src, dir.resolve("batch_b.parquet"))
+    val events = spark.readStream
+      .schema(EventsStream.eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val streamed = EventsStream.runToCompletion(spark,
+      EventsStream.dedupEventsWithinWatermark(events),
+      "spec_dedup_events", outputMode = "append")
+    val want = graft.core.Tables.events(spark, sf).count()
+    assert(streamed.count() == want)
+    assert(streamed.select("event_id").distinct().count() == want)
+  }
+
   test("streaming session windows equal the batch session_window result") {
     val batch = CapabilityQueries.q19SessionWindow(spark, sf).collect().toSeq
     val streamed = EventsStream.runToCompletion(spark,
