@@ -1,0 +1,187 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dedup.Dedup
+import graft.functions.TextOps
+
+/** Corpus-selection operators for large-scale training-data pipelines:
+  * deterministic split assignment, stratified sampling, benchmark
+  * decontamination, sequence packing, and domain-mixture resampling.
+  *
+  * These are the selection/layout stages that sit between the cleaning
+  * + dedup stages ([[graft.functions.TextOps]], [[graft.dedup.Dedup]])
+  * and the trainer: which documents go to which split, how domains are
+  * re-weighted, and how documents are packed into fixed-token training
+  * sequences.
+  *
+  * Determinism contract: nothing here uses `rand()` or Spark-internal
+  * hashes. Sampling decisions derive from the first 8 hex chars of
+  * `md5(salt:key)` — bit-identical in every engine and stable across
+  * retries, so a re-run of a failed stage selects the SAME rows (a
+  * nondeterministic sample would silently corrupt downstream incremental
+  * state on task retry) and the DuckDB oracle can reproduce every
+  * decision exactly.
+  *
+  * Scale posture (100 TB): every operator is a narrow map over the scan
+  * or a shuffle-on-key join; the only window without a partition key
+  * runs over per-shard aggregates (thousands of rows), never over row
+  * data — see [[packSequences]].
+  */
+object Selection {
+
+  /** Uniform deterministic bucket in [0, nBuckets) from an engine-
+    * portable hash: the first 8 hex chars of md5(key) parsed as an
+    * integer. A pure Column expression — evaluates inside the scan's
+    * codegen span, no shuffle, no UDF. */
+  def hashBucket(key: Column, nBuckets: Int): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType) % nBuckets
+
+  /** Salted hash key: `salt:id`. The salt decouples independent
+    * sampling decisions on the same ids (split vs sample vs mixture
+    * gates must not correlate). */
+  def saltedKey(id: Column, salt: String): Column =
+    concat(lit(salt), lit(":"), id.cast(StringType))
+
+  /** Deterministic train/val/test assignment by id hash: bucket 0–99,
+    * `< trainPct` → train, `< trainPct+valPct` → val, rest → test.
+    * Membership is a pure function of (salt, id) — stable as the corpus
+    * grows (new docs never move old docs between splits, unlike
+    * `randomSplit`), reproducible on retry, joinable from any table
+    * that carries the id. */
+  def assignSplits(docs: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10, salt: String = "graft"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = hashBucket(saltedKey(col(idCol), salt), 100)
+    docs.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Stratified downsample: per-stratum keep-percentage (0–100), with
+    * a default for unlisted strata. The keep decision is the same
+    * salted-hash gate as [[assignSplits]], so a document kept at 50%
+    * is also kept at any higher rate (nested samples — rate changes
+    * only add/remove the marginal rows, they don't reshuffle the
+    * sample). One scan, no shuffle. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 100,
+      salt: String = "sample"): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(hashBucket(saltedKey(col(idCol), salt), 100) < pct)
+  }
+
+  /** Benchmark decontamination report: training documents that share at
+    * least one word n-gram with the evaluation corpus, with the count
+    * of distinct shared n-grams. Standard pre-training hygiene — an
+    * eval document whose n-grams appear verbatim in training data
+    * invalidates the benchmark.
+    *
+    * Shape at 100 TB: the eval corpus (benchmarks) is tiny relative to
+    * training data, so its distinct-shingle set is broadcast and the
+    * train side never shuffles — the report is a map-side semi-join
+    * over the train scan plus one groupBy on the (rare) contaminated
+    * ids. Set `broadcastEval = false` if the eval side is genuinely
+    * large and a shuffle join is preferable. */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      broadcastEval: Boolean = true): DataFrame = {
+    val trainSh = Dedup.withShingles(train, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("s"))
+    val evalSh0 = Dedup.withShingles(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("s")).distinct()
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    trainSh.join(evalSh, "s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+  }
+
+  /** Drop contaminated training documents (anti-join against the
+    * [[contaminationReport]] ids). */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame =
+    train.join(contaminationReport(train, eval, idCol, textCol, n)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Sequence packing, GPT-style concatenate-and-chunk: documents in
+    * id order form one token stream cut into fixed-`budget` sequences;
+    * each document gets its global `start_token` offset and the
+    * `seq_id` of the training sequence its first token lands in.
+    *
+    * The global prefix sum is computed distributed, in two phases:
+    * per-shard token totals (one hash agg), then shard offsets via a
+    * window over the TINY per-shard aggregate (≤ ~max_id/shardSize
+    * rows — thousands at 100 TB, so the unpartitioned window is safe),
+    * broadcast-joined back, then a window PARTITIONED BY shard for the
+    * within-shard running sum. Row data is never pulled to one
+    * partition and nothing is collected to the driver. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shardSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
+    val toks = docs.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).as("n_tokens"),
+      floor(col(idCol) / shardSize).as("shard"))
+    val shardTotals = toks.groupBy("shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+    // thousands of rows max: the one place an unpartitioned window is fine
+    val wOff = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardTotals
+      .withColumn("offset", coalesce(sum("shard_tokens").over(wOff), lit(0L)))
+      .select(col("shard"), col("offset"))
+    val wIn = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), "shard")
+      .withColumn("start_token",
+        col("offset") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .withColumn("seq_id", floor(col("start_token") / budget))
+      .select(col(idCol), col("n_tokens"), col("start_token"), col("seq_id"))
+  }
+
+  /** Domain-mixture resampling: deterministic weighted up/down-sampling
+    * to hit target domain ratios. Weight w per domain ⇒ each document
+    * appears floor(w) times, plus once more for the hash-gated fraction
+    * of documents selected with probability frac(w). So w=2.5 duplicates
+    * every row twice and a deterministic half of rows a third time;
+    * w=0.4 keeps a deterministic 40%. Emits (row, copy=1..reps) via
+    * `explode(sequence)` — a narrow op; output size is exactly
+    * Σ reps, no shuffle. */
+  def mixtureResample(docs: DataFrame, idCol: String, domainCol: String,
+      weightByDomain: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
+    require((weightByDomain.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "mixture weights must be non-negative")
+    val w = weightByDomain.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    val base = floor(w).cast(IntegerType)
+    // frac as an integer percentage; round() so 0.3*100 = 30, not 29.999…
+    val fracPct = round((w - floor(w)) * 100).cast(LongType)
+    val reps = base +
+      when(hashBucket(saltedKey(col(idCol), salt), 100) < fracPct, 1)
+        .otherwise(0)
+    docs.withColumn("reps", reps)
+      .filter(col("reps") > 0)
+      .withColumn("copy", explode(sequence(lit(1), col("reps"))))
+      .drop("reps")
+  }
+
+  /** Corpus-wide vocabulary: top-k whitespace tokens by frequency
+    * (ties broken lexicographically). Explode → hash agg (map-side
+    * partial) → global top-k via sort+limit, which Spark executes as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    * the driver, never a full sort of the vocabulary. */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+}

@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
+import graft.corpus.Selection
 import graft.dedup.Dedup
 import graft.functions.TextOps
 import graft.similarity.Ann
 
 /** Training-data pipeline operators as driver-checkable queries:
-  * deduplication (d*), text analysis (t*), similarity search (s*).
+  * deduplication (d*), text analysis (t*), similarity search (s*),
+  * corpus selection (c*: splits, sampling, decontamination, packing,
+  * mixtures), multimodal (m*).
   *
   * Oracle strategy: everything built from engine-portable arithmetic
   * (integer set algebra, exact fold hashes, double division) carries
@@ -372,6 +375,140 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  // -------------------------------------------------- corpus selection
+
+  /** DuckDB rendering of [[Selection.hashBucket]]: parse the first 8
+    * hex chars of md5(key) with an exact integer fold — bit-identical
+    * to Spark's `conv(substring(md5(key),1,8),16,10)`. */
+  private def duckBucket(key: String, n: Int): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(regexp_extract_all(substr(md5($key), 1, 8), '.'),
+       |       c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+       |     (acc, d) -> acc * 16 + d) % $n)""".stripMargin
+
+  /** c01: deterministic train/val/test split assignment (80/10/10) —
+    * membership is a pure function of (salt, doc_id), reproducible by
+    * any engine, stable as the corpus grows. */
+  def c01SplitAssign(s: SparkSession, d: String): DataFrame =
+    Selection.assignSplits(Tables.documents(s, d), "doc_id")
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  val c01Sql: String = {
+    val b = duckBucket("'graft:' || CAST(doc_id AS VARCHAR)", 100)
+    s"""SELECT doc_id,
+       |  CASE WHEN $b < 80 THEN 'train'
+       |       WHEN $b < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** c02: stratified sampling — 50% of src0, 25% of src1, 10% of the
+    * rest, decided by the salted hash gate (nested across rates). */
+  def c02StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Selection.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 50, "src1" -> 25), defaultPct = 10)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  val c02Sql: String = {
+    val b = duckBucket("'sample:' || CAST(doc_id AS VARCHAR)", 100)
+    s"""SELECT doc_id, source FROM documents
+       |WHERE $b < CASE WHEN source = 'src0' THEN 50
+       |                WHEN source = 'src1' THEN 25 ELSE 10 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** c03: benchmark decontamination report — training docs (doc_id %
+    * 97 ≠ 0) sharing ≥1 word 3-gram with the held-out eval slice
+    * (doc_id % 97 = 0), with distinct shared-shingle counts. */
+  def c03Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Selection.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  val c03Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |ev AS (SELECT DISTINCT unnest(sh) AS s FROM tok WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE doc_id % 97 <> 0)
+      |SELECT tr.doc_id AS doc_id, COUNT(*) AS n_shared
+      |FROM tr JOIN ev ON tr.s = ev.s
+      |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
+  /** c04: sequence packing — documents in id order form one token
+    * stream cut into 128-token training sequences; per-doc global
+    * start offset and sequence id via the distributed two-phase
+    * prefix sum (shardSize 100 exercises multiple shards + the
+    * offset join at every SF). */
+  def c04PackSequences(s: SparkSession, d: String): DataFrame =
+    Selection.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 128, shardSize = 100L)
+      .orderBy("doc_id")
+
+  val c04Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_token
+      |  FROM t)
+      |SELECT doc_id, n_tokens, start_token,
+      |  start_token // 128 AS seq_id
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** c05: domain-mixture resampling — src0 upweighted 2.5×, src1
+    * downsampled to 0.4×, everything else kept; deterministic
+    * hash-gated fractional copies. */
+  def c05MixtureResample(s: SparkSession, d: String): DataFrame =
+    Selection.mixtureResample(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.4))
+      .select(col("doc_id"), col("source"), col("copy").cast(LongType))
+      .orderBy("doc_id", "copy")
+
+  val c05Sql: String = {
+    val b = duckBucket("'mix:' || CAST(doc_id AS VARCHAR)", 100)
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN source = 'src0' THEN 2.5
+       |         WHEN source = 'src1' THEN 0.4 ELSE 1.0 END AS w
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(w) AS BIGINT) +
+       |    CASE WHEN $b < CAST(round((w - floor(w)) * 100) AS BIGINT)
+       |         THEN 1 ELSE 0 END AS reps
+       |  FROM w)
+       |SELECT doc_id, source,
+       |  CAST(unnest(generate_series(1, reps)) AS BIGINT) AS copy
+       |FROM r WHERE reps > 0 ORDER BY doc_id, copy""".stripMargin
+  }
+
+  /** c06: corpus vocabulary — top-20 tokens by frequency, ties
+    * lexicographic; executes as TakeOrderedAndProject (per-partition
+    * top-k, never a full sort). */
+  def c06VocabTopK(s: SparkSession, d: String): DataFrame =
+    Selection.vocabTopK(Tables.documents(s, d), "text", 20)
+
+  val c06Sql: String =
+    """SELECT token, COUNT(*) AS cnt
+      |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |        AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
   // -------------------------------------------------------- multimodal
 
   /** m01: multimodal column plumbing — opaque binary payloads through
@@ -432,5 +569,11 @@ object TrainingQueries {
     ("s04_ann_ivf_trained", s04AnnIvfTrained _, None),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
+    ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
+    ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
+    ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),
+    ("c04_pack_sequences", c04PackSequences _, Some(c04Sql)),
+    ("c05_mixture_resample", c05MixtureResample _, Some(c05Sql)),
+    ("c06_vocab_topk", c06VocabTopK _, Some(c06Sql)),
   )
 }

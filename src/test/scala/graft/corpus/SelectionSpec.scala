@@ -1,0 +1,120 @@
+package graft.corpus
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("assignSplits: deterministic, exhaustive, roughly 80/10/10, stable under corpus growth") {
+    val docs = Tables.documents(spark, sf)
+    val a = Selection.assignSplits(docs, "doc_id")
+    val counts = a.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count())
+    // hash is uniform; 500 docs at 80/10/10 → loose bounds
+    assert(counts("train") > total * 0.7 && counts("train") < total * 0.9)
+    assert(counts("val") > 0 && counts("test") > 0)
+    // same decision on a re-run (no rand())
+    val b = Selection.assignSplits(docs, "doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // growth stability: assignment of a doc doesn't depend on the rest
+    // of the corpus — the half-corpus assignment is a subset
+    val half = Selection.assignSplits(docs.filter($"doc_id" < 250), "doc_id")
+    assert(half.exceptAll(a).isEmpty)
+  }
+
+  test("stratifiedSample: rates nest — the 25% sample is a subset of the 50% sample") {
+    val docs = Tables.documents(spark, sf)
+    def ids(pct: Int) = Selection.stratifiedSample(docs, "doc_id", "source",
+        Map.empty, defaultPct = pct)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s25 = ids(25)
+    val s50 = ids(50)
+    assert(s25.subsetOf(s50))
+    assert(s25.nonEmpty && s50.size < docs.count())
+    // per-stratum override actually differs from the default rate
+    val strat = Selection.stratifiedSample(docs, "doc_id", "source",
+      Map("src0" -> 100), defaultPct = 0)
+    assert(strat.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("src0"))
+  }
+
+  test("contaminationReport flags exactly the planted overlap; decontaminate removes it") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally unrelated training text here"),
+      (3L, "ends with alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "eval doc contains alpha beta gamma inside"))
+      .toDF("doc_id", "text")
+    val rep = Selection.contaminationReport(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 3 share the 3-gram "alpha beta gamma"; doc 2 shares none
+    assert(rep.keySet == Set(1L, 3L))
+    assert(rep(1L) >= 1 && rep(3L) >= 1)
+    val clean = Selection.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
+  test("packSequences: sharded prefix sum equals the single-window reference; shardSize-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val packed = Selection.packSequences(docs, "doc_id", "text",
+      budget = 128, shardSize = 100L)
+    // reference: one global window (fine at test scale)
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs.select($"doc_id",
+        TextOps.tokenCount($"text").as("n_tokens"))
+      .withColumn("start_token", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", floor($"start_token" / 128))
+    assert(packed.exceptAll(ref).isEmpty && ref.exceptAll(packed).isEmpty)
+    // a different shard size must not change the answer
+    val packed7 = Selection.packSequences(docs, "doc_id", "text",
+      budget = 128, shardSize = 7L)
+    assert(packed7.exceptAll(packed).isEmpty && packed.exceptAll(packed7).isEmpty)
+    // sequences respect the budget: every doc's start lands in seq start/128
+    val bad = packed.filter($"seq_id" =!= floor($"start_token" / 128)).count()
+    assert(bad == 0)
+  }
+
+  test("mixtureResample: integer weights duplicate exactly; zero drops; fractions gate deterministically") {
+    val docs = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "b", "x"), (4L, "c", "x")
+    ).toDF("doc_id", "dom", "text")
+    val out = Selection.mixtureResample(docs, "doc_id", "dom",
+        Map("a" -> 2.0, "b" -> 0.0), defaultWeight = 1.0)
+      .select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byDoc(1L) == Seq(1, 2) && byDoc(2L) == Seq(1, 2)) // w=2 → 2 copies
+    assert(!byDoc.contains(3L))                              // w=0 → dropped
+    assert(byDoc(4L) == Seq(1))                              // default 1×
+    // fractional gate: over the corpus, w=0.5 keeps roughly half, deterministically
+    val corpus = Tables.documents(spark, sf)
+    val frac = Selection.mixtureResample(corpus, "doc_id", "source",
+      Map.empty, defaultWeight = 0.5)
+    val n = frac.count()
+    assert(n > 150 && n < 350)                               // ~250 of 500
+    val again = Selection.mixtureResample(corpus, "doc_id", "source",
+      Map.empty, defaultWeight = 0.5)
+    assert(frac.exceptAll(again).isEmpty)
+  }
+
+  test("vocabTopK: counts match a manual count and the plan is a TakeOrdered top-k") {
+    val docs = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
+    val top = Selection.vocabTopK(docs, "text", 2)
+    assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 3L), ("b", 2L)))
+    val plan = Selection.vocabTopK(Tables.documents(spark, sf), "text", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
