@@ -173,6 +173,29 @@ object Selection {
       .drop("reps")
   }
 
+  /** Full 32-bit deterministic hash value (the [[hashBucket]] integer
+    * before the modulus) — use as a stable pseudo-random sort key. */
+  def hashValue(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType)
+
+  /** Per-cluster quota sampling: keep at most `cap` rows per cluster,
+    * chosen in deterministic salted-hash order (a stable pseudo-random
+    * draw — retries and re-runs retain the identical subset). The
+    * cluster-balancing pass of diversity-aware curation: caps
+    * over-represented clusters so no single mode dominates the
+    * training mix. One window over the cluster key — a single shuffle,
+    * and with thousands+ of clusters no single task sees more than a
+    * cluster's rows (cluster skew → pre-filter hot clusters or salt). */
+  def clusterQuotaSample(df: DataFrame, idCol: String, clusterCol: String,
+      cap: Int, salt: String = "quota"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(hashValue(saltedKey(col(idCol), salt)), col(idCol))
+    df.withColumn("draw", row_number().over(w))
+      .filter(col("draw") <= cap)
+      .drop("draw")
+  }
+
   /** Corpus-wide vocabulary: top-k whitespace tokens by frequency
     * (ties broken lexicographically). Explode → hash agg (map-side
     * partial) → global top-k via sort+limit, which Spark executes as

@@ -496,6 +496,28 @@ object TrainingQueries {
        |FROM r WHERE reps > 0 ORDER BY doc_id, copy""".stripMargin
   }
 
+  /** c07: cluster-balanced curation — cap every embedding cluster
+    * (label) at 10 members, drawn in deterministic salted-hash order;
+    * the diversity pass that stops over-represented modes from
+    * dominating a training mix. */
+  def c07ClusterQuota(s: SparkSession, d: String): DataFrame =
+    Selection.clusterQuotaSample(Tables.embeddings(s, d), "vec_id",
+        "label", cap = 10)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+
+  val c07Sql: String = {
+    val h = "(list_reduce(list_prepend(CAST(0 AS BIGINT),\n" +
+      "     list_transform(regexp_extract_all(substr(md5('quota:' || CAST(vec_id AS VARCHAR)), 1, 8), '.'),\n" +
+      "       c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),\n" +
+      "     (acc, d) -> acc * 16 + d))"
+    s"""SELECT vec_id, label FROM (
+       |  SELECT vec_id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY $h, vec_id) AS draw
+       |  FROM embeddings)
+       |WHERE draw <= 10 ORDER BY vec_id""".stripMargin
+  }
+
   /** c06: corpus vocabulary — top-20 tokens by frequency, ties
     * lexicographic; executes as TakeOrderedAndProject (per-partition
     * top-k, never a full sort). */
@@ -508,6 +530,17 @@ object TrainingQueries {
       |        AS token
       |      FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  /** s05: distributed k-means corpus clustering (Lloyd's, 8 cells,
+    * 3 iterations, deterministic hash-drawn seeds) — every embedding
+    * labeled with its learned cell. Centroid floats are merge-order
+    * sensitive — spec-tested (planted-cluster recovery, degeneracy
+    * guard); rows-only here. */
+  def s05Kmeans(s: SparkSession, d: String): DataFrame =
+    Ann.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 3)
+      .select("vec_id", "cell")
+      .orderBy("vec_id")
 
   // -------------------------------------------------------- multimodal
 
@@ -567,6 +600,7 @@ object TrainingQueries {
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
     ("s03_ann_lsh", s03AnnLsh _, None),
     ("s04_ann_ivf_trained", s04AnnIvfTrained _, None),
+    ("s05_kmeans", s05Kmeans _, None),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
@@ -575,5 +609,6 @@ object TrainingQueries {
     ("c04_pack_sequences", c04PackSequences _, Some(c04Sql)),
     ("c05_mixture_resample", c05MixtureResample _, Some(c05Sql)),
     ("c06_vocab_topk", c06VocabTopK _, Some(c06Sql)),
+    ("c07_cluster_quota", c07ClusterQuota _, Some(c07Sql)),
   )
 }

@@ -89,6 +89,69 @@ object Ann {
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"), col("rank"))
   }
 
+  /** Nearest-centroid cell as a pure Column over a k-entry centroid
+    * literal: per-centroid distances via the codegen'd L2 kernel
+    * inside a `transform`, argmin via `array_min` over (distance,
+    * cell) structs (lexicographic struct ordering = min distance,
+    * ties to the lowest cell). Assignment is a narrow map over the
+    * scan — no join, no window, no shuffle. */
+  def nearestCell(vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val entries = centroids.sortBy(_._1).map { case (cell, v) =>
+      struct(typedlit(v).as("centroid"), lit(cell).as("cell"))
+    }
+    val scored = transform(array(entries: _*), c =>
+      struct(VectorFunctions.l2Distance(vec, c.getField("centroid")).as("d"),
+        c.getField("cell").as("cell")))
+    array_min(scored).getField("cell")
+  }
+
+  /** Distributed k-means (Lloyd's) — the coarse-quantizer trainer a
+    * real IVF build needs (s04's per-label means assume labels exist;
+    * this learns the cells). Per iteration: one corpus scan with the
+    * [[nearestCell]] map plus one shuffle-on-cell `VectorMean`
+    * aggregation; the driver holds only the k·dim model floats — the
+    * standard distributed k-means shape, corpus never collected.
+    *
+    * Init is deterministic: the k corpus vectors with the smallest
+    * salted-hash draw (a stable pseudo-random sample, so re-runs
+    * train from identical seeds). A cell nothing mapped to keeps its
+    * previous centroid (Lloyd's degeneracy guard). */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, salt: String = "kmeans"): Seq[(Long, Array[Float])] = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    import graft.corpus.Selection
+    val seeds = corpus
+      .orderBy(Selection.hashValue(Selection.saltedKey(col(idCol), salt)),
+        col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    var cents: Seq[(Long, Array[Float])] =
+      seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    for (_ <- 0 until iters) {
+      val updated = corpus
+        .withColumn("cell", nearestCell(col(vecCol), cents))
+        .groupBy("cell")
+        .agg(graft.functions.VectorMean.asColumn(col(vecCol)).as("centroid"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      cents = cents.map { case (cell, old) =>
+        cell -> updated.getOrElse(cell, old)
+      }
+    }
+    cents
+  }
+
+  /** Train k-means cells and label every corpus row with its cell —
+    * the "cluster the corpus" building block for diversity curation
+    * (feed the result to `Selection.clusterQuotaSample`) and IVF
+    * indexing. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, salt: String = "kmeans"): DataFrame =
+    corpus.withColumn("cell",
+      nearestCell(col(vecCol),
+        kmeansCentroids(corpus, idCol, vecCol, k, iters, salt)))
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
     * with pseudo-random hyperplanes. Hyperplane j component i is a
     * deterministic hash-derived value in [-1,1] — no stored model. */

@@ -108,6 +108,26 @@ class SelectionSpec extends SparkSpec {
     assert(frac.exceptAll(again).isEmpty)
   }
 
+  test("clusterQuotaSample: caps every cluster, keeps small clusters whole, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val capped = Selection.clusterQuotaSample(emb, "vec_id", "label", cap = 10)
+    val sizes = capped.groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 10))
+    val orig = emb.groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // small clusters survive intact; big ones hit the cap exactly
+    orig.foreach { case (l, n) => assert(sizes(l) == math.min(n, 10L)) }
+    // the draw is stable across runs
+    val again = Selection.clusterQuotaSample(emb, "vec_id", "label", cap = 10)
+    assert(capped.exceptAll(again).isEmpty)
+    // and nested in cap: the cap=5 subset is inside the cap=10 subset
+    val five = Selection.clusterQuotaSample(emb, "vec_id", "label", cap = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ten = capped.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(five.subsetOf(ten))
+  }
+
   test("vocabTopK: counts match a manual count and the plan is a TakeOrdered top-k") {
     val docs = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
     val top = Selection.vocabTopK(docs, "text", 2)

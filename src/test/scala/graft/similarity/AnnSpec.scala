@@ -46,4 +46,47 @@ class AnnSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("kmeans recovers planted clusters; assignment plan is a shuffle-free narrow map") {
+    import spark.implicits._
+    // 3 well-separated centers in 4-d, 8 points each, small jitter
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val pts = for {
+      (c, g) <- centers.zipWithIndex
+      i <- 0 until 8
+    } yield (g * 8L + i, g,
+      c.zipWithIndex.map { case (x, j) => x + 0.01f * ((i + j) % 5) })
+    val df = pts.toDF("vec_id", "true_group", "embedding")
+    val assigned = Ann.kmeansAssign(df, "vec_id", "embedding",
+        k = 3, iters = 5)
+      .select("true_group", "cell")
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    // every planted group maps to exactly one learned cell, and the
+    // three groups land in three distinct cells
+    val byGroup = assigned.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGroup.values.forall(_.size == 1), s"split cluster: $byGroup")
+    assert(byGroup.values.flatten.toSet.size == 3, s"merged clusters: $byGroup")
+    // deterministic across re-runs (hash-drawn seeds, no rand())
+    val again = Ann.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 5)
+      .select("true_group", "cell").collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(assigned.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // the assignment stage is a pure map: no join/exchange below the scan
+    val cents = Ann.kmeansCentroids(df, "vec_id", "embedding", 3, 2)
+    val plan = df.withColumn("cell", Ann.nearestCell(col("embedding"), cents))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("kmeans degeneracy guard: k > distinct points still yields k centroids") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)), (3L, Array(9f, 9f)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(cents.size == 3)
+    assert(cents.map(_._1).toSet == Set(0L, 1L, 2L))
+    // all three points still assignable
+    val n = df.withColumn("cell", Ann.nearestCell(col("embedding"), cents)).count()
+    assert(n == 3)
+  }
 }
