@@ -90,6 +90,38 @@ object TextOps {
       when(meanTokenLen(text) >= 3.0 && meanTokenLen(text) <= 10.0, 0.2)
         .otherwise(lit(0.0))
 
+  /** Fraction of word n-gram occurrences that repeat an earlier
+    * n-gram in the same document (a Gopher-style repetitiousness
+    * signal — high values flag boilerplate/spam for filtering).
+    * 0 for documents with fewer than n tokens. Same int/int single
+    * division both engines → bit-identical. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val total = size(tokens(text)) - (n - 1)
+    when(total > 0,
+      lit(1.0) - size(shingles(text, n)).cast(DoubleType) / total)
+      .otherwise(lit(0.0))
+  }
+
+  /** Email addresses — RE2-safe (no backrefs/lookaround), so the same
+    * pattern runs verbatim in Spark (Java regex) and DuckDB (RE2). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (word-bounded). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Phone-like digit run: ≥9 chars of digits/space/().-, optional +. */
+  val PhoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
+
+  /** PII scrub for training text: emails, then IPv4s, then phone-like
+    * digit runs, each replaced by a typed placeholder. Order matters —
+    * an IPv4 is also a phone-shaped digit run, so it must be consumed
+    * first. Pure regexp_replace chain: runs inside the scan's codegen
+    * span, one pass over 100 TB. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<email>"),
+        Ipv4Re, "<ip>"),
+      PhoneRe, "<phone>")
+
   private val Mod = 1000000007L
 
   /** Polynomial rolling-hash fingerprint over the token stream:

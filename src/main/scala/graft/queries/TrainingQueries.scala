@@ -375,6 +375,41 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** t06: repetitiousness — fraction of word 2-gram occurrences that
+    * repeat an earlier 2-gram (Gopher-style boilerplate/spam signal). */
+  def t06Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  val t06Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN len(w) - 1 > 0 THEN
+      |    1.0 - len(list_distinct(list_transform(range(1, len(w)),
+      |            i -> w[i] || ' ' || w[i+1]))) / (len(w) - 1)
+      |  ELSE 0.0 END AS rep_ratio
+      |FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** t07: PII redaction — emails, IPv4s, phone-like digit runs →
+    * typed placeholders. The oracle runs the identical RE2-safe
+    * patterns through DuckDB, pinning cross-dialect regex behavior on
+    * the full corpus. */
+  def t07RedactPii(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.redactPii(col("text")).as("redacted"))
+      .orderBy("doc_id")
+
+  val t07Sql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${TextOps.EmailRe}', '<email>', 'g'),
+       |    '${TextOps.Ipv4Re}', '<ip>', 'g'),
+       |    '${TextOps.PhoneRe}', '<phone>', 'g') AS redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- corpus selection
 
   /** DuckDB rendering of [[Selection.hashBucket]]: parse the first 8
@@ -596,6 +631,8 @@ object TrainingQueries {
     ("t03_fingerprint", t03Fingerprint _, Some(t03Sql)),
     ("t04_corpus_stats", t04CorpusStats _, Some(t04Sql)),
     ("t05_clean", t05Clean _, Some(t05Sql)),
+    ("t06_repetition", t06Repetition _, Some(t06Sql)),
+    ("t07_redact_pii", t07RedactPii _, Some(t07Sql)),
     ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
     ("s03_ann_lsh", s03AnnLsh _, None),

@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii scrubs planted emails, IPv4s, and phone runs; clean text untouched") {
+    val rows = Seq(
+      ("contact bob.smith+x@example.co.uk now", "contact <email> now"),
+      ("server at 192.168.0.1 port", "server at <ip> port"),
+      ("call +1 (555) 123-4567 today", "call <phone> today"),
+      ("mixed a@b.io 10.0.0.255 and 555 867 5309 end",
+        "mixed <email> <ip> and <phone> end"),
+      ("no pii here at all", "no pii here at all"))
+    val out = rows.map(_._1).toDF("text")
+      .select(TextOps.redactPii($"text")).as[String].collect()
+    out.zip(rows.map(_._2)).foreach { case (got, want) =>
+      assert(got == want)
+    }
+  }
+
+  test("repetitionRatio: 0 for unique text, rises with repeats, 0 below n tokens") {
+    val vals = Seq(
+      "a b c d e",        // 4 bigrams, all distinct -> 0.0
+      "a b a b a b",      // 5 bigrams, 2 distinct -> 0.6
+      "x x x x x",        // 4 bigrams, 1 distinct -> 0.75
+      "solo",             // < 2 tokens -> 0.0
+      "")                 // empty -> 0.0
+      .toDF("text")
+      .select(TextOps.repetitionRatio($"text")).as[Double].collect()
+    assert(vals(0) == 0.0)
+    assert(math.abs(vals(1) - 0.6) < 1e-12)
+    assert(vals(2) == 0.75)
+    assert(vals(3) == 0.0 && vals(4) == 0.0)
+  }
+}
