@@ -32,12 +32,18 @@ import graft.functions.TextOps
   */
 object Selection {
 
-  /** Uniform deterministic bucket in [0, nBuckets) from an engine-
-    * portable hash: the first 8 hex chars of md5(key) parsed as an
-    * integer. A pure Column expression — evaluates inside the scan's
-    * codegen span, no shuffle, no UDF. */
+  /** Full 32-bit deterministic hash value: the first 8 hex chars of
+    * md5(key) parsed as an integer. Engine-portable (md5 is
+    * bit-identical everywhere), a pure Column expression — evaluates
+    * inside the scan's codegen span, no shuffle, no UDF. The single
+    * source of truth for every sampling decision in this module. */
+  def hashValue(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType)
+
+  /** Uniform deterministic bucket in [0, nBuckets): [[hashValue]]
+    * mod nBuckets. */
   def hashBucket(key: Column, nBuckets: Int): Column =
-    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType) % nBuckets
+    hashValue(key) % nBuckets
 
   /** Salted hash key: `salt:id`. The salt decouples independent
     * sampling decisions on the same ids (split vs sample vs mixture
@@ -162,21 +168,19 @@ object Selection {
       case (acc, (k, v)) => when(col(domainCol) === k, lit(v)).otherwise(acc)
     }
     val base = floor(w).cast(IntegerType)
-    // frac as an integer percentage; round() so 0.3*100 = 30, not 29.999…
-    val fracPct = round((w - floor(w)) * 100).cast(LongType)
+    // fractional gate in parts-per-million, not percent: a percent
+    // grid silently zeroes sub-0.5% weights (w=0.004 must keep 0.4%
+    // of a huge domain, not drop it). round() so 0.3e6 = 300000, not
+    // 299999.99…; weights finer than 1e-6 quantize to the ppm grid.
+    val fracPpm = round((w - floor(w)) * 1000000).cast(LongType)
     val reps = base +
-      when(hashBucket(saltedKey(col(idCol), salt), 100) < fracPct, 1)
+      when(hashBucket(saltedKey(col(idCol), salt), 1000000) < fracPpm, 1)
         .otherwise(0)
     docs.withColumn("reps", reps)
       .filter(col("reps") > 0)
       .withColumn("copy", explode(sequence(lit(1), col("reps"))))
       .drop("reps")
   }
-
-  /** Full 32-bit deterministic hash value (the [[hashBucket]] integer
-    * before the modulus) — use as a stable pseudo-random sort key. */
-  def hashValue(key: Column): Column =
-    conv(substring(md5(key), 1, 8), 16, 10).cast(LongType)
 
   /** Per-cluster quota sampling: keep at most `cap` rows per cluster,
     * chosen in deterministic salted-hash order (a stable pseudo-random

@@ -107,8 +107,11 @@ object TextOps {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   /** Dotted-quad IPv4 (word-bounded). */
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  /** Phone-like digit run: ≥9 chars of digits/space/().-, optional +. */
-  val PhoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
+  /** Phone-like digit run: ≥9 chars of digits/whitespace/().-,
+    * optional +. Whitespace is spelled explicitly because Java's \s
+    * includes vertical tab (\x0B) and RE2's does not — the class
+    * below is the intersection both engines agree on. */
+  val PhoneRe = "\\+?\\d[\\d\\t\\n\\f\\r ().-]{7,}\\d"
 
   /** PII scrub for training text: emails, then IPv4s, then phone-like
     * digit runs, each replaced by a typed placeholder. Order matters —

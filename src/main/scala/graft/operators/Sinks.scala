@@ -40,7 +40,14 @@ object Sinks {
       .write.mode(SaveMode.Append).partitionBy("load_date").parquet(path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cutoff = loadTime.toLocalDateTime.toLocalDate.minusDays(maxAgeDays)
+    // partition names come from lit(loadTime).cast("date"), which
+    // evaluates in the SESSION timezone — derive the cutoff in the
+    // same zone or boundary partitions age out a day off on any
+    // JVM whose default zone differs from the session's
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val cutoff = loadTime.toInstant.atZone(zone).toLocalDate
+      .minusDays(maxAgeDays)
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("load_date=")) {

@@ -412,14 +412,19 @@ object TrainingQueries {
 
   // -------------------------------------------------- corpus selection
 
-  /** DuckDB rendering of [[Selection.hashBucket]]: parse the first 8
+  /** DuckDB rendering of [[Selection.hashValue]]: parse the first 8
     * hex chars of md5(key) with an exact integer fold — bit-identical
-    * to Spark's `conv(substring(md5(key),1,8),16,10)`. */
-  private def duckBucket(key: String, n: Int): String =
+    * to Spark's `conv(substring(md5(key),1,8),16,10)`. The ONE
+    * rendering of the determinism-critical hash; bucket = % n. */
+  private def duckHash(key: String): String =
     s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |     list_transform(regexp_extract_all(substr(md5($key), 1, 8), '.'),
        |       c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
-       |     (acc, d) -> acc * 16 + d) % $n)""".stripMargin
+       |     (acc, d) -> acc * 16 + d))""".stripMargin
+
+  /** DuckDB rendering of [[Selection.hashBucket]]. */
+  private def duckBucket(key: String, n: Int): String =
+    s"(${duckHash(key)} % $n)"
 
   /** c01: deterministic train/val/test split assignment (80/10/10) —
     * membership is a pure function of (salt, doc_id), reproducible by
@@ -514,7 +519,7 @@ object TrainingQueries {
       .orderBy("doc_id", "copy")
 
   val c05Sql: String = {
-    val b = duckBucket("'mix:' || CAST(doc_id AS VARCHAR)", 100)
+    val b = duckBucket("'mix:' || CAST(doc_id AS VARCHAR)", 1000000)
     s"""WITH w AS (
        |  SELECT doc_id, source,
        |    CASE WHEN source = 'src0' THEN 2.5
@@ -523,7 +528,7 @@ object TrainingQueries {
        |r AS (
        |  SELECT doc_id, source,
        |    CAST(floor(w) AS BIGINT) +
-       |    CASE WHEN $b < CAST(round((w - floor(w)) * 100) AS BIGINT)
+       |    CASE WHEN $b < CAST(round((w - floor(w)) * 1000000) AS BIGINT)
        |         THEN 1 ELSE 0 END AS reps
        |  FROM w)
        |SELECT doc_id, source,
@@ -542,10 +547,7 @@ object TrainingQueries {
       .orderBy("vec_id")
 
   val c07Sql: String = {
-    val h = "(list_reduce(list_prepend(CAST(0 AS BIGINT),\n" +
-      "     list_transform(regexp_extract_all(substr(md5('quota:' || CAST(vec_id AS VARCHAR)), 1, 8), '.'),\n" +
-      "       c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),\n" +
-      "     (acc, d) -> acc * 16 + d))"
+    val h = duckHash("'quota:' || CAST(vec_id AS VARCHAR)")
     s"""SELECT vec_id, label FROM (
        |  SELECT vec_id, label,
        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY $h, vec_id) AS draw

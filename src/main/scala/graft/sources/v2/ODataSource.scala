@@ -129,46 +129,71 @@ case class ODataConf(
   * behind a pluggable seam. `acquire()` is the provider-specific call
   * (managed identity, client secret, test stub, ...); the engine
   * retries acquisition through [[token]], caches the result per JVM
-  * (the reference's lazily-acquired second token, MD-PS:249-252), and
-  * re-acquires after [[invalidate]] — which [[HttpPageFetcher]] calls
-  * when the server rejects a token with HTTP 401. The cache is
-  * `@transient`, so each executor acquires its own token on first use
-  * rather than shipping one in task binaries. */
+  * keyed by [[cacheKey]] (the reference's lazily-acquired second
+  * token, MD-PS:249-252), and re-acquires after [[invalidate]] —
+  * which [[HttpPageFetcher]] calls when the server rejects a token
+  * with HTTP 401. The cache lives in the companion object, NOT the
+  * instance: provider instances are deserialized once per task, so an
+  * instance field would re-acquire per page (thousands of credential
+  * round-trips per scan); the JVM-level map acquires once per
+  * executor. Tokens are never shipped in task binaries. */
 abstract class TokenProvider extends Serializable {
   /** One acquisition attempt; throw on failure (retried by [[token]]). */
   protected def acquire(): String
   protected def acquireRetries: Int = 5
   protected def acquireSleepMs: Long = 10000L
 
-  @transient private var cached: String = _
+  /** JVM-cache identity: distinct credentials MUST yield distinct
+    * keys. Default assumes one credential per provider class;
+    * parameterized providers (e.g. [[StaticTokenProvider]]) must
+    * fold their parameters in. */
+  protected def cacheKey: String = getClass.getName
 
-  final def token(): String = synchronized {
-    if (cached == null) {
-      var attempt = 0
-      var t: String = null
-      while (t == null) {
-        try t = acquire()
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            attempt += 1
-            if (attempt > acquireRetries) throw e
-            if (acquireSleepMs > 0) Thread.sleep(acquireSleepMs)
+  final def token(): String = {
+    val k = cacheKey
+    val hit = TokenProvider.cache.get(k)
+    if (hit != null) hit
+    else TokenProvider.lockFor(k).synchronized {
+      val again = TokenProvider.cache.get(k)
+      if (again != null) again
+      else {
+        var attempt = 0
+        var t: String = null
+        while (t == null) {
+          try t = acquire()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              attempt += 1
+              if (attempt > acquireRetries) throw e
+              if (acquireSleepMs > 0) Thread.sleep(acquireSleepMs)
+          }
         }
+        TokenProvider.cache.put(k, t)
+        t
       }
-      cached = t
     }
-    cached
   }
 
-  final def invalidate(): Unit = synchronized { cached = null }
+  final def invalidate(): Unit = TokenProvider.cache.remove(cacheKey)
 }
 
-/** A pre-acquired token (the caller owns acquisition). */
+/** A pre-acquired token (the caller owns acquisition). Cache identity
+  * includes the token so two connectors with different literals never
+  * share a cache slot. */
 class StaticTokenProvider(t: String) extends TokenProvider {
   override protected def acquire(): String = t
+  override protected def cacheKey: String =
+    s"${getClass.getName}#${Integer.toHexString(t.hashCode)}"
 }
 
 object TokenProvider {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(k: String): Object =
+    locks.computeIfAbsent(k, _ => new Object)
+
   /** Connector options → provider: `authToken` wraps a literal token;
     * `tokenProviderClass` names a public no-arg [[TokenProvider]]
     * subclass instantiated reflectively (the DSv2 string-options analog
@@ -230,11 +255,23 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Columns referenced only by fully-pushed filters: Spark may prune
+    * them from `required`, but they must still ride in the live
+    * `$select` — a spec-compliant server honoring `$select` would
+    * otherwise omit them from the response, and the reader's
+    * belt-and-braces re-evaluation of the pushed filter would then
+    * null-match every row (empty scan). The reader parses them and
+    * projects them back out. */
+  private def filterOnlyCols: Seq[String] = pushed.collect {
+    case EqualTo(attr, _) if !required.fieldNames.contains(attr) => attr
+  }.toSeq.distinct
+
   /** Live-mode first-page URL: the pushed-down scan state composed
     * onto the endpoint. Fixture mode starts from the given page
     * document; $select/$filter are then applied by the parser. */
   private def startPage: String = conf.endpoint match {
-    case Some(ep) => ODataUrl.build(ep, required.fieldNames.toSeq,
+    case Some(ep) => ODataUrl.build(ep,
+      required.fieldNames.toSeq ++ filterOnlyCols,
       pushed, conf.pageSize, conf.expand)
     case None => conf.firstPage.get
   }
@@ -419,8 +456,13 @@ class HttpPageFetcher(tokenProvider: Option[TokenProvider])
       code match {
         case 200 =>
           val in = conn.getInputStream
+          // a reset mid-body is as transient as one before the status
+          // line — both must reach the O7 retry loop
           try Right(new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8))
+          catch { case e: java.io.IOException =>
+            throw new RetryableFetchException(
+              s"transport error reading body for $path", e) }
           finally in.close()
         case 401 => Left(401)
         case 429 | 503 =>
