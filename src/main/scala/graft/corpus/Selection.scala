@@ -200,6 +200,36 @@ object Selection {
       .drop("draw")
   }
 
+  /** Deterministic global shuffle + sharding — the "randomize order,
+    * then shard" layout step before training. Every row gets:
+    * `shard` = hash bucket (which output shard / file it belongs to)
+    * and `pos` = its position within the shard in salted-hash order.
+    * Both are pure functions of (salt, id): the shuffle is
+    * reproducible across runs and engines (no rand(), no
+    * partition-order dependence), shards are balanced by hash
+    * uniformity, and a training job reading shard s in pos order sees
+    * a stable pseudo-random document sequence. One shuffle on
+    * `shard`; the per-shard window never sees more than ~1/nShards
+    * of the data. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = hashValue(saltedKey(col(idCol), salt))
+    val w = Window.partitionBy(col("shard")).orderBy(h, col(idCol))
+    df.withColumn("shard", hashBucket(saltedKey(col(idCol), salt), nShards))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+  }
+
+  /** Materialize [[shuffleShards]] as one parquet directory per shard
+    * (`shard=<n>/`), rows within each shard sorted by `pos` — the
+    * on-disk layout a data loader streams shard-by-shard. */
+  def writeShuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String, salt: String = "shuffle"): Unit =
+    shuffleShards(df, idCol, nShards, salt)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Corpus-wide vocabulary: top-k whitespace tokens by frequency
     * (ties broken lexicographically). Explode → hash agg (map-side
     * partial) → global top-k via sort+limit, which Spark executes as

@@ -555,6 +555,21 @@ object TrainingQueries {
        |WHERE draw <= 10 ORDER BY vec_id""".stripMargin
   }
 
+  /** c08: deterministic shuffle + sharding — every document's output
+    * shard and its position within the shard in salted-hash order;
+    * the reproducible "randomize then shard" layout before training. */
+  def c08ShuffleShards(s: SparkSession, d: String): DataFrame =
+    Selection.shuffleShards(Tables.documents(s, d), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
+  val c08Sql: String = {
+    val h = duckHash("'shuffle:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, $h % 8 AS shard,
+       |  ROW_NUMBER() OVER (PARTITION BY $h % 8 ORDER BY $h, doc_id) AS pos
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** c06: corpus vocabulary — top-20 tokens by frequency, ties
     * lexicographic; executes as TakeOrderedAndProject (per-partition
     * top-k, never a full sort). */
@@ -649,5 +664,6 @@ object TrainingQueries {
     ("c05_mixture_resample", c05MixtureResample _, Some(c05Sql)),
     ("c06_vocab_topk", c06VocabTopK _, Some(c06Sql)),
     ("c07_cluster_quota", c07ClusterQuota _, Some(c07Sql)),
+    ("c08_shuffle_shards", c08ShuffleShards _, Some(c08Sql)),
   )
 }

@@ -128,6 +128,38 @@ class SelectionSpec extends SparkSpec {
     assert(five.subsetOf(ten))
   }
 
+  test("shuffleShards: exhaustive, balanced, positions contiguous per shard, stable; writer lays out shard dirs sorted by pos") {
+    val docs = Tables.documents(spark, sf)
+    val out = Selection.shuffleShards(docs, "doc_id", nShards = 8)
+    assert(out.count() == docs.count())
+    val byShard = out.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // hash balance: 500 docs over 8 shards, loose 2x bounds
+    assert(byShard.values.forall(n => n > 20 && n < 125), byShard)
+    // positions are 1..count(shard) with no gaps
+    val posOk = out.groupBy("shard")
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("n"))
+      .filter($"lo" =!= 1L || $"hi" =!= $"n").count()
+    assert(posOk == 0)
+    // the shuffle order is NOT id order (it actually randomizes)
+    val firstShard = out.filter($"shard" === byShard.keys.head)
+      .orderBy("pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(firstShard != firstShard.sorted)
+    // reproducible across runs
+    val again = Selection.shuffleShards(docs, "doc_id", nShards = 8)
+    assert(out.exceptAll(again).isEmpty)
+    // writer: one directory per shard, rows stream back in pos order
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Selection.writeShuffleShards(docs, "doc_id", 4, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == (0 until 4).map(n => s"shard=$n"))
+    val shard0 = spark.read.parquet(s"$dir/shard=0").select("pos")
+      .collect().map(_.getLong(0)).toSeq
+    assert(shard0 == shard0.sorted && shard0.head == 1L)
+  }
+
   test("vocabTopK: counts match a manual count and the plan is a TakeOrdered top-k") {
     val docs = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
     val top = Selection.vocabTopK(docs, "text", 2)
