@@ -93,4 +93,29 @@ class EventsStreamSpec extends SparkSpec {
       .orderBy("user_id", "session_start_us").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("corpus selection composes with streaming: split + PII redaction on a document stream equals batch") {
+    import graft.corpus.Selection
+    import graft.functions.TextOps
+    import org.apache.spark.sql.functions.col
+    val project = (df: org.apache.spark.sql.DataFrame) =>
+      Selection.assignSplits(df, "doc_id")
+        .select(col("doc_id"), col("split"),
+          TextOps.redactPii(col("text")).as("redacted"))
+    val q = project(EventsStream.readDocuments(spark, sf))
+      .writeStream.format("memory").queryName("spec_corpus_stream")
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_ckpt_corpus").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spec_corpus_stream")
+    val batch = project(spark.read
+      .schema(EventsStream.documentsRawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
 }
