@@ -570,6 +570,51 @@ object TrainingQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** c09: end-to-end curation pipeline — the stages composed the way
+    * a real corpus build runs them: language + quality gate
+    * (en, ≥5 tokens, repetition < 0.5) → exact dedup keeping the
+    * first copy → deterministic split assignment. One oracle checks
+    * the whole chain; every stage stays in the scan's codegen span
+    * except the single dedup hash-agg shuffle. */
+  def c09CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val gated = Tables.documents(s, d).filter(
+      TextOps.langId(col("text")) === "en" &&
+        TextOps.tokenCount(col("text")) >= 5 &&
+        TextOps.repetitionRatio(col("text")) < 0.5)
+    val deduped = gated.groupBy(col("text"))
+      .agg(min("doc_id").as("doc_id"))
+    Selection.assignSplits(deduped, "doc_id")
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  }
+
+  val c09Sql: String = {
+    val b = duckBucket("'graft:' || CAST(doc_id AS VARCHAR)", 100)
+    s"""WITH gated AS (
+       |  SELECT doc_id, text,
+       |    len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tok
+       |  FROM documents
+       |  WHERE len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+       |            t -> t IN ('the','a','of','and','in','to','is')))
+       |        / len(list_filter(string_split(text,' '), x -> x <> '')) >= 0.05
+       |    AND len(list_filter(string_split(text,' '), x -> x <> '')) >= 5),
+       |rep AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      list_filter(string_split(text,' '), x -> x <> '') AS w
+       |    FROM gated)
+       |  WHERE len(w) - 1 <= 0 OR
+       |    1.0 - len(list_distinct(list_transform(range(1, len(w)),
+       |          i -> w[i] || ' ' || w[i+1]))) / (len(w) - 1) < 0.5),
+       |deduped AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM rep GROUP BY text)
+       |SELECT doc_id,
+       |  CASE WHEN $b < 80 THEN 'train'
+       |       WHEN $b < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM deduped ORDER BY doc_id""".stripMargin
+  }
+
   /** c06: corpus vocabulary — top-20 tokens by frequency, ties
     * lexicographic; executes as TakeOrderedAndProject (per-partition
     * top-k, never a full sort). */
@@ -665,5 +710,6 @@ object TrainingQueries {
     ("c06_vocab_topk", c06VocabTopK _, Some(c06Sql)),
     ("c07_cluster_quota", c07ClusterQuota _, Some(c07Sql)),
     ("c08_shuffle_shards", c08ShuffleShards _, Some(c08Sql)),
+    ("c09_curation_pipeline", c09CurationPipeline _, Some(c09Sql)),
   )
 }
