@@ -59,6 +59,22 @@ object Sinks {
     }
   }
 
+  /** Apply an OData delta change set (`ODataPageReader.readDeltaPages`
+    * output: entity columns + boolean `removed`) to a snapshot:
+    * tombstoned ids are deleted, changed/new entities replace or
+    * extend the snapshot. One anti-join on the (small) changed-id set
+    * plus a union — cost scales with the delta, not the table; with
+    * the change set broadcast the snapshot side never shuffles.
+    * Assumes the service coalesces to at most one change per id per
+    * delta round (the documented OData delta contract). */
+  def applyDelta(snapshot: DataFrame, changes: DataFrame,
+      idCol: String): DataFrame = {
+    val changedIds = broadcast(changes.select(col(idCol)))
+    val upserts = changes.filter(!col("removed")).drop("removed")
+    snapshot.join(changedIds, Seq(idCol), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** O15 variant — JDBC snapshot: truncate-overwrite into a relational
     * store, the closest analog of the reference's TVP+sproc load
     * (MD-SQL:98-181) when the target stays a SQL database. Same trait

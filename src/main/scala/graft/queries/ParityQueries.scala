@@ -136,6 +136,52 @@ object ParityQueries {
        |            FROM read_json(${pages("managedDevicesExpand", 1)})))
        |ORDER BY id, app_name""".stripMargin
 
+  /** P8: incremental delta sync — the full snapshot merged with an
+    * OData delta change set (one update, one new entity, one
+    * tombstone): tombstoned ids disappear, the update replaces its
+    * row, the new entity appears. The reference re-extracts everything
+    * every run; this is the delta-query path a Graph user adopts when
+    * the entity set outgrows full refresh. */
+  def p08(s: SparkSession, d: String): DataFrame = {
+    val snap = ODataPageReader.readPages(s,
+      s"$fixtureRoot/managedDevices/page1.json",
+      EntitySchemas.managedDeviceSource)
+    val (changes, _) = ODataPageReader.readDeltaPages(s,
+      s"$fixtureRoot/managedDevicesDelta/page1.json",
+      EntitySchemas.managedDeviceSource)
+    Sinks.applyDelta(snap, changes, "id")
+      .select(col("id"), col("deviceName"), col("operatingSystem"),
+        col("complianceState"), col("lastSyncDateTime"))
+      .orderBy("id")
+  }
+
+  private def deltaOracle: String =
+    s"""WITH snap AS (
+       |  SELECT CAST(v.id AS VARCHAR) AS id,
+       |    CAST(v.deviceName AS VARCHAR) AS deviceName,
+       |    CAST(v.operatingSystem AS VARCHAR) AS operatingSystem,
+       |    CAST(v.complianceState AS VARCHAR) AS complianceState,
+       |    strftime(CAST(v.lastSyncDateTime AS TIMESTAMP),
+       |      '%Y-%m-%dT%H:%M:%SZ') AS lastSyncDateTime
+       |  FROM (SELECT unnest(value) AS v
+       |        FROM read_json(${pages("managedDevices", 2)}, union_by_name=true))),
+       |chg AS (
+       |  SELECT CAST(v.id AS VARCHAR) AS id,
+       |    CAST(v.deviceName AS VARCHAR) AS deviceName,
+       |    CAST(v.operatingSystem AS VARCHAR) AS operatingSystem,
+       |    CAST(v.complianceState AS VARCHAR) AS complianceState,
+       |    strftime(CAST(v.lastSyncDateTime AS TIMESTAMP),
+       |      '%Y-%m-%dT%H:%M:%SZ') AS lastSyncDateTime,
+       |    v."@removed" IS NOT NULL AS removed
+       |  FROM (SELECT unnest(value) AS v
+       |        FROM read_json(${pages("managedDevicesDelta", 2)}, union_by_name=true)))
+       |SELECT id, deviceName, operatingSystem, complianceState, lastSyncDateTime
+       |FROM snap WHERE id NOT IN (SELECT id FROM chg)
+       |UNION ALL
+       |SELECT id, deviceName, operatingSystem, complianceState, lastSyncDateTime
+       |FROM chg WHERE NOT removed
+       |ORDER BY id""".stripMargin
+
   // ------------------------------------------------------- DuckDB oracles
 
   /** Oracle column expression for a sink field: cast through VARCHAR/
@@ -232,5 +278,6 @@ object ParityQueries {
     ("p05_retention", p05 _, Some(audOracle("2024-11-08 00:00:00"))),
     ("p06_connector_pipeline", p06 _, Some(mdOracle("2024-11-08 00:00:00"))),
     ("p07_expand", p07 _, Some(expandOracle)),
+    ("p08_delta_sync", p08 _, Some(deltaOracle)),
   )
 }

@@ -526,6 +526,14 @@ object ODataUrl {
 object PageCursor {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Extract @odata.deltaLink from a (final) delta page body — the
+    * cursor a caller persists to resume incremental sync on the next
+    * run. Always absolute in the live Graph shape; returned verbatim. */
+  def deltaLink(body: String): Option[String] = {
+    val node = mapper.readTree(body).get("@odata.deltaLink")
+    Option(node).filter(!_.isNull).map(_.asText())
+  }
+
   /** Extract @odata.nextLink from a page body. Absolute URLs (the live
     * Graph shape) pass through; relative links resolve against the
     * current page's URL or directory. */

@@ -63,6 +63,36 @@ class SourcesSpec extends SparkSpec {
       loop.orderBy("id").collect().toSeq)
   }
 
+  test("delta sync: tombstones flagged, deltaLink surfaced, applyDelta merges update/insert/delete") {
+    import graft.core.EntitySchemas
+    import graft.operators.Sinks
+    import graft.queries.ParityQueries.fixtureRoot
+    val snap = ODataPageReader.readPages(spark,
+      s"$fixtureRoot/managedDevices/page1.json",
+      EntitySchemas.managedDeviceSource)
+    val (changes, link) = ODataPageReader.readDeltaPages(spark,
+      s"$fixtureRoot/managedDevicesDelta/page1.json",
+      EntitySchemas.managedDeviceSource)
+    // the final page's cursor comes back for the caller to persist
+    assert(link.exists(_.contains("$deltatoken=abc123")))
+    val rows = changes.select("id", "deviceName", "removed").collect()
+      .map(r => r.getString(0).take(8) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(rows.keySet == Set("11111111", "33333333", "77777777"))
+    assert(rows("33333333") == (null, true))        // tombstone: id only
+    assert(rows("11111111") == ("DESKTOP-ALPHA-R2", false))
+    val merged = Sinks.applyDelta(snap, changes, "id")
+    val byId = merged.select("id", "deviceName").collect()
+      .map(r => r.getString(0).take(8) -> r.getString(1)).toMap
+    assert(merged.count() == snap.count())          // -1 delete +1 insert
+    assert(!byId.contains("33333333"))              // deleted
+    assert(byId("11111111") == "DESKTOP-ALPHA-R2")  // updated in place
+    assert(byId("77777777") == "DESKTOP-ETA")       // inserted
+    assert(byId("22222222") == snap
+      .filter(org.apache.spark.sql.functions.col("id").startsWith("22222222"))
+      .select("deviceName").collect().head.getString(0)) // untouched survives
+  }
+
   test("parquet append mode accumulates batches") {
     val path = Files.createTempDirectory("graft_app").resolve("t").toString
     val r = Tables.region(spark, sf)
