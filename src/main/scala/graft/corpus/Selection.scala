@@ -225,8 +225,9 @@ object Selection {
     * on-disk layout a data loader streams shard-by-shard. */
   def writeShuffleShards(df: DataFrame, idCol: String, nShards: Int,
       path: String, salt: String = "shuffle"): Unit =
+    // shuffleShards' window already hash-partitioned by shard — no
+    // second exchange; just order within tasks and write
     shuffleShards(df, idCol, nShards, salt)
-      .repartition(col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 

@@ -62,14 +62,16 @@ object Sinks {
   /** Apply an OData delta change set (`ODataPageReader.readDeltaPages`
     * output: entity columns + boolean `removed`) to a snapshot:
     * tombstoned ids are deleted, changed/new entities replace or
-    * extend the snapshot. One anti-join on the (small) changed-id set
-    * plus a union — cost scales with the delta, not the table; with
-    * the change set broadcast the snapshot side never shuffles.
-    * Assumes the service coalesces to at most one change per id per
-    * delta round (the documented OData delta contract). */
+    * extend the snapshot. One anti-join on the changed-id set plus a
+    * union — cost scales with the delta, not the table. No broadcast
+    * hint: a routine delta is small and AQE broadcasts it at runtime,
+    * but a delta after long downtime (or an expired delta token) can
+    * approach full-table size, where a forced broadcast would OOM the
+    * driver. Assumes the service coalesces to at most one change per
+    * id per delta round (the documented OData delta contract). */
   def applyDelta(snapshot: DataFrame, changes: DataFrame,
       idCol: String): DataFrame = {
-    val changedIds = broadcast(changes.select(col(idCol)))
+    val changedIds = changes.select(col(idCol))
     val upserts = changes.filter(!col("removed")).drop("removed")
     snapshot.join(changedIds, Seq(idCol), "left_anti")
       .unionByName(upserts)

@@ -21,6 +21,39 @@ object ODataPageReader {
 
   val nextLinkField = "@odata.nextLink"
 
+  /** Walk the nextLink chain: page paths in order, plus the final
+    * page's body (for cursors that live only on the last page, e.g.
+    * deltaLink). Throws if the chain exceeds `maxPages` rather than
+    * truncating — a silently shortened walk is indistinguishable from
+    * a complete one downstream, which merely shortens a full refresh
+    * but CORRUPTS an incremental sync. Each page is fetched once. */
+  private def walkChain(firstPagePath: String, maxPages: Int)
+      : (Seq[String], String) = {
+    val fetcher = new graft.sources.v2.LocalPageFetcher
+    val paths = scala.collection.mutable.ArrayBuffer(firstPagePath)
+    var body = fetcher.fetch(firstPagePath)
+    var next = graft.sources.v2.PageCursor.nextLink(body, firstPagePath)
+    while (next.isDefined) {
+      if (paths.size >= maxPages)
+        throw new IllegalStateException(
+          s"page chain exceeds maxPages=$maxPages at ${paths.last}; " +
+            "raise maxPages — a truncated read would be silently incomplete")
+      paths += next.get
+      body = fetcher.fetch(next.get)
+      next = graft.sources.v2.PageCursor.nextLink(body, next.get)
+    }
+    (paths.toSeq, body)
+  }
+
+  /** Balanced union: a left-nested reduce builds an O(pages)-deep plan
+    * that strains the analyzer on long chains. */
+  private def union(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else union(dfs.grouped(2).map {
+      case Seq(a, b) => a.unionByName(b)
+      case Seq(a) => a
+    }.toSeq)
+
   /** Follow the nextLink chain starting at `firstPagePath`, returning
     * one DataFrame of all pages' `value[]` rows with `valueSchema`.
     * Relative nextLinks resolve against the current page's directory
@@ -30,27 +63,10 @@ object ODataPageReader {
     val pageSchema = StructType(Seq(
       StructField("value", ArrayType(valueSchema)),
       StructField(nextLinkField, StringType)))
-
-    def pageDf(path: String): DataFrame =
-      spark.read.schema(pageSchema).option("multiLine", "true").json(path)
-
-    val fetcher = new graft.sources.v2.LocalPageFetcher
-    val pages = Iterator.iterate(Option(firstPagePath)) {
-      case Some(p) => graft.sources.v2.PageCursor.nextLink(fetcher.fetch(p), p)
-      case None => None
-    }.takeWhile(_.isDefined).take(maxPages).flatten.toSeq
-
-    // balanced union: a left-nested reduce builds an O(pages)-deep
-    // plan that strains the analyzer on long chains
-    def union(dfs: Seq[DataFrame]): DataFrame =
-      if (dfs.size == 1) dfs.head
-      else union(dfs.grouped(2).map {
-        case Seq(a, b) => a.unionByName(b)
-        case Seq(a) => a
-      }.toSeq)
-
-    union(pages.map(p => pageDf(p).select(explode(col("value")).as("v"))
-      .select(col("v.*"))))
+    val (pages, _) = walkChain(firstPagePath, maxPages)
+    union(pages.map(p =>
+      spark.read.schema(pageSchema).option("multiLine", "true").json(p)
+        .select(explode(col("value")).as("v")).select(col("v.*"))))
   }
 
   val removedField = "@removed"
@@ -76,22 +92,8 @@ object ODataPageReader {
     val pageSchema = StructType(Seq(
       StructField("value", ArrayType(deltaValueSchema)),
       StructField(nextLinkField, StringType)))
-
-    val fetcher = new graft.sources.v2.LocalPageFetcher
-    val pages = Iterator.iterate(Option(firstPagePath)) {
-      case Some(p) => graft.sources.v2.PageCursor.nextLink(fetcher.fetch(p), p)
-      case None => None
-    }.takeWhile(_.isDefined).take(maxPages).flatten.toSeq
-
-    val link = graft.sources.v2.PageCursor.deltaLink(fetcher.fetch(pages.last))
-
-    def union(dfs: Seq[DataFrame]): DataFrame =
-      if (dfs.size == 1) dfs.head
-      else union(dfs.grouped(2).map {
-        case Seq(a, b) => a.unionByName(b)
-        case Seq(a) => a
-      }.toSeq)
-
+    val (pages, lastBody) = walkChain(firstPagePath, maxPages)
+    val link = graft.sources.v2.PageCursor.deltaLink(lastBody)
     val changes = union(pages.map(p =>
       spark.read.schema(pageSchema).option("multiLine", "true").json(p)
         .select(explode(col("value")).as("v")).select(col("v.*"))))

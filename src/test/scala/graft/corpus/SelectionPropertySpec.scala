@@ -100,17 +100,20 @@ class SelectionPropertySpec extends SparkSpec {
     }
   }
 
-  test("property: repetitionRatio stays in [0,1] and redactPii never lengthens placeholders unboundedly") {
+  test("property: repetitionRatio stays in [0,1]; redactPii is idempotent (placeholders never re-match)") {
     val textGen = Gen.listOfN(30,
       Gen.oneOf("a", "b", "spark", "the", "12", "x@y.io", "1.2.3.4"))
       .map(_.mkString(" "))
     forSeeds(textGen) { text =>
       val r = Seq(text).toDF("text")
         .select(TextOps.repetitionRatio($"text"),
-          TextOps.redactPii($"text")).collect().head
+          TextOps.redactPii($"text"),
+          TextOps.redactPii(TextOps.redactPii($"text"))).collect().head
       val ratio = r.getDouble(0)
       assert(ratio >= 0.0 && ratio <= 1.0)
-      assert(r.getString(1).nonEmpty)
+      // a second pass changes nothing: placeholders contain no digits
+      // or @, so no pattern can match redacted output again
+      assert(r.getString(1) == r.getString(2) && r.getString(1).nonEmpty)
     }
   }
 }
