@@ -7,7 +7,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
 import org.apache.spark.unsafe.types.UTF8String
 import java.util
@@ -57,6 +57,13 @@ import scala.collection.JavaConverters._
   *     .option("authToken", token)   // rendered as a Bearer header
   *     .load()
   * }}}
+  * Delta (incremental) mode: point the source at a delta page chain —
+  * `endpoint = .../entity/delta` for the first sync or `firstPage =
+  * <persisted deltaLink>` for later rounds — with `delta=true` and a
+  * `removed BOOLEAN` field in the schema; tombstones
+  * (`{"id":..., "@removed":{...}}`) surface as `removed = true` rows.
+  * Apply with `Sinks.applyDelta`; extract the next cursor from the
+  * final page with `PageCursor.deltaLink`.
   */
 class ODataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -91,9 +98,15 @@ class ODataSource extends TableProvider
       retrySleepMs = Option(opts.get("retrySleepMs")).map(_.toLong).getOrElse(0L),
       bodyBudgetBytes = Option(opts.get("bodyBudgetBytes")).map(_.toLong)
         .getOrElse(64L << 20),
+      delta = Option(opts.get("delta")).exists(_.toBoolean),
       tokenProvider = TokenProvider.fromOptions(
         Option(opts.get("authToken")),
         Option(opts.get("tokenProviderClass"))))
+    if (conf.delta)
+      require(schema.fields.exists(f =>
+          f.name == "removed" && f.dataType == BooleanType),
+        "delta=true requires a 'removed' BOOLEAN field in the schema " +
+          "(tombstones surface there; see ODataPageReader.readDeltaPages)")
     new ODataTable(schema, conf)
   }
 }
@@ -111,6 +124,7 @@ case class ODataConf(
     maxRetries: Int,
     retrySleepMs: Long,
     bodyBudgetBytes: Long,
+    delta: Boolean = false,
     tokenProvider: Option[TokenProvider]) {
 
   def newFetcher(): PageFetcher = {
@@ -345,8 +359,24 @@ class ODataPartitionReader(partition: ODataInputPartition,
   private val filterOnly: Array[String] = pushed.collect {
     case EqualTo(attr, _) if !required.fieldNames.contains(attr) => attr
   }
-  private val parseSchema: StructType =
-    filterOnly.foldLeft(required)((s, a) => s.add(a, StringType))
+
+  /** Delta mode (O5+): the synthetic `removed` column is not a JSON
+    * field — tombstones carry an `@removed` marker object instead. The
+    * parser reads the marker; the projection rebuilds `required` with
+    * `removed = (@removed != null)`. */
+  private val deltaRemovedField = "@removed"
+  private val deltaMode = conf.delta
+
+  private val parseSchema: StructType = {
+    val base =
+      if (deltaMode) StructType(required.fields.filterNot(_.name == "removed"))
+      else required
+    val withFilter = filterOnly.foldLeft(base)((s, a) => s.add(a, StringType))
+    if (deltaMode)
+      withFilter.add(StructField(deltaRemovedField,
+        StructType(Seq(StructField("reason", StringType)))))
+    else withFilter
+  }
 
   private val rows: Iterator[InternalRow] = {
     val body = partition.body.getOrElse(
@@ -358,9 +388,22 @@ class ODataPartitionReader(partition: ODataInputPartition,
       UTF8String.fromString)
     val filterEval = sourceFilter _
     // required is a prefix of parseSchema, so the pruning projection
-    // reads ordinals 0..required.length-1 as-is
+    // reads ordinals 0..required.length-1 as-is; delta mode remaps by
+    // name because `removed` is derived, not parsed
     val prune: InternalRow => InternalRow =
-      if (filterOnly.isEmpty) identity
+      if (deltaMode) {
+        val remOrd = parseSchema.fieldIndex(deltaRemovedField)
+        val getters: Array[InternalRow => Any] = required.fields.map { f =>
+          if (f.name == "removed") { (r: InternalRow) =>
+            !r.isNullAt(remOrd)
+          } else {
+            val ord = parseSchema.fieldIndex(f.name)
+            val dt = f.dataType
+            (r: InternalRow) => if (r.isNullAt(ord)) null else r.get(ord, dt)
+          }
+        }
+        r => new GenericInternalRow(getters.map(g => g(r)))
+      } else if (filterOnly.isEmpty) identity
       else {
         val proj = UnsafeProjection.create(required.fields.map(_.dataType))
         r => proj(r).copy()

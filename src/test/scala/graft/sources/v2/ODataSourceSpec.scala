@@ -221,6 +221,35 @@ class ODataSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("delta mode: tombstones surface as removed=true; pruning remaps by name; schema guard") {
+    import graft.queries.ParityQueries.fixtureRoot
+    import org.apache.spark.sql.types.{BooleanType, StructField}
+    val schema = EntitySchemas.managedDeviceSource
+      .add(StructField("removed", BooleanType))
+    val df = spark.read.format("graft-odata").schema(schema)
+      .option("firstPage", s"$fixtureRoot/managedDevicesDelta/page1.json")
+      .option("delta", "true")
+      .load()
+    val rows = df.select("id", "deviceName", "removed").collect()
+      .map(r => r.getString(0).take(8) -> (Option(r.getString(1)), r.getBoolean(2)))
+      .toMap
+    assert(rows.keySet == Set("11111111", "33333333", "77777777"))
+    assert(rows("33333333") == (None, true))   // tombstone: id + flag only
+    assert(rows("11111111") == (Some("DESKTOP-ALPHA-R2"), false))
+    assert(rows("77777777") == (Some("DESKTOP-ETA"), false))
+    // pruned projection still remaps correctly (removed is derived,
+    // not parsed, so the prefix shortcut can't apply)
+    val pruned = df.select("removed").collect().map(_.getBoolean(0))
+    assert(pruned.count(identity) == 1 && pruned.length == 3)
+    // the guard: delta without a removed column is a config error
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("graft-odata")
+        .schema(EntitySchemas.managedDeviceSource)
+        .option("firstPage", s"$fixtureRoot/managedDevicesDelta/page1.json")
+        .option("delta", "true").load().collect()
+    }
+  }
+
   // ------------------------------------------------ live HTTP transport
 
   test("live transport: composed URL, bearer auth, 429 retry, page chain") {
