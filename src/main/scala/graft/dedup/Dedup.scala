@@ -34,16 +34,20 @@ object Dedup {
 
   /** Documents with distinct word-shingle sets attached.
     *
-    * Repartitioned to the session's parallelism first: the corpus often
-    * arrives as few large files (here: one), and shingling/hashing is
-    * CPU-bound — without the spread the whole compute runs on the scan's
-    * partition count. At real scale file splits already provide
-    * parallelism and AQE coalesces the excess. */
+    * Repartitioned to the session's parallelism ONLY when the scan is
+    * narrower than the session (the corpus often arrives as few large
+    * files — here one — and shingling/hashing is CPU-bound, so without
+    * the spread the whole compute runs on the scan's partition count).
+    * At real scale file splits already provide parallelism and the
+    * repartition would be a pointless full shuffle of (id, text) —
+    * the partition-count check skips it. */
   def withShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(p, col(idCol))
-      .select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
+    val spread =
+      if (docs.rdd.getNumPartitions >= p) docs
+      else docs.repartition(p, col(idCol))
+    spread.select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index:
