@@ -34,18 +34,24 @@ object Dedup {
 
   /** Documents with distinct word-shingle sets attached.
     *
-    * Repartitioned to the session's parallelism ONLY when the scan is
-    * narrower than the session (the corpus often arrives as few large
-    * files — here one — and shingling/hashing is CPU-bound, so without
-    * the spread the whole compute runs on the scan's partition count).
-    * At real scale file splits already provide parallelism and the
-    * repartition would be a pointless full shuffle of (id, text) —
-    * the partition-count check skips it. */
+    * Repartitioned to the session's parallelism ONLY when the input
+    * is a file scan over fewer files than the session has cores (the
+    * corpus often arrives as few large files — here one — and
+    * shingling/hashing is CPU-bound, so without the spread the whole
+    * compute runs on the scan's partition count). At real scale file
+    * counts dwarf core counts and the repartition would be a
+    * pointless full shuffle of (id, text) — skipped. The check uses
+    * `inputFiles` (catalog metadata, no job, streaming-safe via the
+    * fallback): non-file inputs (in-memory test data, streams)
+    * conservatively spread, preserving the old behavior. */
   def withShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
+    val nFiles =
+      try docs.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => 0 }
     val spread =
-      if (docs.rdd.getNumPartitions >= p) docs
+      if (nFiles >= p) docs
       else docs.repartition(p, col(idCol))
     spread.select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
   }

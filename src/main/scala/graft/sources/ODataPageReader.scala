@@ -71,6 +71,12 @@ object ODataPageReader {
 
   val removedField = "@removed"
 
+  /** Shape of the tombstone marker object — THE definition; the V2
+    * connector and the streaming delta reader reference it so a
+    * change to the wire shape lands in one place. */
+  val removedMarkerSchema: StructType =
+    StructType(Seq(StructField("reason", StringType)))
+
   /** Incremental (delta) sync read — the extension the reference's
     * full-refresh runbooks stop short of: OData delta queries return
     * only entities changed since the last sync, with deletions as
@@ -87,8 +93,7 @@ object ODataPageReader {
       valueSchema: StructType, maxPages: Int = 10000)
       : (DataFrame, Option[String]) = {
     val deltaValueSchema = valueSchema.add(
-      StructField(removedField,
-        StructType(Seq(StructField("reason", StringType)))))
+      StructField(removedField, removedMarkerSchema))
     val pageSchema = StructType(Seq(
       StructField("value", ArrayType(deltaValueSchema)),
       StructField(nextLinkField, StringType)))

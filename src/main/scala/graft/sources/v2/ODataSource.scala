@@ -282,11 +282,15 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
 
   /** Live-mode first-page URL: the pushed-down scan state composed
     * onto the endpoint. Fixture mode starts from the given page
-    * document; $select/$filter are then applied by the parser. */
+    * document; $select/$filter are then applied by the parser. In
+    * delta mode the synthetic `removed` column is excluded — it is
+    * derived from the @removed marker, not an entity property, and a
+    * server honoring $select would reject it. */
   private def startPage: String = conf.endpoint match {
-    case Some(ep) => ODataUrl.build(ep,
-      required.fieldNames.toSeq ++ filterOnlyCols,
-      pushed, conf.pageSize, conf.expand)
+    case Some(ep) =>
+      val sel = (required.fieldNames.toSeq ++ filterOnlyCols)
+        .filterNot(c => conf.delta && c == "removed")
+      ODataUrl.build(ep, sel, pushed, conf.pageSize, conf.expand)
     case None => conf.firstPage.get
   }
 
@@ -364,7 +368,7 @@ class ODataPartitionReader(partition: ODataInputPartition,
     * field — tombstones carry an `@removed` marker object instead. The
     * parser reads the marker; the projection rebuilds `required` with
     * `removed = (@removed != null)`. */
-  private val deltaRemovedField = "@removed"
+  private val deltaRemovedField = graft.sources.ODataPageReader.removedField
   private val deltaMode = conf.delta
 
   private val parseSchema: StructType = {
@@ -374,7 +378,7 @@ class ODataPartitionReader(partition: ODataInputPartition,
     val withFilter = filterOnly.foldLeft(base)((s, a) => s.add(a, StringType))
     if (deltaMode)
       withFilter.add(StructField(deltaRemovedField,
-        StructType(Seq(StructField("reason", StringType)))))
+        graft.sources.ODataPageReader.removedMarkerSchema))
     else withFilter
   }
 

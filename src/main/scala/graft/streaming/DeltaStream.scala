@@ -32,7 +32,7 @@ object DeltaStream {
       valueSchema: StructType, maxFilesPerTrigger: Int = 1): DataFrame = {
     val deltaValueSchema = valueSchema.add(
       StructField(ODataPageReader.removedField,
-        StructType(Seq(StructField("reason", StringType)))))
+        ODataPageReader.removedMarkerSchema))
     val pageSchema = StructType(Seq(
       StructField("value", ArrayType(deltaValueSchema))))
     spark.readStream.schema(pageSchema)
@@ -46,26 +46,39 @@ object DeltaStream {
   }
 
   /** Maintain `snapshotPath` from the change stream: one applyDelta +
-    * swap per micro-batch. Returns the running query (caller stops). */
+    * swap per micro-batch. Batching more pages per trigger
+    * (`maxFilesPerTrigger`, default 1000 ≈ one listing round) directly
+    * divides the number of snapshot rewrites — per-page application is
+    * correct but pays one O(table) rewrite per page. Returns the
+    * running query (caller stops). */
   def maintainSnapshot(spark: SparkSession, pagesDir: String,
       valueSchema: StructType, snapshotPath: String,
-      checkpointDir: String): StreamingQuery =
-    readDeltaChanges(spark, pagesDir, valueSchema)
+      checkpointDir: String, idCol: String = "id",
+      maxFilesPerTrigger: Int = 1000): StreamingQuery =
+    readDeltaChanges(spark, pagesDir, valueSchema, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (changes: DataFrame, _: Long) =>
         val s = changes.sparkSession
         val snap = currentSnapshot(s, snapshotPath, valueSchema)
-        val merged = Sinks.applyDelta(snap, changes, "id")
+        val merged = Sinks.applyDelta(snap, changes, idCol)
         overwriteViaSwap(s, merged, snapshotPath)
       }
       .start()
 
+  /** Current snapshot, RECOVERING from an interrupted swap first: a
+    * crash between set-aside and promote leaves no live copy but a
+    * complete `_old` — restore it before reading. A missing live path
+    * with no `_old` is genuinely the first batch (empty snapshot). */
   private def currentSnapshot(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath) && fs.exists(old) && !fs.rename(old, hPath))
+      throw new java.io.IOException(
+        s"delta swap recovery: cannot restore $old to $hPath")
+    if (fs.exists(hPath))
       spark.read.schema(schema).parquet(path)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
