@@ -224,12 +224,20 @@ object Selection {
     * (`shard=<n>/`), rows within each shard sorted by `pos` — the
     * on-disk layout a data loader streams shard-by-shard. */
   def writeShuffleShards(df: DataFrame, idCol: String, nShards: Int,
-      path: String, salt: String = "shuffle"): Unit =
+      path: String, salt: String = "shuffle",
+      maxRecordsPerFile: Option[Long] = None): Unit = {
     // shuffleShards' window already hash-partitioned by shard — no
-    // second exchange; just order within tasks and write
-    shuffleShards(df, idCol, nShards, salt)
+    // second exchange; just order within tasks and write. Data
+    // loaders that stream fixed-size files get them via
+    // maxRecordsPerFile; a loader reading a shard's files in part-
+    // number order sees the pos order (each split file holds a
+    // contiguous pos range).
+    val w = shuffleShards(df, idCol, nShards, salt)
       .sortWithinPartitions("shard", "pos")
-      .write.partitionBy("shard").mode("overwrite").parquet(path)
+      .write.partitionBy("shard").mode("overwrite")
+    maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+      .parquet(path)
+  }
 
   /** Corpus-wide vocabulary: top-k whitespace tokens by frequency
     * (ties broken lexicographically). Explode → hash agg (map-side

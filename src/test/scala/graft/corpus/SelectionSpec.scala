@@ -158,6 +158,13 @@ class SelectionSpec extends SparkSpec {
     val shard0 = spark.read.parquet(s"$dir/shard=0").select("pos")
       .collect().map(_.getLong(0)).toSeq
     assert(shard0 == shard0.sorted && shard0.head == 1L)
+    // sized-file mode splits a shard into multiple part files
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Selection.writeShuffleShards(docs, "doc_id", 4, dir2,
+      maxRecordsPerFile = Some(50L))
+    val parts = new java.io.File(s"$dir2/shard=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts > 1) // ~125 rows per shard at cap 50
   }
 
   test("vocabTopK: counts match a manual count and the plan is a TakeOrdered top-k") {
