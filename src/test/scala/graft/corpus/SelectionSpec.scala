@@ -64,6 +64,16 @@ class SelectionSpec extends SparkSpec {
     assert(clean == Set(2L))
   }
 
+  test("contaminationReport plans the scale shape: eval shingles broadcast, no shuffle of the train explode") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Selection.contaminationReport(
+        docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+        "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan) // eval side broadcast
+    assert(!plan.contains("SortMergeJoin"), plan)    // train side not shuffled for the join
+  }
+
   test("packSequences: sharded prefix sum equals the single-window reference; shardSize-invariant") {
     val docs = Tables.documents(spark, sf)
     val packed = Selection.packSequences(docs, "doc_id", "text",
