@@ -77,6 +77,41 @@ object Sinks {
       .unionByName(upserts)
   }
 
+  /** Overwrite `path` from a DataFrame that may READ `path` (e.g. a
+    * merged snapshot), without ever reading and writing it in the same
+    * job: materialize to `_next`, rename the live copy aside to
+    * `_old`, promote, drop `_old` — a complete snapshot exists on
+    * disk at every instant. Recover an interrupted swap with
+    * [[recoverSwap]] before reading. */
+  def overwriteViaSwap(spark: SparkSession, df: DataFrame,
+      path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(path + "_next")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    df.write.mode(SaveMode.Overwrite).parquet(next.toString)
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"swap: cannot clear $old")
+    if (fs.exists(hPath) && !fs.rename(hPath, old))
+      throw new java.io.IOException(s"swap: cannot set aside $hPath")
+    if (!fs.rename(next, hPath))
+      throw new java.io.IOException(s"swap: cannot promote $next")
+    fs.delete(old, true) // best-effort; a leftover _old is recoverable state
+    ()
+  }
+
+  /** Restore a swap interrupted between set-aside and promote: the
+    * live path is missing but a complete `_old` copy exists. Call
+    * before reading a swap-maintained table. No-op when healthy. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath) && fs.exists(old) && !fs.rename(old, hPath))
+      throw new java.io.IOException(
+        s"swap recovery: cannot restore $old to $hPath")
+  }
+
   /** O15 variant — JDBC snapshot: truncate-overwrite into a relational
     * store, the closest analog of the reference's TVP+sproc load
     * (MD-SQL:98-181) when the target stays a SQL database. Same trait

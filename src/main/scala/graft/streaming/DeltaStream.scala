@@ -62,47 +62,22 @@ object DeltaStream {
         val s = changes.sparkSession
         val snap = currentSnapshot(s, snapshotPath, valueSchema)
         val merged = Sinks.applyDelta(snap, changes, idCol)
-        overwriteViaSwap(s, merged, snapshotPath)
+        Sinks.overwriteViaSwap(s, merged, snapshotPath)
       }
       .start()
 
-  /** Current snapshot, RECOVERING from an interrupted swap first: a
-    * crash between set-aside and promote leaves no live copy but a
-    * complete `_old` — restore it before reading. A missing live path
-    * with no `_old` is genuinely the first batch (empty snapshot). */
+  /** Current snapshot, RECOVERING from an interrupted swap first
+    * (Sinks.recoverSwap). A missing live path with no `_old` is
+    * genuinely the first batch (empty snapshot). */
   private def currentSnapshot(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
+    Sinks.recoverSwap(spark, path)
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hPath) && fs.exists(old) && !fs.rename(old, hPath))
-      throw new java.io.IOException(
-        s"delta swap recovery: cannot restore $old to $hPath")
     if (fs.exists(hPath))
       spark.read.schema(schema).parquet(path)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
-  }
-
-  /** Overwrite `path` without ever reading and writing it in the same
-    * job: materialize to `_next`, rename the live copy aside, promote,
-    * drop the old copy — a complete snapshot exists on disk at every
-    * instant of the swap. */
-  private def overwriteViaSwap(spark: SparkSession, df: DataFrame,
-      path: String): Unit = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = new org.apache.hadoop.fs.Path(path + "_next")
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
-    df.write.mode(SaveMode.Overwrite).parquet(next.toString)
-    if (fs.exists(old) && !fs.delete(old, true))
-      throw new java.io.IOException(s"delta swap: cannot clear $old")
-    if (fs.exists(hPath) && !fs.rename(hPath, old))
-      throw new java.io.IOException(s"delta swap: cannot set aside $hPath")
-    if (!fs.rename(next, hPath))
-      throw new java.io.IOException(s"delta swap: cannot promote $next")
-    fs.delete(old, true) // best-effort; a leftover _old is recoverable state
-    ()
   }
 }
