@@ -125,6 +125,39 @@ object TextOps {
         Ipv4Re, "<ip>"),
       PhoneRe, "<phone>")
 
+  /** Make the text battery callable from SQL text (`spark.sql` users
+    * get the same codegen'd Column compositions): each function is a
+    * 1-arg wrapper that lifts the input expression to a Column,
+    * applies the composition, and lowers back. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, resolvedExpression}
+    val reg = spark.sessionState.functionRegistry
+    def unary(name: String, f: Column => Column)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression = es => {
+      if (es.length != 1)
+        throw new IllegalArgumentException(
+          s"$name requires exactly 1 argument, got ${es.length}")
+      // eager lowering: a lazy ColumnNode wrapper is Unevaluable and
+      // would survive to codegen inside a registry-built tree
+      resolvedExpression(spark, f(toCol(es.head)))
+    }
+    Seq[(String, Column => Column)](
+      ("graft_lang_id", langId),
+      ("graft_token_count", tokenCount),
+      ("graft_subword_count", subwordCount),
+      ("graft_stopword_ratio", stopwordRatio),
+      ("graft_distinct_ratio", distinctRatio),
+      ("graft_mean_token_len", meanTokenLen),
+      ("graft_quality_score", qualityScore),
+      ("graft_repetition_ratio", repetitionRatio(_)),
+      ("graft_fingerprint", fingerprint),
+      ("graft_redact_pii", redactPii)
+    ).foreach { case (n, f) =>
+      reg.createOrReplaceTempFunction(n, unary(n, f), "scala_udf")
+    }
+  }
+
   private val Mod = 1000000007L
 
   /** Polynomial rolling-hash fingerprint over the token stream:

@@ -21,6 +21,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: graft_* functions equal the Column API on real docs") {
+    TextOps.register(spark)
+    graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50).createOrReplaceTempView("docs_sqlreg")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_lang_id(text) AS l, graft_quality_score(text) AS q,
+        |  graft_fingerprint(text) AS f, graft_redact_pii(text) AS r,
+        |  graft_repetition_ratio(text) AS rr
+        |FROM docs_sqlreg ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = spark.table("docs_sqlreg")
+      .select($"doc_id", TextOps.langId($"text"), TextOps.qualityScore($"text"),
+        TextOps.fingerprint($"text"), TextOps.redactPii($"text"),
+        TextOps.repetitionRatio($"text"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // arity misuse fails with a clear message
+    val e = intercept[Exception](spark.sql("SELECT graft_lang_id('a','b')"))
+    assert(e.getMessage.contains("exactly 1 argument"))
+  }
+
   test("repetitionRatio: 0 for unique text, rises with repeats, 0 below n tokens") {
     val vals = Seq(
       "a b c d e",        // 4 bigrams, all distinct -> 0.0
