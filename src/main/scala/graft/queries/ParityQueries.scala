@@ -8,9 +8,10 @@ import graft.core.{EntitySchemas, SchemaConform}
 import graft.operators.{Sinks, Transforms}
 import graft.sources.ODataPageReader
 
-/** Parity queries P1–P5 (SURVEY.md §2.3): the reference's two pipelines
-  * end-to-end over Graph-shaped JSON fixtures, oracle-checked by DuckDB
-  * reading the same fixture files with read_json.
+/** Parity queries P1–P8 (SURVEY.md §2.3 P1–P5 + connector/expand/delta
+  * extensions): the reference's two pipelines end-to-end over
+  * Graph-shaped JSON fixtures, oracle-checked by DuckDB reading the
+  * same fixture files with read_json.
   *
   * Load timestamps are fixed constants (not wall clock) so results are
   * deterministic and the batch-constant `timeGenerated` semantics
