@@ -410,6 +410,37 @@ object TrainingQueries {
        |    '${TextOps.PhoneRe}', '<phone>', 'g') AS redacted
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** s06: oracle-checked LSH buckets — s03's signature machinery
+    * (quantize → hyperplane dot → sign → bit-pack) run over
+    * [[Ann.portableLshCoefs]] integer hyperplanes instead of xxhash64
+    * ones, so DuckDB reproduces every bucket bit-for-bit. s03 stays
+    * the production path; this pins the machinery (like d08 pins
+    * SimHash's). */
+  def s06LshPortable(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        Ann.portableLshBucket(col("embedding"), nBits = 8, dim = 64)
+          .as("bucket"))
+      .orderBy("vec_id")
+
+  val s06Sql: String = {
+    val coefs = Ann.portableLshCoefs(8, 64)
+    val q = "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(floor(x * 1000000) AS BIGINT))"
+    val bits = coefs.zipWithIndex.map { case (cs, j) =>
+      val arr = cs.mkString("[", ",", "]")
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, 65), i -> q[i] * ($arr)[i])),
+         |    (acc, x) -> acc + x) >= 0
+         |  THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END"""
+        .stripMargin
+    }.mkString(" |\n  ")
+    s"""SELECT vec_id,
+       |  $bits AS bucket
+       |FROM (SELECT vec_id, $q AS q FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // -------------------------------------------------- corpus selection
 
   /** DuckDB rendering of [[Selection.hashValue]]: parse the first 8
@@ -700,6 +731,7 @@ object TrainingQueries {
     ("s03_ann_lsh", s03AnnLsh _, None),
     ("s04_ann_ivf_trained", s04AnnIvfTrained _, None),
     ("s05_kmeans", s05Kmeans _, None),
+    ("s06_lsh_portable", s06LshPortable _, Some(s06Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),

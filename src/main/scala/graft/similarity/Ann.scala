@@ -166,6 +166,36 @@ object Ann {
       when(dotp >= 0.0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Deterministic hyperplane coefficients for the portable LSH
+    * variant: integer in [-1001, 1001] per (bit, dim), from a fixed
+    * affine-mod formula — reproducible in any engine, no stored
+    * model. */
+  def portableLshCoefs(nBits: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until nBits).map { j =>
+      (0 until dim).map(i => ((j * 8191L + i * 127L + 5L) % 2003L) - 1001L)
+    }
+
+  /** Portable-hash LSH bucket — the oracle twin of [[lshSignature]]'s
+    * machinery (like SimHash's d08): hyperplane signs computed with
+    * INTEGER-exact arithmetic so DuckDB reproduces every bit.
+    * Components are quantized with floor(x·1e6) (floor, not round:
+    * round's half-case tie-break differs across engines; floor is
+    * identical), then dotted with the integer coefficients in a left
+    * fold — all exact int64, |Σ| < 2^47. The production path (s03)
+    * keeps xxhash64-derived hyperplanes; this pins the
+    * quantize→dot→sign→bit-pack machinery against the oracle. */
+  def portableLshBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    val coefs = portableLshCoefs(nBits, dim)
+    val q = transform(vec.cast(ArrayType(DoubleType)),
+      x => floor(x * 1000000d).cast(LongType))
+    (0 until nBits).map { j =>
+      val dotp = aggregate(
+        zip_with(q, typedlit(coefs(j)), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      when(dotp >= 0L, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** Bucketed ANN: join on LSH signature, rank within bucket. Recall
     * grows with fewer bits / multiple tables; this single-table variant
     * is the scale skeleton (bucket join instead of cross product). */
