@@ -448,6 +448,28 @@ object CapabilityQueries {
     """SELECT r_name, n_name FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin
 
+  // --------------------------------------------------------------- Q29
+  /** Generator (UDTF) family — posexplode: one output row per array
+    * element with its position, the lateral-view shape. Executes as
+    * Spark's Generate operator (no join, no shuffle; output rows
+    * stream from the scan). */
+  def q29Generators(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        posexplode(graft.functions.TextOps.tokens(col("p_name"))))
+      .select(col("p_partkey"), col("pos").cast(LongType),
+        col("col").as("word"))
+      .orderBy("p_partkey", "pos")
+
+  val q29Sql: String =
+    """SELECT p_partkey, CAST(s.pos AS BIGINT) AS pos, s.word AS word
+      |FROM (SELECT p_partkey, unnest(list_transform(range(1, len(w)+1),
+      |        i -> {'pos': i - 1, 'word': w[i]})) AS s
+      |      FROM (SELECT p_partkey,
+      |              list_filter(string_split(p_name, ' '), x -> x <> '') AS w
+      |            FROM part))
+      |ORDER BY p_partkey, pos""".stripMargin
+
   // --------------------------------------------------------------- Q20
   /** Streaming twin of Q15: the same tumbling-window aggregation
     * executed by the Structured Streaming engine (file source →
@@ -651,5 +673,6 @@ object CapabilityQueries {
     ("q26_window_analytics", q26WindowAnalytics _, Some(q26Sql)),
     ("q27_asof_join", q27AsofJoin _, Some(q27Sql)),
     ("q28_subqueries", q28Subqueries _, Some(q28Sql)),
+    ("q29_generators", q29Generators _, Some(q29Sql)),
   )
 }
