@@ -24,14 +24,20 @@ object IncrementalSync {
   /** One sync round. `startPage` is the persisted cursor from
     * [[loadCursor]] — or, on the very first run, the entity's delta
     * endpoint (which returns the full set plus a first cursor).
-    * Returns the new cursor (None if the service supplied no
+    * Live Graph cursors are absolute `https` URLs, so a production
+    * round passes a retry-wrapped
+    * [[graft.sources.v2.HttpPageFetcher]]; the default reads fixture
+    * files. Returns the new cursor (None if the service supplied no
     * deltaLink — the caller should treat the next run as a first
     * sync). */
   def runRound(spark: SparkSession, startPage: String,
       valueSchema: StructType, snapshotPath: String, cursorPath: String,
-      idCol: String = "id"): Option[String] = {
+      idCol: String = "id",
+      fetcher: graft.sources.v2.PageFetcher =
+        new graft.sources.v2.LocalPageFetcher): Option[String] = {
     val (changes, link) =
-      ODataPageReader.readDeltaPages(spark, startPage, valueSchema)
+      ODataPageReader.readDeltaPages(spark, startPage, valueSchema,
+        fetcher = fetcher)
     Sinks.recoverSwap(spark, snapshotPath)
     val fs = new org.apache.hadoop.fs.Path(snapshotPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -21,28 +21,57 @@ object ODataPageReader {
 
   val nextLinkField = "@odata.nextLink"
 
-  /** Walk the nextLink chain: page paths in order, plus the final
-    * page's body (for cursors that live only on the last page, e.g.
+  /** One walked page: its path, and — for URL pages only — the body
+    * fetched during the walk (a remote page can't be re-read by
+    * `spark.read.json(path)`; a local file can, and re-reading keeps
+    * its row data off the driver). */
+  private case class Page(path: String, body: Option[String])
+
+  /** Walk the nextLink chain: pages in order, plus the final page's
+    * body (for cursors that live only on the last page, e.g.
     * deltaLink). Throws if the chain exceeds `maxPages` rather than
     * truncating — a silently shortened walk is indistinguishable from
     * a complete one downstream, which merely shortens a full refresh
-    * but CORRUPTS an incremental sync. Each page is fetched once. */
-  private def walkChain(firstPagePath: String, maxPages: Int)
-      : (Seq[String], String) = {
-    val fetcher = new graft.sources.v2.LocalPageFetcher
-    val paths = scala.collection.mutable.ArrayBuffer(firstPagePath)
+    * but CORRUPTS an incremental sync. Each page is fetched once,
+    * through the caller's transport (wrap in RetryingPageFetcher for
+    * live 429 handling). */
+  private def walkChain(firstPagePath: String, maxPages: Int,
+      fetcher: graft.sources.v2.PageFetcher)
+      : (Seq[Page], String) = {
+    import graft.sources.v2.PageCursor
+    def page(path: String, body: String): Page =
+      Page(path, if (PageCursor.isUrl(path)) Some(body) else None)
     var body = fetcher.fetch(firstPagePath)
-    var next = graft.sources.v2.PageCursor.nextLink(body, firstPagePath)
+    val pages = scala.collection.mutable.ArrayBuffer(
+      page(firstPagePath, body))
+    var next = PageCursor.nextLink(body, firstPagePath)
     while (next.isDefined) {
-      if (paths.size >= maxPages)
+      if (pages.size >= maxPages)
         throw new IllegalStateException(
-          s"page chain exceeds maxPages=$maxPages at ${paths.last}; " +
+          s"page chain exceeds maxPages=$maxPages at ${pages.last.path}; " +
             "raise maxPages — a truncated read would be silently incomplete")
-      paths += next.get
       body = fetcher.fetch(next.get)
-      next = graft.sources.v2.PageCursor.nextLink(body, next.get)
+      pages += page(next.get, body)
+      next = PageCursor.nextLink(body, next.get)
     }
-    (paths.toSeq, body)
+    (pages.toSeq, body)
+  }
+
+  /** Parse one page's `value[]` rows. File pages re-read distributed
+    * (row data never sits on the driver); URL pages parse the body the
+    * chain walk already fetched — acceptable for delta rounds, whose
+    * volume is O(changes); the DSv2 connector is the scale path for
+    * full live scans (executors fetch pages in parallel there). */
+  private def pageDf(spark: SparkSession, pageSchema: StructType,
+      p: Page): DataFrame = {
+    import spark.implicits._
+    val raw = p.body match {
+      case Some(b) =>
+        spark.read.schema(pageSchema).json(spark.createDataset(Seq(b)))
+      case None =>
+        spark.read.schema(pageSchema).option("multiLine", "true").json(p.path)
+    }
+    raw.select(explode(col("value")).as("v")).select(col("v.*"))
   }
 
   /** Balanced union: a left-nested reduce builds an O(pages)-deep plan
@@ -57,16 +86,17 @@ object ODataPageReader {
   /** Follow the nextLink chain starting at `firstPagePath`, returning
     * one DataFrame of all pages' `value[]` rows with `valueSchema`.
     * Relative nextLinks resolve against the current page's directory
-    * (or the cwd for a bare filename). */
+    * (or the cwd for a bare filename). Pass a retry-wrapped
+    * [[graft.sources.v2.HttpPageFetcher]] to read a live chain. */
   def readPages(spark: SparkSession, firstPagePath: String,
-      valueSchema: StructType, maxPages: Int = 10000): DataFrame = {
+      valueSchema: StructType, maxPages: Int = 10000,
+      fetcher: graft.sources.v2.PageFetcher =
+        new graft.sources.v2.LocalPageFetcher): DataFrame = {
     val pageSchema = StructType(Seq(
       StructField("value", ArrayType(valueSchema)),
       StructField(nextLinkField, StringType)))
-    val (pages, _) = walkChain(firstPagePath, maxPages)
-    union(pages.map(p =>
-      spark.read.schema(pageSchema).option("multiLine", "true").json(p)
-        .select(explode(col("value")).as("v")).select(col("v.*"))))
+    val (pages, _) = walkChain(firstPagePath, maxPages, fetcher)
+    union(pages.map(pageDf(spark, pageSchema, _)))
   }
 
   val removedField = "@removed"
@@ -90,18 +120,19 @@ object ODataPageReader {
     * the driver touches only the link chain, row data stays
     * distributed. Apply with `Sinks.applyDelta`. */
   def readDeltaPages(spark: SparkSession, firstPagePath: String,
-      valueSchema: StructType, maxPages: Int = 10000)
+      valueSchema: StructType, maxPages: Int = 10000,
+      fetcher: graft.sources.v2.PageFetcher =
+        new graft.sources.v2.LocalPageFetcher)
       : (DataFrame, Option[String]) = {
     val deltaValueSchema = valueSchema.add(
       StructField(removedField, removedMarkerSchema))
     val pageSchema = StructType(Seq(
       StructField("value", ArrayType(deltaValueSchema)),
       StructField(nextLinkField, StringType)))
-    val (pages, lastBody) = walkChain(firstPagePath, maxPages)
-    val link = graft.sources.v2.PageCursor.deltaLink(lastBody)
-    val changes = union(pages.map(p =>
-      spark.read.schema(pageSchema).option("multiLine", "true").json(p)
-        .select(explode(col("value")).as("v")).select(col("v.*"))))
+    val (pages, lastBody) = walkChain(firstPagePath, maxPages, fetcher)
+    val link =
+      graft.sources.v2.PageCursor.deltaLink(lastBody, pages.last.path)
+    val changes = union(pages.map(pageDf(spark, pageSchema, _)))
       .withColumn("removed", col(removedField).isNotNull)
       .drop(removedField)
     (changes, link)

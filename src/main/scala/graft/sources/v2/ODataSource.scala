@@ -98,6 +98,7 @@ class ODataSource extends TableProvider
       retrySleepMs = Option(opts.get("retrySleepMs")).map(_.toLong).getOrElse(0L),
       bodyBudgetBytes = Option(opts.get("bodyBudgetBytes")).map(_.toLong)
         .getOrElse(64L << 20),
+      maxPages = Option(opts.get("maxPages")).map(_.toInt).getOrElse(100000),
       delta = Option(opts.get("delta")).exists(_.toBoolean),
       tokenProvider = TokenProvider.fromOptions(
         Option(opts.get("authToken")),
@@ -124,6 +125,7 @@ case class ODataConf(
     maxRetries: Int,
     retrySleepMs: Long,
     bodyBudgetBytes: Long,
+    maxPages: Int = 100000,
     delta: Boolean = false,
     tokenProvider: Option[TokenProvider]) {
 
@@ -192,12 +194,17 @@ abstract class TokenProvider extends Serializable {
 }
 
 /** A pre-acquired token (the caller owns acquisition). Cache identity
-  * includes the token so two connectors with different literals never
-  * share a cache slot. */
+  * includes a SHA-256 of the token so two connectors with different
+  * literals never share a cache slot — a 32-bit `hashCode` would let
+  * a collision silently authenticate one scan with another scan's
+  * credential in the same executor JVM. */
 class StaticTokenProvider(t: String) extends TokenProvider {
   override protected def acquire(): String = t
-  override protected def cacheKey: String =
-    s"${getClass.getName}#${Integer.toHexString(t.hashCode)}"
+  override protected def cacheKey: String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"${getClass.getName}#${d.map("%02x".format(_)).mkString}"
+  }
 }
 
 object TokenProvider {
@@ -317,7 +324,14 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
     var budget = conf.bodyBudgetBytes
     var next: Option[String] = Some(startPage)
     var pages = 0
-    while (next.isDefined && pages < 100000) {
+    while (next.isDefined) {
+      if (pages >= conf.maxPages)
+        throw new IllegalStateException(
+          s"page chain exceeds maxPages=${conf.maxPages} at ${next.get}; " +
+            "raise the maxPages option — a silently truncated scan is " +
+            "indistinguishable from a complete one downstream, which " +
+            "merely shortens a full refresh but CORRUPTS a delta sync " +
+            "(incomplete change set, deltaLink page never reached)")
       val path = next.get
       val body = fetcher.fetch(path)
       if (body.length <= budget) {
@@ -573,34 +587,44 @@ object ODataUrl {
 object PageCursor {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Extract @odata.deltaLink from a (final) delta page body — the
-    * cursor a caller persists to resume incremental sync on the next
-    * run. Always absolute in the live Graph shape; returned verbatim. */
-  def deltaLink(body: String): Option[String] = {
-    val node = mapper.readTree(body).get("@odata.deltaLink")
+  def isUrl(p: String): Boolean =
+    p.startsWith("http://") || p.startsWith("https://")
+
+  /** Absolute URLs (the live Graph shape) pass through; relative links
+    * resolve against the current page's URL or directory — which keeps
+    * fixture trees relocatable (no checkout-absolute paths baked into
+    * page documents). */
+  private def resolve(l: String, currentPath: String): String =
+    if (isUrl(l)) l
+    else if (isUrl(currentPath))
+      java.net.URI.create(currentPath).resolve(l).toString
+    else {
+      val p = java.nio.file.Paths.get(l)
+      if (p.isAbsolute) l
+      else {
+        // a bare filename has no parent — resolve against the cwd
+        val dir = Option(java.nio.file.Paths.get(currentPath).getParent)
+          .getOrElse(java.nio.file.Paths.get("."))
+        dir.resolve(l).toString
+      }
+    }
+
+  private def link(body: String, field: String): Option[String] = {
+    val node = mapper.readTree(body).get(field)
     Option(node).filter(!_.isNull).map(_.asText())
   }
 
-  /** Extract @odata.nextLink from a page body. Absolute URLs (the live
-    * Graph shape) pass through; relative links resolve against the
-    * current page's URL or directory. */
-  def nextLink(body: String, currentPath: String): Option[String] = {
-    val node = mapper.readTree(body).get("@odata.nextLink")
-    Option(node).filter(!_.isNull).map(_.asText()).map { l =>
-      if (l.startsWith("http://") || l.startsWith("https://")) l
-      else if (currentPath.startsWith("http://") ||
-        currentPath.startsWith("https://"))
-        java.net.URI.create(currentPath).resolve(l).toString
-      else {
-        val p = java.nio.file.Paths.get(l)
-        if (p.isAbsolute) l
-        else {
-          // a bare filename has no parent — resolve against the cwd
-          val dir = Option(java.nio.file.Paths.get(currentPath).getParent)
-            .getOrElse(java.nio.file.Paths.get("."))
-          dir.resolve(l).toString
-        }
-      }
-    }
-  }
+  /** Extract @odata.deltaLink from a (final) delta page body — the
+    * cursor a caller persists to resume incremental sync on the next
+    * run. Live cursors are absolute and pass through verbatim;
+    * relative fixture cursors resolve against the final page's
+    * location so the persisted cursor is usable from any cwd. */
+  def deltaLink(body: String, currentPath: String): Option[String] =
+    link(body, "@odata.deltaLink").map(resolve(_, currentPath))
+
+  /** Extract @odata.nextLink from a page body, resolved. */
+  def nextLink(body: String, currentPath: String): Option[String] =
+    link(body, nextLinkField).map(resolve(_, currentPath))
+
+  private val nextLinkField = "@odata.nextLink"
 }

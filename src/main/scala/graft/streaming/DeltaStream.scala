@@ -12,10 +12,18 @@ import graft.sources.ODataPageReader
   * as a micro-batched change feed, and a parquet snapshot is kept
   * current by applying each micro-batch with [[Sinks.applyDelta]].
   *
-  * Per-page independence makes this sound: the OData delta contract
-  * coalesces to at most one change per id per round, so each page's
-  * changes commute with the others and can be applied in any
-  * micro-batch grouping.
+  * Within ONE delta round the OData contract coalesces to at most one
+  * change per id, so pages of the same round commute. A micro-batch
+  * that spans rounds (catch-up after downtime, backfill — exactly what
+  * `maxFilesPerTrigger` batching produces) can carry several changes
+  * for one id, and those do NOT commute: applying both upserts would
+  * duplicate the row, and an upsert unioned with a later tombstone
+  * would resurrect the deleted entity. [[maintainSnapshot]] therefore
+  * resolves each id to its change from the lexicographically-latest
+  * page file before applying. This requires page file names to sort in
+  * arrival order across rounds — timestamp- or zero-padded-sequence
+  * names, the natural output of a polling dropper; within a round file
+  * order is immaterial (one change per id).
   *
   * The snapshot rewrite swaps via rename-aside (`_next` written first,
   * current renamed to `_old`, `_next` promoted, `_old` dropped) so a
@@ -49,19 +57,32 @@ object DeltaStream {
     * swap per micro-batch. Batching more pages per trigger
     * (`maxFilesPerTrigger`, default 1000 ≈ one listing round) directly
     * divides the number of snapshot rewrites — per-page application is
-    * correct but pays one O(table) rewrite per page. Returns the
-    * running query (caller stops). */
+    * correct but pays one O(table) rewrite per page.
+    *
+    * Cross-round batches are made safe by a latest-file-wins dedupe:
+    * each id keeps only its change from the greatest page file name
+    * (see the class doc for the naming requirement), so an id upserted
+    * in round N and tombstoned in round N+1 stays deleted even when
+    * both pages land in one batch. Returns the running query (caller
+    * stops). */
   def maintainSnapshot(spark: SparkSession, pagesDir: String,
       valueSchema: StructType, snapshotPath: String,
       checkpointDir: String, idCol: String = "id",
       maxFilesPerTrigger: Int = 1000): StreamingQuery =
     readDeltaChanges(spark, pagesDir, valueSchema, maxFilesPerTrigger)
+      .withColumn("_page_file", input_file_name())
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (changes: DataFrame, _: Long) =>
         val s = changes.sparkSession
+        val byRecency = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("_page_file").desc)
+        val latest = changes
+          .withColumn("_rn", row_number().over(byRecency))
+          .filter(col("_rn") === 1)
+          .drop("_rn", "_page_file")
         val snap = currentSnapshot(s, snapshotPath, valueSchema)
-        val merged = Sinks.applyDelta(snap, changes, idCol)
+        val merged = Sinks.applyDelta(snap, latest, idCol)
         Sinks.overwriteViaSwap(s, merged, snapshotPath)
       }
       .start()

@@ -314,6 +314,68 @@ class ODataSourceSpec extends SparkSpec {
       assert(first.size >= 2)
     } finally server.stop(0)
   }
+
+  test("a chain exceeding maxPages throws instead of truncating silently") {
+    // the 2-page fixture chain with maxPages=1: a silent stop would
+    // yield a plausible-but-incomplete scan (fatal to delta sync)
+    val conf = fileConf(64L << 20).copy(maxPages = 1)
+    val e = intercept[IllegalStateException] {
+      new ODataScan(EntitySchemas.managedDeviceSource, Array.empty, conf)
+        .planInputPartitions()
+    }
+    assert(e.getMessage.contains("maxPages=1"))
+  }
+
+  test("distinct static tokens always get distinct cache keys") {
+    class Probe(t: String) extends StaticTokenProvider(t) {
+      def key: String = cacheKey
+    }
+    // "Aa"/"BB" is the classic String.hashCode collision — the old
+    // 32-bit key would have crossed these credentials between scans
+    assert("Aa".hashCode == "BB".hashCode)
+    assert(new Probe("Aa").key != new Probe("BB").key)
+    assert(new Probe("tok").key == new Probe("tok").key)
+  }
+
+  test("driver page-loop readers consume a live chain through an HTTP fetcher") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    // relative nextLink and deltaLink: resolution must follow the page URL
+    server.createContext("/delta/start", (ex: HttpExchange) => respond(ex,
+      """{"value":[
+        |{"id":"a","os":"linux"},
+        |{"id":"b","os":"mac","@removed":{"reason":"deleted"}}],
+        |"@odata.nextLink":"page2"}""".stripMargin))
+    server.createContext("/delta/page2", (ex: HttpExchange) => respond(ex,
+      """{"value":[{"id":"c","os":"linux"}],
+        |"@odata.deltaLink":"start?$deltatoken=t9"}""".stripMargin))
+    server.start()
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("os",
+          org.apache.spark.sql.types.StringType)))
+      val fetcher = new RetryingPageFetcher(new HttpPageFetcher(None),
+        maxRetries = 2, sleepMs = 0)
+      val (changes, link) = ODataPageReader.readDeltaPages(spark,
+        s"http://127.0.0.1:$port/delta/start", schema, fetcher = fetcher)
+      val byId = changes.collect()
+        .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+      assert(byId == Map("a" -> false, "b" -> true, "c" -> false))
+      // the persisted cursor came back absolute, resolved against page2
+      assert(link.contains(
+        s"http://127.0.0.1:$port/delta/start?$$deltatoken=t9"))
+    } finally server.stop(0)
+  }
 }
 
 object ODataSourceSpec {
