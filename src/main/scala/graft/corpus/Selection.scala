@@ -116,6 +116,35 @@ object Selection {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[decontaminate]] for when the eval shingle set outgrows a plain
+    * broadcast: a fixed-size Bloom filter of the eval shingles (built
+    * distributed; the driver and every task hold only the filter bits,
+    * sized by `expectedItems`/`fpp` regardless of corpus volume)
+    * prefilters train shingles INSIDE the scan's codegen span, so only
+    * the surviving fraction — true contaminations plus ≈`fpp` false
+    * positives — reaches the exact semi-join. The shuffle is
+    * O(contamination), not O(train shingles); at 100 TB that is the
+    * difference between shuffling gigabytes and shuffling the corpus.
+    *
+    * The Bloom stage only PRUNES (no false negatives), and every
+    * survivor is re-checked exactly, so the result is bit-identical to
+    * [[decontaminate]]. Cost: two passes over the (smaller) eval side
+    * — one to build the filter, one for the exact join. */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomOps
+    val evalSh = Dedup.withShingles(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("s")).distinct()
+    val bloom = BloomOps.buildBloom(evalSh, col("s"), expectedItems, fpp)
+    val candidates = Dedup.withShingles(train, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("s"))
+      .filter(BloomOps.mightContain(bloom, col("s")))
+    val contaminatedIds =
+      candidates.join(evalSh, "s").select(col(idCol)).distinct()
+    train.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** Sequence packing, GPT-style concatenate-and-chunk: documents in
     * id order form one token stream cut into fixed-`budget` sequences;
     * each document gets its global `start_token` offset and the

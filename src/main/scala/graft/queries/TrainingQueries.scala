@@ -710,6 +710,38 @@ object TrainingQueries {
       |    AS VARCHAR) AS feature_json
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** c10: Bloom-gated decontamination — same contamination semantics
+    * as c03 but the scale path: a fixed-size Bloom filter of the eval
+    * shingles prunes the train side before the exact join, so the
+    * shuffle carries only candidates. Bit-identical to the exact
+    * anti-join (the Bloom stage cannot drop a true match), which is
+    * exactly what the oracle checks. */
+  def c10BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Selection.bloomDecontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3,
+        expectedItems = 1L << 18, fpp = 0.01)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  val c10Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |ev AS (SELECT DISTINCT unnest(sh) AS s FROM tok WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE doc_id % 97 <> 0),
+      |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.s = ev.s)
+      |SELECT d.doc_id AS doc_id, d.source AS source
+      |FROM documents d
+      |WHERE d.doc_id % 97 <> 0
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -743,5 +775,6 @@ object TrainingQueries {
     ("c07_cluster_quota", c07ClusterQuota _, Some(c07Sql)),
     ("c08_shuffle_shards", c08ShuffleShards _, Some(c08Sql)),
     ("c09_curation_pipeline", c09CurationPipeline _, Some(c09Sql)),
+    ("c10_bloom_decontaminate", c10BloomDecontaminate _, Some(c10Sql)),
   )
 }

@@ -64,6 +64,41 @@ class SelectionSpec extends SparkSpec {
     assert(clean == Set(2L))
   }
 
+  test("bloomDecontaminate is bit-identical to the exact anti-join and probes inside the scan") {
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+    val eval = docs.filter($"doc_id" % 97 === 0)
+    val exact = Selection.decontaminate(train, eval, "doc_id", "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Selection.bloomDecontaminate(train, eval,
+      "doc_id", "text", 3, expectedItems = 1L << 16, fpp = 0.01)
+    assert(bloomed.select("doc_id").collect().map(_.getLong(0)).toSet
+      == exact)
+    // the Bloom probe is a native predicate in the plan, not a UDF —
+    // and it sits on the candidate side before the exact join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+    // even at an absurd fpp the result must not change — false
+    // positives only cost work, never correctness
+    val sloppy = Selection.bloomDecontaminate(train, eval,
+        "doc_id", "text", 3, expectedItems = 100L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sloppy == exact)
+  }
+
+  test("BloomOps: no false negatives; a disjoint key set is mostly rejected") {
+    import graft.functions.BloomOps
+    val members = (0L until 2000L).map(i => s"key-$i").toDF("k")
+    val bloom = BloomOps.buildBloom(members, $"k", expectedItems = 2000, fpp = 0.01)
+    // every member passes (Bloom's contract)
+    assert(members.filter(BloomOps.mightContain(bloom, $"k")).count() == 2000)
+    // non-members pass only at ≈fpp
+    val others = (0L until 2000L).map(i => s"other-$i").toDF("k")
+    val fp = others.filter(BloomOps.mightContain(bloom, $"k")).count()
+    assert(fp < 100, s"false-positive count $fp far above the 1% target")
+  }
+
   test("contaminationReport plans the scale shape: eval shingles broadcast, no shuffle of the train explode") {
     val docs = Tables.documents(spark, sf)
     val plan = Selection.contaminationReport(
