@@ -643,6 +643,50 @@ object CapabilityQueries {
     s.sql(q28Sql)
   }
 
+  // --------------------------------------------------------------- Q30
+  /** Range join with NO equi-key — purchases landing in the 10-minute
+    * window after any error event, aggregated per error. The naive
+    * Spark plan for this shape is a broadcast nested-loop over the
+    * cross product; [[graft.operators.RangeJoin]] buckets time so it
+    * runs as a shuffle equi-join on the bucket id (work scales with
+    * temporal overlap, not |errors|×|purchases|). DuckDB's IEJoin
+    * computes the same answer natively — the oracle for the bucketed
+    * rewrite. */
+  def q30IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val perError = RangeJoin.pointInInterval(purchases, errors,
+        "p_ts", "w_start", "w_end", bucketSeconds = 600L)
+      .groupBy("error_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("p_value")).as("sum_value"))
+    errors.select("error_id")
+      .join(perError, Seq("error_id"), "left")
+      .select(col("error_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("error_id")
+  }
+
+  val q30Sql: String =
+    """WITH e AS (SELECT event_id AS error_id, ts AS w_start,
+      |             ts + INTERVAL 10 MINUTE AS w_end
+      |           FROM events WHERE event_type = 'error'),
+      |p AS (SELECT event_id, ts, "value" FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT e.error_id AS error_id,
+      |  COUNT(p.event_id) AS n_purchases,
+      |  COALESCE(CAST(SUM(CAST(p."value" AS DECIMAL(30,2))) AS DOUBLE),
+      |           0.0) AS sum_value
+      |FROM e LEFT JOIN p ON p.ts >= e.w_start AND p.ts < e.w_end
+      |GROUP BY e.error_id ORDER BY error_id""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -674,5 +718,6 @@ object CapabilityQueries {
     ("q27_asof_join", q27AsofJoin _, Some(q27Sql)),
     ("q28_subqueries", q28Subqueries _, Some(q28Sql)),
     ("q29_generators", q29Generators _, Some(q29Sql)),
+    ("q30_interval_join", q30IntervalJoin _, Some(q30Sql)),
   )
 }
