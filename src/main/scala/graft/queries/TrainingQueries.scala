@@ -441,6 +441,65 @@ object TrainingQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** s07: product-quantization ANN — codebooks trained per subspace
+    * (k-means), corpus encoded to m small codes, queries ranked by
+    * asymmetric distance against the code arrays only. Trained floats
+    * are merge-order sensitive (same reason as s04) — rows-only here;
+    * the machinery oracle is s08, exactness properties in AnnSpec. */
+  def s07PqTrained(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = Ann.pqTrainCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iters = 2)
+    Ann.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, cb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** s08: portable-PQ oracle twin — integer-exact encode +
+    * reconstruction error over the fixed affine-mod codebook, so
+    * DuckDB reproduces every code and distance bit-for-bit (the PQ
+    * analog of s06/d08). Codes render as JSON (hash harness cannot
+    * sort arrays). */
+  def s08PqPortable(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        Ann.portablePqEncode(col("embedding"), dim = 64, m = 8, k = 8)
+          .as("pq"))
+      .select(col("vec_id"), to_json(col("pq.codes")).as("codes_json"),
+        col("pq.recon_err").as("recon_err"))
+      .orderBy("vec_id")
+
+  val s08Sql: String = {
+    val m = 8; val k = 8; val sub = 8
+    val cb = Ann.portablePqCodebook(m, k, sub)
+    // per subspace j: the k distances, first-min position = code
+    def dists(j: Int) = {
+      val lits = cb(j).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""list_transform(range(0, $k), c ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, ${sub + 1}), i ->
+         |      (q[${j * sub} + i] - ($lits)[c + 1][i])
+         |      * (q[${j * sub} + i] - ($lits)[c + 1][i]))),
+         |    (acc, x) -> acc + x))""".stripMargin
+    }
+    val dCols = (0 until m).map(j => s"(${dists(j)}) AS d$j").mkString(",\n  ")
+    val codes = (0 until m)
+      .map(j => s"CAST(list_position(d$j, list_min(d$j)) - 1 AS INTEGER)")
+      .mkString("[", ", ", "]")
+    val err = (0 until m).map(j => s"list_min(d$j)").mkString(" + ")
+    s"""SELECT vec_id,
+       |  CAST(to_json($codes) AS VARCHAR) AS codes_json,
+       |  $err AS recon_err
+       |FROM (
+       |  SELECT vec_id,
+       |  $dCols
+       |  FROM (SELECT vec_id,
+       |          list_transform(CAST(embedding AS DOUBLE[]),
+       |            x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |        FROM embeddings))
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // -------------------------------------------------- corpus selection
 
   /** DuckDB rendering of [[Selection.hashValue]]: parse the first 8
@@ -764,6 +823,8 @@ object TrainingQueries {
     ("s04_ann_ivf_trained", s04AnnIvfTrained _, None),
     ("s05_kmeans", s05Kmeans _, None),
     ("s06_lsh_portable", s06LshPortable _, Some(s06Sql)),
+    ("s07_pq_trained", s07PqTrained _, None),
+    ("s08_pq_portable", s08PqPortable _, Some(s08Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),

@@ -196,6 +196,126 @@ object Ann {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  // -------------------------------------------- product quantization
+
+  /** Train PQ codebooks: split the `dim`-dimensional space into `m`
+    * consecutive subspaces of dim/m components and k-means each
+    * subspace independently (reusing [[kmeansCentroids]] — per
+    * subspace, one corpus scan per iteration, driver holds only the
+    * k·(dim/m) model floats). The full model is m·k·(dim/m) = k·dim
+    * floats regardless of corpus size — it ships as a plan literal. */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int,
+      salt: String = "pq"): Seq[Seq[(Long, Array[Float])]] = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as("sub"))
+      kmeansCentroids(sliced, idCol, "sub", k, iters, s"$salt-$j")
+    }
+  }
+
+  /** PQ-encode a vector: per subspace, the code of the nearest
+    * codebook centroid ([[nearestCell]] per slice — a narrow map over
+    * the scan, no shuffle). 64 floats (256 bytes) become m small ints;
+    * at m=8, k=16 that is 32× compression, which is what lets a
+    * 100 TB embedding corpus' index live in a fraction of the space
+    * and the ADC scan read bytes instead of vectors. */
+  def pqEncode(vec: Column, dim: Int,
+      codebooks: Seq[Seq[(Long, Array[Float])]]): Column = {
+    val m = codebooks.size
+    val sub = dim / m
+    array((0 until m).map { j =>
+      nearestCell(slice(vec, j * sub + 1, sub), codebooks(j))
+        .cast(IntegerType)
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) approximate squared-L2 between a raw
+    * query vector and a PQ code array: Σ_j ‖q_j − centroid_j[code_j]‖².
+    * The codebook rides as a nested literal; per row the expression
+    * does m small slice-vs-centroid kernels — the corpus' float
+    * vectors are never touched. */
+  def pqAdcDistance(qvec: Column, codes: Column, dim: Int,
+      codebooks: Seq[Seq[(Long, Array[Float])]]): Column = {
+    val m = codebooks.size
+    val sub = dim / m
+    (0 until m).map { j =>
+      val cents: Seq[Seq[Double]] =
+        codebooks(j).sortBy(_._1).map(_._2.map(_.toDouble).toSeq)
+      val qsub = slice(qvec, j * sub + 1, sub).cast(ArrayType(DoubleType))
+      val csub = element_at(typedlit(cents),
+        element_at(codes, j + 1) + 1)
+      aggregate(zip_with(qsub, csub, (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x)
+    }.reduce(_ + _)
+  }
+
+  /** PQ top-k: encode the corpus once (codes are the index — in a
+    * real deployment they are precomputed and stored), broadcast the
+    * query set, rank by ADC distance. The scan side reads only the
+    * code arrays; scoring is a literal-table lookup per subspace.
+    * Exactness property used by the spec: a vector identical to the
+    * query attains the theoretical ADC minimum (the query's own
+    * reconstruction error), so planted duplicates rank first. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, codebooks: Seq[Seq[(Long, Array[Float])]],
+      k: Int): DataFrame = {
+    val encoded = corpus.select(col(idCol),
+      pqEncode(col(vecCol), dim, codebooks).as("codes"))
+    val scored = encoded.as("c").join(
+        broadcast(queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("qvec"))),
+        col("query_id") =!= col(s"c.$idCol"))
+      .withColumn("dist",
+        pqAdcDistance(col("qvec"), col("codes"), dim, codebooks))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col(s"c.$idCol"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        col("rank"))
+  }
+
+  /** Deterministic integer PQ codebook for the portable oracle twin
+    * (the PQ analog of [[portableLshCoefs]]): centroid component
+    * (j, c, i) from a fixed affine-mod formula in ±10⁶ — the same
+    * range as the floor(x·10⁶)-quantized vectors, reproducible in any
+    * engine. */
+  def portablePqCodebook(m: Int, k: Int, sub: Int): Seq[Seq[Seq[Long]]] =
+    (0 until m).map { j =>
+      (0 until k).map { c =>
+        (0 until sub).map(i =>
+          ((j * 37L + c * 8191L + i * 127L + 11L) % 2000001L) - 1000000L)
+      }
+    }
+
+  /** Portable PQ encode + reconstruction error — the oracle twin that
+    * pins the quantize→slice→distance→argmin machinery with INTEGER-
+    * exact arithmetic (floor(x·10⁶) quantization, int64 squared-L2,
+    * first-min tie-break = lowest code). Returns a struct with the
+    * m-element code array and the summed minimal distances. */
+  def portablePqEncode(vec: Column, dim: Int, m: Int, k: Int): Column = {
+    val sub = dim / m
+    val cb = portablePqCodebook(m, k, sub)
+    val q = transform(vec.cast(ArrayType(DoubleType)),
+      x => floor(x * 1000000d).cast(LongType))
+    val best = (0 until m).map { j =>
+      val qsub = slice(q, j * sub + 1, sub)
+      val scored = array((0 until k).map { c =>
+        val d = aggregate(
+          zip_with(qsub, typedlit(cb(j)(c)), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(d.as("d"), lit(c).as("code"))
+      }: _*)
+      array_min(scored)
+    }
+    struct(
+      array(best.map(_.getField("code")): _*).as("codes"),
+      best.map(_.getField("d")).reduce(_ + _).as("recon_err"))
+  }
+
   /** Bucketed ANN: join on LSH signature, rank within bucket. Recall
     * grows with fewer bits / multiple tables; this single-table variant
     * is the scale skeleton (bucket join instead of cross product). */

@@ -78,6 +78,57 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("PQ: planted duplicate attains the ADC minimum and ranks first; codes stay in range") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val query = emb.filter(col("vec_id") === 7L)
+    val qvec = query.select("embedding").collect()(0).getSeq[Float](0).toArray
+    // plant an exact copy of the query under id -1: ADC distance to it
+    // equals the query's own reconstruction error, the provable lower
+    // bound over all code words — it must rank 1 (ties break to low id)
+    val corpus = emb.unionByName(
+      Seq((-1L, qvec, 0)).toDF("vec_id", "embedding", "label"))
+    val cb = Ann.pqTrainCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iters = 1)
+    assert(cb.size == 8 && cb.forall(_.size == 16))
+    val top = Ann.pqTopK(corpus, query, "vec_id", "embedding", 64, cb, k = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == -1L,
+      s"duplicate did not rank first: ${top.mkString(", ")}")
+    // codes are well-formed: m entries, each in [0, k)
+    val codes = emb.select(
+        Ann.pqEncode(col("embedding"), 64, cb).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 16)))
+    // encode is deterministic (literal codebook, no rand())
+    val again = emb.select(Ann.pqEncode(col("embedding"), 64, cb).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.zip(again).forall { case (a, b) => a == b })
+  }
+
+  test("portable PQ: recon_err equals the recomputed integer minimum on a hand case") {
+    import spark.implicits._
+    // dim=8, m=2, sub=4, k=3 — small enough to recompute by hand here
+    val v = Array(0.5f, -0.25f, 0f, 1f, -1f, 0.125f, 0.75f, -0.5f)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val got = df.select(
+        Ann.portablePqEncode(col("embedding"), dim = 8, m = 2, k = 3).as("pq"))
+      .select("pq.codes", "pq.recon_err").collect()(0)
+    val cb = Ann.portablePqCodebook(2, 3, 4)
+    val q = v.map(x => math.floor(x.toDouble * 1000000d).toLong)
+    val expected = (0 until 2).map { j =>
+      val dists = (0 until 3).map { c =>
+        (0 until 4).map { i =>
+          val d = q(j * 4 + i) - cb(j)(c)(i); d * d
+        }.sum
+      }
+      val min = dists.min
+      (dists.indexOf(min), min) // first-min = lowest code on ties
+    }
+    assert(got.getSeq[Int](0) == expected.map(_._1))
+    assert(got.getLong(1) == expected.map(_._2).sum)
+  }
+
   test("kmeans degeneracy guard: k > distinct points still yields k centroids") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)), (3L, Array(9f, 9f)))
