@@ -199,21 +199,54 @@ object Ann {
   // -------------------------------------------- product quantization
 
   /** Train PQ codebooks: split the `dim`-dimensional space into `m`
-    * consecutive subspaces of dim/m components and k-means each
-    * subspace independently (reusing [[kmeansCentroids]] — per
-    * subspace, one corpus scan per iteration, driver holds only the
-    * k·(dim/m) model floats). The full model is m·k·(dim/m) = k·dim
-    * floats regardless of corpus size — it ships as a plan literal. */
+    * consecutive subspaces of dim/m components and k-means every
+    * subspace SIMULTANEOUSLY — per iteration, ONE corpus scan emits
+    * (subspace, cell, slice) rows and one shuffle aggregates all m·k
+    * sub-centroids with the VectorMean Aggregator (training per
+    * subspace separately would scan the corpus m× per iteration for
+    * the identical arithmetic). Seeds are the k smallest salted-hash
+    * draws, sliced per subspace — deterministic, one pass. The full
+    * model is m·k·(dim/m) = k·dim floats regardless of corpus size;
+    * it ships as a plan literal. A cell nothing mapped to keeps its
+    * previous centroid (Lloyd's degeneracy guard, as in
+    * [[kmeansCentroids]]). */
   def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, iters: Int,
       salt: String = "pq"): Seq[Seq[(Long, Array[Float])]] = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    import graft.corpus.Selection
     val sub = dim / m
-    (0 until m).map { j =>
-      val sliced = corpus.select(col(idCol),
-        slice(col(vecCol), j * sub + 1, sub).as("sub"))
-      kmeansCentroids(sliced, idCol, "sub", k, iters, s"$salt-$j")
+    val seeds = corpus
+      .orderBy(Selection.hashValue(Selection.saltedKey(col(idCol), salt)),
+        col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    var cbs: Vector[Seq[(Long, Array[Float])]] = Vector.tabulate(m) { j =>
+      seeds.zipWithIndex.map { case (v, c) =>
+        (c.toLong, v.slice(j * sub, (j + 1) * sub))
+      }.toSeq
     }
+    for (_ <- 0 until iters) {
+      val perSub = array((0 until m).map { j =>
+        val s = slice(col(vecCol), j * sub + 1, sub)
+        struct(lit(j).as("j"), nearestCell(s, cbs(j)).as("cell"),
+          s.as("sub"))
+      }: _*)
+      val updated = corpus.select(explode(perSub).as("e"))
+        .groupBy(col("e.j").as("j"), col("e.cell").as("cell"))
+        .agg(graft.functions.VectorMean.asColumn(col("e.sub")).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2).toArray)
+        .toMap
+      cbs = Vector.tabulate(m) { j =>
+        cbs(j).map { case (cell, old) =>
+          cell -> updated.getOrElse((j, cell), old)
+        }
+      }
+    }
+    cbs
   }
 
   /** PQ-encode a vector: per subspace, the code of the nearest
