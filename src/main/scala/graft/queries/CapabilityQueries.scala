@@ -483,6 +483,25 @@ object CapabilityQueries {
     out.orderBy("hour_start", "event_type")
   }
 
+  /** q31: stream-stream interval join — q30's pair stage executed by
+    * the Structured Streaming engine (two watermarked sides, time-
+    * range join condition bounding state), checked against the same
+    * relational answer DuckDB computes. */
+  def q31StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.EventsStream
+    EventsStream.runToCompletion(s,
+        EventsStream.errorPurchasePairs(EventsStream.readEvents(s, d)),
+        "q31_stream_interval_join_mem", outputMode = "append")
+      .orderBy("error_id", "p_id")
+  }
+
+  val q31Sql: String =
+    """SELECT e.event_id AS error_id, p.event_id AS p_id
+      |FROM events e JOIN events p
+      |  ON e.event_type = 'error' AND p.event_type = 'purchase'
+      | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+      |ORDER BY error_id, p_id""".stripMargin
+
   // --------------------------------------------------------------- Q23
   /** Pivot: event counts per user-bucket × event type. Explicit value
     * list keeps column order deterministic. */
@@ -719,5 +738,6 @@ object CapabilityQueries {
     ("q28_subqueries", q28Subqueries _, Some(q28Sql)),
     ("q29_generators", q29Generators _, Some(q29Sql)),
     ("q30_interval_join", q30IntervalJoin _, Some(q30Sql)),
+    ("q31_stream_interval_join", q31StreamIntervalJoin _, Some(q31Sql)),
   )
 }

@@ -148,6 +148,44 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** Stream-stream interval self-join — the pair stage of the batch
+    * range join (q30) under the streaming engine: purchases matched to
+    * the error events whose 10-minute window contains them.
+    *
+    * Spark refuses a stream-stream join with no equality predicate,
+    * and the batch answer to that is also the streaming one: the
+    * RangeJoin TIME BUCKET is the equi-key. Errors explode to the
+    * buckets their window covers, purchases map to exactly one bucket
+    * (so no duplicate pairs), and the precise range predicate rides as
+    * the residual condition. Both sides carry watermarks and the
+    * condition bounds their event-time distance, which is what lets
+    * the state store EVICT: an error row stops waiting once the
+    * purchase watermark passes its window end — state is O(watermark
+    * horizon + window), never O(stream). Inner matches emit as soon as
+    * both sides arrive (append mode); the watermark only governs state
+    * cleanup. */
+  def errorPurchasePairs(events: DataFrame,
+      bucketSeconds: Long = 600L): DataFrame = {
+    val bucketMicros = lit(bucketSeconds * 1000000L)
+    def bucketOf(ts: org.apache.spark.sql.Column) =
+      floor(unix_micros(ts) / bucketMicros).cast(LongType)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+      .withColumn("bucket", explode(sequence(bucketOf(col("e_ts")),
+        bucketOf(col("e_ts") + expr("INTERVAL 10 MINUTES")))))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+      .withColumn("bucket", bucketOf(col("p_ts")))
+    purchases.join(errors, Seq("bucket"))
+      // pushed into the join condition by the optimizer, where the
+      // time bound also drives state eviction
+      .filter(col("p_ts") >= col("e_ts") &&
+        col("p_ts") < col("e_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("error_id"), col("p_id"))
+  }
+
   /** Run a streaming query to completion against the (static) fixture
     * and return the materialized result. Proves the plan runs under
     * the streaming engine, not just batch. Aggregating queries use

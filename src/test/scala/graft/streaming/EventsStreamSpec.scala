@@ -94,6 +94,26 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join emits exactly the batch range-join pair set") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val streamed = EventsStream.runToCompletion(spark,
+        EventsStream.errorPurchasePairs(EventsStream.readEvents(spark, sf)),
+        "spec_ss_join", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.core.Tables.events(spark, sf)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val batch = graft.operators.RangeJoin.pointInInterval(
+        purchases, errors, "p_ts", "w_start", "w_end", 600L)
+      .select("error_id", "p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("corpus selection composes with streaming: split + PII redaction on a document stream equals batch") {
     import graft.corpus.Selection
     import graft.functions.TextOps
