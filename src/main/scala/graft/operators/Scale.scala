@@ -55,6 +55,31 @@ object Scale {
       .groupBy(col(keyCol))   // caller's key name is preserved
       .agg(finalAgg.head, finalAgg.tail: _*)
 
+  /** Compact a parquet directory's small files into ≈`targetBytes`
+    * outputs. Small files are the silent scale killer of long-lived
+    * tables fed by incremental loads (one file per micro-batch/page):
+    * listing cost, per-file task startup, and fragmented row groups
+    * all grow with file COUNT, not data volume. The rewrite is a
+    * shuffle-free `coalesce` (adjacent files merge within existing
+    * partitions) through the crash-safe rename-aside swap — the read
+    * and write paths overlap, and a complete copy exists on disk at
+    * every instant. Sizing uses the directory's real on-disk bytes.
+    *
+    * For a `partitionBy` layout, compact each leaf directory (a flat
+    * rewrite would inline the partition columns and lose the pruning
+    * layout). Returns the number of output files requested. */
+  def compactFiles(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    Sinks.overwriteViaSwap(spark,
+      spark.read.parquet(path).coalesce(parts), path)
+    parts
+  }
+
   /** Salted broadcast-replicated join for a skewed fact key against a
     * small dimension: fact rows get a deterministic salt, the dimension
     * is replicated once per salt value, and the join key becomes

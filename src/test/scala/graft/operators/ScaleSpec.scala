@@ -54,6 +54,24 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compactFiles merges a fragmented table, preserves data, leaves no swap debris") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft_compact")
+    val path = work.resolve("events").toString
+    val ev = Tables.events(spark, sf)
+    ev.repartition(64).write.parquet(path) // the incremental-load fragmentation shape
+    def dataFiles = Paths.get(path).toFile.listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles == 64)
+    val before = spark.read.parquet(path).orderBy("event_id").collect().toSeq
+    val requested = Scale.compactFiles(spark, path, targetBytes = 512L << 10)
+    assert(dataFiles == requested && requested < 64 && requested >= 1)
+    val after = spark.read.parquet(path).orderBy("event_id").collect().toSeq
+    assert(after == before)
+    assert(!Files.exists(Paths.get(path + "_next")))
+    assert(!Files.exists(Paths.get(path + "_old")))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Tables.lineitem(spark, sf)
     val salted = Scale.saltedAgg(df, "l_returnflag", salts = 8,
