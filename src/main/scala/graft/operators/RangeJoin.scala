@@ -38,6 +38,10 @@ object RangeJoin {
       .intersect(intervals.columns.toSet) -- extraEquiKeys
     require(overlap.isEmpty,
       s"point/interval column names must be disjoint, both have: $overlap")
+    require(!points.columns.contains("_rj_bucket") &&
+        !intervals.columns.contains("_rj_bucket"),
+      "_rj_bucket is reserved by RangeJoin; rename that column first " +
+        "(it would be silently overwritten and dropped)")
 
     val bucketMicros = lit(bucketSeconds * 1000000L)
     def bucketOf(ts: Column): Column =

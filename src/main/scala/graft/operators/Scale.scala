@@ -65,19 +65,26 @@ object Scale {
     * and write paths overlap, and a complete copy exists on disk at
     * every instant. Sizing uses the directory's real on-disk bytes.
     *
+    * Compaction only MERGES: a file already larger than `targetBytes`
+    * is not split (coalesce cannot raise the scan's partition count),
+    * so the real output count can be lower than bytes/target — the
+    * actual number of data files written is returned.
+    *
     * For a `partitionBy` layout, compact each leaf directory (a flat
     * rewrite would inline the partition columns and lose the pruning
-    * layout). Returns the number of output files requested. */
+    * layout). */
   def compactFiles(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    Sinks.recoverSwap(spark, path) // the table may be mid-swap from a crash
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     Sinks.overwriteViaSwap(spark,
       spark.read.parquet(path).coalesce(parts), path)
-    parts
+    fs.listStatus(hPath)
+      .count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** Salted broadcast-replicated join for a skewed fact key against a

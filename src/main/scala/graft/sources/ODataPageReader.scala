@@ -34,13 +34,32 @@ object ODataPageReader {
     * a complete one downstream, which merely shortens a full refresh
     * but CORRUPTS an incremental sync. Each page is fetched once,
     * through the caller's transport (wrap in RetryingPageFetcher for
-    * live 429 handling). */
+    * live 429 handling).
+    *
+    * URL bodies are RETAINED (they cannot be re-read by a distributed
+    * scan) and later ride the plan as local relations, so the driver
+    * pays O(retained bytes); `urlBodyBudget` fails the walk before
+    * that becomes an OOM — a full live scan past the budget belongs on
+    * the DSv2 connector, whose executors fetch their own pages. */
   private def walkChain(firstPagePath: String, maxPages: Int,
-      fetcher: graft.sources.v2.PageFetcher)
+      fetcher: graft.sources.v2.PageFetcher,
+      urlBodyBudget: Long)
       : (Seq[Page], String) = {
     import graft.sources.v2.PageCursor
+    var retained = 0L
     def page(path: String, body: String): Page =
-      Page(path, if (PageCursor.isUrl(path)) Some(body) else None)
+      if (!PageCursor.isUrl(path)) Page(path, None)
+      else {
+        retained += body.length
+        if (retained > urlBodyBudget)
+          throw new IllegalStateException(
+            s"URL page bodies exceed urlBodyBudgetBytes=$urlBodyBudget " +
+              s"at $path; this driver-loop reader holds remote bodies " +
+              "on the driver — read large live chains through the " +
+              "graft-odata DSv2 connector instead (executors fetch " +
+              "their own pages)")
+        Page(path, Some(body))
+      }
     var body = fetcher.fetch(firstPagePath)
     val pages = scala.collection.mutable.ArrayBuffer(
       page(firstPagePath, body))
@@ -91,11 +110,13 @@ object ODataPageReader {
   def readPages(spark: SparkSession, firstPagePath: String,
       valueSchema: StructType, maxPages: Int = 10000,
       fetcher: graft.sources.v2.PageFetcher =
-        new graft.sources.v2.LocalPageFetcher): DataFrame = {
+        new graft.sources.v2.LocalPageFetcher,
+      urlBodyBudgetBytes: Long = 256L << 20): DataFrame = {
     val pageSchema = StructType(Seq(
       StructField("value", ArrayType(valueSchema)),
       StructField(nextLinkField, StringType)))
-    val (pages, _) = walkChain(firstPagePath, maxPages, fetcher)
+    val (pages, _) =
+      walkChain(firstPagePath, maxPages, fetcher, urlBodyBudgetBytes)
     union(pages.map(pageDf(spark, pageSchema, _)))
   }
 
@@ -122,14 +143,16 @@ object ODataPageReader {
   def readDeltaPages(spark: SparkSession, firstPagePath: String,
       valueSchema: StructType, maxPages: Int = 10000,
       fetcher: graft.sources.v2.PageFetcher =
-        new graft.sources.v2.LocalPageFetcher)
+        new graft.sources.v2.LocalPageFetcher,
+      urlBodyBudgetBytes: Long = 256L << 20)
       : (DataFrame, Option[String]) = {
     val deltaValueSchema = valueSchema.add(
       StructField(removedField, removedMarkerSchema))
     val pageSchema = StructType(Seq(
       StructField("value", ArrayType(deltaValueSchema)),
       StructField(nextLinkField, StringType)))
-    val (pages, lastBody) = walkChain(firstPagePath, maxPages, fetcher)
+    val (pages, lastBody) =
+      walkChain(firstPagePath, maxPages, fetcher, urlBodyBudgetBytes)
     val link =
       graft.sources.v2.PageCursor.deltaLink(lastBody, pages.last.path)
     val changes = union(pages.map(pageDf(spark, pageSchema, _)))

@@ -593,7 +593,10 @@ object PageCursor {
   /** Absolute URLs (the live Graph shape) pass through; relative links
     * resolve against the current page's URL or directory — which keeps
     * fixture trees relocatable (no checkout-absolute paths baked into
-    * page documents). */
+    * page documents). Resolved LOCAL links are absolutized and
+    * normalized at walk time: a persisted delta cursor must stay
+    * readable from whatever working directory the next scheduled round
+    * happens to run in. */
   private def resolve(l: String, currentPath: String): String =
     if (isUrl(l)) l
     else if (isUrl(currentPath))
@@ -605,7 +608,7 @@ object PageCursor {
         // a bare filename has no parent — resolve against the cwd
         val dir = Option(java.nio.file.Paths.get(currentPath).getParent)
           .getOrElse(java.nio.file.Paths.get("."))
-        dir.resolve(l).toString
+        dir.resolve(l).toAbsolutePath.normalize.toString
       }
     }
 

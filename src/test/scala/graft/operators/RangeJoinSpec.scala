@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  private val sf = "/root/testdata/sf0.001"
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   test("boundary semantics: start inclusive, end exclusive, bucket crossings exact") {
@@ -30,7 +32,7 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("matches the naive range join exactly on real events, with no duplicate pairs") {
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val ev = Tables.events(spark, sf)
     val errors = ev.filter($"event_type" === "error")
       .select($"event_id".as("error_id"), $"ts".as("w_start"),
         ($"ts" + expr("INTERVAL 10 MINUTES")).as("w_end"))
@@ -52,7 +54,7 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("plans as a bucket equi-join, never a nested-loop cross product") {
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val ev = Tables.events(spark, sf)
     val errors = ev.filter($"event_type" === "error")
       .select($"event_id".as("error_id"), $"ts".as("w_start"),
         ($"ts" + expr("INTERVAL 10 MINUTES")).as("w_end"))

@@ -80,7 +80,7 @@ class AnnSpec extends SparkSpec {
 
   test("PQ: planted duplicate attains the ADC minimum and ranks first; codes stay in range") {
     import spark.implicits._
-    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, sf)
     val query = emb.filter(col("vec_id") === 7L)
     val qvec = query.select("embedding").collect()(0).getSeq[Float](0).toArray
     // plant an exact copy of the query under id -1: ADC distance to it

@@ -374,6 +374,15 @@ class ODataSourceSpec extends SparkSpec {
       // the persisted cursor came back absolute, resolved against page2
       assert(link.contains(
         s"http://127.0.0.1:$port/delta/start?$$deltatoken=t9"))
+      // retained remote bodies are budgeted: a chain past the budget
+      // fails loudly, pointing at the DSv2 connector, instead of
+      // accumulating unbounded driver heap
+      val e = intercept[IllegalStateException] {
+        ODataPageReader.readDeltaPages(spark,
+          s"http://127.0.0.1:$port/delta/start", schema, fetcher = fetcher,
+          urlBodyBudgetBytes = 10L)
+      }
+      assert(e.getMessage.contains("urlBodyBudgetBytes"))
     } finally server.stop(0)
   }
 }
