@@ -140,6 +140,66 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Per-document signature index for INCREMENTAL dedup: hashed
+    * shingle set + MinHash signature, materialized once and stored
+    * (parquet) so later batches dedup against signatures instead of
+    * re-reading corpus text. At 100 TB this is the difference between
+    * O(batch) work per ingest round and re-shingling the corpus. */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64): DataFrame =
+    withShingles(docs, idCol, textCol, n)
+      .filter(size(col("sh")) > 0)
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+      .drop("sh")
+      .withColumn("sig", minhashSignature(col("shh"), k))
+
+  /** Incremental MinHash+LSH: near-dup pairs TOUCHING a new batch —
+    * (old, new) and (new, new), never (old, old), which the index was
+    * already deduped for. The band-bucket join's right side is the new
+    * batch only, so candidate generation and exact verification scale
+    * with the batch, not the corpus; the stored index contributes one
+    * scan of precomputed signatures. New-batch ids must be disjoint
+    * from index ids. Pairs come back normalized (a_id < b_id) with
+    * the exact hashed-shingle Jaccard, `threshold`-filtered — the
+    * same verify contract as [[minhashLshPairs]].
+    *
+    * Caching contract (as the other pair producers): the combined
+    * signature frame backs several plan branches and is cached;
+    * callers run `spark.catalog.clearCache()` between corpora. */
+  def minhashLshPairsIncremental(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val newIdx = minhashIndex(newDocs, idCol, textCol, n, k)
+    val all = index.select(col(idCol), col("shh"), col("sig"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newIdx.withColumn("is_new", lit(true)))
+      .cache()
+    val banded = all.select(col(idCol), col("is_new"), posexplode(array(
+        (0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
+      .toDF(idCol, "is_new", "band", "bhash")
+    val candidates = banded.as("a").join(
+        banded.filter(col("is_new")).as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          // both-new pairs once; old side always qualifies (the right
+          // side being new-only already excludes old-old)
+          (!col("a.is_new") || col(s"a.$idCol") < col(s"b.$idCol")) &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("a_id"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("b_id"))
+      .distinct()
+    val withSets = candidates
+      .join(all.select(col(idCol).as("a_id"), col("shh").as("sha")), "a_id")
+      .join(all.select(col(idCol).as("b_id"), col("shh").as("shb")), "b_id")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** 64-bit SimHash of the token stream: per bit, sign of the sum of
     * ±1 contributions from each token hash. */
   def simhash64(text: Column): Column =

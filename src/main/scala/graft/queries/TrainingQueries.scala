@@ -110,6 +110,42 @@ object TrainingQueries {
       |WHERE inter/(ca.n + cb.n - inter) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** d09: INCREMENTAL dedup — the corpus (doc_id % 10 ≠ 0) is a stored
+    * signature index; the "new batch" (doc_id % 10 = 0) dedups against
+    * it without re-reading corpus text. The oracle computes the exact
+    * bipartite-or-within-batch Jaccard pairs, so a hash match proves
+    * the incremental path finds exactly the pairs a full recompute
+    * would (restricted to pairs touching the batch — old-old is the
+    * index's prior dedup, correctly absent). */
+  def d09IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val index = Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
+    Dedup.minhashLshPairsIncremental(index,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  val d09Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |cnt AS (SELECT doc_id, len(sh) AS n FROM tok),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM tok) a
+      |  JOIN (SELECT doc_id, unnest(sh) AS s FROM tok) b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, inter/(ca.n + cb.n - inter) AS jaccard
+      |FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+      |WHERE inter/(ca.n + cb.n - inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** d04: SimHash near-dup candidates (Hamming ≤ 3 via chunk-collision
     * join). Spark-hash dependent — spec-tested, rows-only here. */
   def d04Simhash(s: SparkSession, d: String): DataFrame =
@@ -808,6 +844,7 @@ object TrainingQueries {
     ("d07_lsh_vs_exact", d07LshVsExact _, Some(d07Sql)),
     ("d04_simhash", d04Simhash _, None),
     ("d08_simhash_portable", d08SimhashPortable _, Some(d08Sql)),
+    ("d09_incremental_dedup", d09IncrementalDedup _, Some(d09Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
     ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),
     ("t01_lang_id", t01LangId _, Some(t01Sql)),

@@ -74,6 +74,30 @@ class DedupSpec extends SparkSpec {
     assert(tight.subsetOf(exact)) // pruning can only lose pairs
   }
 
+  test("incremental dedup from a STORED index equals the full recompute restricted to batch-touching pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    // materialize the index to parquet and read it back — the stored-
+    // signature path a real ingest round takes
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_mh_idx")
+      .resolve("index").toString
+    Dedup.minhashIndex(old, "doc_id", "text", n = 3).write.parquet(idxPath)
+    val incr = Dedup.minhashLshPairsIncremental(
+        spark.read.parquet(idxPath), batch, "doc_id", "text", n = 3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(incr == expected)
+    assert(expected.nonEmpty) // data exercised real old-new duplicates
+    // old-old pairs (the index's prior dedup) are correctly absent
+    assert(incr.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+  }
+
   test("exact dedup groups identical keys and keeps min id") {
     val df = Seq((5L, "x"), (2L, "x"), (9L, "y")).toDF("doc_id", "text")
     val out = Dedup.exact(df, "doc_id", Seq("text"))

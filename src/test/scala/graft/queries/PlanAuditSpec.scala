@@ -58,7 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     * several non-identical plan branches; callers clearCache between
     * corpora). Everything else must leave the cache manager empty. */
   private val documentedCaching = Set("d02_ngram_jaccard", "d03_minhash_lsh",
-    "d04_simhash", "d07_lsh_vs_exact")
+    "d04_simhash", "d07_lsh_vs_exact", "d09_incremental_dedup")
 
   test("no library query pins storage after materialization") {
     spark.catalog.clearCache() // drop registrations from earlier plan builds
