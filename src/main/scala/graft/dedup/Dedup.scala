@@ -94,10 +94,18 @@ object Dedup {
 
   /** MinHash signature: k independent 64-bit hashes (xxhash64 seeded by
     * slot index), each the min over the document's shingles.
-    * `sh` may be the string shingles or (cheaper) their 64-bit hashes —
-    * hashing each shingle to a long ONCE and re-hashing longs per slot
-    * cuts the string-hash work k-fold. */
+    * `sh` must be the shingles' 64-bit hashes (`array<long>`) — hashing
+    * each shingle to a long ONCE and re-hashing longs per slot cuts the
+    * string-hash work k-fold. Computed by the native one-pass
+    * [[graft.functions.MinHashSignature]] kernel; value-identical to
+    * [[minhashSignatureDeclarative]] (spec-pinned). */
   def minhashSignature(sh: Column, k: Int = 64): Column =
+    graft.functions.MinHashFunctions.minhashSig(sh, k)
+
+  /** The declarative formulation the kernel replaces — k array
+    * traversals with k intermediate arrays per row. Kept as the
+    * executable specification of the signature's values. */
+  private[graft] def minhashSignatureDeclarative(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(sh, s => xxhash64(i, s))))
 
@@ -168,12 +176,22 @@ object Dedup {
     * callers run `spark.catalog.clearCache()` between corpora. */
   def minhashLshPairsIncremental(index: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5): DataFrame =
+    minhashLshPairsFromIndexes(index,
+      minhashIndex(newDocs, idCol, textCol, n, k), idCol, k, bands, threshold)
+
+  /** [[minhashLshPairsIncremental]] on two PRECOMPUTED signature
+    * indexes (both shaped as [[minhashIndex]] output) — the entry
+    * point when the new batch's index is already materialized, e.g.
+    * by a streaming ingest that also appends it to the store. */
+  def minhashLshPairsFromIndexes(index: DataFrame, newIdx: DataFrame,
+      idCol: String, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val newIdx = minhashIndex(newDocs, idCol, textCol, n, k)
     val all = index.select(col(idCol), col("shh"), col("sig"))
       .withColumn("is_new", lit(false))
-      .unionByName(newIdx.withColumn("is_new", lit(true)))
+      .unionByName(newIdx.select(col(idCol), col("shh"), col("sig"))
+        .withColumn("is_new", lit(true)))
       .cache()
     val banded = all.select(col(idCol), col("is_new"), posexplode(array(
         (0 until bands).map(b =>
