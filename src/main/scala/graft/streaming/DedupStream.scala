@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+import graft.dedup.Dedup
+
+/** Streaming ingest dedup: document files landing in a directory are
+  * deduplicated per micro-batch against a persistent MinHash signature
+  * index ([[Dedup.minhashIndex]] rows stored as parquet), so each
+  * round's work scales with the BATCH, never the corpus — re-shingling
+  * 100 TB per ingest round is replaced by one scan of precomputed
+  * signatures plus O(batch) hashing.
+  *
+  * Per micro-batch:
+  *  1. near-dup pairs touching the batch come from
+  *     [[Dedup.minhashLshPairsFromIndexes]] against the committed
+  *     index (prior batches' signature partitions);
+  *  2. batch docs resolve to SURVIVORS by cluster: any cluster that
+  *     contains an indexed doc keeps the indexed representative (the
+  *     whole batch side drops); a cluster of only new docs keeps its
+  *     minimum id. Cluster resolution reuses
+  *     [[Dedup.duplicateClusters]] over the batch-touching pair graph
+  *     only — a tiny fraction of the batch;
+  *  3. pairs, surviving docs, AND the survivors' signatures are all
+  *     written to per-batch `batch_id=N` directories, each with
+  *     overwrite semantics.
+  *
+  * Crash safety follows from every write being a per-batch overwrite
+  * of a deterministic function of the committed prefix: a replay of
+  * batch N reads the index as partitions `batch_id < N` (a partial
+  * `batch_id=N` dir from the crashed attempt is excluded, then
+  * overwritten), recomputes identical outputs, and overwrites them in
+  * place. No append, no commit marker, no cross-batch mutation.
+  */
+object DedupStream {
+
+  /** Index schema for an empty store: (idCol, shh, sig). */
+  private def emptyIndex(spark: SparkSession, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("shh", ArrayType(LongType)),
+      StructField("sig", ArrayType(LongType))))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The committed index as seen by batch `batchId`: signature
+    * partitions of all PRIOR batches. A partial `batch_id=batchId`
+    * dir left by a crashed attempt is excluded — it is this attempt's
+    * output, about to be overwritten. */
+  private def loadIndex(spark: SparkSession, path: String, idCol: String,
+      batchId: Long): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath))
+      spark.read.parquet(path)
+        .filter(col("batch_id") < batchId)
+        .select(col(idCol), col("shh"), col("sig"))
+    else emptyIndex(spark, idCol)
+  }
+
+  /** One micro-batch of the ingest — exposed for direct (batch-mode)
+    * use and testing. */
+  def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      pairsPath: String, survivorsPath: String, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    val index = loadIndex(spark, indexPath, idCol, batchId).cache()
+    // ingest contract: batch ids are new; docs re-sent under an
+    // already-indexed id are not a new document
+    val fresh = batch
+      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+      .cache()
+    val newIdx = Dedup.minhashIndex(fresh, idCol, textCol, n, k).cache()
+    val pairs = Dedup
+      .minhashLshPairsFromIndexes(index, newIdx, idCol, k, bands, threshold)
+      .cache()
+
+    // resolve survivors over the batch-touching pair graph: the graph's
+    // nodes are the batch plus only the indexed docs that appear in a
+    // pair (never the whole index)
+    val newIds = fresh.select(col(idCol))
+    val touchedOld = pairs.select(col("a_id").as(idCol))
+      .unionByName(pairs.select(col("b_id").as(idCol)))
+      .distinct()
+      .join(newIds, Seq(idCol), "left_anti")
+    val nodes = newIds.withColumn("is_new", lit(true))
+      .unionByName(touchedOld.withColumn("is_new", lit(false)))
+    val roots = Dedup.duplicateClusters(nodes, idCol, pairs)
+      .join(nodes, col("id") === col(idCol)).select("id", "root", "is_new")
+    val survivorIds = roots
+      .withColumn("has_old",
+        max(when(!col("is_new"), 1).otherwise(0))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("root")))
+      .withColumn("min_new",
+        min(when(col("is_new"), col("id")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("root")))
+      .filter(col("is_new") && col("has_old") === 0 && col("id") === col("min_new"))
+      .select(col("id").as(idCol))
+
+    // per-batch output dirs: every write is an idempotent overwrite
+    pairs.write.mode(SaveMode.Overwrite)
+      .parquet(s"$pairsPath/batch_id=$batchId")
+    fresh.join(survivorIds, Seq(idCol), "left_semi")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$survivorsPath/batch_id=$batchId")
+    newIdx.join(survivorIds, Seq(idCol), "left_semi")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexPath/batch_id=$batchId")
+
+    Seq(index, fresh, newIdx, pairs).foreach(_.unpersist())
+  }
+
+  /** Run the ingest as a stream over parquet document files landing in
+    * `docsDir`. Returns the running query (caller stops). */
+  def dedupIngest(spark: SparkSession, docsDir: String, schema: StructType,
+      indexPath: String, pairsPath: String, survivorsPath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxFilesPerTrigger: Int = 8): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexPath, pairsPath, survivorsPath,
+          idCol, textCol, n, k, bands, threshold)
+      }
+      .start()
+}

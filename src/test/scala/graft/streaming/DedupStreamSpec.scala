@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+
+  test("streaming ingest dedups each batch against the persistent index") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val docsDir = tmp("ds_docs"); val indexPath = tmp("ds_idx") + "/index"
+    val pairsPath = tmp("ds_pairs"); val survivorsPath = tmp("ds_surv")
+    val checkpoint = tmp("ds_ckpt")
+    val schema = docs.schema
+
+    // three ingest rounds, landed and processed one file per batch
+    val q = DedupStream.dedupIngest(spark, docsDir, schema, indexPath,
+      pairsPath, survivorsPath, checkpoint, maxFilesPerTrigger = 1)
+    try {
+      for (r <- 0 until 3) {
+        // land one flat file per round (the file source does not recurse)
+        val stage = tmp(s"ds_stage$r") + "/out"
+        docs.filter($"doc_id" % 3 === r).coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(docsDir, f"round_$r%03d.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val survivors = spark.read.parquet(s"$survivorsPath/batch_id=*")
+    val pairs = spark.read.parquet(s"$pairsPath/batch_id=*")
+    val index = spark.read.parquet(indexPath)
+
+    // index holds exactly the survivors' signatures
+    val survIds = survivors.select("doc_id").as[Long].collect().toSet
+    assert(index.select("doc_id").as[Long].collect().toSet == survIds)
+    // the data has planted near-dups, and some cross batches
+    assert(pairs.count() > 0)
+    val crossBatch = pairs.filter($"a_id" % 3 =!= $"b_id" % 3)
+    assert(crossBatch.count() > 0)
+    // every non-survivor is linked by a recorded pair to some doc
+    val dropped = docs.select("doc_id").as[Long].collect().toSet -- survIds
+    val paired = pairs.select($"a_id".as("id"))
+      .unionByName(pairs.select($"b_id".as("id")))
+      .as[Long].collect().toSet
+    assert(dropped.subsetOf(paired))
+    // survivors are pairwise LSH-clean: a full recompute over them
+    // finds no pair at the ingest threshold
+    val residual = Dedup.minhashLshPairs(
+      docs.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", "text", 3, 64, 16, 0.5)
+    assert(residual.isEmpty)
+  }
+
+  test("replayed batch is a committed no-op: outputs unchanged, index not double-appended") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 100)
+    val indexPath = tmp("dsr_idx") + "/index"
+    val pairsPath = tmp("dsr_pairs"); val survivorsPath = tmp("dsr_surv")
+
+    DedupStream.processBatch(docs, 0L, indexPath, pairsPath, survivorsPath,
+      "doc_id", "text")
+    val idxAfterFirst = spark.read.parquet(indexPath)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val survAfterFirst = spark.read.parquet(s"$survivorsPath/batch_id=0")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    // crash-replay of the same batch after its index partition committed:
+    // the replay excludes its own batch_id=0 partition, recomputes the
+    // identical result, and overwrites in place
+    DedupStream.processBatch(docs, 0L, indexPath, pairsPath, survivorsPath,
+      "doc_id", "text")
+    assert(spark.read.parquet(indexPath)
+      .select("doc_id").as[Long].collect().sorted.toSeq == idxAfterFirst)
+    assert(spark.read.parquet(s"$survivorsPath/batch_id=0")
+      .select("doc_id").as[Long].collect().sorted.toSeq == survAfterFirst)
+  }
+}
