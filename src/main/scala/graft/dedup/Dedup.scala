@@ -319,12 +319,18 @@ object Dedup {
       case LongType | IntegerType => true
       case _ => false
     }
-    val p = pairs.cache() // size probe + resolution reuse one computation
+    // size probe + resolution reuse one computation; if the CALLER already
+    // cached this plan, leave its cache alone — unpersisting here would
+    // silently evict the shared entry and force the caller's later actions
+    // to recompute the whole pair pipeline
+    val callerCached =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerCached) pairs else pairs.cache()
     try {
       if (integralIds && p.limit(driverPairLimit + 1).count() <= driverPairLimit)
         duplicateClustersUnionFind(docs, idCol, p)
       else duplicateClustersIterative(docs, idCol, p, maxIter)
-    } finally p.unpersist()
+    } finally if (!callerCached) p.unpersist()
   }
 
   /** Driver union-find over the collected pair list; only non-singleton

@@ -49,14 +49,44 @@ object MinHashKernel {
     }
     out
   }
+
+  /** Signature over raw ArrayData, tolerating null elements. In the
+    * declarative form a null shingle reaches `xxhash64(i, s)` with a
+    * null second child, which XxHash64 skips — the element's hash
+    * degenerates to the slot seed — so the per-slot min ranges over
+    * seeds ∪ hashes. Null-free arrays take the primitive fast path. */
+  def signatureData(arr: ArrayData, seeds: Array[Long]): Array[Long] = {
+    val n = arr.numElements()
+    var hasNull = false
+    var j = 0
+    while (j < n && !hasNull) { if (arr.isNullAt(j)) hasNull = true; j += 1 }
+    if (!hasNull) return signature(arr.toLongArray(), seeds)
+    val k = seeds.length
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val seed = seeds(i)
+      var min = Long.MaxValue
+      var jj = 0
+      while (jj < n) {
+        val h = if (arr.isNullAt(jj)) seed else XXH64.hashLong(arr.getLong(jj), seed)
+        if (h < min) min = h
+        jj += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    out
+  }
 }
 
 /** `minhash_sig(array<long>, k) -> array<long>` as a native codegen'd
   * expression. A null or empty input array yields k nulls — exactly
   * the declarative form, whose outer `transform` runs over the
   * (never-null) slot sequence and whose `array_min` gives null per
-  * slot; input elements must be non-null (they come from `xxhash64`,
-  * which never returns null). */
+  * slot. Null ELEMENTS are also declarative-exact: `xxhash64(i, s)`
+  * skips a null child, so a null shingle hashes to the slot seed
+  * ([[MinHashKernel.signatureData]]). */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with Serializable {
   require(k > 0, s"minhash_sig requires k > 0, got $k")
@@ -79,7 +109,7 @@ case class MinHashSignature(child: Expression, k: Int)
     if (arr == null || arr.numElements() == 0)
       new GenericArrayData(new Array[Any](k))
     else new GenericArrayData(
-      MinHashKernel.signature(arr.toLongArray(), seeds))
+      MinHashKernel.signatureData(arr, seeds))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -91,7 +121,7 @@ case class MinHashSignature(child: Expression, k: Int)
       |$javaType ${ev.value} = (${childGen.isNull} || ${childGen.value}.numElements() == 0)
       |  ? new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$k])
       |  : ($javaType) new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      |      graft.functions.MinHashKernel.signature(${childGen.value}.toLongArray(), $seedsRef));
+      |      graft.functions.MinHashKernel.signatureData(${childGen.value}, $seedsRef));
       |""".stripMargin, isNull = FalseLiteral)
   }
 

@@ -218,11 +218,17 @@ object Ann {
     import graft.corpus.Selection
     val sub = dim / m
     val seeds = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .orderBy(Selection.hashValue(Selection.saltedKey(col(idCol), salt)),
         col(idCol))
       .limit(k)
       .select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
+    // a smaller-than-k codebook would silently change the code range the
+    // caller asked for (and null/ragged vectors would NPE above)
+    require(seeds.length == k,
+      s"pqTrainCodebooks needs k=$k non-null dim=$dim vectors to seed, " +
+        s"corpus has ${seeds.length}")
     var cbs: Vector[Seq[(Long, Array[Float])]] = Vector.tabulate(m) { j =>
       seeds.zipWithIndex.map { case (v, c) =>
         (c.toLong, v.slice(j * sub, (j + 1) * sub))

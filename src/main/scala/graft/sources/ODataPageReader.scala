@@ -50,7 +50,7 @@ object ODataPageReader {
     def page(path: String, body: String): Page =
       if (!PageCursor.isUrl(path)) Page(path, None)
       else {
-        retained += body.length
+        retained += PageCursor.utf8Length(body)
         if (retained > urlBodyBudget)
           throw new IllegalStateException(
             s"URL page bodies exceed urlBodyBudgetBytes=$urlBodyBudget " +

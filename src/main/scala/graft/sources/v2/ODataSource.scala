@@ -334,8 +334,9 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
             "(incomplete change set, deltaLink page never reached)")
       val path = next.get
       val body = fetcher.fetch(path)
-      if (body.length <= budget) {
-        budget -= body.length
+      val bodyBytes = PageCursor.utf8Length(body)
+      if (bodyBytes <= budget) {
+        budget -= bodyBytes
         out += ODataInputPartition(path, Some(body))
       } else {
         out += ODataInputPartition(path, None)
@@ -589,6 +590,26 @@ object PageCursor {
 
   def isUrl(p: String): Boolean =
     p.startsWith("http://") || p.startsWith("https://")
+
+  /** UTF-8 encoded length of a string without materializing the byte
+    * array — the body-budget knobs are named *Bytes, so they must
+    * count bytes (a `String.length` count undercounts non-ASCII bodies
+    * by up to 3×, silently overshooting the driver-heap budget).
+    * Surrogate pairs encode as 4 bytes: the low surrogate's 2-unit
+    * contribution is folded into the high surrogate's branch. */
+  def utf8Length(s: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1
+            else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c)) 2 // pair totals 4
+            else 3)
+      i += 1
+    }
+    n
+  }
 
   /** Absolute URLs (the live Graph shape) pass through; relative links
     * resolve against the current page's URL or directory — which keeps

@@ -36,11 +36,15 @@ import graft.dedup.Dedup
   */
 object DedupStream {
 
-  /** Index schema for an empty store: (idCol, shh, sig). */
-  private def emptyIndex(spark: SparkSession, idCol: String): DataFrame = {
+  /** Index schema for an empty store: (idCol, shh, sig). The id field
+    * takes the CALLER's id type (string ids are supported everywhere
+    * else in the dedup framework, so the bootstrap batch must not
+    * coerce them to long). */
+  private def emptyIndex(spark: SparkSession, idCol: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
-      StructField(idCol, LongType),
+      StructField(idCol, idType),
       StructField("shh", ArrayType(LongType)),
       StructField("sig", ArrayType(LongType))))
     spark.createDataFrame(
@@ -52,14 +56,14 @@ object DedupStream {
     * dir left by a crashed attempt is excluded — it is this attempt's
     * output, about to be overwritten. */
   private def loadIndex(spark: SparkSession, path: String, idCol: String,
-      batchId: Long): DataFrame = {
+      idType: org.apache.spark.sql.types.DataType, batchId: Long): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hPath))
       spark.read.parquet(path)
         .filter(col("batch_id") < batchId)
         .select(col(idCol), col("shh"), col("sig"))
-    else emptyIndex(spark, idCol)
+    else emptyIndex(spark, idCol, idType)
   }
 
   /** One micro-batch of the ingest — exposed for direct (batch-mode)
@@ -69,7 +73,9 @@ object DedupStream {
       textCol: String, n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): Unit = {
     val spark = batch.sparkSession
-    val index = loadIndex(spark, indexPath, idCol, batchId).cache()
+    val index =
+      loadIndex(spark, indexPath, idCol, batch.schema(idCol).dataType, batchId)
+        .cache()
     // ingest contract: batch ids are new; docs re-sent under an
     // already-indexed id are not a new document
     val fresh = batch

@@ -46,6 +46,20 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("null ELEMENTS hash to the slot seed — declarative-exact") {
+    // containsNull=true input whose schema the type check accepts; the
+    // declarative form's xxhash64(i, null) degenerates to the slot seed
+    val df = Seq(
+        (1L, Seq[java.lang.Long](5L, null, 9L)),
+        (2L, Seq[java.lang.Long](null, null)))
+      .toDF("id", "shh")
+    val both = df.select($"id",
+      Dedup.minhashSignature($"shh", 16).as("native"),
+      Dedup.minhashSignatureDeclarative($"shh", 16).as("decl"))
+    assert(both.filter(not($"native" <=> $"decl")).count() == 0)
+    assert(both.count() == 2)
+  }
+
   test("SQL registration: graft_minhash_sig with literal k") {
     MinHashFunctions.register(spark)
     shingled.createOrReplaceTempView("mh_docs")
