@@ -15,6 +15,8 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // graft optimizer rules (bucketed range-join rewrite)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

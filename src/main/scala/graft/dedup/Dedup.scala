@@ -32,6 +32,55 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** C4-style span dedup: the corpus is cut into fixed-width
+    * non-overlapping token windows (`span` tokens); every window that
+    * occurs more than once corpus-wide survives only at its first
+    * occurrence (lowest `(id, position)`), and each document is
+    * reassembled from its surviving windows in order. Result:
+    * `(idCol, dedup_text, n_kept)` — one row per input document,
+    * `dedup_text` empty when every window was a repeat.
+    *
+    * Scale shape: explode to |tokens|/span rows, ONE shuffle on the
+    * window text (first-occurrence ranking), ONE shuffle on the doc id
+    * (reassembly) — linear in corpus size, no pair space. Repeated
+    * windows are skew by definition (that is what makes them worth
+    * removing): the rank window computes row_number only, so AQE's
+    * skew handling and the small per-row state keep hot windows cheap.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      span: Int = 10): DataFrame = {
+    require(span > 0, "span must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_sd_toks"))
+    val chunks = toks
+      .withColumn("_sd_n",
+        ceil(size(col("_sd_toks")) / lit(span.toDouble)).cast(IntegerType))
+      // guard: sequence(0, -1) would COUNT DOWN; a null array explodes
+      // to no rows, which is what a token-less document should do
+      .withColumn("_sd_pos",
+        explode(when(col("_sd_n") > 0, sequence(lit(0), col("_sd_n") - 1))))
+      .select(col(idCol), col("_sd_pos"),
+        array_join(
+          slice(col("_sd_toks"), col("_sd_pos") * lit(span) + lit(1), lit(span)),
+          " ").as("_sd_chunk"))
+    val kept = chunks
+      .withColumn("_sd_rn", row_number().over(
+        Window.partitionBy("_sd_chunk").orderBy(col(idCol), col("_sd_pos"))))
+      .filter(col("_sd_rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_sd_pos"), col("_sd_chunk")))),
+            s => s.getField("_sd_chunk")),
+          " ").as("dedup_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Documents with distinct word-shingle sets attached.
     *
     * Repartitioned to the session's parallelism ONLY when the input

@@ -706,6 +706,27 @@ object CapabilityQueries {
       |FROM e LEFT JOIN p ON p.ts >= e.w_start AND p.ts < e.w_end
       |GROUP BY e.error_id ORDER BY error_id""".stripMargin
 
+  // --------------------------------------------------------------- Q32
+  /** q32: the NAIVE formulation of the q30/q31 interval join — the
+    * range condition written directly, no manual bucketing. The
+    * [[graft.plans.RangeJoinRewrite]] optimizer rule (installed by
+    * GraftSession via GraftExtensions) supplies the bucketed
+    * equi-join plan automatically; RangeJoinRewriteSpec pins that the
+    * plan really is the rewritten one (no nested loop). Same oracle
+    * as q31: DuckDB's IEJoin computes the identical answer natively. */
+  def q32RangeJoinAuto(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("e_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    purchases.join(errors,
+        col("p_ts") >= col("e_ts") &&
+          col("p_ts") < col("e_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("error_id", "p_id")
+      .orderBy("error_id", "p_id")
+  }
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -739,5 +760,6 @@ object CapabilityQueries {
     ("q29_generators", q29Generators _, Some(q29Sql)),
     ("q30_interval_join", q30IntervalJoin _, Some(q30Sql)),
     ("q31_stream_interval_join", q31StreamIntervalJoin _, Some(q31Sql)),
+    ("q32_range_join_auto", q32RangeJoinAuto _, Some(q31Sql)),
   )
 }

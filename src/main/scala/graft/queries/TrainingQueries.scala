@@ -35,6 +35,40 @@ object TrainingQueries {
     """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
 
+  /** d10: C4-style span dedup — every 10-token window occurs once
+    * corpus-wide (first (doc_id, pos) occurrence wins); documents
+    * reassemble from their surviving windows. */
+  def d10SpanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", span = 10)
+      .orderBy("doc_id")
+
+  val d10Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, s.pos AS pos, s.chunk AS chunk
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(
+      |            range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+      |            i -> {'pos': i,
+      |                  'chunk': array_to_string(toks[(i*10+1):((i+1)*10)], ' ')})) AS s
+      |        FROM w)),
+      |r AS (
+      |  SELECT doc_id, pos, chunk,
+      |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      |  FROM c),
+      |k AS (
+      |  SELECT doc_id,
+      |         string_agg(chunk, ' ' ORDER BY pos) AS dedup_text,
+      |         count(*) AS n_kept
+      |  FROM r WHERE rn = 1 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       COALESCE(k.dedup_text, '') AS dedup_text,
+      |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM documents d LEFT JOIN k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** d02: exact 3-gram Jaccard near-dup pairs (inverted-index join). */
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -845,6 +879,7 @@ object TrainingQueries {
     ("d04_simhash", d04Simhash _, None),
     ("d08_simhash_portable", d08SimhashPortable _, Some(d08Sql)),
     ("d09_incremental_dedup", d09IncrementalDedup _, Some(d09Sql)),
+    ("d10_span_dedup", d10SpanDedup _, Some(d10Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
     ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),
     ("t01_lang_id", t01LangId _, Some(t01Sql)),
