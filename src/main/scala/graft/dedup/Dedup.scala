@@ -272,40 +272,44 @@ object Dedup {
   def simhash64(text: Column): Column =
     simhash64FromHashes(transform(TextOps.tokens(text), w => xxhash64(w)))
 
-  /** SimHash over a precomputed token-hash array. Callers that control
-    * the projection should materialize the hash array in its own
-    * select first — the 64 bit-folds each re-evaluate the `hashes`
-    * subtree, so an inline tokenize+hash runs 64× per row. Bit
-    * positions are unrolled at plan-build time (shift amounts must be
-    * literals). */
+  /** SimHash over a precomputed token-hash array — the native
+    * [[graft.functions.SimHash64]] kernel: one walk of the array per
+    * row inside whole-stage codegen. Value-identical to
+    * [[simhash64Declarative]] (spec-pinned). */
   def simhash64FromHashes(hashes: Column): Column =
+    graft.functions.SimHashFunctions.simhash64(hashes)
+
+  /** The 64-fold declarative formulation the kernel must match; kept
+    * as the spec's independent witness. Bit positions are unrolled at
+    * plan-build time (shift amounts must be literals). */
+  private[graft] def simhash64Declarative(hashes: Column): Column =
     (0 until 64).map { j =>
       when(aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         > 0L, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Relational 64-bit SimHash signatures from a pluggable per-token
-    * hash: explode token hashes, 64 ±1 bit-sums in ONE hash aggregate
-    * (map-side partial combine), then fold the signs into the
-    * signature. Equivalent to the per-row lambda expression but far
-    * cheaper to codegen-compile than 64 nested folds, and it scales
-    * through the shuffle path. Documents with no tokens emit no row. */
+  /** 64-bit SimHash signatures from a pluggable per-token hash — a
+    * map-only projection through the native kernel (tokenize → hash
+    * array → [[graft.functions.SimHash64]]); no per-token row
+    * expansion, no shuffle (the previous explode → 64-conditional-sum
+    * aggregate shuffled |corpus tokens| rows to compute the same
+    * signatures). Documents with no tokens emit no row, as before.
+    * Repartitioned for CPU spread only when the scan has fewer
+    * partitions than the session has cores (single-file corpora). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    val perTok = docs.repartition(p, col(idCol))
+    val nFiles =
+      try docs.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => 0 }
+    val spread = if (nFiles >= p) docs else docs.repartition(p, col(idCol))
+    spread
       .select(col(idCol),
-        explode(transform(graft.functions.TextOps.tokens(col(textCol)),
-          tokenHash)).as("h"))
-    val sumCols = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$j"))
-    val sums = perTok.groupBy(idCol).agg(sumCols.head, sumCols.tail: _*)
-    sums.select(col(idCol),
-      (0 until 64).map(j =>
-        when(col(s"s$j") > 0L, shiftleft(lit(1L), j)).otherwise(0L))
-        .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+        transform(graft.functions.TextOps.tokens(col(textCol)), tokenHash)
+          .as("_sh_h"))
+      .filter(size(col("_sh_h")) > 0)
+      .select(col(idCol), simhash64FromHashes(col("_sh_h")).as("sig"))
   }
 
   /** Engine-portable per-token 64-bit hash: two seeded 31-bit

@@ -189,18 +189,32 @@ object EventsStream {
   /** Run a streaming query to completion against the (static) fixture
     * and return the materialized result. Proves the plan runs under
     * the streaming engine, not just batch. Aggregating queries use
-    * `complete` mode; non-aggregating ones (dedup, maps) use `append`. */
+    * `complete` mode; non-aggregating ones (dedup, maps) use `append`.
+    *
+    * `statePartitions` sizes the stateful operators' state-store count
+    * — pinned at first start from `spark.sql.shuffle.partitions`, and
+    * pure fixed overhead per micro-batch (store setup + checkpoint
+    * files per partition per trigger, ~2× wall time at 32 vs 8 on the
+    * fixtures). A deployment sizes this to sustained stream
+    * throughput, NOT to the batch session's shuffle width; the conf is
+    * scoped to the query and restored after stop. */
   def runToCompletion(spark: SparkSession, streamed: DataFrame,
-      name: String, outputMode: String = "complete"): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      name: String, outputMode: String = "complete",
+      statePartitions: Int = 8): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }

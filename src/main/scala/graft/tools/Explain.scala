@@ -11,12 +11,18 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.core.GraftSession.local(32)
     args.drop(1).foreach { name =>
+      // time construction + count, exactly as Bench does — effectful
+      // queries (streaming twins, trained models) do their real work
+      // during construction
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val n = df.count()
+      val tTotal = (System.nanoTime() - t0) / 1e9
       println(s"===== $name =====")
       df.explain("formatted")
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[$name] rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      println(f"[$name] rows=$n build=$tBuild%.2fs total=$tTotal%.2fs")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
