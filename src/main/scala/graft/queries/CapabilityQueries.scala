@@ -727,6 +727,34 @@ object CapabilityQueries {
       .orderBy("error_id", "p_id")
   }
 
+  // --------------------------------------------------------------- Q33
+  /** q33: RANGE window frame — per event, count and spend over the
+    * user's trailing 10 minutes. The frame is value-based (peers by
+    * order key, unlike q26's ROWS frames): ordered by epoch-micros
+    * with a numeric range both engines define identically. One
+    * shuffle on user_id; the frame scan is linear per partition. */
+  def q33RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-600000000L, 0L)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("value").cast(DecimalType(30, 2))).over(w)
+          .cast(DoubleType).as("sum_10m"))
+      .orderBy("event_id")
+  }
+
+  val q33Sql: String =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_10m,
+      |  CAST(SUM(CAST("value" AS DECIMAL(30,2))) OVER w AS DOUBLE) AS sum_10m
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "value"
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -761,5 +789,6 @@ object CapabilityQueries {
     ("q30_interval_join", q30IntervalJoin _, Some(q30Sql)),
     ("q31_stream_interval_join", q31StreamIntervalJoin _, Some(q31Sql)),
     ("q32_range_join_auto", q32RangeJoinAuto _, Some(q31Sql)),
+    ("q33_range_frame", q33RangeFrame _, Some(q33Sql)),
   )
 }

@@ -271,6 +271,48 @@ object ParityQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** P9: storage-format interop (the reference's "target data store
+    * could be blob / log analytics / SQL" flexibility, README:1-3, as
+    * an engine capability): one dataset written to CSV, JSON, and ORC,
+    * read back through each reader with an explicit schema, and
+    * aggregated identically. The oracle computes the aggregate once
+    * from the original parquet and expects it verbatim per format —
+    * any serialization drift (type coercion, precision loss, header
+    * handling) breaks the hash. Timestamps travel as epoch-micros
+    * longs, the one representation all three formats round-trip
+    * exactly. */
+  def p09(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_p09")
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+    val schema = ev.schema
+    Seq("csv", "json", "orc").map { fmt =>
+      val path = base.resolve(fmt).toString
+      val w = ev.write.mode("overwrite").format(fmt)
+      (if (fmt == "csv") w.option("header", "true") else w).save(path)
+      val r = s.read.format(fmt).schema(schema)
+      val back = (if (fmt == "csv") r.option("header", "true") else r).load(path)
+      back.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 2))).cast(DoubleType)
+            .as("sum_value"))
+        .select(lit(fmt).as("format"), col("event_type"), col("n"),
+          col("sum_value"))
+    }.reduce(_.unionByName(_))
+      .orderBy("format", "event_type")
+  }
+
+  private val p09Oracle: String =
+    """WITH agg AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST("value" AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY event_type),
+      |f AS (SELECT * FROM (VALUES ('csv'), ('json'), ('orc')) t(format))
+      |SELECT f.format, a.event_type, a.n, a.sum_value
+      |FROM f CROSS JOIN agg a
+      |ORDER BY format, event_type""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("p01_managed_devices", p01 _, Some(mdOracle("2024-11-08 00:00:00"))),
     ("p02_cloud_pcs", p02 _, Some(cpcOracle("2024-11-08 00:00:00"))),
@@ -280,5 +322,6 @@ object ParityQueries {
     ("p06_connector_pipeline", p06 _, Some(mdOracle("2024-11-08 00:00:00"))),
     ("p07_expand", p07 _, Some(expandOracle)),
     ("p08_delta_sync", p08 _, Some(deltaOracle)),
+    ("p09_format_roundtrip", p09 _, Some(p09Oracle)),
   )
 }
