@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native expressions for centroid models (k-means assignment, product
+  * quantization). The model rides the expression as a REFERENCE OBJECT,
+  * not as literal trees: the declarative formulations (`transform` over
+  * an array of k struct literals, `element_at` into an m×k nested
+  * literal) analyze and optimize O(model size) Catalyst nodes on the
+  * driver for every plan built — for PQ training that is a fresh
+  * multi-hundred-node tree per Lloyd's iteration, and it dominated the
+  * trained-PQ wall time at small corpus sizes (plan work, not data
+  * work). A reference object is one node regardless of k·dim, and the
+  * generated code is identical across model VALUES, so janino's cache
+  * hits across iterations and datasets.
+  */
+object PqKernels {
+
+  /** Argmin cell over centroids sorted ascending by cell id; strict <
+    * keeps the first (= lowest cell) on distance ties — exactly
+    * `array_min` over (distance, cell) structs. */
+  def nearestCell(v: Array[Float], cents: Array[Array[Float]],
+      cells: Array[Long]): Long = {
+    var bestD = Double.PositiveInfinity
+    var bestCell = cells(0)
+    var c = 0
+    while (c < cents.length) {
+      val d = VectorKernels.l2(v, cents(c))
+      if (d < bestD) { bestD = d; bestCell = cells(c) }
+      c += 1
+    }
+    bestCell
+  }
+
+  private def sliceL2(v: Array[Float], off: Int, cent: Array[Float]): Double = {
+    val avail = math.min(cent.length, v.length - off)
+    if (avail != cent.length)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: $avail vs ${cent.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < cent.length) {
+      val t = v(off + i).toDouble - cent(i).toDouble
+      acc += t * t
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Per-subspace argmin codes, one pass, no slice allocation. */
+  def pqEncode(v: Array[Float], sub: Int, cents: Array[Array[Array[Float]]],
+      cells: Array[Array[Long]]): Array[Int] = {
+    val m = cents.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      var bestD = Double.PositiveInfinity
+      var bestCell = cells(j)(0)
+      var c = 0
+      while (c < cents(j).length) {
+        val d = sliceL2(v, off, cents(j)(c))
+        if (d < bestD) { bestD = d; bestCell = cells(j)(c) }
+        c += 1
+      }
+      out(j) = bestCell.toInt
+      j += 1
+    }
+    out
+  }
+
+  /** Asymmetric squared-L2: Σ_j ‖q_j − centroid_j[code_j]‖². Double
+    * addition is NOT associative, so the accumulation GROUPING matters
+    * for bit-exactness with the declarative witness: one fold per
+    * subspace (ascending elements), then the subspace sums added in
+    * ascending j — exactly the witness's per-subspace aggregate
+    * followed by reduce(_ + _). */
+  def adc(q: Array[Float], codes: ArrayData,
+      cb: Array[Array[Array[Double]]], sub: Int): Double = {
+    var total = 0.0
+    var j = 0
+    while (j < cb.length) {
+      val cd = cb(j)(codes.getInt(j))
+      val off = j * sub
+      var acc = 0.0
+      var i = 0
+      while (i < cd.length) {
+        val t = q(off + i).toDouble - cd(i)
+        acc += t * t
+        i += 1
+      }
+      total += acc
+      j += 1
+    }
+    total
+  }
+}
+
+/** `nearest_cell(array<float>) -> bigint`: id of the L2-nearest
+  * centroid (ties → lowest cell id). */
+case class NearestCell(child: Expression,
+    centroids: Seq[(Long, Array[Float])]) extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def prettyName: String = "nearest_cell"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $t")
+  }
+
+  @transient private lazy val sorted = centroids.sortBy(_._1)
+  @transient private lazy val cents: Array[Array[Float]] =
+    sorted.map(_._2).toArray
+  @transient private lazy val cells: Array[Long] = sorted.map(_._1).toArray
+
+  protected override def nullSafeEval(input: Any): Any =
+    PqKernels.nearestCell(
+      input.asInstanceOf[ArrayData].toFloatArray(), cents, cells)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ncCents", cents, "float[][]")
+    val cellsRef = ctx.addReferenceObj("ncCells", cells, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernels.nearestCell(" +
+        s"$c.toFloatArray(), $centsRef, $cellsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+/** `pq_encode(array<float>) -> array<int>`: per-subspace nearest-cell
+  * codes (= [[NearestCell]] per dim/m slice, cast int). */
+case class PqEncodeExpr(child: Expression,
+    codebooks: Seq[Seq[(Long, Array[Float])]]) extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty per subspace")
+
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $t")
+  }
+
+  @transient private lazy val sorted = codebooks.map(_.sortBy(_._1))
+  @transient private lazy val cents: Array[Array[Array[Float]]] =
+    sorted.map(_.map(_._2).toArray).toArray
+  @transient private lazy val cells: Array[Array[Long]] =
+    sorted.map(_.map(_._1).toArray).toArray
+  private def sub: Int = codebooks.head.head._2.length
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PqKernels.pqEncode(
+      input.asInstanceOf[ArrayData].toFloatArray(), sub, cents, cells))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("pqCents", cents, "float[][][]")
+    val cellsRef = ctx.addReferenceObj("pqCells", cells, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PqKernels.pqEncode($c.toFloatArray(), $sub, " +
+        s"$centsRef, $cellsRef));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `pq_adc(array<float>, array<int>) -> double`: asymmetric squared-L2
+  * between a raw query vector and a PQ code array. */
+case class PqAdc(left: Expression, right: Expression,
+    codebooks: Seq[Seq[(Long, Array[Float])]]) extends BinaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty per subspace")
+
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<int>), got ($l, $r)")
+    }
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.sortBy(_._1).map(_._2.map(_.toDouble)).toArray).toArray
+  private def sub: Int = codebooks.head.head._2.length
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernels.adc(a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData], cb, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("adcCb", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqKernels.adc(" +
+        s"$a.toFloatArray(), $b, $cbRef, $sub);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+
+  def nearestCell(vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
+    toCol(NearestCell(toExpr(vec), centroids))
+  def pqEncode(vec: Column, codebooks: Seq[Seq[(Long, Array[Float])]]): Column =
+    toCol(PqEncodeExpr(toExpr(vec), codebooks))
+  def pqAdc(qvec: Column, codes: Column,
+      codebooks: Seq[Seq[(Long, Array[Float])]]): Column =
+    toCol(PqAdc(toExpr(qvec), toExpr(codes), codebooks))
+}

@@ -89,13 +89,20 @@ object Ann {
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"), col("rank"))
   }
 
-  /** Nearest-centroid cell as a pure Column over a k-entry centroid
-    * literal: per-centroid distances via the codegen'd L2 kernel
-    * inside a `transform`, argmin via `array_min` over (distance,
-    * cell) structs (lexicographic struct ordering = min distance,
-    * ties to the lowest cell). Assignment is a narrow map over the
-    * scan — no join, no window, no shuffle. */
-  def nearestCell(vec: Column, centroids: Seq[(Long, Array[Float])]): Column = {
+  /** Nearest-centroid cell via the native [[graft.functions.NearestCell]]
+    * kernel — the model rides as a reference object, so the plan tree
+    * is one node regardless of k·dim (the declarative witness below
+    * analyzes O(model) literal nodes per plan build, which dominated
+    * trained-model wall time). Assignment is a narrow map over the
+    * scan — no join, no window, no shuffle. Ties go to the lowest
+    * cell id, exactly as the witness's array_min struct ordering. */
+  def nearestCell(vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
+    graft.functions.PqFunctions.nearestCell(vec, centroids)
+
+  /** The array-of-struct-literals formulation the kernel must match;
+    * kept as the spec's independent witness. */
+  private[graft] def nearestCellDeclarative(vec: Column,
+      centroids: Seq[(Long, Array[Float])]): Column = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val entries = centroids.sortBy(_._1).map { case (cell, v) =>
       struct(typedlit(v).as("centroid"), lit(cell).as("cell"))
@@ -235,12 +242,16 @@ object Ann {
       }.toSeq
     }
     for (_ <- 0 until iters) {
+      // codes for ALL subspaces in one native-kernel call per row; the
+      // per-subspace explode then just indexes the codes attribute
+      val withCodes = corpus.withColumn("_pq_codes",
+        graft.functions.PqFunctions.pqEncode(col(vecCol), cbs))
       val perSub = array((0 until m).map { j =>
-        val s = slice(col(vecCol), j * sub + 1, sub)
-        struct(lit(j).as("j"), nearestCell(s, cbs(j)).as("cell"),
-          s.as("sub"))
+        struct(lit(j).as("j"),
+          element_at(col("_pq_codes"), j + 1).cast(LongType).as("cell"),
+          slice(col(vecCol), j * sub + 1, sub).as("sub"))
       }: _*)
-      val updated = corpus.select(explode(perSub).as("e"))
+      val updated = withCodes.select(explode(perSub).as("e"))
         .groupBy(col("e.j").as("j"), col("e.cell").as("cell"))
         .agg(graft.functions.VectorMean.asColumn(col("e.sub")).as("centroid"))
         .collect()
@@ -263,10 +274,19 @@ object Ann {
     * and the ADC scan read bytes instead of vectors. */
   def pqEncode(vec: Column, dim: Int,
       codebooks: Seq[Seq[(Long, Array[Float])]]): Column = {
+    require(dim == codebooks.size * codebooks.head.head._2.length,
+      s"dim=$dim must equal m x dim/m of the codebook")
+    graft.functions.PqFunctions.pqEncode(vec, codebooks)
+  }
+
+  /** Declarative witness of [[pqEncode]] (nearestCell witness per
+    * slice) for the spec. */
+  private[graft] def pqEncodeDeclarative(vec: Column, dim: Int,
+      codebooks: Seq[Seq[(Long, Array[Float])]]): Column = {
     val m = codebooks.size
     val sub = dim / m
     array((0 until m).map { j =>
-      nearestCell(slice(vec, j * sub + 1, sub), codebooks(j))
+      nearestCellDeclarative(slice(vec, j * sub + 1, sub), codebooks(j))
         .cast(IntegerType)
     }: _*)
   }
@@ -278,6 +298,15 @@ object Ann {
     * vectors are never touched. */
   def pqAdcDistance(qvec: Column, codes: Column, dim: Int,
       codebooks: Seq[Seq[(Long, Array[Float])]]): Column = {
+    require(dim == codebooks.size * codebooks.head.head._2.length,
+      s"dim=$dim must equal m x dim/m of the codebook")
+    graft.functions.PqFunctions.pqAdc(qvec, codes, codebooks)
+  }
+
+  /** Declarative witness of [[pqAdcDistance]] (per-subspace
+    * element_at into the nested centroid literal) for the spec. */
+  private[graft] def pqAdcDistanceDeclarative(qvec: Column, codes: Column,
+      dim: Int, codebooks: Seq[Seq[(Long, Array[Float])]]): Column = {
     val m = codebooks.size
     val sub = dim / m
     (0 until m).map { j =>
