@@ -268,6 +268,26 @@ object Selection {
       .parquet(path)
   }
 
+  /** Mean global token frequency per document — a cheap commonness /
+    * quality proxy (rare-token-heavy documents are typically noisy
+    * OCR or codes; overwhelmingly-common-token documents are
+    * boilerplate). Two hash aggregates and one shuffle join on the
+    * token; NO global vocabulary ranking (a corpus-wide rank would
+    * single-partition the vocab through an unpartitioned window).
+    * Sums are integer-exact; documents with no tokens emit no row. */
+  def tokenFrequencyScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+    tok.join(vocab, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("freq").as("sum_freq"))
+      .select(col(idCol), col("n_tokens"), col("sum_freq"),
+        (col("sum_freq").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("mean_freq"))
+  }
+
   /** Corpus-wide vocabulary: top-k whitespace tokens by frequency
     * (ties broken lexicographically). Explode → hash agg (map-side
     * partial) → global top-k via sort+limit, which Spark executes as

@@ -136,9 +136,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
 /** Session extensions: registers [[RangeJoinRewrite]] into the
   * operator-optimization batch (so pushdown/pruning re-run over the
-  * rewritten plan). Installed by `GraftSession.builder`; standalone
-  * users: `.withExtensions(new GraftExtensions)`. */
+  * rewritten plan) and the full graft SQL function surface
+  * ([[graft.functions.GraftFunctionRegistry]]). Installed by
+  * `GraftSession.builder`; standalone users:
+  * `.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    graft.functions.GraftFunctionRegistry.descriptions.foreach(ext.injectFunction)
+  }
 }

@@ -480,6 +480,28 @@ object TrainingQueries {
        |    '${TextOps.PhoneRe}', '<phone>', 'g') AS redacted
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t08: mean global token frequency per document — the cheap
+    * commonness/quality proxy (rare-token-heavy = noisy, ubiquitous-
+    * token-heavy = boilerplate); two hash aggs + one token join, no
+    * vocabulary-wide sort. */
+  def t08TokenFreq(s: SparkSession, d: String): DataFrame =
+    graft.corpus.Selection
+      .tokenFrequencyScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val t08Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |    x -> x <> '')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(v.freq) AS BIGINT) AS sum_freq,
+      |  CAST(CAST(SUM(v.freq) AS BIGINT) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS mean_freq
+      |FROM tok t JOIN v USING (w)
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   /** s06: oracle-checked LSH buckets — s03's signature machinery
     * (quantize → hyperplane dot → sign → bit-pack) run over
     * [[Ann.portableLshCoefs]] integer hyperplanes instead of xxhash64
@@ -889,6 +911,7 @@ object TrainingQueries {
     ("t05_clean", t05Clean _, Some(t05Sql)),
     ("t06_repetition", t06Repetition _, Some(t06Sql)),
     ("t07_redact_pii", t07RedactPii _, Some(t07Sql)),
+    ("t08_token_freq", t08TokenFreq _, Some(t08Sql)),
     ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
     ("s03_ann_lsh", s03AnnLsh _, None),
