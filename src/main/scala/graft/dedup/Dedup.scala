@@ -81,6 +81,40 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Edit-distance fuzzy near-dup pairs — the classic fuzzy-record
+    * family (names, titles, short fields) the token/shingle paths
+    * don't cover. Candidates are blocked TWICE: on the caller's
+    * `blockCol`, and on a string-length band (levenshtein ≤ maxDist
+    * implies |len(a)−len(b)| ≤ maxDist, so side b explodes to the
+    * bands covering len±maxDist while side a owns exactly one band —
+    * each pair meets exactly once, the RangeJoin cover argument).
+    * Survivors are scored with Spark's threshold levenshtein (early
+    * termination above maxDist). Work scales with block × band
+    * populations, never the corpus pair space. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      blockCol: String, maxDist: Int, lenBand: Int = 8): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(lenBand > 0, "lenBand must be positive")
+    def band(len: Column, shift: Int): Column =
+      floor((len + lit(shift)) / lit(lenBand.toDouble)).cast(LongType)
+    val a = df.select(col(idCol).as("a_id"), col(blockCol).as("_ed_block"),
+        col(strCol).as("_ed_a"))
+      .withColumn("_ed_band", band(length(col("_ed_a")), 0))
+    val b = df.select(col(idCol).as("b_id"), col(blockCol).as("_ed_block"),
+        col(strCol).as("_ed_b"))
+      .withColumn("_ed_band", explode(sequence(
+        band(length(col("_ed_b")), -maxDist),
+        band(length(col("_ed_b")), maxDist))))
+    a.join(b, Seq("_ed_block", "_ed_band"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("_ed_a"), col("_ed_b"), maxDist).cast(LongType)
+          .as("dist"))
+      // the threshold form returns -1 past maxDist — cheaper than
+      // computing the exact large distance just to filter it
+      .filter(col("dist") >= 0)
+  }
+
   /** Documents with distinct word-shingle sets attached.
     *
     * Repartitioned to the session's parallelism ONLY when the input

@@ -755,6 +755,34 @@ object CapabilityQueries {
       |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- Q34
+  /** q34: ranking-function battery — dense_rank, percent_rank,
+    * cume_dist, ntile over one window (the rank family q08/q26 leave
+    * uncovered). Doubles from percent_rank/cume_dist are exact
+    * rationals (rank arithmetic), so they hash identically across
+    * engines. */
+  def q34RankBattery(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).cast(LongType).as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  val q34Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+      |  PERCENT_RANK() OVER w AS prank,
+      |  CUME_DIST() OVER w AS cdist,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -790,5 +818,6 @@ object CapabilityQueries {
     ("q31_stream_interval_join", q31StreamIntervalJoin _, Some(q31Sql)),
     ("q32_range_join_auto", q32RangeJoinAuto _, Some(q31Sql)),
     ("q33_range_frame", q33RangeFrame _, Some(q33Sql)),
+    ("q34_rank_battery", q34RankBattery _, Some(q34Sql)),
   )
 }

@@ -69,6 +69,23 @@ object TrainingQueries {
       |FROM documents d LEFT JOIN k USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** d11: edit-distance fuzzy near-dup pairs over part names —
+    * levenshtein ≤ 3 within (brand, length-band) blocks; the oracle
+    * recomputes with DuckDB's levenshtein over the plain brand block,
+    * so the band cover's exactness is part of what the hash pins. */
+  def d11EditDistance(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", "p_name",
+        "p_brand", maxDist = 3)
+      .orderBy("a_id", "b_id")
+
+  val d11Sql: String =
+    """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** d02: exact 3-gram Jaccard near-dup pairs (inverted-index join). */
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -902,6 +919,7 @@ object TrainingQueries {
     ("d08_simhash_portable", d08SimhashPortable _, Some(d08Sql)),
     ("d09_incremental_dedup", d09IncrementalDedup _, Some(d09Sql)),
     ("d10_span_dedup", d10SpanDedup _, Some(d10Sql)),
+    ("d11_edit_distance", d11EditDistance _, Some(d11Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
     ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),
     ("t01_lang_id", t01LangId _, Some(t01Sql)),
