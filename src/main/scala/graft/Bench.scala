@@ -51,19 +51,27 @@ object Bench {
       val qs = entries
         .map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val sfName = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // harness tail is 2000 chars; the sbt "[success] Total time: ..."
     // trailer plus newlines takes ~75, leaving ~1925 for this line
     val maxLen = 1900
-    val slowest = {
-      val top = results.sortBy(-_._2).take(30)
-      val rest = total - top.map(_._2).sum
-      (top :+ ("_others" -> rest)).sortBy(_._1)
-    }
-    val line = Seq(render(results, 2), render(results, 1), render(slowest, 2))
+    val line = Seq(render(results, 2), render(results, 1))
       .find(_.length <= maxLen)
-      .getOrElse(render(slowest, 1))
+      .getOrElse {
+        // largest slowest-N whose line fits, remainder rolled into
+        // "_others" so the per-query values still sum to the total
+        val sorted = results.sortBy(-_._2)
+        (results.length to 1 by -1).iterator
+          .map { n =>
+            val top = sorted.take(n)
+            val rest = total - top.map(_._2).sum
+            render((top :+ ("_others" -> rest)).sortBy(_._1), 2)
+          }
+          .find(_.length <= maxLen)
+          .getOrElse(render(Seq("_others" -> total), 2))
+      }
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(render(results, 6)) finally w.close()

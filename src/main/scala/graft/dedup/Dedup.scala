@@ -92,15 +92,18 @@ object Dedup {
     * termination above maxDist). Work scales with block × band
     * populations, never the corpus pair space. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      blockCol: String, maxDist: Int, lenBand: Int = 8): DataFrame = {
+      blockCols: Seq[String], maxDist: Int, lenBand: Int = 8): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(lenBand > 0, "lenBand must be positive")
+    require(blockCols.nonEmpty, "at least one blocking column required " +
+      "(unblocked edit distance is the corpus pair space)")
     def band(len: Column, shift: Int): Column =
       floor((len + lit(shift)) / lit(lenBand.toDouble)).cast(LongType)
-    val a = df.select(col(idCol).as("a_id"), col(blockCol).as("_ed_block"),
+    val blockKey = struct(blockCols.map(col): _*)
+    val a = df.select(col(idCol).as("a_id"), blockKey.as("_ed_block"),
         col(strCol).as("_ed_a"))
       .withColumn("_ed_band", band(length(col("_ed_a")), 0))
-    val b = df.select(col(idCol).as("b_id"), col(blockCol).as("_ed_block"),
+    val b = df.select(col(idCol).as("b_id"), blockKey.as("_ed_block"),
         col(strCol).as("_ed_b"))
       .withColumn("_ed_band", explode(sequence(
         band(length(col("_ed_b")), -maxDist),

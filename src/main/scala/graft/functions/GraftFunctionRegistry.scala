@@ -58,6 +58,9 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(token_hashes)"),
       arity("graft_simhash64", 1)(es => SimHash64(es.head))),
+    (FunctionIdentifier("graft_nfc_normalize"),
+      info("graft_nfc_normalize", "graft_nfc_normalize(text)"),
+      arity("graft_nfc_normalize", 1)(es => NfcNormalize(es.head))),
     // text battery
     fromColumn("graft_lang_id", TextOps.langId),
     fromColumn("graft_token_count", TextOps.tokenCount),

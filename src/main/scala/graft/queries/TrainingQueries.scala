@@ -70,20 +70,22 @@ object TrainingQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** d11: edit-distance fuzzy near-dup pairs over part names —
-    * levenshtein ≤ 3 within (brand, length-band) blocks; the oracle
-    * recomputes with DuckDB's levenshtein over the plain brand block,
-    * so the band cover's exactness is part of what the hash pins. */
+    * levenshtein ≤ 2 within (brand, size, length-band) blocks; the
+    * oracle recomputes with DuckDB's levenshtein over the plain
+    * (brand, size) block, so the band cover's exactness is part of
+    * what the hash pins. */
   def d11EditDistance(s: SparkSession, d: String): DataFrame =
     Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", "p_name",
-        "p_brand", maxDist = 3)
+        Seq("p_brand", "p_size"), maxDist = 2)
       .orderBy("a_id", "b_id")
 
   val d11Sql: String =
     """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
       |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      | AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY a_id, b_id""".stripMargin
 
   /** d02: exact 3-gram Jaccard near-dup pairs (inverted-index join). */
