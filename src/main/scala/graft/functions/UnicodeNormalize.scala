@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode NFC normalization as a native expression — the canonical
@@ -28,13 +28,17 @@ object UnicodeKernels {
   }
 }
 
-/** `nfc_normalize(string) -> string`; null propagates. */
+/** `nfc_normalize(string) -> string`; null propagates. A bare NULL
+  * (NullType) is accepted like the built-in string functions accept
+  * it — the unary null path never reaches the kernel.
+  * (ImplicitCastInputTypes would be the idiomatic spelling, but its
+  * AbstractDataType is private[sql].) */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_nfc_normalize"
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string, got $t")
   }

@@ -521,6 +521,24 @@ object TrainingQueries {
       |FROM tok t JOIN v USING (w)
       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  /** t09: NFC normalization through the native kernel, DuckDB's
+    * nfc_normalize as the oracle. The synthetic corpus is ASCII (NFC
+    * is the identity there — the hash pins the plumbing and the
+    * non-mangling); the combining-sequence semantics are pinned by
+    * UnicodeNormalizeSpec's planted unicode. */
+  def t09Normalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.UnicodeFunctions.nfcNormalize(col("text")).as("norm"),
+        length(graft.functions.UnicodeFunctions.nfcNormalize(col("text")))
+          .cast(LongType).as("n_chars"))
+      .orderBy("doc_id")
+
+  val t09Sql: String =
+    """SELECT doc_id, nfc_normalize(text) AS norm,
+      |  CAST(len(nfc_normalize(text)) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** s06: oracle-checked LSH buckets — s03's signature machinery
     * (quantize → hyperplane dot → sign → bit-pack) run over
     * [[Ann.portableLshCoefs]] integer hyperplanes instead of xxhash64
@@ -932,6 +950,7 @@ object TrainingQueries {
     ("t06_repetition", t06Repetition _, Some(t06Sql)),
     ("t07_redact_pii", t07RedactPii _, Some(t07Sql)),
     ("t08_token_freq", t08TokenFreq _, Some(t08Sql)),
+    ("t09_normalize", t09Normalize _, Some(t09Sql)),
     ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
     ("s03_ann_lsh", s03AnnLsh _, None),
