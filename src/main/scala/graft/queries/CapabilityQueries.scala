@@ -662,6 +662,72 @@ object CapabilityQueries {
     s.sql(q28Sql)
   }
 
+  // --------------------------------------------------------------- Q35
+  /** q35: IN / EXISTS / NOT-IN membership semantics — one verbatim SQL
+    * string on both engines (the q28 trick). The third count pins the
+    * classic NOT IN three-valued-logic trap: the subquery set contains
+    * a NULL, so NO row satisfies NOT IN (x <> NULL is unknown) — a
+    * semantics bug magnet every engine must agree on. */
+  val q35Sql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                     WHERE o.o_custkey = c.c_custkey)) AS n_no_orders,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                       WHERE c_acctbal > 5000)) AS n_rich_cust_orders,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal < 0 THEN NULL
+      |                                       ELSE c_custkey END
+      |                           FROM customer)) AS n_notin_with_null""".stripMargin
+
+  def q35InExists(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q35Sql)
+  }
+
+  // --------------------------------------------------------------- Q36
+  /** q36: date/time battery — extraction, truncation, arithmetic with
+    * month-end clamping, ISO weeks, day deltas. Cross-engine traps
+    * pinned explicitly: Spark's dayofweek is 1=Sunday while DuckDB's
+    * is 0=Sunday (normalized to 0-based here); Spark `trunc` keeps
+    * DATE (its `date_trunc` widens to TIMESTAMP, DuckDB's does not);
+    * both engines clamp add-month at month end (Jan 31 + 1mo =
+    * Feb 28). */
+  def q36DatetimeBattery(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("od", col("o_orderdate").cast(DateType))
+      .select(col("o_orderkey"), col("od"),
+        year(col("od")).cast(LongType).as("yr"),
+        quarter(col("od")).cast(LongType).as("qtr"),
+        month(col("od")).cast(LongType).as("mon"),
+        dayofmonth(col("od")).cast(LongType).as("dom"),
+        (dayofweek(col("od")) - 1).cast(LongType).as("dow0"),
+        weekofyear(col("od")).cast(LongType).as("iso_week"),
+        trunc(col("od"), "month").as("month_start"),
+        last_day(col("od")).as("month_end"),
+        date_add(col("od"), 30).as("plus30"),
+        add_months(col("od"), 1).as("plus1mo"),
+        datediff(col("od"), lit("1992-01-01").cast(DateType))
+          .cast(LongType).as("days_since_92"))
+      .orderBy("o_orderkey")
+
+  val q36Sql: String =
+    """SELECT o_orderkey, od,
+      |  CAST(year(od) AS BIGINT) AS yr,
+      |  CAST(quarter(od) AS BIGINT) AS qtr,
+      |  CAST(month(od) AS BIGINT) AS mon,
+      |  CAST(dayofmonth(od) AS BIGINT) AS dom,
+      |  CAST(dayofweek(od) AS BIGINT) AS dow0,
+      |  CAST(weekofyear(od) AS BIGINT) AS iso_week,
+      |  date_trunc('month', od) AS month_start,
+      |  last_day(od) AS month_end,
+      |  od + 30 AS plus30,
+      |  CAST(od + INTERVAL 1 MONTH AS DATE) AS plus1mo,
+      |  date_diff('day', DATE '1992-01-01', od) AS days_since_92
+      |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // --------------------------------------------------------------- Q30
   /** Range join with NO equi-key — purchases landing in the 10-minute
     * window after any error event, aggregated per error. The naive
@@ -819,5 +885,7 @@ object CapabilityQueries {
     ("q32_range_join_auto", q32RangeJoinAuto _, Some(q31Sql)),
     ("q33_range_frame", q33RangeFrame _, Some(q33Sql)),
     ("q34_rank_battery", q34RankBattery _, Some(q34Sql)),
+    ("q35_in_exists", q35InExists _, Some(q35Sql)),
+    ("q36_datetime_battery", q36DatetimeBattery _, Some(q36Sql)),
   )
 }
