@@ -495,6 +495,28 @@ object CapabilityQueries {
       .orderBy("error_id", "p_id")
   }
 
+  /** q37: Spark's BUILT-IN watermark-bounded streaming dedup
+    * (`dropDuplicatesWithinWatermark`) — 10k events collapse to their
+    * 750 distinct (user, type) keys; emitting only the keys makes the
+    * survivor choice irrelevant and the answer equal to batch
+    * DISTINCT, which DuckDB recomputes as the oracle. (The custom
+    * digest/index dedup streams are spec-matched elsewhere; this pins
+    * the native operator.) */
+  def q37StreamDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.EventsStream
+    val deduped = EventsStream.readEvents(s, d)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    EventsStream.runToCompletion(s, deduped, "q37_stream_dedup_mem",
+        outputMode = "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  val q37Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val q31Sql: String =
     """SELECT e.event_id AS error_id, p.event_id AS p_id
       |FROM events e JOIN events p
@@ -887,5 +909,6 @@ object CapabilityQueries {
     ("q34_rank_battery", q34RankBattery _, Some(q34Sql)),
     ("q35_in_exists", q35InExists _, Some(q35Sql)),
     ("q36_datetime_battery", q36DatetimeBattery _, Some(q36Sql)),
+    ("q37_stream_dedup", q37StreamDedup _, Some(q37Sql)),
   )
 }

@@ -105,6 +105,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(2L -> 2L, 9L -> 1L))
   }
 
+  test("edit-distance band cover: pairs straddling a band boundary are found") {
+    // lengths 7 vs 10 with lenBand=8: a=7 owns band 0, b=10 owns band 1 —
+    // only the ±maxDist cover explode lets them meet. dist("abcdefg",
+    // "abcdefgxyz") = 3 (appends), within maxDist.
+    val df = Seq(
+        (1L, "blk", "abcdefg"),        // len 7, band 0
+        (2L, "blk", "abcdefgxyz"),     // len 10, band 1, dist 3 from #1
+        (3L, "blk", "abcdefq"),        // len 7, dist 1 from #1 (4 from #2)
+        (4L, "other", "abcdefg"),      // same string, different block
+        (5L, "blk", "zzzzzzzzzzzzzzz") // len 15, far from everything
+      ).toDF("id", "block", "s")
+    val pairs = Dedup.editDistancePairs(df, "id", "s", Seq("block"),
+        maxDist = 3, lenBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L), (1L, 3L, 1L)))
+    // each pair appears exactly once (the cover argument), incl. the
+    // boundary-straddling (1,2)
+  }
+
   test("simhash candidate blocking never produces an N^2 plan (bucket join)") {
     val plan = Dedup.simhashPairs(Tables.documents(spark, sf), "doc_id", "text")
       .queryExecution.executedPlan.toString
