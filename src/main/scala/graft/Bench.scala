@@ -47,12 +47,16 @@ object Bench {
     // truncation, degrade to decisecond precision, then to the slowest 30
     // queries plus an "_others" rollup. Full precision always goes to a
     // local file for the repo's own records.
+    // Locale.ROOT: default-locale format would render a decimal COMMA
+    // on comma-decimal locales and corrupt the JSON
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     def render(entries: Seq[(String, Double)], dp: Int): String = {
       val qs = entries
-        .map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+        .map { case (k, v) => "\"" + k + "\":" + num(v, dp) }
         .mkString("{", ",", "}")
       val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // harness tail is 2000 chars; the sbt "[success] Total time: ..."
     // trailer plus newlines takes ~75, leaving ~1925 for this line

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite equi-key-less time-range joins into the
   * bucketed range join, automatically.
@@ -71,10 +71,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _                        => Seq.empty
   }
 
-  private def isTimestamp(e: Expression): Boolean = e.dataType match {
-    case TimestampType | TimestampNTZType => true
-    case _                                => false
-  }
+  // TIMESTAMP only: bucketOf builds UnixMicros, whose inputTypes is
+  // Seq(TimestampType) — admitting TIMESTAMP_NTZ here would inject an
+  // unresolved expression into the optimized plan (NTZ range joins
+  // keep their native plan until an NTZ micros extraction is added)
+  private def isTimestamp(e: Expression): Boolean =
+    e.dataType == TimestampType
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
@@ -99,10 +101,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             .filter(b =>
               (canEvaluate(b.pt, left) && canEvaluate(b.bound, right)) ||
                 (canEvaluate(b.pt, right) && canEvaluate(b.bound, left)))
-          val matched = for {
-            lo <- bounds.find(_.isLower)
-            hi <- bounds.find(b => !b.isLower && b.pt.semanticEquals(lo.pt))
-          } yield (lo, hi)
+          // try EVERY lower bound — an unrelated timestamp comparison
+          // earlier in the conjunct list must not hide a valid band
+          val matched = bounds.filter(_.isLower)
+            .flatMap(lo => bounds
+              .find(b => !b.isLower && b.pt.semanticEquals(lo.pt))
+              .map(hi => (lo, hi)))
+            .headOption
           matched match {
             case None => j
             case Some((lo, hi)) =>

@@ -499,13 +499,16 @@ object CapabilityQueries {
     * (`dropDuplicatesWithinWatermark`) — 10k events collapse to their
     * 750 distinct (user, type) keys; emitting only the keys makes the
     * survivor choice irrelevant and the answer equal to batch
-    * DISTINCT, which DuckDB recomputes as the oracle. (The custom
-    * digest/index dedup streams are spec-matched elsewhere; this pins
-    * the native operator.) */
+    * DISTINCT, which DuckDB recomputes as the oracle. The horizon is
+    * ≥ the corpus' event-time span (a bounded-backfill contract), so
+    * no key's state can expire between micro-batches and the DISTINCT
+    * equivalence holds for ANY file/batch split — not just the
+    * single-file fixture. (The custom digest/index dedup streams are
+    * spec-matched elsewhere; this pins the native operator.) */
   def q37StreamDedup(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.EventsStream
     val deduped = EventsStream.readEvents(s, d)
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", "90 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
     EventsStream.runToCompletion(s, deduped, "q37_stream_dedup_mem",

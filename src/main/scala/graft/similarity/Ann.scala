@@ -224,8 +224,11 @@ object Ann {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     import graft.corpus.Selection
     val sub = dim / m
-    val seeds = corpus
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    // null/ragged vectors are excluded from SEEDING and TRAINING alike
+    // (the native encode kernel throws on ragged input, and a null
+    // vector would group under a null cell)
+    val usable = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    val seeds = usable
       .orderBy(Selection.hashValue(Selection.saltedKey(col(idCol), salt)),
         col(idCol))
       .limit(k)
@@ -244,7 +247,7 @@ object Ann {
     for (_ <- 0 until iters) {
       // codes for ALL subspaces in one native-kernel call per row; the
       // per-subspace explode then just indexes the codes attribute
-      val withCodes = corpus.withColumn("_pq_codes",
+      val withCodes = usable.withColumn("_pq_codes",
         graft.functions.PqFunctions.pqEncode(col(vecCol), cbs))
       val perSub = array((0 until m).map { j =>
         struct(lit(j).as("j"),

@@ -595,8 +595,9 @@ object PageCursor {
     * array — the body-budget knobs are named *Bytes, so they must
     * count bytes (a `String.length` count undercounts non-ASCII bodies
     * by up to 3×, silently overshooting the driver-heap budget).
-    * Surrogate pairs encode as 4 bytes: the low surrogate's 2-unit
-    * contribution is folded into the high surrogate's branch. */
+    * A surrogate PAIR encodes as 4 bytes — each half contributes 2
+    * (testing only the high half would count the low half's fall-
+    * through as 3 and overcount every supplementary char by 1). */
   def utf8Length(s: String): Long = {
     var n = 0L
     var i = 0
@@ -604,7 +605,7 @@ object PageCursor {
       val c = s.charAt(i)
       n += (if (c < 0x80) 1
             else if (c < 0x800) 2
-            else if (Character.isHighSurrogate(c)) 2 // pair totals 4
+            else if (Character.isSurrogate(c)) 2 // pair totals 4
             else 3)
       i += 1
     }

@@ -12,20 +12,19 @@ object StreamProbe {
     spark.sparkContext.setLogLevel("WARN")
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     for (p <- Seq(32, 32, 8, 4, 2)) {
-      spark.conf.set("spark.sql.shuffle.partitions", p)
       val t0 = System.nanoTime()
       val out = EventsStream.runToCompletion(spark,
         EventsStream.errorPurchasePairs(EventsStream.readEvents(spark, d)),
-        s"probe_j_$p${System.nanoTime()}", outputMode = "append")
+        s"probe_j_$p${System.nanoTime()}", outputMode = "append",
+        statePartitions = p)
       val n = out.count()
       println(f"[probe] join partitions=$p rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     for (p <- Seq(32, 8, 4)) {
-      spark.conf.set("spark.sql.shuffle.partitions", p)
       val t0 = System.nanoTime()
       val out = EventsStream.runToCompletion(spark,
         EventsStream.tumblingHourly(EventsStream.readEvents(spark, d)),
-        s"probe_t_$p${System.nanoTime()}")
+        s"probe_t_$p${System.nanoTime()}", statePartitions = p)
       val n = out.count()
       println(f"[probe] agg partitions=$p rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }

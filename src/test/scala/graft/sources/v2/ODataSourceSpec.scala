@@ -385,6 +385,16 @@ class ODataSourceSpec extends SparkSpec {
       assert(e.getMessage.contains("urlBodyBudgetBytes"))
     } finally server.stop(0)
   }
+
+  test("utf8Length counts real encoded bytes: multi-byte and surrogate pairs") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // ascii, 2-byte, 3-byte, and a supplementary char (surrogate pair,
+    // 4 UTF-8 bytes from 2 UTF-16 units — each half must count 2)
+    for (s <- Seq("plain", "café", "€10", "a😀b", "")) {
+      assert(PageCursor.utf8Length(s) == s.getBytes(UTF_8).length.toLong,
+        s"utf8Length mismatch for ${s.codePoints().toArray.mkString(",")}")
+    }
+  }
 }
 
 object ODataSourceSpec {
