@@ -105,6 +105,23 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(2L -> 2L, 9L -> 1L))
   }
 
+  test("span dedup: first corpus-wide occurrence survives, docs reassemble in order") {
+    val ten = "a b c d e f g h i j"       // one full window
+    val other = "k l m n o p q r s t"
+    val df = Seq(
+        (1L, s"$ten $other"),             // owns both windows
+        (2L, s"$other zz"),               // window 'other' repeats -> keeps only tail
+        (3L, ten),                        // fully deduplicated
+        (4L, "short tail")                // sub-window doc, unique
+      ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", span = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (s"$ten $other", 2L))
+    assert(out(2L) == ("zz", 1L))         // surviving windows keep position order
+    assert(out(3L) == ("", 0L))           // every window was a repeat
+    assert(out(4L) == ("short tail", 1L))
+  }
+
   test("edit-distance band cover: pairs straddling a band boundary are found") {
     // lengths 7 vs 10 with lenBand=8: a=7 owns band 0, b=10 owns band 1 —
     // only the ±maxDist cover explode lets them meet. dist("abcdefg",

@@ -43,6 +43,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"\nplan red flags:\n${offenders.mkString("\n")}")
   }
 
+  /** Scan-dominated queries whose per-row work must stay inside
+    * whole-stage codegen ("*(n)" stages) — a fallen-out-of-codegen
+    * expression here multiplies per-row cost at 100 TB. */
+  private val codegenExpected = Seq("q01_filter_project", "q13_scalar_battery",
+    "q25_string_battery", "t01_lang_id", "t02_quality", "t03_fingerprint",
+    "t05_clean", "t06_repetition", "t07_redact_pii", "t09_normalize")
+
+  test("scan-heavy queries run inside whole-stage codegen") {
+    val offenders = codegenExpected.filter { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // AQE shows final stages (incl. "*(n)") post-execution
+      !df.queryExecution.executedPlan.toString.contains("*(")
+    }
+    assert(offenders.isEmpty, s"no WholeStageCodegen span in: $offenders")
+  }
+
   test("q12 set ops shares its distinct sides via ReusedExchange, not cache") {
     spark.catalog.clearCache() // drop registrations from earlier plan builds
     val df = CapabilityQueries.q12SetOps(spark, sf)
