@@ -92,6 +92,35 @@ class RangeJoinRewriteSpec extends SparkSpec {
       "equi-keyed join must not pay the bucket-cover explode")
   }
 
+  test("an unrelated timestamp comparison does not hide the band") {
+    val ev = Tables.events(spark, sf)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"ts".as("e_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"))
+    // first conjunct is a one-sided bound whose point has no partner;
+    // the real (lower, upper) band follows — the rule must keep looking
+    val q = purchases.join(errors,
+      $"e_ts" <= $"p_ts" + expr("INTERVAL 90 DAYS") &&
+        $"p_ts" >= $"e_ts" && $"p_ts" < $"e_ts" + expr("INTERVAL 10 MINUTES"))
+      .select("error_id", "p_id")
+    val plan = planOf(q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"band hidden by decoy bound:\n$plan")
+    assert(q.collect().toSet == naivePairs.collect().toSet)
+  }
+
+  test("TIMESTAMP_NTZ range joins are left untouched (UnixMicros can't take them)") {
+    val ev = Tables.events(spark, sf).limit(200)
+      .withColumn("nts", $"ts".cast("timestamp_ntz"))
+    val a = ev.select($"event_id".as("a_id"), $"nts".as("a_ts"))
+    val b = ev.select($"event_id".as("b_id"), $"nts".as("b_ts"))
+    val q = a.join(b,
+      $"b_ts" >= $"a_ts" && $"b_ts" < $"a_ts" + expr("INTERVAL 1 MINUTE"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("_rj_bucket"))
+    assert(q.count() > 0) // and the native plan still executes fine
+  }
+
   test("non-temporal joins are left untouched") {
     val ev = Tables.events(spark, sf)
     val a = ev.select($"event_id".as("a_id"), $"value".as("a_v"))
