@@ -148,6 +148,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => EditDistanceJoinRewrite)
     graft.functions.GraftFunctionRegistry.descriptions.foreach(ext.injectFunction)
   }
 }

@@ -874,6 +874,33 @@ object CapabilityQueries {
       |             ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- Q38
+  /** q38: the NAIVE formulation of a fuzzy self-join — the levenshtein
+    * threshold written directly in the join condition, no manual
+    * banding. [[graft.plans.EditDistanceJoinRewrite]] supplies the
+    * length-band blocked plan automatically (q32's pattern for the
+    * edit-distance family); EditDistanceJoinRewriteSpec pins that the
+    * plan is the rewritten one. Scoped to size-1 parts: band-only
+    * blocking over the whole corpus would BE the corpus-wide near-dup
+    * answer — a result-size choice, not a plan limit. */
+  def q38FuzzyJoinAuto(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_size") === 1)
+    val a = p.select(col("p_partkey").as("a_id"), col("p_name").as("a_name"))
+    val b = p.select(col("p_partkey").as("b_id"), col("p_name").as("b_name"))
+    a.join(b,
+        levenshtein(col("a_name"), col("b_name")) <= 2 &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q38Sql: String =
+    """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_size = 1)
+      |SELECT a.p_partkey AS a_id, b.p_partkey AS b_id
+      |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -913,5 +940,6 @@ object CapabilityQueries {
     ("q35_in_exists", q35InExists _, Some(q35Sql)),
     ("q36_datetime_battery", q36DatetimeBattery _, Some(q36Sql)),
     ("q37_stream_dedup", q37StreamDedup _, Some(q37Sql)),
+    ("q38_fuzzy_join_auto", q38FuzzyJoinAuto _, Some(q38Sql)),
   )
 }
