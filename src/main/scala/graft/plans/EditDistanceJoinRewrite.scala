@@ -47,7 +47,11 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def asEditPred(e: Expression): Option[EditPred] = {
     def fromLev(lev: Expression, bound: Int): Option[EditPred] = lev match {
-      case l: Levenshtein if l.left.dataType == StringType &&
+      // plain 2-arg form ONLY: the threshold form returns -1 past its
+      // cutoff, and -1 <= k is TRUE — its predicate matches arbitrarily
+      // distant pairs, which the length-band cover would lose
+      case l: Levenshtein if l.threshold.isEmpty &&
+          l.left.dataType == StringType &&
           l.right.dataType == StringType && bound >= 0 =>
         Some(EditPred(l.left, l.right, bound))
       case _ => None

@@ -79,6 +79,21 @@ class EditDistanceJoinRewriteSpec extends SparkSpec {
     assert(viaJoin == manual && manual.nonEmpty)
   }
 
+  test("THRESHOLD-form levenshtein joins are left untouched (-1 <= k is true)") {
+    // levenshtein(a, b, t) returns -1 past t, and -1 <= k matches
+    // arbitrarily distant pairs — the band cover would lose them, so
+    // the rule must not fire on the 3-arg form
+    val p = Tables.part(spark, sf)
+    val a = p.select($"p_partkey".as("a_id"), $"p_name".as("a_name"))
+    val b = p.select($"p_partkey".as("b_id"), $"p_name".as("b_name"))
+    val q = a.join(b,
+      levenshtein($"a_name", $"b_name", 1) <= 2 && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("_ed_band"))
+    // and the (surprising) native semantics really do include far pairs
+    assert(q.count() > naiveFuzzy.count())
+  }
+
   test("joins with a cross-side equi key are left untouched") {
     val p = Tables.part(spark, sf)
     val a = p.select($"p_partkey".as("a_id"), $"p_name".as("a_name"),
