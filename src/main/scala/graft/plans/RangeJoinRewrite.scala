@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite equi-key-less time-range joins into the
   * bucketed range join, automatically.
@@ -71,12 +71,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _                        => Seq.empty
   }
 
-  // TIMESTAMP only: bucketOf builds UnixMicros, whose inputTypes is
-  // Seq(TimestampType) — admitting TIMESTAMP_NTZ here would inject an
-  // unresolved expression into the optimized plan (NTZ range joins
-  // keep their native plan until an NTZ micros extraction is added)
-  private def isTimestamp(e: Expression): Boolean =
-    e.dataType == TimestampType
+  // TIMESTAMP and DATE: bucketOf builds UnixMicros (inputTypes
+  // Seq(TimestampType)), so DATE operands are cast to timestamp first
+  // (a pure date-date comparison survives analysis as DateType; a
+  // mixed date-timestamp comparison gets its cast from the analyzer
+  // before this rule runs). TIMESTAMP_NTZ is excluded — admitting it
+  // would inject an unresolved UnixMicros into the optimized plan.
+  private def isTemporal(e: Expression): Boolean = e.dataType match {
+    case TimestampType | DateType => true
+    case _                        => false
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
@@ -94,10 +98,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         }
         if (crossSideEqui) j
         else {
-          // candidate bounds: timestamp comparisons whose point lives
+          // candidate bounds: temporal comparisons whose point lives
           // entirely on one side and whose bound on the other
           val bounds = conjuncts.filter(_.deterministic).flatMap(readings)
-            .filter(b => isTimestamp(b.pt) && isTimestamp(b.bound))
+            .filter(b => isTemporal(b.pt) && isTemporal(b.bound))
             .filter(b =>
               (canEvaluate(b.pt, left) && canEvaluate(b.bound, right)) ||
                 (canEvaluate(b.pt, right) && canEvaluate(b.bound, left)))
@@ -114,9 +118,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               val pointLeft = canEvaluate(lo.pt, left)
               val (pointPlan, intervalPlan) = if (pointLeft) (left, right) else (right, left)
 
+              // DATE resolution is a day — a sub-day bucket width would
+              // only multiply interval replicas for no extra selectivity
+              val dayMicros = 86400000000L
+              val effMicros =
+                if (lo.pt.dataType == DateType) math.max(bucketMicros, dayMicros)
+                else bucketMicros
+              def toTs(e: Expression): Expression =
+                if (e.dataType == DateType)
+                  Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
+                else e
               def bucketOf(ts: Expression): Expression =
-                Floor(Divide(Cast(UnixMicros(ts), DoubleType),
-                  Literal(bucketMicros.toDouble)))
+                Floor(Divide(Cast(UnixMicros(toTs(ts)), DoubleType),
+                  Literal(effMicros.toDouble)))
 
               val pBucket = Alias(bucketOf(lo.pt), "_rj_bucket")()
               val pointProj = Project(pointPlan.output :+ pBucket, pointPlan)

@@ -121,6 +121,22 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(q.count() > 0) // and the native plan still executes fine
   }
 
+  test("DATE-typed range joins rewrite with day-floor buckets, exactly") {
+    val o = Tables.orders(spark, sf)
+      .withColumn("od", $"o_orderdate".cast("date")).limit(300)
+    val a = o.select($"o_orderkey".as("a_id"), $"od".as("a_d"))
+    val b = o.select($"o_orderkey".as("b_id"), $"od".as("b_d"))
+    // orders within the 7 days after another order's date
+    def q = a.join(b,
+      $"b_d" >= $"a_d" && $"b_d" < date_add($"a_d", 7) && $"a_id" =!= $"b_id")
+      .select("a_id", "b_id")
+    val plan = planOf(q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"date band did not rewrite:\n$plan")
+    val expected = withRuleDisabled(q.collect().toSet)
+    assert(q.collect().toSet == expected && expected.nonEmpty)
+  }
+
   test("non-temporal joins are left untouched") {
     val ev = Tables.events(spark, sf)
     val a = ev.select($"event_id".as("a_id"), $"value".as("a_v"))
