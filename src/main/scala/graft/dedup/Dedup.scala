@@ -178,6 +178,64 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Exact n-gram Jaccard pairs with PREFIX FILTERING — the classic
+    * lossless candidate reduction for set-similarity joins: two sets
+    * with Jaccard ≥ t MUST share a token inside each set's prefix of
+    * its (|s| − ceil(t·|s|) + 1) rarest tokens under one global token
+    * order (here (document frequency, token) — pigeonhole: missing
+    * every prefix token caps the possible overlap below t). Candidates
+    * are enumerated from prefix tokens only and then verified with the
+    * exact full-set intersection, so the answer is IDENTICAL to
+    * [[ngramJaccardPairs]] (d12 runs under d02's oracle).
+    *
+    * When it helps: corpora whose candidate blow-up comes from
+    * ubiquitous BOILERPLATE shingles (high df, low signal) — those
+    * land in almost no document's prefix, so candidate volume tracks
+    * rarity-weighted similarity. This is the exactness-preserving
+    * counterpart to the lossy `maxDocFreq` cap.
+    *
+    * MEASURED NEGATIVE RESULT on this corpus (tools.JaccardProbe,
+    * sf0.1): 9.0s vs the plain index's 3.7s at 1×, 195s vs 20s at 10×
+    * wholesale duplication — exact copies share their ENTIRE prefix
+    * (no pruning), and the fixture's shingles are already rare, so the
+    * extra df/rank/verify passes never pay for themselves. Kept as
+    * the documented alternative for boilerplate-dominated corpora;
+    * MinHash-LSH (d03/d07) remains the at-scale dedup path here.
+    *
+    * Caching contract: the exploded token table feeds the df count,
+    * the prefix, and the verification joins — cached like the other
+    * pair producers (callers `clearCache()` between corpora). */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1] — prefix filtering needs a positive bound")
+    import org.apache.spark.sql.expressions.Window
+    val tok = withShingles(docs, idCol, textCol, n)
+      .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .cache()
+    val dfreq = tok.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, "s")
+      .withColumn("_pf_rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))))
+      .filter(col("_pf_rn") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + lit(1))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    val aTok = tok.select(col(idCol).as("a_id"), col("s"))
+    val bTok = tok.select(col(idCol).as("b_id"), col("s"))
+    val sizes = tok.select(col(idCol), col("n_sh")).distinct()
+    cand.join(aTok, Seq("a_id")).join(bTok, Seq("b_id", "s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** MinHash signature: k independent 64-bit hashes (xxhash64 seeded by
     * slot index), each the min over the document's shingles.
     * `sh` must be the shingles' 64-bit hashes (`array<long>`) — hashing
