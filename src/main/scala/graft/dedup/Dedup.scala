@@ -186,7 +186,7 @@ object Dedup {
     * every prefix token caps the possible overlap below t). Candidates
     * are enumerated from prefix tokens only and then verified with the
     * exact full-set intersection, so the answer is IDENTICAL to
-    * [[ngramJaccardPairs]] (d12 runs under d02's oracle).
+    * [[ngramJaccardPairs]] (DedupSpec pins pair sets AND scores).
     *
     * When it helps: corpora whose candidate blow-up comes from
     * ubiquitous BOILERPLATE shingles (high df, low signal) — those
@@ -195,14 +195,15 @@ object Dedup {
     * counterpart to the lossy `maxDocFreq` cap.
     *
     * MEASURED NEGATIVE RESULT on this corpus (tools.JaccardProbe,
-    * sf0.1): 9.0s vs the plain index's 3.7s at 1×, 195s vs 20s at 10×
-    * wholesale duplication — exact copies share their ENTIRE prefix
-    * (no pruning), and the fixture's shingles are already rare, so the
-    * extra df/rank/verify passes never pay for themselves. Kept as
-    * the documented alternative for boilerplate-dominated corpora;
-    * MinHash-LSH (d03/d07) remains the at-scale dedup path here.
+    * sf0.1, equal input warmth per op): 6.8s vs the plain index's
+    * 3.3s at 1×, 292s vs 22s at 10× wholesale duplication — exact
+    * copies share their ENTIRE prefix (no pruning), and the fixture's
+    * shingles are already rare, so the extra df/rank/verify passes
+    * never pay for themselves. Kept as the documented alternative for
+    * boilerplate-dominated corpora; MinHash-LSH (d03/d07) remains the
+    * at-scale dedup path here.
     *
-    * Caching contract: the exploded token table feeds the df count,
+    * Caching contract: the shingle frame feeds sizes, the df count,
     * the prefix, and the verification joins — cached like the other
     * pair producers (callers `clearCache()` between corpora). */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
@@ -210,9 +211,9 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1] — prefix filtering needs a positive bound")
     import org.apache.spark.sql.expressions.Window
-    val tok = withShingles(docs, idCol, textCol, n)
+    val shs = withShingles(docs, idCol, textCol, n).cache()
+    val tok = shs
       .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-      .cache()
     val dfreq = tok.groupBy("s").agg(count(lit(1)).as("df"))
     val prefix = tok.join(dfreq, "s")
       .withColumn("_pf_rn", row_number().over(
@@ -225,7 +226,9 @@ object Dedup {
       .distinct()
     val aTok = tok.select(col(idCol).as("a_id"), col("s"))
     val bTok = tok.select(col(idCol).as("b_id"), col("s"))
-    val sizes = tok.select(col(idCol), col("n_sh")).distinct()
+    // sizes come from the pre-explode frame — one row per doc already,
+    // no distinct() shuffle over the exploded token table
+    val sizes = shs.select(col(idCol), size(col("sh")).as("n_sh"))
     cand.join(aTok, Seq("a_id")).join(bTok, Seq("b_id", "s"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")

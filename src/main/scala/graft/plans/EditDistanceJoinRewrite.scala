@@ -87,9 +87,12 @@ object EditDistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         pred match {
           case None => j
           case Some(p) =>
+            // sa's side owns its band; sb's side explodes the cover —
+            // whatever join side each happens to live on (when sa is
+            // on the RIGHT, own must still carry sa, over right)
             val aLeft = canEvaluate(p.sa, left)
-            val (ownPlan, ownStr) = if (aLeft) (left, p.sa) else (right, p.sb)
-            val (coverPlan, coverStr) = if (aLeft) (right, p.sb) else (left, p.sa)
+            val (ownPlan, ownStr) = if (aLeft) (left, p.sa) else (right, p.sa)
+            val (coverPlan, coverStr) = if (aLeft) (right, p.sb) else (left, p.sb)
 
             def band(len: Expression): Expression =
               Floor(Divide(Cast(len, DoubleType), Literal(lenBand.toDouble)))

@@ -25,17 +25,21 @@ object JaccardProbe {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val base = Tables.documents(spark, d)
     for ((tag, docs) <- Seq(("1x", base),
-        (s"${factor}x", replicate(base, factor).cache()))) {
-      docs.count()
+        (s"${factor}x", replicate(base, factor)))) {
       for ((name, fn) <- Seq[(String, DataFrame => DataFrame)](
           ("plain", Dedup.ngramJaccardPairs(_, "doc_id", "text", 3, 0.5)),
           ("prefix", Dedup.ngramJaccardPairsPrefix(_, "doc_id", "text", 3, 0.5)))) {
+        // equal input warmth for every measurement: drop the previous
+        // op's internal caches, then re-pin THIS op's input before the
+        // timer starts (clearCache alone would leave the first op warm
+        // and the second cold)
+        spark.catalog.clearCache()
+        docs.cache().count()
         val t0 = System.nanoTime()
         val n = fn(docs).count()
         println(f"[jp] $tag $name pairs=$n time=${(System.nanoTime() - t0) / 1e9}%.1fs")
-        spark.catalog.clearCache()
       }
-      docs.cache().count() // re-pin the replicated input for the next op
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -79,6 +79,19 @@ class EditDistanceJoinRewriteSpec extends SparkSpec {
     assert(viaJoin == manual && manual.nonEmpty)
   }
 
+  test("reversed argument orientation (right-side string first) rewrites, exactly") {
+    val p = Tables.part(spark, sf)
+    val a = p.select($"p_partkey".as("a_id"), $"p_name".as("a_name"))
+    val b = p.select($"p_partkey".as("b_id"), $"p_name".as("b_name"))
+    // levenshtein's FIRST argument comes from the join's RIGHT side
+    def q = a.join(b,
+      levenshtein($"b_name", $"a_name") <= 3 && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+    val plan = planOf(q)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(q.collect().toSet == naiveFuzzy.collect().toSet)
+  }
+
   test("THRESHOLD-form levenshtein joins are left untouched (-1 <= k is true)") {
     // levenshtein(a, b, t) returns -1 past t, and -1 <= k matches
     // arbitrarily distant pairs — the band cover would lose them, so
