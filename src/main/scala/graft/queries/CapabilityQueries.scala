@@ -901,6 +901,34 @@ object CapabilityQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------------------------- Q39
+  /** q39: multiplicity-preserving set ops (INTERSECT ALL / EXCEPT ALL
+    * — bag semantics q12's distinct variants don't cover: result
+    * multiplicity is min(nA,nB) and max(nA−nB,0) per value). Counts
+    * per surviving value make the bag deterministic to compare. */
+  def q39SetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val a = ev.filter(col("event_type") === "click").select("user_id")
+    val b = ev.filter(col("event_type") === "view").select("user_id")
+    a.intersectAll(b).groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionByName(
+        a.exceptAll(b).groupBy("user_id").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all")))
+      .select("op", "user_id", "n")
+      .orderBy("op", "user_id")
+  }
+
+  val q39Sql: String =
+    """WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+      |     b AS (SELECT user_id FROM events WHERE event_type = 'view')
+      |SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n
+      |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY user_id
+      |UNION ALL
+      |SELECT 'except_all' AS op, user_id, COUNT(*) AS n
+      |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY user_id
+      |ORDER BY op, user_id""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -941,5 +969,6 @@ object CapabilityQueries {
     ("q36_datetime_battery", q36DatetimeBattery _, Some(q36Sql)),
     ("q37_stream_dedup", q37StreamDedup _, Some(q37Sql)),
     ("q38_fuzzy_join_auto", q38FuzzyJoinAuto _, Some(q38Sql)),
+    ("q39_set_ops_all", q39SetOpsAll _, Some(q39Sql)),
   )
 }
