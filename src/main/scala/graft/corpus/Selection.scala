@@ -299,4 +299,30 @@ object Selection {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
+
+  /** Sliding-window document chunking: fixed `chunkSize`-token windows
+    * every `stride` tokens (overlap = chunkSize − stride), the standard
+    * long-document split for fixed context windows. Chunk starts are
+    * 1, 1+stride, 2·stride+1, … ≤ token count, so every token lands in
+    * at least one chunk; trailing windows may be shorter than
+    * `chunkSize` (kept, not dropped). A document with no tokens yields
+    * one empty chunk at start 1 (documents are never silently lost).
+    *
+    * Scale: map-only over the corpus scan — sequence + explode + slice
+    * are per-row; no shuffle, output size ≈ rows × ⌈tokens/stride⌉. */
+  def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    docs
+      .withColumn("_w", TextOps.tokens(col(textCol)))
+      .select(col(idCol),
+        explode(sequence(lit(1), greatest(size(col("_w")), lit(1)),
+          lit(stride))).as("chunk_start"),
+        col("_w"))
+      .select(col(idCol), col("chunk_start").cast(LongType).as("chunk_start"),
+        size(slice(col("_w"), col("chunk_start"), lit(chunkSize)))
+          .cast(LongType).as("n_tokens"),
+        array_join(slice(col("_w"), col("chunk_start"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
 }

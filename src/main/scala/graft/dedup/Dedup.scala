@@ -564,4 +564,23 @@ object Dedup {
         VectorFunctions.cosineSim(col(s"a.$vecCol"), col(s"b.$vecCol")))
       .filter(col("cos") >= threshold)
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+
+  /** SemDeDup-shaped semantic dedup: cluster first (`clusterCol` — an
+    * LSH bucket, k-means cell, or domain label), score ONLY
+    * intra-cluster pairs, keep the smallest-id representative of each
+    * near-dup relation (a row survives iff no smaller-id cluster-mate
+    * sits within `threshold` cosine). Returns the surviving rows of
+    * `emb` with all its columns.
+    *
+    * Scale: the pair stage is [[embeddingNearDupPairs]]'s
+    * shuffle-on-cluster equi-join, so candidate volume is bounded by
+    * the cluster-size distribution (Σ|cluster|²), never corpus² — the
+    * clustering step is what makes semantic dedup feasible at corpus
+    * scale; the final step is one anti-join on id. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    val dropped = embeddingNearDupPairs(emb, idCol, vecCol, clusterCol, threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    emb.join(dropped, Seq(idCol), "left_anti")
+  }
 }

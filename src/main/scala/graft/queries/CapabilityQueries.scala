@@ -929,6 +929,142 @@ object CapabilityQueries {
       |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY user_id
       |ORDER BY op, user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q40
+  /** q40: GROUPING SETS with grouping() — the explicit multi-set form
+    * that rollup (q09) and cube (q21) are shorthands for, plus the
+    * grouping-indicator arithmetic reports use to tell subtotal rows
+    * apart. One SQL string verbatim on both engines (q28/q35 pattern);
+    * COALESCE keeps the ORDER BY free of engine NULL-ordering
+    * differences. Plan: Catalyst expands to a single Expand + hash
+    * aggregate — one shuffle for all four sets. */
+  val q40Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) * 2 +
+      |    CAST(GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, status, priority""".stripMargin
+
+  def q40GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q40Sql)
+  }
+
+  // --------------------------------------------------------------- Q41
+  /** q41: higher-order function battery — transform / filter / exists /
+    * forall / aggregate / zip_with over token arrays, all evaluated
+    * in-row inside the scan's projection (no shuffle, no UDF). Integer
+    * and string outputs only, so both engines hash identically. */
+  def q41HofBattery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_words"),
+        size(filter(col("w"), x => length(x) > 6)).cast(LongType).as("n_long"),
+        exists(col("w"), x => length(x) > 12).as("has_long12"),
+        forall(col("w"), x => length(x) < 40).as("all_short"),
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
+          .as("total_chars"),
+        size(array_distinct(col("w"))).cast(LongType).as("n_distinct"),
+        array_join(transform(slice(col("w"), 1, 3), x => lower(x)), " ")
+          .as("head3"),
+        array_join(zip_with(slice(col("w"), 1, 3),
+          slice(reverse(col("w")), 1, 3),
+          (a, b) => concat_ws("_", a, b)), " ").as("ends_zip"))
+      .orderBy("doc_id")
+
+  val q41Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_words,
+      |  CAST(len(list_filter(w, x -> length(x) > 6)) AS BIGINT) AS n_long,
+      |  len(list_filter(w, x -> length(x) > 12)) > 0 AS has_long12,
+      |  len(list_filter(w, x -> length(x) >= 40)) = 0 AS all_short,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(w, x -> CAST(length(x) AS BIGINT))),
+      |    (a, b) -> a + b) AS BIGINT) AS total_chars,
+      |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |  array_to_string(list_transform(list_slice(w, 1, 3), x -> lower(x)), ' ')
+      |    AS head3,
+      |  array_to_string(list_transform(range(1, least(len(w), 3) + 1),
+      |    i -> list_slice(w, 1, 3)[i] || '_' || list_slice(list_reverse(w), 1, 3)[i]),
+      |    ' ') AS ends_zip
+      |FROM tok ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q42
+  /** q42: time-series gap-fill — per user, a dense hourly grid from
+    * first to last event with zero-filled counts and the last non-null
+    * hourly spend carried forward (sequence + explode for the grid,
+    * left join, last(ignoreNulls) window for the fill — the standard
+    * resample/ffill shape). Scoped to the first week so the grid stays
+    * proportional to the interesting window. One shuffle on user_id;
+    * the grid explode is per-row. */
+  def q42GapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("ts") < lit("2024-01-08").cast(TimestampType))
+      .withColumn("hr", date_trunc("hour", col("ts")))
+    val perHour = ev.groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("spend"))
+    val grid = ev.groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hr"))
+    val wf = Window.partitionBy("user_id").orderBy("hr")
+    grid.join(perHour, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("spend"), ignoreNulls = true).over(wf).as("filled_spend"))
+      .orderBy("user_id", "hr")
+  }
+
+  val q42Sql: String =
+    """WITH ev AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+      |              "value"
+      |            FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+      |ph AS (SELECT user_id, hr, COUNT(*) AS n,
+      |         CAST(SUM(CAST("value" AS DECIMAL(30,2))) AS DOUBLE) AS spend
+      |       FROM ev GROUP BY user_id, hr),
+      |b AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM ev GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      |         FROM b)
+      |SELECT g.user_id AS user_id, g.hr AS hr,
+      |  COALESCE(ph.n, 0) AS n_events,
+      |  last_value(ph.spend IGNORE NULLS)
+      |    OVER (PARTITION BY g.user_id ORDER BY g.hr) AS filled_spend
+      |FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.hr = g.hr
+      |ORDER BY user_id, hr""".stripMargin
+
+  // --------------------------------------------------------------- Q43
+  /** q43: unpivot/melt — wide measures to long (measure, value) rows
+    * via the native Dataset.unpivot (Expand node, no shuffle, no
+    * generator). Values pass through unchanged, so hashing is exact. */
+  def q43Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  val q43Sql: String =
+    """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey <= 100)
+      |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+      |FROM li
+      |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |FROM li
+      |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
+      |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -970,5 +1106,9 @@ object CapabilityQueries {
     ("q37_stream_dedup", q37StreamDedup _, Some(q37Sql)),
     ("q38_fuzzy_join_auto", q38FuzzyJoinAuto _, Some(q38Sql)),
     ("q39_set_ops_all", q39SetOpsAll _, Some(q39Sql)),
+    ("q40_grouping_sets", q40GroupingSets _, Some(q40Sql)),
+    ("q41_hof_battery", q41HofBattery _, Some(q41Sql)),
+    ("q42_gap_fill", q42GapFill _, Some(q42Sql)),
+    ("q43_unpivot", q43Unpivot _, Some(q43Sql)),
   )
 }

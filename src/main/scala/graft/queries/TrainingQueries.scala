@@ -262,6 +262,48 @@ object TrainingQueries {
       |        CAST(b.embedding AS DOUBLE[])) >= 0.45
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** d12: semantic dedup (SemDeDup shape) — cluster the embedding
+    * corpus, then keep the smallest-id representative of every
+    * intra-cluster near-dup relation. The cluster key here is the
+    * portable integer-hyperplane LSH bucket (s06's machinery, 6 bits ≈
+    * 64 cells), so DuckDB reproduces the clustering bit-for-bit and
+    * the cosine prune numerically ([[graft.dedup.Dedup.semanticDedup]]
+    * accepts any cluster key — k-means cells in production). Pair
+    * candidates are bounded by Σ|cluster|², never corpus². */
+  def d12SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      Ann.portableLshBucket(col("embedding"), nBits = 6, dim = 64).as("bucket"))
+    Dedup.semanticDedup(emb, "vec_id", "embedding", "bucket", threshold = 0.4)
+      .select(col("vec_id"), col("bucket"))
+      .orderBy("vec_id")
+  }
+
+  val d12Sql: String = {
+    val coefs = Ann.portableLshCoefs(6, 64)
+    val q = "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(floor(x * 1000000) AS BIGINT))"
+    val bits = coefs.zipWithIndex.map { case (cs, j) =>
+      val arr = cs.mkString("[", ",", "]")
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, 65), i -> q[i] * ($arr)[i])),
+         |    (acc, x) -> acc + x) >= 0
+         |  THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END"""
+        .stripMargin
+    }.mkString(" |\n  ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |  $bits AS bucket
+       |  FROM (SELECT vec_id, embedding, $q AS q FROM embeddings)),
+       |dropped AS (
+       |  SELECT DISTINCT b2.vec_id
+       |  FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+       |  WHERE list_cosine_similarity(CAST(b1.embedding AS DOUBLE[]),
+       |          CAST(b2.embedding AS DOUBLE[])) >= 0.4)
+       |SELECT vec_id, bucket FROM b
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** d06: duplicate clusters — connected components over the exact
     * near-dup pair graph; every doc labeled with its cluster root.
     * Oracle: recursive-CTE transitive closure over the same pairs. */
@@ -930,6 +972,27 @@ object TrainingQueries {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  /** c11: sliding-window chunking — 32-token windows every 24 tokens
+    * (8-token overlap); trailing windows kept short so every token is
+    * covered. Map-only per-row op ([[Selection.chunkSliding]]). */
+  def c11ChunkSliding(s: SparkSession, d: String): DataFrame =
+    Selection.chunkSliding(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_start")
+
+  val c11Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, w,
+      |    unnest(range(1, greatest(len(w), 1) + 1, 24)) AS chunk_start
+      |  FROM tok)
+      |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+      |  CAST(len(list_slice(w, chunk_start, chunk_start + 31)) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(w, chunk_start, chunk_start + 31), ' ') AS chunk_text
+      |FROM st ORDER BY doc_id, chunk_start""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -971,5 +1034,7 @@ object TrainingQueries {
     ("c08_shuffle_shards", c08ShuffleShards _, Some(c08Sql)),
     ("c09_curation_pipeline", c09CurationPipeline _, Some(c09Sql)),
     ("c10_bloom_decontaminate", c10BloomDecontaminate _, Some(c10Sql)),
+    ("c11_chunk_sliding", c11ChunkSliding _, Some(c11Sql)),
+    ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }

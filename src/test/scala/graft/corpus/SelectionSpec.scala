@@ -212,6 +212,32 @@ class SelectionSpec extends SparkSpec {
     assert(parts > 1) // ~125 rows per shard at cap 50
   }
 
+  test("chunkSliding: full coverage, overlap, short tail, empty doc kept") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // shorter than a chunk
+      (3L, "")                                         // no tokens at all
+    ).toDF("doc_id", "text")
+    val out = Selection.chunkSliding(docs, "doc_id", "text",
+      chunkSize = 4, stride = 3)
+    val rows = out.orderBy("doc_id", "chunk_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: starts 1,4,7,10 — last two shorter/degenerate tails
+    assert(rows.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, 4L, "t4 t5 t6 t7"),
+      (1L, 7L, 4L, "t7 t8 t9 t10"),
+      (1L, 10L, 1L, "t10")))
+    // every token of doc 1 appears in at least one chunk
+    val covered = rows.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    // doc 2: single short chunk; doc 3: one empty chunk, doc not lost
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 3L, "a b c")))
+    assert(rows.filter(_._1 == 3L).toSeq == Seq((3L, 1L, 0L, "")))
+    // map-only: no Exchange in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("vocabTopK: counts match a manual count and the plan is a TakeOrdered top-k") {
     val docs = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
     val top = Selection.vocabTopK(docs, "text", 2)

@@ -154,6 +154,26 @@ class DedupSpec extends SparkSpec {
     // boundary-straddling (1,2)
   }
 
+  test("semanticDedup: smallest-id representative survives per cluster, cross-cluster dups untouched") {
+    // cluster 1: vectors 1,2 identical (cos=1), 3 orthogonal;
+    // cluster 2: vector 4 identical to 1 but in another cluster — kept
+    // (semantic dedup only prunes within a cluster, by design).
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(2.0f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "cluster")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", "cluster", 0.9)
+    assert(out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // all original columns survive
+    assert(out.columns.toSeq == Seq("vec_id", "embedding", "cluster"))
+    // threshold above every similarity keeps everything
+    assert(Dedup.semanticDedup(emb, "vec_id", "embedding", "cluster", 1.1)
+      .count() == 4)
+  }
+
   test("simhash candidate blocking never produces an N^2 plan (bucket join)") {
     val plan = Dedup.simhashPairs(Tables.documents(spark, sf), "doc_id", "text")
       .queryExecution.executedPlan.toString
