@@ -1065,6 +1065,79 @@ object CapabilityQueries {
       |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
+  // --------------------------------------------------------------- Q44
+  /** q44: recursive CTE (Spark 4's WITH RECURSIVE) — a monthly
+    * calendar series unfolded by recursion, each month counting its
+    * orders through a correlated scalar subquery (which Catalyst
+    * decorrelates into a join against the series). Empty months stay
+    * in the result — the recursion-based cousin of q42's
+    * sequence-based gap-fill. One SQL string verbatim on both
+    * engines. Scale note: the recursion is 84 driver-side iterations
+    * over a one-row-per-month frame — series generation at scale
+    * belongs to sequence()/explode (q42); this pins the general
+    * fixed-point operator. */
+  val q44Sql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1992-01-01'
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      |  WHERE m < DATE '1998-12-01')
+      |SELECT m,
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE CAST(o_orderdate AS DATE) >= m
+      |     AND CAST(o_orderdate AS DATE) < CAST(m + INTERVAL 1 MONTH AS DATE))
+      |    AS n_orders
+      |FROM months ORDER BY m""".stripMargin
+
+  def q44RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q44Sql)
+  }
+
+  // --------------------------------------------------------------- Q45
+  /** q45: correlated LATERAL subquery — top-1 order per customer via a
+    * per-row ordered+limited derived table (the SQL-standard spelling
+    * of q08's window top-k). Catalyst rewrites the lateral into a
+    * join; customers with no orders drop (inner lateral). Verbatim
+    * SQL on both engines. */
+  val q45Sql: String =
+    """SELECT c_custkey, t.o_orderkey AS top_orderkey,
+      |  t.o_totalprice AS top_price
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |ORDER BY c_custkey""".stripMargin
+
+  def q45Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q45Sql)
+  }
+
+  // --------------------------------------------------------------- Q46
+  /** q46: null-safe equality join — IS NOT DISTINCT FROM as a JOIN
+    * key, where NULL matches NULL (q35 pinned NOT IN's three-valued
+    * trap; this pins the null-SAFE side). Spark plans EqualNullSafe as
+    * a hash-joinable key — null-safe joins get the same shuffle
+    * equi-join as plain equality, not a nested loop. Verbatim SQL on
+    * both engines. */
+  val q46Sql: String =
+    """WITH a AS (SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |                ELSE o_orderstatus END AS s
+      |           FROM orders WHERE o_orderkey <= 50),
+      |b AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |        ELSE o_orderstatus END AS s
+      |      FROM orders WHERE o_orderkey <= 50)
+      |SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key
+      |FROM a JOIN b ON a.s IS NOT DISTINCT FROM b.s
+      |  AND a.o_orderkey <= b.o_orderkey
+      |ORDER BY a_key, b_key""".stripMargin
+
+  def q46NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q46Sql)
+  }
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -1110,5 +1183,8 @@ object CapabilityQueries {
     ("q41_hof_battery", q41HofBattery _, Some(q41Sql)),
     ("q42_gap_fill", q42GapFill _, Some(q42Sql)),
     ("q43_unpivot", q43Unpivot _, Some(q43Sql)),
+    ("q44_recursive_cte", q44RecursiveCte _, Some(q44Sql)),
+    ("q45_lateral", q45Lateral _, Some(q45Sql)),
+    ("q46_null_safe_join", q46NullSafeJoin _, Some(q46Sql)),
   )
 }
