@@ -1138,6 +1138,145 @@ object CapabilityQueries {
     s.sql(q46Sql)
   }
 
+  // --------------------------------------------------------------- Q47
+  /** q47: TPC-H Q15 shape — an aggregated revenue CTE joined back to
+    * its dimension, filtered by a scalar subquery over the same CTE
+    * (top-revenue supplier). The revenue doubles go through the exact
+    * decimal-sum discipline, so the MAX and the equality agree across
+    * engines. Catalyst plans the CTE once per reference with the
+    * scalar as a one-row broadcast. */
+  val q47Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def q47TopRevenue(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q47Sql)
+  }
+
+  // --------------------------------------------------------------- Q48
+  /** q48: TPC-H Q18 shape — large-volume orders: IN over a grouped
+    * HAVING subquery, then a three-table join re-aggregated per order.
+    * The IN subquery plans as a semi-join on orderkey (no
+    * materialized id list). */
+  val q48Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+
+  def q48LargeOrders(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q48Sql)
+  }
+
+  // --------------------------------------------------------------- Q49
+  /** q49: TPC-H Q21 shape — suppliers who were the ONLY late shipper
+    * of a multi-supplier order: EXISTS + NOT EXISTS both correlated to
+    * the outer lineitem AND the outer order (lateness here is shipdate
+    * > orderdate + 60 days; the fixture has no commit/receipt dates).
+    * The hardest decorrelation pattern in the classic suite — both
+    * subqueries become joins on orderkey. */
+  val q49Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT * FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT * FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  def q49WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q49Sql)
+  }
+
+  // --------------------------------------------------------------- Q50
+  /** q50: TPC-H Q22 shape — above-average-balance customers with no
+    * recent orders: an uncorrelated scalar average (exact decimal-sum
+    * form, so the threshold is bit-identical across engines) gating a
+    * NOT EXISTS anti-join, re-aggregated by a derived code. */
+  val q50Sql: String =
+    """WITH eligible AS (
+      |  SELECT c_custkey, c_nationkey % 5 AS code, c_acctbal FROM customer
+      |  WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+      |                       / COUNT(*)
+      |                     FROM customer WHERE c_acctbal > 0.0))
+      |SELECT code, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+      |FROM eligible
+      |WHERE NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1998-06-01')
+      |GROUP BY code ORDER BY code""".stripMargin
+
+  def q50LostCustomers(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q50Sql)
+  }
+
+  // --------------------------------------------------------------- Q51
+  /** q51: map-typed column battery — build a map per user from an
+    * aggregation (map_from_entries over a SORTED entry array, so entry
+    * order is deterministic), then read it back through map_keys /
+    * element_at / map_filter / transform_values. Maps serialize
+    * through to_json for the hash compare (the harness cannot sort
+    * map cells); the oracle reconstructs the same JSON with an
+    * ordered string_agg. */
+  def q51MapBattery(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        to_json(col("m")).as("m_json"),
+        size(col("m")).cast(LongType).as("n_types"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "purchase").as("n_purchase"),
+        to_json(map_filter(col("m"), (_, v) => v >= 15)).as("hot_json"),
+        to_json(transform_values(col("m"), (_, v) => v * 2)).as("x2_json"))
+      .orderBy("user_id")
+  }
+
+  val q51Sql: String =
+    """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  '{' || string_agg(format('"{}":{}', event_type, n), ',' ORDER BY event_type)
+      |    || '}' AS m_json,
+      |  COUNT(*) AS n_types,
+      |  string_agg(event_type, ',' ORDER BY event_type) AS keys,
+      |  MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_purchase,
+      |  '{' || coalesce(string_agg(
+      |      CASE WHEN n >= 15 THEN format('"{}":{}', event_type, n) END,
+      |      ',' ORDER BY event_type), '') || '}' AS hot_json,
+      |  '{' || string_agg(format('"{}":{}', event_type, n * 2),
+      |      ',' ORDER BY event_type) || '}' AS x2_json
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -1186,5 +1325,10 @@ object CapabilityQueries {
     ("q44_recursive_cte", q44RecursiveCte _, Some(q44Sql)),
     ("q45_lateral", q45Lateral _, Some(q45Sql)),
     ("q46_null_safe_join", q46NullSafeJoin _, Some(q46Sql)),
+    ("q47_top_revenue", q47TopRevenue _, Some(q47Sql)),
+    ("q48_large_orders", q48LargeOrders _, Some(q48Sql)),
+    ("q49_waiting_supplier", q49WaitingSupplier _, Some(q49Sql)),
+    ("q50_lost_customers", q50LostCustomers _, Some(q50Sql)),
+    ("q51_map_battery", q51MapBattery _, Some(q51Sql)),
   )
 }
