@@ -114,6 +114,45 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static broadcast join: streaming events enrich against a static dimension, equals batch") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // the static side broadcasts to every micro-batch — the standard
+    // streaming-enrichment shape (no state, no watermark needed)
+    val dim = broadcast(graft.core.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+    val enrich = (ev: org.apache.spark.sql.DataFrame) =>
+      ev.join(dim, Seq("user_id"))
+        .select("event_id", "user_id", "c_mktsegment")
+    val streamed = EventsStream.runToCompletion(spark,
+        enrich(EventsStream.readEvents(spark, sf)),
+        "spec_stream_static", outputMode = "append")
+    val batch = enrich(graft.core.Tables.events(spark, sf))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sliding-window chunking runs stateless on a document stream, equals batch") {
+    import graft.corpus.Selection
+    val chunk = (df: org.apache.spark.sql.DataFrame) =>
+      Selection.chunkSliding(df, "doc_id", "text", chunkSize = 32, stride = 24)
+    val q = chunk(EventsStream.readDocuments(spark, sf))
+      .writeStream.format("memory").queryName("spec_chunk_stream")
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_ckpt_chunk").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spec_chunk_stream")
+    val batch = chunk(spark.read
+      .schema(EventsStream.documentsRawSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("corpus selection composes with streaming: split + PII redaction on a document stream equals batch") {
     import graft.corpus.Selection
     import graft.functions.TextOps
