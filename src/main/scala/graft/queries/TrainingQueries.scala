@@ -940,6 +940,41 @@ object TrainingQueries {
       |    AS VARCHAR) AS feature_json
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** m03: frame sampling — every 3rd 64-byte block of the binary
+    * payload ([[graft.multimodal.Multimodal.sampleFrames]], the video
+    * frame-extraction stand-in; slicing/batch shape is the real
+    * contract). Frames are binary, so the compared row carries their
+    * byte length + md5 hex. Scoped to ASCII payloads (byte slicing ==
+    * char slicing) so the DuckDB oracle can reproduce each frame with
+    * VARCHAR substring — its substring cannot slice BLOBs. */
+  def m03FrameSample(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val ascii = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id").as("media_id"))
+    Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d),
+        frameBytes = 64, stride = 3)
+      .join(ascii, Seq("media_id"), "left_semi")
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).cast(LongType).as("frame_bytes"),
+        md5(col("frame")).as("frame_digest"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val m03Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+      |           WHERE octet_length(encode(text)) = length(text)),
+      |idx AS (SELECT media_id, text,
+      |          unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 3))
+      |            AS frame_idx
+      |        FROM m)
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(length(substring(text, 1 + CAST(frame_idx AS BIGINT) * 64, 64))
+      |    AS BIGINT) AS frame_bytes,
+      |  md5(substring(text, 1 + CAST(frame_idx AS BIGINT) * 64, 64))
+      |    AS frame_digest
+      |FROM idx ORDER BY media_id, frame_idx""".stripMargin
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -1024,6 +1059,7 @@ object TrainingQueries {
     ("s08_pq_portable", s08PqPortable _, Some(s08Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
+    ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),
