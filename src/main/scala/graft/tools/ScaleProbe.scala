@@ -71,6 +71,63 @@ object ScaleProbe {
       }
       docs.unpersist(); emb.unpersist()
     }
+
+    // AQE skew-join scenario: a fact table where ONE key owns ~half the
+    // rows, shuffle-joined (broadcast disabled) against its dimension.
+    // Plain Spark would put the hot key's whole partition on one task;
+    // AQE's skew-join splits it at runtime (OptimizeSkewedJoin) — the
+    // plan prints the skew marker and wall time stays near the
+    // balanced join's. The salted join is the manual equivalent for
+    // engines/paths where AQE can't apply.
+    {
+      val ev = Tables.events(spark, sfDir)
+      val skewed = ev.withColumn("user_id",
+          when(col("event_id") % 10 < 9, lit(7L)).otherwise(col("user_id")))
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      skewed.count()
+      // dimension must reach the join through a PLAIN ensure-requirements
+      // shuffle: a distinct()/aggregate on the join key would sit between
+      // the shuffle stage and the join and OptimizeSkewedJoin's pattern
+      // (Sort directly over the shuffle stage) would never match
+      val dim = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("user_id"),
+          (col("c_custkey") % 5).as("tier"))
+      // fixture-scale knobs: the hot key is ~MBs here, not the 256 MB
+      // production default — scale the skew thresholds down in the same
+      // ratio so the probe exercises the REAL mechanism (at cluster
+      // scale the defaults fire for genuinely large partitions)
+      val tuned = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2")
+      val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        // aggregate over props so the fact payload actually rides the
+        // shuffle — with only the 8-byte key, column pruning + lz4
+        // would compress the hot partition below any skew threshold
+        val joined = skewed.join(dim, Seq("user_id"))
+          .groupBy("tier").agg(count(lit(1)).as("n"),
+            sum(length(col("props"))).as("payload"))
+        // collect() (not count()) so the inspected QueryExecution is the
+        // one that ran — count() wraps the frame in its own new plan
+        time("skewed shuffle join (AQE)") { joined.collect().length.toLong }
+        val marker = joined.queryExecution.executedPlan.toString
+        println(s"[probe] AQE skew split applied: ${marker.contains("skew=true")}")
+        marker.linesIterator.filter(l => l.contains("Join") || l.contains("skew"))
+          .foreach(l => println(s"[probe]   ${l.trim.take(110)}"))
+        time("salted join (manual)") {
+          graft.operators.Scale.saltedJoin(skewed, dim, "user_id", 16)
+            .groupBy("tier").agg(count(lit(1)).as("n")).count()
+        }
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      skewed.unpersist()
+    }
     spark.stop()
   }
 }
