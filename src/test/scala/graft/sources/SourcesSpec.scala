@@ -93,6 +93,46 @@ class SourcesSpec extends SparkSpec {
       .select("deviceName").collect().head.getString(0)) // untouched survives
   }
 
+  test("record-level error policy: PERMISSIVE quarantines, DROPMALFORMED skips, FAILFAST throws") {
+    // the record-level analog of the reference's entity-level skip
+    // policy (O9, MD-PS:151-162): one bad record must not abandon the
+    // batch unless the caller asked for exactly that
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("badrec").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/rows.json"),
+      """{"id": 1, "name": "ok"}
+        |{"id": "NOT_A_NUMBER", "name": "bad"}
+        |{"id": 3, "name": "also ok"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(dir).cache()
+    try {
+      assert(permissive.count() == 3)
+      val bad = permissive.filter(permissive("_corrupt_record").isNotNull)
+      assert(bad.count() == 1)
+      // the malformed row keeps its raw text for quarantine/replay and
+      // its typed columns are null
+      val r = bad.collect().head
+      assert(r.getAs[String]("_corrupt_record").contains("NOT_A_NUMBER"))
+      assert(r.isNullAt(r.fieldIndex("id")))
+    } finally permissive.unpersist()
+
+    val dropped = spark.read
+      .schema(StructType(schema.fields.filter(_.name != "_corrupt_record")))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+
+    val failfast = spark.read
+      .schema(StructType(schema.fields.filter(_.name != "_corrupt_record")))
+      .option("mode", "FAILFAST").json(dir)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
   test("parquet append mode accumulates batches") {
     val path = Files.createTempDirectory("graft_app").resolve("t").toString
     val r = Tables.region(spark, sf)
