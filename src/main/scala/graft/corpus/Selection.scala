@@ -313,6 +313,12 @@ object Selection {
   def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    // stride > chunkSize would silently SKIP the tokens between windows
+    // — that's sampling, not chunking, and it breaks the every-token-
+    // covered contract (callers wanting subsampling: Multimodal
+    // .sampleFrames is the intentional-gaps operator)
+    require(stride <= chunkSize,
+      s"stride=$stride must be <= chunkSize=$chunkSize for full coverage")
     docs
       .withColumn("_w", TextOps.tokens(col(textCol)))
       .select(col(idCol),

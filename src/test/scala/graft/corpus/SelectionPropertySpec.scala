@@ -80,6 +80,40 @@ class SelectionPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunkSliding covers every token; stride==chunkSize reconstructs the document") {
+    val cfg = for {
+      nTok <- Gen.chooseNum(0, 60)
+      chunk <- Gen.chooseNum(1, 20)
+      stride <- Gen.chooseNum(1, chunk) // > chunk is rejected (coverage gap)
+    } yield (nTok, chunk, stride)
+    forSeeds(cfg, n = 15) { case (nTok, chunk, stride) =>
+      val text = (1 to nTok).map(i => s"w$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val rows = Selection.chunkSliding(df, "doc_id", "text", chunk, stride)
+        .orderBy("chunk_start").collect()
+      // chunk starts are exactly 1, 1+stride, … ≤ max(nTok, 1)
+      val starts = rows.map(_.getLong(1)).toSeq
+      assert(starts == (1L to math.max(nTok, 1).toLong by stride.toLong))
+      // every token appears in at least one chunk (full coverage)
+      val covered = rows.flatMap(_.getString(3).split(" ")).filter(_.nonEmpty)
+      assert(covered.toSet == (1 to nTok).map(i => s"w$i").toSet)
+      // non-overlapping chunks concatenate back to the original document
+      if (stride == chunk)
+        assert(covered.mkString(" ") == text)
+      // n_tokens is the real token count of each chunk text
+      rows.foreach { r =>
+        assert(r.getLong(2) ==
+          r.getString(3).split(" ").count(_.nonEmpty).toLong)
+      }
+    }
+    // stride > chunkSize is rejected up front (it would silently skip
+    // the tokens between windows — the property that caught it)
+    intercept[IllegalArgumentException] {
+      Selection.chunkSliding(Seq((1L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 2, stride = 3)
+    }
+  }
+
   test("property: mixtureResample output size is exactly sum of per-row reps") {
     val cfg = for {
       ids <- idsGen
