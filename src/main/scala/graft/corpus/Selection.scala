@@ -303,10 +303,12 @@ object Selection {
   /** Sliding-window document chunking: fixed `chunkSize`-token windows
     * every `stride` tokens (overlap = chunkSize − stride), the standard
     * long-document split for fixed context windows. Chunk starts are
-    * 1, 1+stride, 2·stride+1, … ≤ token count, so every token lands in
-    * at least one chunk; trailing windows may be shorter than
-    * `chunkSize` (kept, not dropped). A document with no tokens yields
-    * one empty chunk at start 1 (documents are never silently lost).
+    * 1, 1+stride, 2·stride+1, … ≤ max(n − chunkSize + stride, 1): every
+    * token lands in at least one chunk, the final window may be shorter
+    * than `chunkSize`, and a lattice start whose window is FULLY
+    * contained in the previous window is not emitted (it would
+    * duplicate training text). A document with no tokens yields one
+    * empty chunk at start 1 (documents are never silently lost).
     *
     * Scale: map-only over the corpus scan — sequence + explode + slice
     * are per-row; no shuffle, output size ≈ rows × ⌈tokens/stride⌉. */
@@ -322,7 +324,11 @@ object Selection {
     docs
       .withColumn("_w", TextOps.tokens(col(textCol)))
       .select(col(idCol),
-        explode(sequence(lit(1), greatest(size(col("_w")), lit(1)),
+        // upper bound n − chunkSize + stride: the first lattice start
+        // at or past it already covers token n, anything later is a
+        // window fully inside its predecessor (pure duplication)
+        explode(sequence(lit(1),
+          greatest(size(col("_w")) - (chunkSize - stride), lit(1)),
           lit(stride))).as("chunk_start"),
         col("_w"))
       .select(col(idCol), col("chunk_start").cast(LongType).as("chunk_start"),

@@ -1255,7 +1255,10 @@ object CapabilityQueries {
         to_json(col("m")).as("m_json"),
         size(col("m")).cast(LongType).as("n_types"),
         array_join(map_keys(col("m")), ",").as("keys"),
-        element_at(col("m"), "purchase").as("n_purchase"),
+        // try_element_at: ANSI mode (Spark 4 default) makes plain
+        // element_at THROW on a missing key; the oracle's MAX(CASE)
+        // yields NULL — try_ is the matching null semantics
+        try_element_at(col("m"), lit("purchase")).as("n_purchase"),
         to_json(map_filter(col("m"), (_, v) => v >= 15)).as("hot_json"),
         to_json(transform_values(col("m"), (_, v) => v * 2)).as("x2_json"))
       .orderBy("user_id")

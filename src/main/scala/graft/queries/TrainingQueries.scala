@@ -279,17 +279,7 @@ object TrainingQueries {
   }
 
   val d12Sql: String = {
-    val coefs = Ann.portableLshCoefs(6, 64)
-    val q = "list_transform(CAST(embedding AS DOUBLE[]), " +
-      "x -> CAST(floor(x * 1000000) AS BIGINT))"
-    val bits = coefs.zipWithIndex.map { case (cs, j) =>
-      val arr = cs.mkString("[", ",", "]")
-      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(1, 65), i -> q[i] * ($arr)[i])),
-         |    (acc, x) -> acc + x) >= 0
-         |  THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END"""
-        .stripMargin
-    }.mkString(" |\n  ")
+    val (q, bits) = duckLshBucket(nBits = 6, dim = 64)
     s"""WITH b AS (
        |  SELECT vec_id, embedding,
        |  $bits AS bucket
@@ -594,18 +584,28 @@ object TrainingQueries {
           .as("bucket"))
       .orderBy("vec_id")
 
-  val s06Sql: String = {
-    val coefs = Ann.portableLshCoefs(8, 64)
+  /** The ONE rendering of [[Ann.portableLshBucket]]'s quantize → dot →
+    * sign → bit-pack machinery in DuckDB SQL (the duckHash discipline:
+    * determinism-critical oracle expressions are generated once).
+    * Returns (quantize expr over `embedding`, bit-pack expr over its
+    * alias `q`). */
+  private def duckLshBucket(nBits: Int, dim: Int): (String, String) = {
+    val coefs = Ann.portableLshCoefs(nBits, dim)
     val q = "list_transform(CAST(embedding AS DOUBLE[]), " +
       "x -> CAST(floor(x * 1000000) AS BIGINT))"
     val bits = coefs.zipWithIndex.map { case (cs, j) =>
       val arr = cs.mkString("[", ",", "]")
       s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(1, 65), i -> q[i] * ($arr)[i])),
+         |    list_transform(range(1, ${dim + 1}), i -> q[i] * ($arr)[i])),
          |    (acc, x) -> acc + x) >= 0
          |  THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END"""
         .stripMargin
     }.mkString(" |\n  ")
+    (q, bits)
+  }
+
+  val s06Sql: String = {
+    val (q, bits) = duckLshBucket(nBits = 8, dim = 64)
     s"""SELECT vec_id,
        |  $bits AS bucket
        |FROM (SELECT vec_id, $q AS q FROM embeddings)
@@ -952,9 +952,13 @@ object TrainingQueries {
     val ascii = Tables.documents(s, d)
       .filter(octet_length(col("text")) === length(col("text")))
       .select(col("doc_id").as("media_id"))
-    Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d),
-        frameBytes = 64, stride = 3)
-      .join(ascii, Seq("media_id"), "left_semi")
+    // semi-join BEFORE frame extraction: excluded payloads are never
+    // sliced (the scale-shape contract this query documents)
+    val media = Multimodal.mediaFromDocuments(s, d)
+    val asciiMedia = media.join(ascii, Seq("media_id"), "left_semi")
+      .as[Multimodal.MediaRecord](
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    Multimodal.sampleFrames(asciiMedia, frameBytes = 64, stride = 3)
       .select(col("media_id"), col("frame_idx"),
         length(col("frame")).cast(LongType).as("frame_bytes"),
         md5(col("frame")).as("frame_digest"))
@@ -1008,8 +1012,10 @@ object TrainingQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** c11: sliding-window chunking — 32-token windows every 24 tokens
-    * (8-token overlap); trailing windows kept short so every token is
-    * covered. Map-only per-row op ([[Selection.chunkSliding]]). */
+    * (8-token overlap); the final window may run short but a window
+    * fully contained in its predecessor is not emitted (start lattice
+    * bounded by n − 32 + 24). Map-only per-row op
+    * ([[Selection.chunkSliding]]). */
   def c11ChunkSliding(s: SparkSession, d: String): DataFrame =
     Selection.chunkSliding(Tables.documents(s, d), "doc_id", "text",
         chunkSize = 32, stride = 24)
@@ -1021,7 +1027,7 @@ object TrainingQueries {
       |  FROM documents),
       |st AS (
       |  SELECT doc_id, w,
-      |    unnest(range(1, greatest(len(w), 1) + 1, 24)) AS chunk_start
+      |    unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS chunk_start
       |  FROM tok)
       |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
       |  CAST(len(list_slice(w, chunk_start, chunk_start + 31)) AS BIGINT) AS n_tokens,

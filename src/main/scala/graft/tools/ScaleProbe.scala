@@ -72,8 +72,8 @@ object ScaleProbe {
       docs.unpersist(); emb.unpersist()
     }
 
-    // AQE skew-join scenario: a fact table where ONE key owns ~half the
-    // rows, shuffle-joined (broadcast disabled) against its dimension.
+    // AQE skew-join scenario: a fact table where ONE key owns ~90% of
+    // the rows, shuffle-joined (broadcast disabled) against its dimension.
     // Plain Spark would put the hot key's whole partition on one task;
     // AQE's skew-join splits it at runtime (OptimizeSkewedJoin) — the
     // plan prints the skew marker and wall time stays near the
@@ -119,8 +119,13 @@ object ScaleProbe {
         marker.linesIterator.filter(l => l.contains("Join") || l.contains("skew"))
           .foreach(l => println(s"[probe]   ${l.trim.take(110)}"))
         time("salted join (manual)") {
+          // identical aggregate to the AQE branch — without the props
+          // payload the salted shuffle would carry only 8-byte keys and
+          // the two timings would measure different workloads
           graft.operators.Scale.saltedJoin(skewed, dim, "user_id", 16)
-            .groupBy("tier").agg(count(lit(1)).as("n")).count()
+            .groupBy("tier").agg(count(lit(1)).as("n"),
+              sum(length(col("props"))).as("payload"))
+            .count()
         }
       } finally prev.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)

@@ -14,7 +14,7 @@ object SqlProbe {
       try spark.sql(sql).show(10, truncate = false)
       catch { case e: Throwable =>
         println(s"FAILED: ${e.getClass.getSimpleName}: " +
-          e.getMessage.linesIterator.take(4).mkString(" | "))
+          String.valueOf(e.getMessage).linesIterator.take(4).mkString(" | "))
       }
     }
     spark.stop()

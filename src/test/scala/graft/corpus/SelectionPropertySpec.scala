@@ -91,12 +91,21 @@ class SelectionPropertySpec extends SparkSpec {
       val df = Seq((1L, text)).toDF("doc_id", "text")
       val rows = Selection.chunkSliding(df, "doc_id", "text", chunk, stride)
         .orderBy("chunk_start").collect()
-      // chunk starts are exactly 1, 1+stride, … ≤ max(nTok, 1)
+      // chunk starts: the stride lattice, bounded so no window is fully
+      // contained in its predecessor
       val starts = rows.map(_.getLong(1)).toSeq
-      assert(starts == (1L to math.max(nTok, 1).toLong by stride.toLong))
+      assert(starts ==
+        (1L to math.max(nTok - (chunk - stride), 1).toLong by stride.toLong))
       // every token appears in at least one chunk (full coverage)
       val covered = rows.flatMap(_.getString(3).split(" ")).filter(_.nonEmpty)
       assert(covered.toSet == (1 to nTok).map(i => s"w$i").toSet)
+      // no chunk's window is a subset of the previous chunk's window
+      rows.sliding(2).foreach {
+        case Array(prev, cur) =>
+          assert(cur.getLong(1) + cur.getLong(2) >
+            prev.getLong(1) + prev.getLong(2))
+        case _ => ()
+      }
       // non-overlapping chunks concatenate back to the original document
       if (stride == chunk)
         assert(covered.mkString(" ") == text)

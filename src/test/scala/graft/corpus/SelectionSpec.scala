@@ -222,12 +222,13 @@ class SelectionSpec extends SparkSpec {
       chunkSize = 4, stride = 3)
     val rows = out.orderBy("doc_id", "chunk_start")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-    // doc 1: starts 1,4,7,10 — last two shorter/degenerate tails
+    // doc 1: start lattice bounded by n−chunk+stride = 9 → 1,4,7; the
+    // lattice point 10 is NOT emitted (its window ⊆ window 7 — pure
+    // duplicate text)
     assert(rows.filter(_._1 == 1L).toSeq == Seq(
       (1L, 1L, 4L, "t1 t2 t3 t4"),
       (1L, 4L, 4L, "t4 t5 t6 t7"),
-      (1L, 7L, 4L, "t7 t8 t9 t10"),
-      (1L, 10L, 1L, "t10")))
+      (1L, 7L, 4L, "t7 t8 t9 t10")))
     // every token of doc 1 appears in at least one chunk
     val covered = rows.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
