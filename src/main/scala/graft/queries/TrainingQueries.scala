@@ -1034,6 +1034,90 @@ object TrainingQueries {
       |  array_to_string(list_slice(w, chunk_start, chunk_start + 31), ' ') AS chunk_text
       |FROM st ORDER BY doc_id, chunk_start""".stripMargin
 
+  /** c13: the flagship end-to-end pretraining pipeline — NFC normalize
+    * → PII redact → clean (lower, digits→`<num>`, whitespace collapse)
+    * → quality gate (token count + distinct ratio) → exact dedup (min
+    * id per text) → benchmark decontamination (3-gram overlap with the
+    * held-out eval slice) → sliding-window chunking → split
+    * assignment. Every stage is an operator this engine ships
+    * individually (t09 t07 t05 t02 d01 c03 c11 c01); this query pins
+    * their COMPOSITION, oracle-checked end to end. Redaction runs
+    * before cleaning (digit scrubbing would destroy the PII patterns).
+    *
+    * Plan shape: one map-only projection chain over the scan, a hash
+    * agg for dedup, a broadcast semi-join for decontamination, a
+    * per-row explode for chunking — two shuffles total (dedup group,
+    * decontaminate report), everything else stays in the scan's
+    * codegen span. */
+  def c13PretrainPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.UnicodeFunctions
+    val prepped = Tables.documents(s, d).select(col("doc_id"),
+      lower(regexp_replace(regexp_replace(trim(
+          TextOps.redactPii(UnicodeFunctions.nfcNormalize(col("text")))),
+        "[0-9]+", "<num>"), "\\s+", " ")).as("t"))
+    val gated = prepped.filter(
+      TextOps.tokenCount(col("t")).between(20, 1000) &&
+        TextOps.distinctRatio(col("t")) >= 0.3)
+    val deduped = gated.groupBy("t").agg(min(col("doc_id")).as("doc_id"))
+    val cleanTrain = Selection.decontaminate(
+      deduped.filter(col("doc_id") % 97 =!= 0),
+      deduped.filter(col("doc_id") % 97 === 0), "doc_id", "t", n = 3)
+    val chunks = Selection.chunkSliding(cleanTrain, "doc_id", "t",
+      chunkSize = 32, stride = 24)
+    Selection.assignSplits(chunks, "doc_id")
+      .select("doc_id", "split", "chunk_start", "n_tokens", "chunk_text")
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  val c13Sql: String = {
+    val b = duckBucket("'graft:' || CAST(doc_id AS VARCHAR)", 100)
+    s"""WITH prepped AS (
+       |  SELECT doc_id,
+       |    lower(regexp_replace(regexp_replace(trim(
+       |      regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+       |        '${TextOps.EmailRe}', '<email>', 'g'),
+       |        '${TextOps.Ipv4Re}', '<ip>', 'g'),
+       |        '${TextOps.PhoneRe}', '<phone>', 'g')),
+       |      '[0-9]+', '<num>', 'g'), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |gated AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, t,
+       |      list_filter(string_split(t, ' '), x -> x <> '') AS w
+       |    FROM prepped)
+       |  WHERE len(w) BETWEEN 20 AND 1000
+       |    AND len(list_distinct(w)) / len(w) >= 0.3),
+       |dedup AS (SELECT MIN(doc_id) AS doc_id, t FROM gated GROUP BY t),
+       |sh AS (
+       |  SELECT doc_id, w, list_distinct(list_transform(range(1, len(w)-1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+       |        FROM dedup)),
+       |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+       |bad AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0) a
+       |  JOIN ev ON a.s = ev.s),
+       |train AS (
+       |  SELECT doc_id, w FROM sh
+       |  WHERE doc_id % 97 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
+       |st AS (
+       |  SELECT doc_id, w,
+       |    unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS chunk_start
+       |  FROM train)
+       |SELECT doc_id,
+       |  CASE WHEN $b < 80 THEN 'train'
+       |       WHEN $b < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST(chunk_start AS BIGINT) AS chunk_start,
+       |  CAST(len(list_slice(w, chunk_start, chunk_start + 31)) AS BIGINT)
+       |    AS n_tokens,
+       |  array_to_string(list_slice(w, chunk_start, chunk_start + 31), ' ')
+       |    AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_start""".stripMargin
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -1077,6 +1161,7 @@ object TrainingQueries {
     ("c09_curation_pipeline", c09CurationPipeline _, Some(c09Sql)),
     ("c10_bloom_decontaminate", c10BloomDecontaminate _, Some(c10Sql)),
     ("c11_chunk_sliding", c11ChunkSliding _, Some(c11Sql)),
+    ("c13_pretrain_pipeline", c13PretrainPipeline _, Some(c13Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }
