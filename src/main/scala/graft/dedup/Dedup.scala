@@ -178,6 +178,39 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Directed n-gram containment pairs: C(src→dst) = |sh(src) ∩
+    * sh(dst)| / |sh(src)| ≥ threshold — the ASYMMETRIC near-dup
+    * relation Jaccard misses: a short document quoted verbatim inside
+    * a long one scores containment ≈ 1 in that direction but low
+    * Jaccard (the union is dominated by the long side). The standard
+    * quote/inclusion detector for training corpora.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] (shuffle on
+    * shingle, never N²); each undirected candidate yields both
+    * directions, threshold-filtered. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val tok = withShingles(docs, idCol, textCol, n)
+      .filter(size(col("sh")) > 0)
+    val sizes = tok.select(col(idCol), size(col("sh")).as("n_sh"))
+    val inv = tok.select(col(idCol), explode(col("sh")).as("s"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed(idCol, "a_id")
+        .withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed(idCol, "b_id")
+        .withColumnRenamed("n_sh", "nb"), "b_id")
+    pairs.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        (col("inter") / col("na")).as("containment"))
+      .unionByName(pairs.select(col("b_id").as("src_id"),
+        col("a_id").as("dst_id"),
+        (col("inter") / col("nb")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING — the classic
     * lossless candidate reduction for set-similarity joins: two sets
     * with Jaccard ≥ t MUST share a token inside each set's prefix of

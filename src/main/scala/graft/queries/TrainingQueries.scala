@@ -294,6 +294,38 @@ object TrainingQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** d13: directed shingle containment — the asymmetric inclusion
+    * relation (short doc quoted inside a long one) at ≥ 0.8; both
+    * directions of every candidate scored
+    * ([[graft.dedup.Dedup.ngramContainmentPairs]]). */
+  def d13Containment(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("src_id", "dst_id")
+
+  val d13Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |ne AS (SELECT doc_id, sh FROM tok WHERE len(sh) > 0),
+      |cnt AS (SELECT doc_id, len(sh) AS n FROM ne),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM ne) a
+      |  JOIN (SELECT doc_id, unnest(sh) AS s FROM ne) b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT a_id AS src_id, b_id AS dst_id, inter / ca.n AS containment
+      |  FROM p JOIN cnt ca ON ca.doc_id = a_id
+      |  UNION ALL
+      |  SELECT b_id, a_id, inter / cb.n
+      |  FROM p JOIN cnt cb ON cb.doc_id = b_id)
+      |SELECT src_id, dst_id, containment FROM d
+      |WHERE containment >= 0.8 ORDER BY src_id, dst_id""".stripMargin
+
   /** d06: duplicate clusters — connected components over the exact
     * near-dup pair graph; every doc labeled with its cluster root.
     * Oracle: recursive-CTE transitive closure over the same pairs. */
@@ -1128,6 +1160,7 @@ object TrainingQueries {
     ("d09_incremental_dedup", d09IncrementalDedup _, Some(d09Sql)),
     ("d10_span_dedup", d10SpanDedup _, Some(d10Sql)),
     ("d11_edit_distance", d11EditDistance _, Some(d11Sql)),
+    ("d13_containment", d13Containment _, Some(d13Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
     ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),
     ("t01_lang_id", t01LangId _, Some(t01Sql)),

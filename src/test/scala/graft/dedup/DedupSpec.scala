@@ -154,6 +154,19 @@ class DedupSpec extends SparkSpec {
     // boundary-straddling (1,2)
   }
 
+  test("containment: a quoted short doc scores 1.0 toward its host, jaccard stays low") {
+    val short_ = "alpha beta gamma delta epsilon"              // 3 shingles
+    val long_ = short_ + " " + (1 to 40).map(i => s"f$i").mkString(" ")
+    val docs = Seq((1L, short_), (2L, long_), (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // short ⊂ long: containment 1.0 in exactly that direction
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    // the symmetric measure misses this pair entirely at the same bar
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).count() == 0)
+  }
+
   test("semanticDedup: smallest-id representative survives per cluster, cross-cluster dups untouched") {
     // cluster 1: vectors 1,2 identical (cos=1), 3 orthogonal;
     // cluster 2: vector 4 identical to 1 but in another cluster — kept
