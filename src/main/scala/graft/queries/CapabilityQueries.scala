@@ -1280,6 +1280,82 @@ object CapabilityQueries {
       |      ',' ORDER BY event_type) || '}' AS x2_json
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- Q52
+  /** q52: statistical moments battery — sample variance, stddev, and
+    * Pearson correlation per group, DERIVED from exact decimal sums
+    * (Σx, Σy, Σx², Σy², Σxy) cast to double once, then one identical
+    * IEEE expression on both engines. The built-in corr/var_samp
+    * aggregate in parallel partial order, so their raw doubles are not
+    * hash-comparable across engines — the moment form is (and a spec
+    * pins it against Spark's built-ins to 1e-9). Variable pair chosen
+    * so every moment sum stays under 2^53 decimal UNITS at any SF
+    * (quantity ≤ 50, discount ≤ 0.10): a sum like Σprice² overflows
+    * exact double range and the engines' decimal→double rounding then
+    * differs by an ulp. Map-side partial aggregation applies to every
+    * sum. */
+  def q52StatsBattery(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_discount")).as("sy"),
+        dsum(col("l_quantity") * col("l_quantity"), 4).as("sxx"),
+        dsum(col("l_discount") * col("l_discount"), 4).as("syy"),
+        dsum(col("l_quantity") * col("l_discount"), 4).as("sxy"))
+    li.select(col("l_returnflag"),
+        col("n").cast(LongType).as("n_rows"),
+        (col("sx") / col("n")).as("mean_qty"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1.0)))).as("var_qty"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1.0)))).as("stddev_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val q52Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity*l_discount AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CAST(n AS BIGINT) AS n_rows,
+      |  sx / n AS mean_qty,
+      |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
+      |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
+      |  (n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_disc
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- Q53
+  /** q53: fixed-width histogram — price distribution in 10k-wide bins
+    * (feature binning / distribution profiling). floor of an exact
+    * double division by a constant, then one hash agg; bin boundaries
+    * are data-independent so the binning parallelizes trivially. */
+  def q53Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / 10000.0).cast(LongType)
+        .as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("bin")
+
+  val q53Sql: String =
+    """SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n,
+      |  MIN(l_extendedprice) AS lo,
+      |  MAX(l_extendedprice) AS hi
+      |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -1333,5 +1409,7 @@ object CapabilityQueries {
     ("q49_waiting_supplier", q49WaitingSupplier _, Some(q49Sql)),
     ("q50_lost_customers", q50LostCustomers _, Some(q50Sql)),
     ("q51_map_battery", q51MapBattery _, Some(q51Sql)),
+    ("q52_stats_battery", q52StatsBattery _, Some(q52Sql)),
+    ("q53_histogram", q53Histogram _, Some(q53Sql)),
   )
 }
