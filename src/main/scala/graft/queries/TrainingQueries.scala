@@ -1081,7 +1081,10 @@ object TrainingQueries {
     * per-row explode for chunking — two shuffles total (dedup group,
     * decontaminate report), everything else stays in the scan's
     * codegen span. */
-  def c13PretrainPipeline(s: SparkSession, d: String): DataFrame = {
+  /** The c13 pipeline's intermediate frames, shared with the c14
+    * funnel report so both queries pin the SAME composition. */
+  private def pretrainStages(s: SparkSession, d: String)
+      : Seq[(String, DataFrame)] = {
     import graft.functions.UnicodeFunctions
     val prepped = Tables.documents(s, d).select(col("doc_id"),
       lower(regexp_replace(regexp_replace(trim(
@@ -1096,6 +1099,12 @@ object TrainingQueries {
       deduped.filter(col("doc_id") % 97 === 0), "doc_id", "t", n = 3)
     val chunks = Selection.chunkSliding(cleanTrain, "doc_id", "t",
       chunkSize = 32, stride = 24)
+    Seq("1_prepped" -> prepped, "2_gated" -> gated, "3_deduped" -> deduped,
+      "4_decontaminated" -> cleanTrain, "5_chunks" -> chunks)
+  }
+
+  def c13PretrainPipeline(s: SparkSession, d: String): DataFrame = {
+    val chunks = pretrainStages(s, d).last._2
     Selection.assignSplits(chunks, "doc_id")
       .select("doc_id", "split", "chunk_start", "n_tokens", "chunk_text")
       .orderBy("doc_id", "chunk_start")
@@ -1150,6 +1159,63 @@ object TrainingQueries {
        |FROM st ORDER BY doc_id, chunk_start""".stripMargin
   }
 
+  /** c14: funnel/retention report for the c13 pipeline — rows
+    * surviving each stage (the reference's row-count instrumentation
+    * O20 lifted to corpus level: where did my documents go?). Same
+    * stage frames as c13, so the report can never drift from the
+    * pipeline it describes. */
+  def c14FunnelReport(s: SparkSession, d: String): DataFrame =
+    pretrainStages(s, d)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"),
+          col("n_rows"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+
+  val c14Sql: String =
+    s"""WITH prepped AS (
+      |  SELECT doc_id,
+      |    lower(regexp_replace(regexp_replace(trim(
+      |      regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+      |        '${TextOps.EmailRe}', '<email>', 'g'),
+      |        '${TextOps.Ipv4Re}', '<ip>', 'g'),
+      |        '${TextOps.PhoneRe}', '<phone>', 'g')),
+      |      '[0-9]+', '<num>', 'g'), '\\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |gated AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, t,
+      |      list_filter(string_split(t, ' '), x -> x <> '') AS w
+      |    FROM prepped)
+      |  WHERE len(w) BETWEEN 20 AND 1000
+      |    AND len(list_distinct(w)) / len(w) >= 0.3),
+      |dedup AS (SELECT MIN(doc_id) AS doc_id, t FROM gated GROUP BY t),
+      |sh AS (
+      |  SELECT doc_id, w, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+      |        FROM dedup)),
+      |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+      |bad AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0) a
+      |  JOIN ev ON a.s = ev.s),
+      |train AS (
+      |  SELECT doc_id, w FROM sh
+      |  WHERE doc_id % 97 <> 0
+      |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
+      |st AS (
+      |  SELECT doc_id, w,
+      |    unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS chunk_start
+      |  FROM train)
+      |SELECT '1_prepped' AS stage, COUNT(*) AS n_rows FROM prepped
+      |UNION ALL SELECT '2_gated', COUNT(*) FROM gated
+      |UNION ALL SELECT '3_deduped', COUNT(*) FROM dedup
+      |UNION ALL SELECT '4_decontaminated', COUNT(*) FROM train
+      |UNION ALL SELECT '5_chunks', COUNT(*) FROM st
+      |ORDER BY stage""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -1195,6 +1261,7 @@ object TrainingQueries {
     ("c10_bloom_decontaminate", c10BloomDecontaminate _, Some(c10Sql)),
     ("c11_chunk_sliding", c11ChunkSliding _, Some(c11Sql)),
     ("c13_pretrain_pipeline", c13PretrainPipeline _, Some(c13Sql)),
+    ("c14_funnel_report", c14FunnelReport _, Some(c14Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }
