@@ -268,6 +268,22 @@ object Selection {
       .parquet(path)
   }
 
+  /** [[writeShuffleShards]] with JSON-lines output — the consumption
+    * format most training loaders read directly (one JSON object per
+    * line, one `shard=<n>/` directory per shard, lines in `pos` order
+    * within each file). Same single-exchange plan as the parquet
+    * writer; compression is the writer default (none) so loaders can
+    * seek by line. */
+  def writeJsonlShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String, salt: String = "shuffle",
+      maxRecordsPerFile: Option[Long] = None): Unit = {
+    val w = shuffleShards(df, idCol, nShards, salt)
+      .sortWithinPartitions("shard", "pos")
+      .write.partitionBy("shard").mode("overwrite")
+    maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+      .json(path)
+  }
+
   /** Mean global token frequency per document — a cheap commonness /
     * quality proxy (rare-token-heavy documents are typically noisy
     * OCR or codes; overwhelmingly-common-token documents are

@@ -125,6 +125,22 @@ object EventsStream {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
 
+  /** Raw parquet schema of the embeddings table. */
+  val embeddingsRawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming DataFrame over the embeddings parquet (the vector feed
+    * an ANN index ingests incrementally). */
+  def readEmbeddings(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(embeddingsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+
   /** Streaming exact dedup — d01's operator under the streaming
     * engine: the first-seen document per content digest is emitted,
     * later copies are dropped as they arrive. State is one digest per

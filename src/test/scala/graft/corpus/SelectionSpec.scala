@@ -212,6 +212,27 @@ class SelectionSpec extends SparkSpec {
     assert(parts > 1) // ~125 rows per shard at cap 50
   }
 
+  test("writeJsonlShards: shard layout, pos-ordered lines, loader-readable JSONL") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    Selection.writeJsonlShards(docs.select("doc_id", "text"), "doc_id", 4, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == (0 until 4).map(n => s"shard=$n"))
+    // every line is a standalone JSON object a non-Spark loader can read
+    val f = new java.io.File(s"$dir/shard=0").listFiles()
+      .filter(_.getName.endsWith(".json")).minBy(_.getName)
+    val lines = scala.io.Source.fromFile(f).getLines().toSeq
+    assert(lines.nonEmpty && lines.forall(l =>
+      l.startsWith("{") && l.endsWith("}") && l.contains("\"doc_id\":")))
+    // the whole corpus survives the round-trip, shard+pos intact
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.count())
+    val pos0 = back.filter($"shard" === 0).orderBy("pos")
+      .select("pos").collect().map(_.getLong(0)).toSeq
+    assert(pos0 == (1L to pos0.length))
+  }
+
   test("chunkSliding: full coverage, overlap, short tail, empty doc kept") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens

@@ -132,6 +132,27 @@ class EventsStreamSpec extends SparkSpec {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("ANN encode kernels run stateless on an embedding stream, equal batch") {
+    import org.apache.spark.sql.functions.col
+    import graft.similarity.Ann
+    // the incremental-ingest half of an ANN index build: bucket/code
+    // assignment is per-row (native kernels), so it streams with no
+    // state at all
+    val encode = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"),
+        Ann.portableLshBucket(col("embedding"), nBits = 8, dim = 64)
+          .as("bucket"),
+        Ann.portablePqEncode(col("embedding"), dim = 64, m = 8, k = 8)
+          .getField("codes").as("codes"))
+    val streamed = EventsStream.runToCompletion(spark,
+      encode(EventsStream.readEmbeddings(spark, sf)),
+      "spec_ann_stream", outputMode = "append")
+    val batch = encode(graft.core.Tables.embeddings(spark, sf))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sliding-window chunking runs stateless on a document stream, equals batch") {
     import graft.corpus.Selection
     val chunk = (df: org.apache.spark.sql.DataFrame) =>
