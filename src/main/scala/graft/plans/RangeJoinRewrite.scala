@@ -163,6 +163,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
     ext.injectOptimizerRule(_ => EditDistanceJoinRewrite)
+    ext.injectOptimizerRule(_ => OverlapJoinRewrite)
     graft.functions.GraftFunctionRegistry.descriptions.foreach(ext.injectFunction)
   }
 }

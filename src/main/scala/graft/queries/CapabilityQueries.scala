@@ -1356,6 +1356,38 @@ object CapabilityQueries {
       |  MAX(l_extendedprice) AS hi
       |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------- Q54
+  /** q54: the NAIVE formulation of a set-overlap self-join — the
+    * array_intersect threshold written directly in the join condition.
+    * [[graft.plans.OverlapJoinRewrite]] supplies the duplicate-free
+    * inverted-index equi-join automatically (q32/q38's pattern for the
+    * set-similarity family; OverlapJoinRewriteSpec pins the plan and
+    * bag-equality vs the nested loop). Oracle: DuckDB computes the
+    * same naive join natively. */
+  def q54OverlapJoinAuto(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextOps.shingles(col("text"), 3).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b,
+        size(array_intersect(col("a_sh"), col("b_sh"))) >= 5 &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q54Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents))
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM tok a JOIN tok b
+      |  ON len(list_intersect(a.sh, b.sh)) >= 5 AND a.doc_id < b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -1411,5 +1443,6 @@ object CapabilityQueries {
     ("q51_map_battery", q51MapBattery _, Some(q51Sql)),
     ("q52_stats_battery", q52StatsBattery _, Some(q52Sql)),
     ("q53_histogram", q53Histogram _, Some(q53Sql)),
+    ("q54_overlap_join_auto", q54OverlapJoinAuto _, Some(q54Sql)),
   )
 }

@@ -1,0 +1,88 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The overlap-join rule must turn a naive set-overlap join into the
+  * duplicate-free inverted-index equi-join — multiplicity preserved
+  * via the first-witness residual — and leave everything else alone. */
+class OverlapJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def naiveOverlap: DataFrame = {
+    val d = Tables.documents(spark, sf)
+      .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+    val a = d.select($"doc_id".as("a_id"), $"sh".as("a_sh"))
+    val b = d.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
+    a.join(b, size(array_intersect($"a_sh", $"b_sh")) >= 5 && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+  }
+
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def withRuleDisabled[T](body: => T): T = {
+    spark.conf.set(OverlapJoinRewrite.EnabledKey, "false")
+    try body finally spark.conf.set(OverlapJoinRewrite.EnabledKey, "true")
+  }
+
+  test("naive overlap join is rewritten to an inverted-index equi join") {
+    val plan = planOf(naiveOverlap)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"rule did not fire:\n$plan")
+    assert(plan.contains("Generate"), s"no element explode:\n$plan")
+  }
+
+  test("rewritten result equals the naive nested-loop result, multiplicity included") {
+    val rewritten = naiveOverlap.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = withRuleDisabled {
+      val df = naiveOverlap
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct"), s"naive plan unexpectedly blocked:\n$plan")
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(rewritten.nonEmpty)
+    // exact bag equality: sorted sequences, not sets — a duplicate
+    // meeting would show up here
+    assert(rewritten.sorted.toSeq == naive.sorted.toSeq)
+  }
+
+  test("arrays_overlap form is rewritten and agrees with the naive answer") {
+    val d = Tables.documents(spark, sf).limit(80)
+      .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+    val a = d.select($"doc_id".as("a_id"), $"sh".as("a_sh"))
+    val b = d.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
+    def q: DataFrame = a.join(b,
+        arrays_overlap($"a_sh", $"b_sh") && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+    val plan = planOf(q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"rule did not fire:\n$plan")
+    val rewritten = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = withRuleDisabled {
+      q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(rewritten == naive && rewritten.nonEmpty)
+  }
+
+  test("a cross-side equality conjunct disables the rewrite (native hash join wins)") {
+    val d = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", TextOps.shingles($"text", 3).as("sh"))
+    val a = d.select($"doc_id".as("a_id"), $"source".as("a_src"), $"sh".as("a_sh"))
+    val b = d.select($"doc_id".as("b_id"), $"source".as("b_src"), $"sh".as("b_sh"))
+    val df = a.join(b,
+        $"a_src" === $"b_src" &&
+          size(array_intersect($"a_sh", $"b_sh")) >= 5 && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+    val plan = planOf(df)
+    assert(!plan.contains("Generate"), s"rule fired despite equi key:\n$plan")
+  }
+}

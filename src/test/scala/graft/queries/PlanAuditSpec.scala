@@ -71,11 +71,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   /** Operators whose Scaladoc documents a deliberate caching contract
-    * (Dedup pair producers: shingle/signature intermediates feed
-    * several non-identical plan branches; callers clearCache between
-    * corpora). Everything else must leave the cache manager empty. */
+    * (Dedup pair producers and the pretraining pipeline: shingle/
+    * signature/prep intermediates feed several non-identical plan
+    * branches; callers clearCache between corpora). Everything else
+    * must leave the cache manager empty. */
   private val documentedCaching = Set("d02_ngram_jaccard", "d03_minhash_lsh",
-    "d04_simhash", "d07_lsh_vs_exact", "d09_incremental_dedup")
+    "d04_simhash", "d07_lsh_vs_exact", "d09_incremental_dedup",
+    "c13_pretrain_pipeline", "c14_funnel_report")
 
   test("no library query pins storage after materialization") {
     spark.catalog.clearCache() // drop registrations from earlier plan builds
