@@ -1363,9 +1363,15 @@ object CapabilityQueries {
     * inverted-index equi-join automatically (q32/q38's pattern for the
     * set-similarity family; OverlapJoinRewriteSpec pins the plan and
     * bag-equality vs the nested loop). Oracle: DuckDB computes the
-    * same naive join natively. */
+    * same naive join natively. Scoped to a fifth of the corpus — the
+    * rewrite carries both full arrays through the element shuffle
+    * (the price of a transparent, multiplicity-preserving rewrite;
+    * d02's aggregation form is the narrow-shuffle path when the
+    * OUTPUT can be pair counts), so the demo stays result-size-bound,
+    * not payload-bound (probe: tools.OverlapProbe). */
   def q54OverlapJoinAuto(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"),
         graft.functions.TextOps.shingles(col("text"), 3).as("sh"))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
@@ -1382,7 +1388,7 @@ object CapabilityQueries {
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-      |        FROM documents))
+      |        FROM documents WHERE doc_id % 5 = 0))
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id
       |FROM tok a JOIN tok b
       |  ON len(list_intersect(a.sh, b.sh)) >= 5 AND a.doc_id < b.doc_id
