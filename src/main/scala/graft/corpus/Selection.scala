@@ -252,37 +252,39 @@ object Selection {
   /** Materialize [[shuffleShards]] as one parquet directory per shard
     * (`shard=<n>/`), rows within each shard sorted by `pos` — the
     * on-disk layout a data loader streams shard-by-shard. */
-  def writeShuffleShards(df: DataFrame, idCol: String, nShards: Int,
-      path: String, salt: String = "shuffle",
-      maxRecordsPerFile: Option[Long] = None): Unit = {
-    // shuffleShards' window already hash-partitioned by shard — no
-    // second exchange; just order within tasks and write. Data
-    // loaders that stream fixed-size files get them via
-    // maxRecordsPerFile; a loader reading a shard's files in part-
-    // number order sees the pos order (each split file holds a
-    // contiguous pos range).
+  /** Shared shard-writer plumbing: shuffleShards' window already
+    * hash-partitioned by shard — no second exchange; just order within
+    * tasks and write. Data loaders that stream fixed-size files get
+    * them via maxRecordsPerFile; a loader reading a shard's files in
+    * part-number order sees the pos order (each split file holds a
+    * contiguous pos range). */
+  private def shardWriter(df: DataFrame, idCol: String, nShards: Int,
+      salt: String, maxRecordsPerFile: Option[Long])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val w = shuffleShards(df, idCol, nShards, salt)
       .sortWithinPartitions("shard", "pos")
       .write.partitionBy("shard").mode("overwrite")
     maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
-      .parquet(path)
   }
+
+  def writeShuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String, salt: String = "shuffle",
+      maxRecordsPerFile: Option[Long] = None): Unit =
+    shardWriter(df, idCol, nShards, salt, maxRecordsPerFile).parquet(path)
 
   /** [[writeShuffleShards]] with JSON-lines output — the consumption
     * format most training loaders read directly (one JSON object per
     * line, one `shard=<n>/` directory per shard, lines in `pos` order
-    * within each file). Same single-exchange plan as the parquet
-    * writer; compression is the writer default (none) so loaders can
-    * seek by line. */
+    * within each file). Null fields are WRITTEN (`"k":null`), not
+    * dropped — loaders indexing a fixed key set per line depend on
+    * schema-stable objects. Compression is the writer default (none)
+    * so loaders can seek by line. */
   def writeJsonlShards(df: DataFrame, idCol: String, nShards: Int,
       path: String, salt: String = "shuffle",
-      maxRecordsPerFile: Option[Long] = None): Unit = {
-    val w = shuffleShards(df, idCol, nShards, salt)
-      .sortWithinPartitions("shard", "pos")
-      .write.partitionBy("shard").mode("overwrite")
-    maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+      maxRecordsPerFile: Option[Long] = None): Unit =
+    shardWriter(df, idCol, nShards, salt, maxRecordsPerFile)
+      .option("ignoreNullFields", "false")
       .json(path)
-  }
 
   /** Mean global token frequency per document — a cheap commonness /
     * quality proxy (rare-token-heavy documents are typically noisy

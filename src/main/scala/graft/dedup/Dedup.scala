@@ -187,11 +187,17 @@ object Dedup {
     *
     * Same inverted-index shape as [[ngramJaccardPairs]] (shuffle on
     * shingle, never N²); each undirected candidate yields both
-    * directions, threshold-filtered. */
+    * directions, threshold-filtered.
+    *
+    * Caching contract (as the other pair producers): the shingle and
+    * undirected-pair frames back both direction branches and are
+    * cached; callers run `spark.catalog.clearCache()` between
+    * corpora. */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val tok = withShingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
+      .cache()
     val sizes = tok.select(col(idCol), size(col("sh")).as("n_sh"))
     val inv = tok.select(col(idCol), explode(col("sh")).as("s"))
     val pairs = inv.as("a").join(inv.as("b"),
@@ -203,6 +209,7 @@ object Dedup {
         .withColumnRenamed("n_sh", "na"), "a_id")
       .join(sizes.withColumnRenamed(idCol, "b_id")
         .withColumnRenamed("n_sh", "nb"), "b_id")
+      .cache()
     pairs.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
         (col("inter") / col("na")).as("containment"))
       .unionByName(pairs.select(col("b_id").as("src_id"),

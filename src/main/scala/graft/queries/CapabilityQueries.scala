@@ -1287,7 +1287,8 @@ object CapabilityQueries {
     * IEEE expression on both engines. The built-in corr/var_samp
     * aggregate in parallel partial order, so their raw doubles are not
     * hash-comparable across engines — the moment form is (and a spec
-    * pins it against Spark's built-ins to 1e-9). Variable pair chosen
+    * pins it against Spark's built-ins: mean to 1e-9 relative,
+    * var/corr to 1e-6). Variable pair chosen
     * so every moment sum stays under 2^53 decimal UNITS at any SF
     * (quantity ≤ 50, discount ≤ 0.10): a sum like Σprice² overflows
     * exact double range and the engines' decimal→double rounding then

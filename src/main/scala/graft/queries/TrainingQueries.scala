@@ -1120,8 +1120,11 @@ object TrainingQueries {
       .orderBy("doc_id", "chunk_start")
   }
 
-  val c13Sql: String = {
-    val b = duckBucket("'graft:' || CAST(doc_id AS VARCHAR)", 100)
+  /** The ONE rendering of the c13 pipeline's CTE chain (the SQL twin
+    * of [[pretrainStages]] — duckHash discipline: both the pipeline
+    * oracle and the funnel oracle interpolate this constant, so a
+    * one-sided edit cannot desynchronize them). */
+  private val pretrainCtesSql: String =
     s"""WITH prepped AS (
        |  SELECT doc_id,
        |    lower(regexp_replace(regexp_replace(trim(
@@ -1156,7 +1159,11 @@ object TrainingQueries {
        |st AS (
        |  SELECT doc_id, w,
        |    unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS chunk_start
-       |  FROM train)
+       |  FROM train)""".stripMargin
+
+  val c13Sql: String = {
+    val b = duckBucket("'graft:' || CAST(doc_id AS VARCHAR)", 100)
+    s"""$pretrainCtesSql
        |SELECT doc_id,
        |  CASE WHEN $b < 80 THEN 'train'
        |       WHEN $b < 90 THEN 'val'
@@ -1184,41 +1191,7 @@ object TrainingQueries {
       .orderBy("stage")
 
   val c14Sql: String =
-    s"""WITH prepped AS (
-      |  SELECT doc_id,
-      |    lower(regexp_replace(regexp_replace(trim(
-      |      regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
-      |        '${TextOps.EmailRe}', '<email>', 'g'),
-      |        '${TextOps.Ipv4Re}', '<ip>', 'g'),
-      |        '${TextOps.PhoneRe}', '<phone>', 'g')),
-      |      '[0-9]+', '<num>', 'g'), '\\s+', ' ', 'g')) AS t
-      |  FROM documents),
-      |gated AS (
-      |  SELECT doc_id, t FROM (
-      |    SELECT doc_id, t,
-      |      list_filter(string_split(t, ' '), x -> x <> '') AS w
-      |    FROM prepped)
-      |  WHERE len(w) BETWEEN 20 AND 1000
-      |    AND len(list_distinct(w)) / len(w) >= 0.3),
-      |dedup AS (SELECT MIN(doc_id) AS doc_id, t FROM gated GROUP BY t),
-      |sh AS (
-      |  SELECT doc_id, w, list_distinct(list_transform(range(1, len(w)-1),
-      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-      |  FROM (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
-      |        FROM dedup)),
-      |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
-      |bad AS (
-      |  SELECT DISTINCT a.doc_id
-      |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0) a
-      |  JOIN ev ON a.s = ev.s),
-      |train AS (
-      |  SELECT doc_id, w FROM sh
-      |  WHERE doc_id % 97 <> 0
-      |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
-      |st AS (
-      |  SELECT doc_id, w,
-      |    unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS chunk_start
-      |  FROM train)
+    s"""$pretrainCtesSql
       |SELECT '1_prepped' AS stage, COUNT(*) AS n_rows FROM prepped
       |UNION ALL SELECT '2_gated', COUNT(*) FROM gated
       |UNION ALL SELECT '3_deduped', COUNT(*) FROM dedup

@@ -77,7 +77,7 @@ class PlanAuditSpec extends SparkSpec {
     * must leave the cache manager empty. */
   private val documentedCaching = Set("d02_ngram_jaccard", "d03_minhash_lsh",
     "d04_simhash", "d07_lsh_vs_exact", "d09_incremental_dedup",
-    "c13_pretrain_pipeline", "c14_funnel_report")
+    "d13_containment", "c13_pretrain_pipeline", "c14_funnel_report")
 
   test("no library query pins storage after materialization") {
     spark.catalog.clearCache() // drop registrations from earlier plan builds
