@@ -644,6 +644,62 @@ object TrainingQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** s09: portable integer k-means — s05's trainer machinery
+    * (seed → assign → update → assign, Lloyd's) run in exact integer
+    * arithmetic ([[Ann.portableKmeansAssign]]), so DuckDB reproduces
+    * every centroid component and every assignment bit-for-bit across
+    * two full iterations (the trainer analog of s06/s08's
+    * quantize-and-pin pattern; s05 stays the float production path). */
+  def s09KmeansPortable(s: SparkSession, d: String): DataFrame =
+    Ann.portableKmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  val s09Sql: String = {
+    val h = duckHash("'pkmeans:' || CAST(vec_id AS VARCHAR)")
+    def dist(qRef: String, cRef: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, 65),
+         |              i -> ($qRef[i] - $cRef[i]) * ($qRef[i] - $cRef[i]))),
+         |            (acc, x) -> acc + x)""".stripMargin
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT q0.vec_id, q0.q, $cents.cell,
+         |      row_number() OVER (PARTITION BY q0.vec_id
+         |        ORDER BY ${dist("q0.q", s"$cents.c")}, $cents.cell) AS rn
+         |    FROM q0 CROSS JOIN $cents)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCtes(a: String, prev: String, next: String): String =
+      s"""u_$next AS (
+         |  SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+         |                    ORDER BY pos) AS c
+         |  FROM (SELECT $a.cell, p.i AS pos, SUM($a.q[p.i]) AS s,
+         |          COUNT(*) AS n
+         |        FROM $a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p
+         |        GROUP BY $a.cell, p.i)
+         |  GROUP BY cell),
+         |$next AS (
+         |  SELECT $prev.cell, COALESCE(u_$next.c, $prev.c) AS c
+         |  FROM $prev LEFT JOIN u_$next ON u_$next.cell = $prev.cell)"""
+        .stripMargin
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT rn - 1 AS cell, q AS c FROM (
+       |    SELECT q, row_number() OVER (ORDER BY $h, vec_id) AS rn
+       |    FROM q0)
+       |  WHERE rn <= 8),
+       |${assignCte("a1", "c0")},
+       |${updateCtes("a1", "c0", "c1")},
+       |${assignCte("a2", "c1")},
+       |${updateCtes("a2", "c1", "c2")},
+       |${assignCte("a3", "c2")}
+       |SELECT vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
   /** s07: product-quantization ANN — codebooks trained per subspace
     * (k-means), corpus encoded to m small codes, queries ranked by
     * asymmetric distance against the code arrays only. Trained floats
@@ -1229,6 +1285,7 @@ object TrainingQueries {
     ("s06_lsh_portable", s06LshPortable _, Some(s06Sql)),
     ("s07_pq_trained", s07PqTrained _, None),
     ("s08_pq_portable", s08PqPortable _, Some(s08Sql)),
+    ("s09_kmeans_portable", s09KmeansPortable _, Some(s09Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),

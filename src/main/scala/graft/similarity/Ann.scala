@@ -165,6 +165,64 @@ object Ann {
       nearestCell(col(vecCol),
         kmeansCentroids(corpus, idCol, vecCol, k, iters, salt)))
 
+  /** Portable integer k-means — the oracle twin of
+    * [[kmeansCentroids]]/[[kmeansAssign]]'s machinery (s06/s08's
+    * pattern extended to the trainer): vectors quantize to BIGINT
+    * (floor(x·10⁶)), seeds are the k smallest (md5-hash, id) draws,
+    * and Lloyd's runs entirely in integer arithmetic — exact squared-L2
+    * argmin with ties to the lower cell id, centroid update by
+    * per-component floor-division mean, empty cells keep their
+    * centroid — so every assignment after every iteration is
+    * bit-reproducible in any engine. Per iteration: one corpus scan
+    * for assignment + one shuffle for the per-cell component sums
+    * (k·dim rows to the driver — the model, never the corpus).
+    * Returns (idCol, cell) under the final centroids. */
+  def portableKmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int, salt: String = "pkmeans"): DataFrame = {
+    require(k > 0 && iters >= 0 && dim > 0, "k, dim positive; iters >= 0")
+    import graft.corpus.Selection
+    val q = corpus.select(col(idCol),
+      transform(col(vecCol),
+        x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType)).as("q"))
+    val seeds = q
+      .orderBy(Selection.hashValue(Selection.saltedKey(col(idCol), salt)),
+        col(idCol))
+      .limit(k).select("q").collect().map(_.getSeq[Long](0).toArray)
+    require(seeds.length == k && seeds.forall(_.length == dim),
+      s"portableKmeansAssign needs $k dim=$dim vectors to seed")
+
+    def cellOf(cents: Seq[Array[Long]]): Column = {
+      val scored = array(cents.zipWithIndex.map { case (cv, j) =>
+        val dist = aggregate(
+          zip_with(col("q"), typedLit(cv.toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(dist.as("d"), lit(j.toLong).as("cell"))
+      }: _*)
+      array_min(scored).getField("cell")
+    }
+
+    var cents: Seq[Array[Long]] = seeds.toSeq
+    for (_ <- 0 until iters) {
+      val sums = q.withColumn("cell", cellOf(cents))
+        .select(col("cell"), posexplode(col("q")))
+        .toDF("cell", "pos", "v")
+        .groupBy("cell", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (!sums.contains((j.toLong, 0))) old
+        else Array.tabulate(dim) { i =>
+          val (s, n) = sums((j.toLong, i))
+          Math.floorDiv(s, n)
+        }
+      }
+    }
+    q.withColumn("cell", cellOf(cents)).select(col(idCol), col("cell"))
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
     * with pseudo-random hyperplanes. Hyperplane j component i is a
     * deterministic hash-derived value in [-1,1] — no stored model. */

