@@ -73,6 +73,53 @@ class OverlapJoinRewriteSpec extends SparkSpec {
     assert(rewritten == naive && rewritten.nonEmpty)
   }
 
+  test("duplicate and null elements: rewritten bag equals nested loop (k>=2 null path)") {
+    // arrays with repeated elements AND null elements: array_except
+    // dedup + the first-witness residual must still give exactly one
+    // meeting per pair, and null contributions to the intersection
+    // must still count via the residual (k=2 with one shared non-null
+    // + shared null qualifies)
+    val rows = Seq(
+      (1L, Seq[String]("x", "x", "a", null)),
+      (2L, Seq[String]("x", null, "b")),      // ∩ with 1: {x, null} → 2
+      (3L, Seq[String]("a", "x", "c", "a")),  // ∩ with 1: {a, x} → 2; with 2: {x} → 1
+      (4L, Seq[String](null, "d"))            // ∩ with 1: {null} → 1 < 2
+    ).toDF("id", "arr")
+    val a = rows.select($"id".as("a_id"), $"arr".as("a_arr"))
+    val b = rows.select($"id".as("b_id"), $"arr".as("b_arr"))
+    def q: DataFrame = a.join(b,
+        size(array_intersect($"a_arr", $"b_arr")) >= 2 && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+    val plan = planOf(q)
+    assert(plan.contains("Generate") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rule did not fire on containsNull arrays with k=2:\n$plan")
+    val rewritten = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = withRuleDisabled {
+      q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(rewritten == naive)
+    // (1,2) via shared x + shared null (null counts through the
+    // residual); (2,3) share only x → 1 < 2, correctly excluded
+    assert(rewritten == Seq((1L, 2L), (1L, 3L)))
+  }
+
+  test("k=1 over containsNull arrays does NOT fire (null-only overlap would be lost)") {
+    val rows = Seq(
+      (1L, Seq[String]("a", null)),
+      (2L, Seq[String](null, "b"))).toDF("id", "arr")
+    val a = rows.select($"id".as("a_id"), $"arr".as("a_arr"))
+    val b = rows.select($"id".as("b_id"), $"arr".as("b_arr"))
+    val df = a.join(b,
+        size(array_intersect($"a_arr", $"b_arr")) >= 1 && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+    val plan = planOf(df)
+    assert(!plan.contains("Generate"), s"k=1 null path must not rewrite:\n$plan")
+    // and the naive answer indeed contains the null-only pair the
+    // blocking could never find — the reason for the guard
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+  }
+
   test("a cross-side equality conjunct disables the rewrite (native hash join wins)") {
     val d = Tables.documents(spark, sf)
       .select($"doc_id", $"source", TextOps.shingles($"text", 3).as("sh"))
