@@ -69,6 +69,22 @@ object ScaleProbe {
       time(s"$tag kmeansAssign k=8 it=3") {
         Ann.kmeansAssign(emb, "vec_id", "embedding", 8, 3).count()
       }
+      time(s"$tag chunkSliding 32/24") {
+        Selection.chunkSliding(docs, "doc_id", "text", 32, 24).count()
+      }
+      time(s"$tag containment >=0.8") {
+        val n = graft.dedup.Dedup.ngramContainmentPairs(
+          docs, "doc_id", "text", 3, 0.8).count()
+        spark.catalog.clearCache()
+        n
+      }
+      time(s"$tag semanticDedup lsh6 0.4") {
+        val withB = emb.select(col("vec_id"), col("embedding"),
+          Ann.portableLshBucket(col("embedding"), nBits = 6, dim = 64)
+            .as("bucket"))
+        graft.dedup.Dedup.semanticDedup(withB, "vec_id", "embedding",
+          "bucket", 0.4).count()
+      }
       docs.unpersist(); emb.unpersist()
     }
 
