@@ -1395,6 +1395,29 @@ object CapabilityQueries {
       |  ON len(list_intersect(a.sh, b.sh)) >= 5 AND a.doc_id < b.doc_id
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------------------------- Q55
+  /** q55: equi-DEPTH histogram — price deciles per return flag via
+    * ntile over a fully tie-broken order (q53's fixed-width cousin;
+    * together they are the two standard distribution profiles). The
+    * window partitions by flag, so no global single-partition sort;
+    * decile boundaries are data-dependent but deterministic under the
+    * total order. Verbatim SQL on both engines. */
+  val q55Sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    NTILE(10) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(decile AS BIGINT) AS decile,
+      |  COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      |FROM t GROUP BY l_returnflag, decile
+      |ORDER BY l_returnflag, decile""".stripMargin
+
+  def q55QuantileBuckets(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(q55Sql)
+  }
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -1451,5 +1474,6 @@ object CapabilityQueries {
     ("q52_stats_battery", q52StatsBattery _, Some(q52Sql)),
     ("q53_histogram", q53Histogram _, Some(q53Sql)),
     ("q54_overlap_join_auto", q54OverlapJoinAuto _, Some(q54Sql)),
+    ("q55_quantile_buckets", q55QuantileBuckets _, Some(q55Sql)),
   )
 }
