@@ -1418,6 +1418,34 @@ object CapabilityQueries {
     s.sql(q55Sql)
   }
 
+  // --------------------------------------------------------------- Q56
+  /** q56: stream-static enrichment under the STREAMING engine — the
+    * event stream joins a broadcast static dimension per micro-batch
+    * (no state, no watermark: the standard streaming-enrichment
+    * shape), then aggregates spend per market segment. Oracle: the
+    * same join+agg as one batch SQL statement. */
+  def q56StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.EventsStream
+    val dim = broadcast(Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+    val enriched = EventsStream.readEvents(s, d)
+      .filter(col("event_type") === "purchase")
+      .join(dim, Seq("user_id"))
+      .select("event_id", "c_mktsegment", "value")
+    EventsStream.runToCompletion(s, enriched, "q56_stream_static_mem",
+        outputMode = "append")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("spend"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q56Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST("value" AS DECIMAL(30,2))) AS DOUBLE) AS spend
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE event_type = 'purchase'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -1475,5 +1503,6 @@ object CapabilityQueries {
     ("q53_histogram", q53Histogram _, Some(q53Sql)),
     ("q54_overlap_join_auto", q54OverlapJoinAuto _, Some(q54Sql)),
     ("q55_quantile_buckets", q55QuantileBuckets _, Some(q55Sql)),
+    ("q56_stream_static_join", q56StreamStaticJoin _, Some(q56Sql)),
   )
 }

@@ -759,6 +759,87 @@ object TrainingQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** s10: two-stage retrieval — integer-exact ADC shortlist (corpus
+    * code rows ⋈ the queries' per-(subspace, code) distance table)
+    * re-ranked by exact quantized L2
+    * ([[Ann.portablePqRerankTopK]]) — the PQ serving architecture
+    * (compressed first pass, exact second pass over the shortlist),
+    * reproduced bit-for-bit by DuckDB through both stages. */
+  def s10PqRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.portablePqRerankTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, m = 8, k = 8,
+        shortlist = 20, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val s10Sql: String = {
+    val m = 8; val k = 8; val sub = 8
+    val cb = Ann.portablePqCodebook(m, k, sub)
+    val cbAll = cb.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    def dists(j: Int) = {
+      val lits = cb(j).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""list_transform(range(0, $k), c ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, ${sub + 1}), i ->
+         |      (q[${j * sub} + i] - ($lits)[c + 1][i])
+         |      * (q[${j * sub} + i] - ($lits)[c + 1][i]))),
+         |    (acc, x) -> acc + x))""".stripMargin
+    }
+    val dCols = (0 until m).map(j => s"(${dists(j)}) AS d$j").mkString(",\n  ")
+    val codesArr = (0 until m)
+      .map(j => s"CAST(list_position(d$j, list_min(d$j)) - 1 AS INTEGER)")
+      .mkString("[", ", ", "]")
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, unnest(range(0, $m)) AS j, unnest($codesArr) AS code
+       |  FROM (SELECT vec_id, $dCols FROM q0)),
+       |qs AS (SELECT vec_id AS query_id, q FROM q0 WHERE vec_id < 10),
+       |dtab AS (
+       |  SELECT query_id, jc.j AS j, jc.c AS code,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${sub + 1}), i ->
+       |        (q[jc.j * $sub + i] - ($cbAll)[jc.j + 1][jc.c + 1][i])
+       |        * (q[jc.j * $sub + i] - ($cbAll)[jc.j + 1][jc.c + 1][i]))),
+       |      (acc, x) -> acc + x) AS dcell
+       |  FROM qs CROSS JOIN (
+       |    SELECT j, c FROM (SELECT unnest(range(0, $m)) AS j)
+       |    CROSS JOIN (SELECT unnest(range(0, $k)) AS c)) jc),
+       |adc AS (
+       |  SELECT query_id, vec_id, SUM(dcell) AS adc
+       |  FROM codes JOIN dtab ON codes.j = dtab.j AND codes.code = dtab.code
+       |  WHERE query_id <> vec_id
+       |  GROUP BY query_id, vec_id),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc, vec_id) AS rn
+       |    FROM adc)
+       |  WHERE rn <= 20),
+       |exact AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 65),
+       |        i -> (qq.q[i] - cv.q[i]) * (qq.q[i] - cv.q[i]))),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM short s JOIN q0 cv ON cv.vec_id = s.vec_id
+       |  JOIN qs qq ON qq.query_id = s.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS neighbor_id, d2
+       |FROM (
+       |  SELECT query_id, vec_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, vec_id) AS rank
+       |  FROM exact)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // -------------------------------------------------- corpus selection
 
   /** DuckDB rendering of [[Selection.hashValue]]: parse the first 8
@@ -1286,6 +1367,7 @@ object TrainingQueries {
     ("s07_pq_trained", s07PqTrained _, None),
     ("s08_pq_portable", s08PqPortable _, Some(s08Sql)),
     ("s09_kmeans_portable", s09KmeansPortable _, Some(s09Sql)),
+    ("s10_pq_rerank", s10PqRerank _, Some(s10Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),

@@ -451,6 +451,69 @@ object Ann {
       best.map(_.getField("d")).reduce(_ + _).as("recon_err"))
   }
 
+  /** Two-stage retrieval with re-ranking, integer-exact (the serving
+    * architecture IVF/PQ deployments use, as an oracle-pinnable twin):
+    * stage 1 shortlists per query by asymmetric PQ distance computed
+    * RELATIONALLY — corpus code rows join the queries' per-(subspace,
+    * code) distance table on (j, code) and sum per (query, vector) —
+    * stage 2 re-ranks only the shortlist by exact integer squared-L2
+    * on the quantized vectors. Every distance is int64-exact and ties
+    * break to the lower id, so any engine reproduces the final top-k
+    * bit-for-bit.
+    *
+    * Scale: the distance table is |queries|·m·k rows (broadcast); the
+    * corpus side shuffles only its code rows (m small ints per
+    * vector, the 32×-compressed representation — the point of PQ
+    * serving); stage 2 touches |queries|·shortlist rows. */
+  def portablePqRerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int,
+      shortlist: Int, topK: Int): DataFrame = {
+    require(m > 0 && dim % m == 0 && k > 0, s"m=$m must divide dim=$dim")
+    require(shortlist >= topK, "shortlist must cover topK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val cb = portablePqCodebook(m, k, sub)
+    def quant(c: Column) = transform(c.cast(ArrayType(DoubleType)),
+      x => floor(x * 1000000d).cast(LongType))
+    val qrows = queries.select(col(idCol).cast(LongType), quant(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dtab = qrows.flatMap { case (qid, qv) =>
+      for (j <- 0 until m; c <- 0 until k) yield {
+        var d = 0L; var i = 0
+        while (i < sub) {
+          val diff = qv(j * sub + i) - cb(j)(c)(i); d += diff * diff; i += 1
+        }
+        (qid, j, c, d)
+      }
+    }.toSeq.toDF("query_id", "j", "code", "dcell")
+    val codes = corpus.select(col(idCol).as("vec_id"),
+        portablePqEncode(col(vecCol), dim, m, k).getField("codes").as("codes"))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "j", "code")
+    val adc = codes.join(broadcast(dtab), Seq("j", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dcell").as("adc"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("vec_id"))
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "vec_id")
+    val cq = corpus.select(col(idCol).as("vec_id"), quant(col(vecCol)).as("cv"))
+    val qdf = qrows.toSeq.toDF("query_id", "qv")
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("vec_id"))
+    short.join(cq, "vec_id").join(broadcast(qdf), "query_id")
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(wFinal).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("d2"))
+  }
+
   /** Bucketed ANN: join on LSH signature, rank within bucket. Recall
     * grows with fewer bits / multiple tables; this single-table variant
     * is the scale skeleton (bucket join instead of cross product). */
