@@ -176,6 +176,30 @@ class AnnSpec extends SparkSpec {
     assert(zero.count() == 10)
   }
 
+  test("two-stage PQ rerank: planted duplicate ranks first with exact distance 0") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // plant an exact duplicate of query vector 3 under the SMALLEST id
+    // in the corpus, so the deterministic (d2, id) tie-break must put
+    // it at rank 1 (the fixture already contains duplicates of vector
+    // 3 — a high-id plant can be crowded out of top-5 by them)
+    val dupOf3 = emb.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(-1L))
+    val corpus = emb.unionByName(dupOf3)
+    val out = Ann.portablePqRerankTopK(corpus,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, m = 8, k = 8, shortlist = 20, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the duplicate is query 3's rank-1 neighbor at exact distance 0
+    val top3 = out.filter(r => r._1 == 3L && r._2 == 1L).head
+    assert(top3._3 == -1L && top3._4 == 0L)
+    // every query returns exactly topK rows with strictly ranked rows
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 5L))
+    }
+  }
+
   test("kmeans degeneracy guard: k > distinct points still yields k centroids") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)), (3L, Array(9f, 9f)))
