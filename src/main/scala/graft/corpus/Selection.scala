@@ -286,6 +286,23 @@ object Selection {
       .option("ignoreNullFields", "false")
       .json(path)
 
+  /** Curriculum phases: order the corpus by a difficulty proxy
+    * (highest score = cleanest = phase 1) and cut it into `phases`
+    * contiguous equal-depth blocks, ties broken by id. The global
+    * order runs through a single-partition ntile window — fine at
+    * report scale; a 100 TB curriculum assigns phases by
+    * range-partitioning on approximate score quantiles instead (same
+    * semantics, no global sort bottleneck). */
+  def curriculumPhases(docs: DataFrame, idCol: String, score: Column,
+      phases: Int): DataFrame = {
+    require(phases > 0, "phases must be positive")
+    docs.withColumn("_score", score)
+      .withColumn("phase", ntile(phases)
+        .over(Window.orderBy(col("_score").desc, col(idCol)))
+        .cast(LongType))
+      .drop("_score")
+  }
+
   /** Mean global token frequency per document — a cheap commonness /
     * quality proxy (rare-token-heavy documents are typically noisy
     * OCR or codes; overwhelmingly-common-token documents are

@@ -409,7 +409,10 @@ object TrainingQueries {
         TextOps.qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
 
-  val t02Sql: String =
+  /** The ONE rendering of the quality-metric CTEs (`t`, `m`) — shared
+    * by the t02 battery and the c15 curriculum oracle (duckHash
+    * discipline for the determinism-critical ratio expressions). */
+  private val duckQualityCtes: String =
     """WITH t AS (
       |  SELECT doc_id, length(text) AS n_chars, text,
       |         list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -424,17 +427,24 @@ object TrainingQueries {
       |    CASE WHEN len(w) > 0 THEN
       |      list_sum(list_transform(w, x -> length(x))) / len(w)
       |      ELSE 0.0 END AS mean_token_len
-      |  FROM t)
+      |  FROM t)""".stripMargin
+
+  /** The quality-score formula over `m`'s columns — rendered once. */
+  private val duckQualityScore: String =
+    """stopword_ratio * 0.4 + distinct_ratio * 0.4 +
+      |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+      |          THEN 0.2 ELSE 0.0 END)""".stripMargin
+
+  val t02Sql: String =
+    s"""$duckQualityCtes
       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
       |  CAST(n_tokens AS BIGINT) AS n_tokens,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
-      |     + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+      |     + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
       |    AS n_subwords,
       |  stopword_ratio, distinct_ratio,
       |  CAST(mean_token_len AS DOUBLE) AS mean_token_len,
-      |  stopword_ratio * 0.4 + distinct_ratio * 0.4 +
-      |    (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
-      |          THEN 0.2 ELSE 0.0 END) AS quality_score
+      |  $duckQualityScore AS quality_score
       |FROM m ORDER BY doc_id""".stripMargin
 
   /** t03: document fingerprint (polynomial rolling hash, exact). */
@@ -1336,6 +1346,25 @@ object TrainingQueries {
       |UNION ALL SELECT '5_chunks', COUNT(*) FROM st
       |ORDER BY stage""".stripMargin
 
+  /** c15: curriculum ordering — the corpus cut into 3 equal-depth
+    * phases by quality score (cleanest documents first), the standard
+    * curriculum-learning data schedule
+    * ([[Selection.curriculumPhases]] over [[TextOps.qualityScore]]). */
+  def c15Curriculum(s: SparkSession, d: String): DataFrame =
+    Selection.curriculumPhases(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality_score")),
+        "doc_id", col("quality_score"), phases = 3)
+      .select("doc_id", "phase")
+      .orderBy("doc_id")
+
+  val c15Sql: String =
+    s"""$duckQualityCtes
+      |SELECT doc_id,
+      |  CAST(NTILE(3) OVER (ORDER BY ($duckQualityScore) DESC, doc_id)
+      |    AS BIGINT) AS phase
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -1384,6 +1413,7 @@ object TrainingQueries {
     ("c11_chunk_sliding", c11ChunkSliding _, Some(c11Sql)),
     ("c13_pretrain_pipeline", c13PretrainPipeline _, Some(c13Sql)),
     ("c14_funnel_report", c14FunnelReport _, Some(c14Sql)),
+    ("c15_curriculum", c15Curriculum _, Some(c15Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }
