@@ -296,11 +296,12 @@ object Selection {
   def curriculumPhases(docs: DataFrame, idCol: String, score: Column,
       phases: Int): DataFrame = {
     require(phases > 0, "phases must be positive")
-    docs.withColumn("_score", score)
-      .withColumn("phase", ntile(phases)
-        .over(Window.orderBy(col("_score").desc, col(idCol)))
-        .cast(LongType))
-      .drop("_score")
+    // order by the score EXPRESSION directly — no temp column, so a
+    // caller's own columns are never clobbered (an existing `phase`
+    // column is replaced, as withColumn documents)
+    docs.withColumn("phase", ntile(phases)
+      .over(Window.orderBy(score.desc, col(idCol)))
+      .cast(LongType))
   }
 
   /** Mean global token frequency per document — a cheap commonness /

@@ -681,8 +681,12 @@ object TrainingQueries {
          |    FROM q0 CROSS JOIN $cents)
          |  WHERE rn = 1)""".stripMargin
     def updateCtes(a: String, prev: String, next: String): String =
+      // exact integer floor division at ANY magnitude: subtract the
+      // positive mod, then // divides an exact multiple (DuckDB's //
+      // truncates, which equals floor once the remainder is gone; a
+      // double round-trip would lose exactness past 2^53)
       s"""u_$next AS (
-         |  SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+         |  SELECT cell, list((s - ((s % n) + n) % n) // n
          |                    ORDER BY pos) AS c
          |  FROM (SELECT $a.cell, p.i AS pos, SUM($a.q[p.i]) AS s,
          |          COUNT(*) AS n

@@ -170,10 +170,27 @@ class AnnSpec extends SparkSpec {
         dim = 4, k = 2, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == out)
-    // iters=0 assigns against the raw seeds (no update pass)
+    // iters=0 assigns against the RAW seeds: recompute the expected
+    // assignment by hand — same md5-hash seed order, same integer
+    // quantization, exact L2 argmin with lower-cell tie-break
     val zero = Ann.portableKmeansAssign(emb, "vec_id", "embedding",
-      dim = 4, k = 2, iters = 0)
-    assert(zero.count() == 10)
+        dim = 4, k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quant = rows.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+    }.toMap
+    val seedIds = emb.select(col("vec_id"),
+        graft.corpus.Selection.hashValue(
+          graft.corpus.Selection.saltedKey(col("vec_id"), "pkmeans")).as("h"))
+      .orderBy("h", "vec_id").limit(2)
+      .collect().map(_.getLong(0))
+    val seedVecs = seedIds.map(quant)
+    val expected = quant.map { case (id, q) =>
+      val dists = seedVecs.map(c =>
+        q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      id -> dists.zipWithIndex.minBy { case (d, j) => (d, j) }._2.toLong
+    }
+    assert(zero == expected)
   }
 
   test("two-stage PQ rerank: planted duplicate ranks first with exact distance 0") {
