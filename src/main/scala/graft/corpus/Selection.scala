@@ -1,6 +1,8 @@
 package graft.corpus
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -286,22 +288,117 @@ object Selection {
       .option("ignoreNullFields", "false")
       .json(path)
 
+  /** Distributed exact NTILE: bit-identical to
+    * `ntile(buckets) OVER (PARTITION BY partitionBy ORDER BY orderBy)`
+    * but with NO single-partition global sort — the 100 TB-safe form
+    * of the one window shape Spark cannot scale (an empty or
+    * low-cardinality partition spec funnels the whole corpus through
+    * one task's sort).
+    *
+    * How: range-partition on (partitionBy ++ orderBy) so each task
+    * holds a contiguous slice of every window partition's order; count
+    * rows per (task, key); ship ONLY those counts to the driver (≤
+    * numPartitions + distinct keys rows — keys occupy contiguous
+    * partition ranges, so at most one key straddles each boundary;
+    * pure metadata, never row data, same bounded-collect contract as
+    * [[graft.dedup.Dedup]]'s edge list); cumulative-sum them into
+    * per-(task, key) global-rank offsets; broadcast-join the offsets
+    * back and add a per-task `row_number` — a window partitioned by
+    * (task, key), so every sort is one slice, never the corpus. The
+    * bucket for global rank r of n rows follows the SQL NTILE contract
+    * in pure integer arithmetic (first n%buckets buckets take one
+    * extra row), so results hash-match an oracle NTILE exactly.
+    *
+    * Two row-data shuffles total (range + window re-hash), plus one
+    * metadata aggregation. The range layout is persisted
+    * (MEMORY_AND_DISK) before the counts pass: Spark's range sampler
+    * is seeded per RDD instantiation, so two independent executions
+    * of the same repartitionByRange can draw DIFFERENT partition
+    * boundaries — the offsets would then describe a layout the output
+    * pass never sees. Pinning one materialization makes both passes
+    * read identical partitions (and scans the input once, not twice);
+    * recomputation of a lost cached partition replays the same
+    * shuffle, so the boundaries stay fixed even under executor loss.
+    * Caching contract (same as [[graft.dedup.Dedup]]'s pair
+    * producers): the cache is left for reuse — callers clearCache
+    * between corpora.
+    *
+    * `orderBy` must be a total order (add a unique tiebreaker) —
+    * the same requirement deterministic NTILE has everywhere.
+    */
+  def distributedNtile(df: DataFrame, buckets: Int, partitionBy: Seq[String],
+      orderBy: Seq[Column], outCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val tmp = Seq("_dn_pid", "_dn_cnt", "_dn_off", "_dn_base", "_dn_rem",
+      "_dn_cut", "_dn_rank")
+    require(!df.columns.exists(tmp.contains),
+      s"input must not use reserved columns ${tmp.mkString(", ")}")
+    val ranged = df
+      .repartitionByRange(parts, partitionBy.map(col) ++ orderBy: _*)
+      .withColumn("_dn_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyArity = partitionBy.size
+    val counts = ranged
+      .groupBy(("_dn_pid" +: partitionBy).map(col): _*)
+      .agg(count(lit(1)).as("_dn_cnt"))
+      .collect() // metadata only: ≤ parts + distinct keys rows
+    val offsetRows = counts
+      .groupBy(r => (1 to keyArity).map(r.get(_)).toList)
+      .valuesIterator.flatMap { group =>
+        val inOrder = group.sortBy(_.getInt(0))
+        val total = inOrder.map(_.getLong(keyArity + 1)).sum
+        val base = total / buckets
+        val rem = total % buckets
+        val cut = rem * (base + 1) // ranks ≤ cut fall in the wide buckets
+        var off = 0L
+        inOrder.map { r =>
+          val o = off; off += r.getLong(keyArity + 1)
+          Row.fromSeq(r.toSeq ++ Seq(o, base, rem, cut))
+        }
+      }.toSeq
+    val offSchema = StructType( // key fields from the plan, not hand-built
+      ranged.select(("_dn_pid" +: partitionBy).map(col): _*).schema.fields.toSeq
+        ++ Seq(
+          StructField("_dn_cnt", LongType), StructField("_dn_off", LongType),
+          StructField("_dn_base", LongType), StructField("_dn_rem", LongType),
+          StructField("_dn_cut", LongType)))
+    val offsets = spark.createDataFrame(
+      new java.util.ArrayList[Row](offsetRows.asJava), offSchema)
+    val joinKeys = "_dn_pid" +: partitionBy
+    val w = Window.partitionBy(joinKeys.map(col): _*).orderBy(orderBy: _*)
+    // integer DIV keeps the bucket math exact at any corpus size
+    // (double division would lose rank precision past 2^53); the
+    // narrow-bucket branch is only reached when rank > cut, which
+    // implies base ≥ 1 — GREATEST guards the lazily-dead branch anyway
+    ranged.join(broadcast(offsets), joinKeys)
+      .withColumn("_dn_rank", col("_dn_off") + row_number().over(w))
+      .withColumn(outCol,
+        when(col("_dn_rank") <= col("_dn_cut"),
+          expr("(_dn_rank - 1) DIV (_dn_base + 1) + 1"))
+        .otherwise(
+          expr("_dn_rem + (_dn_rank - _dn_cut - 1) DIV GREATEST(_dn_base, 1) + 1"))
+        .cast(LongType))
+      .drop(tmp: _*)
+  }
+
   /** Curriculum phases: order the corpus by a difficulty proxy
     * (highest score = cleanest = phase 1) and cut it into `phases`
-    * contiguous equal-depth blocks, ties broken by id. The global
-    * order runs through a single-partition ntile window — fine at
-    * report scale; a 100 TB curriculum assigns phases by
-    * range-partitioning on approximate score quantiles instead (same
-    * semantics, no global sort bottleneck). */
+    * contiguous equal-depth blocks, ties broken by id. Phases are
+    * assigned by [[distributedNtile]] — range-partition on the score,
+    * per-slice ranks plus broadcast offsets — so no task ever sorts
+    * more than its slice; bit-identical to the single-window
+    * `ntile(phases) OVER (ORDER BY score DESC, id)` form. An existing
+    * `phase` column is replaced (as withColumn documents); `score`
+    * must not reference it. */
   def curriculumPhases(docs: DataFrame, idCol: String, score: Column,
       phases: Int): DataFrame = {
     require(phases > 0, "phases must be positive")
-    // order by the score EXPRESSION directly — no temp column, so a
-    // caller's own columns are never clobbered (an existing `phase`
-    // column is replaced, as withColumn documents)
-    docs.withColumn("phase", ntile(phases)
-      .over(Window.orderBy(score.desc, col(idCol)))
-      .cast(LongType))
+    distributedNtile(docs.drop("phase"), phases, Seq.empty,
+      Seq(score.desc, col(idCol)), outCol = "phase")
   }
 
   /** Mean global token frequency per document — a cheap commonness /

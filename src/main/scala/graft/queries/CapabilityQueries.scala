@@ -1396,12 +1396,15 @@ object CapabilityQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   // --------------------------------------------------------------- Q55
-  /** q55: equi-DEPTH histogram — price deciles per return flag via
-    * ntile over a fully tie-broken order (q53's fixed-width cousin;
-    * together they are the two standard distribution profiles). The
-    * window partitions by flag, so no global single-partition sort;
-    * decile boundaries are data-dependent but deterministic under the
-    * total order. Verbatim SQL on both engines. */
+  /** q55: equi-DEPTH histogram — price deciles per return flag
+    * (q53's fixed-width cousin; together they are the two standard
+    * distribution profiles). `PARTITION BY l_returnflag` has
+    * cardinality 3, so a plain NTILE window would sort a third of
+    * lineitem in one task; the deciles instead come from
+    * [[graft.corpus.Selection.distributedNtile]] — range-partition on
+    * (flag, price, tiebreak), per-slice ranks + broadcast offsets —
+    * which is bit-identical to the NTILE the oracle runs but never
+    * sorts more than one slice per task. */
   val q55Sql: String =
     """WITH t AS (
       |  SELECT l_returnflag, l_extendedprice,
@@ -1414,8 +1417,16 @@ object CapabilityQueries {
       |ORDER BY l_returnflag, decile""".stripMargin
 
   def q55QuantileBuckets(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(q55Sql)
+    import graft.corpus.Selection
+    val li = Tables.lineitem(s, d)
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    Selection.distributedNtile(li, 10, Seq("l_returnflag"),
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        outCol = "decile")
+      .groupBy("l_returnflag", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .orderBy("l_returnflag", "decile")
   }
 
   // --------------------------------------------------------------- Q56

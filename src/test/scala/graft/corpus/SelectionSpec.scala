@@ -260,6 +260,65 @@ class SelectionSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("distributedNtile: bit-identical to the single-window ntile, partitioned and global") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    val order = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    // partitioned form vs NTILE OVER (PARTITION BY flag ORDER BY ...)
+    val dist = Selection.distributedNtile(li, 10, Seq("l_returnflag"), order,
+        outCol = "decile")
+      .select(col("l_orderkey"), col("l_linenumber"), col("decile"))
+    val window = li.withColumn("decile",
+        ntile(10).over(Window.partitionBy("l_returnflag").orderBy(order: _*))
+          .cast("long"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("decile"))
+    assert(dist.exceptAll(window).isEmpty && window.exceptAll(dist).isEmpty)
+    // global form (empty partition spec), odd bucket count, explicit parts
+    val g = Selection.distributedNtile(li, 7, Seq.empty,
+        Seq(col("l_orderkey"), col("l_linenumber")), outCol = "b",
+        numPartitions = 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("b"))
+    val gw = li.withColumn("b",
+        ntile(7).over(Window.orderBy("l_orderkey", "l_linenumber")).cast("long"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("b"))
+    assert(g.exceptAll(gw).isEmpty && gw.exceptAll(g).isEmpty)
+  }
+
+  test("distributedNtile: more buckets than rows, empty input, scale-safe plan") {
+    val tiny = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val out = Selection.distributedNtile(tiny, 10, Seq.empty,
+      Seq(col("id")), outCol = "b")
+    // n < buckets: row with rank r goes to bucket r, buckets n+1.. empty
+    assert(out.orderBy("id").collect().map(_.getAs[Long]("b")).toSeq ==
+      Seq(1L, 2L, 3L))
+    val empty = Selection.distributedNtile(tiny.filter(col("id") < 0), 4,
+      Seq("v"), Seq(col("id")), outCol = "b")
+    assert(empty.collect().isEmpty && empty.columns.contains("b"))
+    // the whole point: no window with an empty partition spec in the plan
+    val winNodes = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(winNodes.isEmpty, "distributedNtile must never plan a global window")
+  }
+
+  test("curriculumPhases: matches the ntile definition and replaces an existing phase column") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+    val cur = Selection.curriculumPhases(docs, "doc_id", col("q"), 3)
+      .select("doc_id", "phase")
+    val ref = docs.withColumn("phase",
+        ntile(3).over(Window.orderBy(col("q").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "phase")
+    assert(cur.exceptAll(ref).isEmpty && ref.exceptAll(cur).isEmpty)
+    // an existing phase column is replaced, not duplicated
+    val again = Selection.curriculumPhases(
+      Selection.curriculumPhases(docs, "doc_id", col("q"), 3),
+      "doc_id", col("q"), 5)
+    assert(again.columns.count(_ == "phase") == 1)
+    assert(again.select(max("phase")).head.getLong(0) == 5L)
+  }
+
   test("vocabTopK: counts match a manual count and the plan is a TakeOrdered top-k") {
     val docs = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
     val top = Selection.vocabTopK(docs, "text", 2)

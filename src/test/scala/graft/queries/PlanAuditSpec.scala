@@ -43,6 +43,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"\nplan red flags:\n${offenders.mkString("\n")}")
   }
 
+  /** Conscious unpartitioned windows — every entry must be a window
+    * over AGGREGATE metadata (bounded rows), never row data:
+    * c04's shard-offset prefix sum runs over per-shard token totals
+    * (≤ max_id/shardSize rows — thousands at 100 TB; see
+    * Selection.packSequences Scaladoc). */
+  private val globalWindowAllowed = Set("c04_pack_sequences")
+
+  test("no query plans a window with an empty partition spec over row data") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) =>
+        effectful(name) || globalWindowAllowed(name) }
+      .flatMap { case (name, fn) =>
+        val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Some(s"$name: ${global.size} global window(s)")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"\nsingle-partition window bottlenecks (fix with " +
+        s"Selection.distributedNtile or a partition key):\n" +
+        offenders.mkString("\n"))
+  }
+
   /** Scan-dominated queries whose per-row work must stay inside
     * whole-stage codegen ("*(n)" stages) — a fallen-out-of-codegen
     * expression here multiplies per-row cost at 100 TB. */
@@ -77,7 +102,10 @@ class PlanAuditSpec extends SparkSpec {
     * must leave the cache manager empty. */
   private val documentedCaching = Set("d02_ngram_jaccard", "d03_minhash_lsh",
     "d04_simhash", "d07_lsh_vs_exact", "d09_incremental_dedup",
-    "d13_containment", "c13_pretrain_pipeline", "c14_funnel_report")
+    "d13_containment", "c13_pretrain_pipeline", "c14_funnel_report",
+    // distributedNtile pins its range layout (offsets must describe the
+    // exact partitioning the output pass reads — Selection Scaladoc)
+    "c15_curriculum", "q55_quantile_buckets")
 
   test("no library query pins storage after materialization") {
     spark.catalog.clearCache() // drop registrations from earlier plan builds
