@@ -32,7 +32,24 @@ object OverlapProbe {
       println(f"[ov] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n pairs)")
       n
     }
-    val nOn = time("rewritten (rule on)", overlapJoin(docs))
+    // the hand-written form a user with ids writes: inverted index,
+    // pair aggregate, no payload ever rides the element shuffle —
+    // the floor the transparent rewrite is measured against
+    def handAggregation(docs: DataFrame): DataFrame = {
+      val t = docs.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      val e = t.select(col("doc_id"), explode(col("sh")).as("s"))
+      e.as("x").join(e.as("y"), col("x.s") === col("y.s") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .count().filter(col("count") >= 5)
+        .select("a_id", "b_id")
+    }
+
+    val nOn = time("rewritten narrow (default)", overlapJoin(docs))
+    spark.conf.set(OverlapJoinRewrite.NarrowKey, "false")
+    try time("rewritten wide (narrow off)", overlapJoin(docs))
+    finally spark.conf.set(OverlapJoinRewrite.NarrowKey, "true")
+    time("hand aggregation (ids)", handAggregation(docs))
     spark.conf.set(OverlapJoinRewrite.EnabledKey, "false")
     try {
       val capped = if (capOff == Int.MaxValue) docs else docs.limit(capOff)

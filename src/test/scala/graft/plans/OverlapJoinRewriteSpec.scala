@@ -120,6 +120,93 @@ class OverlapJoinRewriteSpec extends SparkSpec {
       Seq((1L, 2L)))
   }
 
+  private def withNarrowDisabled[T](body: => T): T = {
+    spark.conf.set(OverlapJoinRewrite.NarrowKey, "false")
+    try body finally spark.conf.set(OverlapJoinRewrite.NarrowKey, "true")
+  }
+
+  test("narrow path fires by default: id-tag windows in the plan, elements shuffled id-only") {
+    val df = naiveOverlap
+    val plan = planOf(df)
+    // the synthetic-id tag plans one window per side
+    assert(plan.contains("row_number") || plan.contains("RowNumber"),
+      s"narrow tagging absent:\n$plan")
+    // and the pair aggregate exists (wide form has no aggregate at all)
+    assert(plan.contains("HashAggregate"), s"no pair aggregate:\n$plan")
+  }
+
+  test("wide fallback (narrow=false): same bag, first-witness single join") {
+    val narrow = naiveOverlap.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val wide = withNarrowDisabled {
+      val df = naiveOverlap
+      val plan = planOf(df)
+      assert(!plan.contains("HashAggregate"),
+        s"wide path must be a single residual join:\n$plan")
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(narrow == wide && narrow.nonEmpty)
+  }
+
+  test("non-orderable payload (map column) falls back to the wide form, same answer") {
+    val rows = Seq(
+      (1L, Seq("x", "y", "z", "q", "r"), Map("k" -> 1)),
+      (2L, Seq("x", "y", "z", "q", "s"), Map("k" -> 2)),
+      (3L, Seq("a", "b", "c", "d", "e"), Map("k" -> 3))
+    ).toDF("id", "arr", "m")
+    val a = rows.select($"id".as("a_id"), $"arr".as("a_arr"), $"m".as("a_m"))
+    val b = rows.select($"id".as("b_id"), $"arr".as("b_arr"))
+    def q: DataFrame = a.join(b,
+        size(array_intersect($"a_arr", $"b_arr")) >= 4 && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+    val plan = planOf(q)
+    // rewrite still fires (wide), never a nested loop
+    assert(plan.contains("Generate") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"wide fallback did not fire:\n$plan")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+  }
+
+  test("nondeterministic side falls back to wide (copy re-execution would diverge)") {
+    val d = Tables.documents(spark, sf).limit(60)
+      .select($"doc_id", TextOps.shingles($"text", 3).as("sh"),
+        rand(7).as("salt")) // nondeterministic column in the payload
+    val a = d.select($"doc_id".as("a_id"), $"sh".as("a_sh"), $"salt".as("a_salt"))
+    val b = d.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
+    // a_salt must survive column pruning (be in the output), or the
+    // optimizer removes the nondeterminism before the rule ever sees it
+    def q: DataFrame = a.join(b,
+        size(array_intersect($"a_sh", $"b_sh")) >= 5 && $"a_id" < $"b_id")
+      .select("a_id", "b_id", "a_salt")
+    val plan = planOf(q)
+    assert(!plan.contains("HashAggregate"),
+      s"narrow path must not duplicate a nondeterministic subtree:\n$plan")
+    assert(plan.contains("Generate") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"wide fallback did not fire:\n$plan")
+  }
+
+  test("fully duplicate rows keep exact multiplicity through the narrow path") {
+    // two bit-identical rows on each side: ids are assigned by a sort
+    // tie among equal rows — any assignment must yield the same bag
+    // (4 copies of the qualifying pair, plus self-pairs filtered by id<)
+    val rows = Seq(
+      (1L, Seq("p", "q", "r")), (1L, Seq("p", "q", "r")),
+      (2L, Seq("p", "q", "s")), (9L, Seq("z", "w", "v"))
+    ).toDF("id", "arr")
+    val a = rows.select($"id".as("a_id"), $"arr".as("a_arr"))
+    val b = rows.select($"id".as("b_id"), $"arr".as("b_arr"))
+    def q: DataFrame = a.join(b,
+        size(array_intersect($"a_arr", $"b_arr")) >= 2 && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+    val narrow = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = withRuleDisabled {
+      q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(narrow == naive)
+    // duplicate a-rows each pair with the b-row: multiplicity 2 each way
+    assert(narrow == Seq((1L, 2L), (1L, 2L)))
+  }
+
   test("a cross-side equality conjunct disables the rewrite (native hash join wins)") {
     val d = Tables.documents(spark, sf)
       .select($"doc_id", $"source", TextOps.shingles($"text", 3).as("sh"))
