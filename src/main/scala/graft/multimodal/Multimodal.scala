@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   * datasets of tensors: the engine never interprets the payload in the
   * plan, only in well-bounded per-partition decode stages.
   *
-  * The actual codec work (JPEG decode, resample, frame extraction) is
-  * STUBBED — the container ships no image/audio libraries — behind
+  * Codec status: IMAGE decode is REAL — pure-JVM `javax.imageio`
+  * (PNG/BMP/GIF/JPEG) via [[MediaCodec.decodeImage]], no external
+  * libraries. Audio/video codec work (resample, frame extraction)
+  * stays STUBBED — the container ships no media libraries — behind
   * [[MediaCodec]], with a deterministic fake so the Spark-side
   * contract (schema, partitioning, batch shape, null handling) is real
   * and testable. The Scala analog of a Pandas-UDF `mapInPandas` decode
@@ -37,6 +39,16 @@ object Multimodal {
       digest: String,
       feature: Array[Float])        // decoded embedding/feature vector
 
+  /** Decoded-image statistics: dimensions + per-channel pixel sums
+    * (integer-exact — the verifiable core of any pixel featurizer). */
+  final case class ImageStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
   /** STUB decode: a real implementation hands the payload bytes to an
     * image or audio codec. The deterministic fake derives a feature
     * vector from the payload's MD5 hex digest (lane sums of the 32
@@ -59,6 +71,52 @@ object Multimodal {
       }
       out
     }
+
+    /** REAL codec — PNG encode via pure-JVM `javax.imageio` (no
+      * external libraries): render an RGB pixel function into
+      * losslessly-compressed PNG bytes. `rgb(x, y)` returns packed
+      * 0xRRGGBB. */
+    def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** REAL codec — image decode via `javax.imageio` (PNG always
+      * available on the JVM; BMP/GIF/JPEG ride the same call): payload
+      * bytes → dimensions + per-channel pixel sums. None when the
+      * payload is not a decodable image — callers skip, mirroring the
+      * skip-entity error policy (reference GRAPH-PS:116-130: one bad
+      * record must not fail the load). */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          Some((img.getWidth, img.getHeight, sr, sg, sb))
+        }
+      } catch { case _: java.io.IOException => None }
   }
 
   /** Fabricate a media table from the documents fixture: the text bytes
@@ -76,6 +134,47 @@ object Multimodal {
         lit(null).cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("durationMs"))
       .as[MediaRecord]
+  }
+
+  /** Deterministic PNG fixture table: each document id becomes a REAL
+    * PNG whose pixels are a closed-form function of (id, x, y). The
+    * engine path genuinely encodes and decodes PNG bytes; an external
+    * SQL oracle reproduces the decoded-pixel statistics from the
+    * closed form without needing a codec — the pattern for verifying
+    * any media stage whose decoder the oracle lacks. */
+  def pngFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (4 + id % 3).toInt
+          val bytes = MediaCodec.encodePng(w, h, (x, y) => {
+            val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+            val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          MediaRecord(id, bytes, "image/png", s"mem://png/$id",
+            Some(w), Some(h), None)
+        }
+      }
+  }
+
+  /** Per-partition REAL image decode stage: payloads through
+    * [[MediaCodec.decodeImage]]; undecodable rows are skipped (the
+    * media analog of the reference's skip-entity error policy). Narrow
+    * map over the scan — no shuffle. */
+  def decodeImageStats(media: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeImage(r.media).map { case (w, h, sr, sg, sb) =>
+          ImageStats(r.media_id, w, h, sr, sg, sb)
+        }
+      }
+    }
   }
 
   /** Per-partition decode stage (mapInPandas analog): codec state is

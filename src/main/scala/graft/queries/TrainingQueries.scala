@@ -1162,6 +1162,34 @@ object TrainingQueries {
       |    AS frame_digest
       |FROM idx ORDER BY media_id, frame_idx""".stripMargin
 
+  /** m04: REAL image codec end to end — each document id is rendered
+    * into actual PNG bytes (javax.imageio encode) whose pixels follow
+    * a closed-form function of (id, x, y), then decoded back
+    * ([[graft.multimodal.Multimodal.MediaCodec.decodeImage]]) into
+    * dimensions + per-channel pixel sums. The features come from real
+    * decoded pixel data; the oracle reproduces them from the closed
+    * form without a codec. Integer-exact throughout. */
+  def m04PngDecode(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.decodeImageStats(Multimodal.pngFromDocuments(s, d))
+      .select(col("media_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("media_id")
+  }
+
+  val m04Sql: String =
+    """WITH xs AS (
+      |  SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS x FROM documents),
+      |ps AS (
+      |  SELECT doc_id, x, unnest(range(0, 4 + doc_id % 3)) AS y FROM xs)
+      |SELECT doc_id AS media_id,
+      |  CAST(4 + doc_id % 5 AS INTEGER) AS width,
+      |  CAST(4 + doc_id % 3 AS INTEGER) AS height,
+      |  CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((doc_id * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+      |FROM ps GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -1404,6 +1432,7 @@ object TrainingQueries {
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),
+    ("m04_png_decode", m04PngDecode _, Some(m04Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),

@@ -25,6 +25,54 @@ class MultimodalSpec extends SparkSpec {
     assert(a.map(_.feature.toSeq).toSeq == b.map(_.feature.toSeq).toSeq)
   }
 
+  test("PNG codec: encode → decode round-trips exact pixel sums and dimensions") {
+    // a 3x2 image with hand-computable channel sums
+    val px = Array(
+      Array(0xFF0000, 0x00FF00, 0x0000FF), // r=255, g=255, b=255
+      Array(0x102030, 0x405060, 0x708090)) // r=0x10+0x40+0x70 ...
+    val bytes = Multimodal.MediaCodec.encodePng(3, 2, (x, y) => px(y)(x))
+    // PNG magic: real encoded output, not a fake
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte &&
+      bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+    val Some((w, h, sr, sg, sb)) = Multimodal.MediaCodec.decodeImage(bytes)
+    assert((w, h) == (3, 2))
+    assert(sr == 255L + 0x10 + 0x40 + 0x70)
+    assert(sg == 255L + 0x20 + 0x50 + 0x80)
+    assert(sb == 255L + 0x30 + 0x60 + 0x90)
+  }
+
+  test("image decode stage skips undecodable payloads (skip-entity policy)") {
+    import spark.implicits._
+    val good = Multimodal.MediaCodec.encodePng(2, 2, (_, _) => 0x7F7F7F)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, good, "image/png", "mem://ok", Some(2), Some(2), None),
+      Multimodal.MediaRecord(2L, Array[Byte](1, 2, 3), "image/png", "mem://bad", None, None, None),
+      Multimodal.MediaRecord(3L, good, "image/png", "mem://ok2", Some(2), Some(2), None)
+    ).toDS()
+    val out = Multimodal.decodeImageStats(rows).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 3L)) // row 2 skipped, not fatal
+    assert(out.forall(s => s.sum_r == 4 * 0x7F && s.width == 2 && s.height == 2))
+  }
+
+  test("pngFromDocuments: decoded stats match the closed-form pixel function") {
+    val stats = Multimodal.decodeImageStats(
+      Multimodal.pngFromDocuments(spark, sf))
+      .filter(_.media_id < 20).collect().sortBy(_.media_id)
+    assert(stats.length == 20)
+    stats.foreach { s =>
+      val id = s.media_id
+      val (w, h) = ((4 + id % 5).toInt, (4 + id % 3).toInt)
+      assert((s.width, s.height) == (w, h))
+      val expected = for { x <- 0 until w; y <- 0 until h } yield
+        ((id * 31 + x * 7 + y * 13) % 256,
+         (id * 17 + x * 11 + y * 3) % 256,
+         (id * 23 + x * 5 + y * 19) % 256)
+      assert(s.sum_r == expected.map(_._1).sum)
+      assert(s.sum_g == expected.map(_._2).sum)
+      assert(s.sum_b == expected.map(_._3).sum)
+    }
+  }
+
   test("frame sampling emits every stride-th fixed-size block") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
