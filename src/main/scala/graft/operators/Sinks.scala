@@ -38,6 +38,13 @@ object Sinks {
     df.withColumn("timeGenerated", lit(loadTime))
       .withColumn("load_date", lit(loadTime).cast("date"))
       .write.mode(SaveMode.Append).partitionBy("load_date").parquet(path)
+    dropExpired(spark, path, loadTime, maxAgeDays)
+  }
+
+  /** Age-out: drop `load_date=` partition directories older than the
+    * retention window. Surviving data is never read or rewritten. */
+  private def dropExpired(spark: SparkSession, path: String,
+      loadTime: Timestamp, maxAgeDays: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // partition names come from lit(loadTime).cast("date"), which
@@ -57,6 +64,25 @@ object Sinks {
             s"retention: failed to drop expired partition ${st.getPath}")
       }
     }
+  }
+
+  /** [[retentionAppend]]'s replay-idempotent sibling: the batch
+    * REPLACES its own `load_date=` partition (dynamic partition
+    * overwrite — other partitions untouched) instead of appending, so
+    * re-running a crashed load lands the identical bytes instead of
+    * duplicating the day. This is the right mode when the load is
+    * driven by a replayable upstream (e.g. [[graft.pipeline
+    * .IncrementalSync]], whose crash contract re-runs the last round);
+    * plain append matches the reference's insert-only retention sink.
+    * Age-out is the same partition drop. */
+  def retentionReplace(spark: SparkSession, df: DataFrame, path: String,
+      loadTime: Timestamp, maxAgeDays: Int = 40): Unit = {
+    df.withColumn("timeGenerated", lit(loadTime))
+      .withColumn("load_date", lit(loadTime).cast("date"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("load_date").parquet(path)
+    dropExpired(spark, path, loadTime, maxAgeDays)
   }
 
   /** Apply an OData delta change set (`ODataPageReader.readDeltaPages`

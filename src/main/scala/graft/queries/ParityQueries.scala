@@ -183,6 +183,90 @@ object ParityQueries {
        |FROM chg WHERE NOT removed
        |ORDER BY id""".stripMargin
 
+  /** P10: the production composition of P8's incremental sync and P5's
+    * retention sink — each scheduled run merges the delta into the
+    * snapshot ([[graft.pipeline.IncrementalSync.runRound]], cursor
+    * persisted between runs) and lands the day's snapshot as a
+    * `load_date=` partition of a retention-windowed history
+    * ([[Sinks.retentionReplace]]: the batch replaces its OWN partition,
+    * so the sync crash contract — replay the last round — is
+    * idempotent across the whole composition). Three daily runs:
+    * first sync (full set) at 2024-09-01, the delta round at
+    * 2024-10-01, a no-change run at 2024-11-08 whose age-out expires
+    * the first partition (68 days > 40-day window). The oracle sees
+    * the merged set exactly twice — an un-aged first partition or a
+    * duplicated replay both break the hash. */
+  def p10(s: SparkSession, d: String): DataFrame = {
+    val schema = EntitySchemas.managedDeviceSource
+    val work = java.nio.file.Files.createTempDirectory("graft_p10")
+    val snap = work.resolve("snapshot").toString
+    val cursor = work.resolve("cursor").toString
+    val history = work.resolve("history").toString
+    val tsMid = Timestamp.valueOf("2024-10-01 00:00:00")
+    import graft.pipeline.IncrementalSync
+
+    def narrow(df: DataFrame): DataFrame =
+      df.select("id", "deviceName", "operatingSystem", "complianceState",
+        "lastSyncDateTime")
+
+    // run 1 (2024-09-01): first sync — delta endpoint returns the full
+    // set plus the first cursor
+    IncrementalSync.runRound(s, s"$fixtureRoot/managedDevicesInit/page1.json",
+      schema, snap, cursor)
+    Sinks.retentionReplace(s,
+      narrow(s.read.schema(schema).parquet(snap)), history, ts1)
+    // run 2 (2024-10-01): only the delta, from the persisted cursor
+    IncrementalSync.runRound(s,
+      IncrementalSync.loadCursor(s, cursor).get, schema, snap, cursor)
+    Sinks.retentionReplace(s,
+      narrow(s.read.schema(schema).parquet(snap)), history, tsMid)
+    // run 3 (2024-11-08): no upstream changes — the day's snapshot
+    // lands and the age-out drops the 2024-09-01 partition
+    Sinks.retentionReplace(s,
+      narrow(s.read.schema(schema).parquet(snap)), history, ts2)
+
+    val readSchema = StructType(
+      narrow(s.read.schema(schema).parquet(snap)).schema.fields :+
+        StructField("timeGenerated", TimestampType))
+    s.read.schema(readSchema).parquet(history)
+      .drop("load_date")
+      .orderBy("timeGenerated", "id")
+  }
+
+  private def syncRetentionOracle: String =
+    s"""WITH snap AS (
+       |  SELECT CAST(v.id AS VARCHAR) AS id,
+       |    CAST(v.deviceName AS VARCHAR) AS deviceName,
+       |    CAST(v.operatingSystem AS VARCHAR) AS operatingSystem,
+       |    CAST(v.complianceState AS VARCHAR) AS complianceState,
+       |    strftime(CAST(v.lastSyncDateTime AS TIMESTAMP),
+       |      '%Y-%m-%dT%H:%M:%SZ') AS lastSyncDateTime
+       |  FROM (SELECT unnest(value) AS v
+       |        FROM read_json(${pages("managedDevicesInit", 2)}, union_by_name=true))),
+       |chg AS (
+       |  SELECT CAST(v.id AS VARCHAR) AS id,
+       |    CAST(v.deviceName AS VARCHAR) AS deviceName,
+       |    CAST(v.operatingSystem AS VARCHAR) AS operatingSystem,
+       |    CAST(v.complianceState AS VARCHAR) AS complianceState,
+       |    strftime(CAST(v.lastSyncDateTime AS TIMESTAMP),
+       |      '%Y-%m-%dT%H:%M:%SZ') AS lastSyncDateTime,
+       |    v."@removed" IS NOT NULL AS removed
+       |  FROM (SELECT unnest(value) AS v
+       |        FROM read_json(${pages("managedDevicesDelta", 2)}, union_by_name=true))),
+       |merged AS (
+       |  SELECT id, deviceName, operatingSystem, complianceState, lastSyncDateTime
+       |  FROM snap WHERE id NOT IN (SELECT id FROM chg)
+       |  UNION ALL
+       |  SELECT id, deviceName, operatingSystem, complianceState, lastSyncDateTime
+       |  FROM chg WHERE NOT removed),
+       |runs AS (SELECT * FROM (VALUES
+       |  (TIMESTAMP '2024-10-01 00:00:00'),
+       |  (TIMESTAMP '2024-11-08 00:00:00')) t(timeGenerated))
+       |SELECT m.id, m.deviceName, m.operatingSystem, m.complianceState,
+       |  m.lastSyncDateTime, r.timeGenerated
+       |FROM merged m CROSS JOIN runs r
+       |ORDER BY timeGenerated, id""".stripMargin
+
   // ------------------------------------------------------- DuckDB oracles
 
   /** Oracle column expression for a sink field: cast through VARCHAR/
@@ -323,5 +407,6 @@ object ParityQueries {
     ("p07_expand", p07 _, Some(expandOracle)),
     ("p08_delta_sync", p08 _, Some(deltaOracle)),
     ("p09_format_roundtrip", p09 _, Some(p09Oracle)),
+    ("p10_sync_retention", p10 _, Some(syncRetentionOracle)),
   )
 }

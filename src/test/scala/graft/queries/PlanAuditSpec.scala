@@ -15,9 +15,9 @@ class PlanAuditSpec extends SparkSpec {
   /** Queries whose construction executes jobs or writes (audited by
     * their own specs instead of a dry plan build). */
   private val effectful = Set("p04_snapshot_overwrite", "p05_retention",
-    "p09_format_roundtrip", "q20_stream_tumbling", "q31_stream_interval_join",
-    "q37_stream_dedup", "d06_dup_clusters", "s05_kmeans", "s07_pq_trained",
-    "c10_bloom_decontaminate")
+    "p09_format_roundtrip", "p10_sync_retention", "q20_stream_tumbling",
+    "q31_stream_interval_join", "q37_stream_dedup", "d06_dup_clusters",
+    "s05_kmeans", "s07_pq_trained", "c10_bloom_decontaminate")
 
   /** Intentional nested-loop/cross plans:
     * q22 is a cross join by definition; s01 brute-force ANN scores
