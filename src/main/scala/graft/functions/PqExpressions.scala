@@ -99,6 +99,62 @@ object PqKernels {
     }
     total
   }
+
+  /** The deterministic integer portable-PQ codebook (single rendering —
+    * `Ann.portablePqCodebook` and the DuckDB oracle SQL both derive
+    * from this formula): centroid component (j, c, i) =
+    * ((37j + 8191c + 127i + 11) mod 2000001) − 10⁶, the same ±10⁶
+    * range as the quantized vectors. */
+  def portableCodebook(m: Int, k: Int, sub: Int): Array[Array[Array[Long]]] =
+    Array.tabulate(m, k, sub)((j, c, i) =>
+      ((j * 37L + c * 8191L + i * 127L + 11L) % 2000001L) - 1000000L)
+
+  /** Integer-exact portable PQ encode: floor(x·10⁶) quantization,
+    * int64 squared-L2 per subspace, strict < argmin (ties → lowest
+    * code) — the kernel twin of the declarative
+    * `Ann.portablePqEncodeDeclarative` column, bit-for-bit. Magnitude
+    * bound: |q|,|cent| ≤ ~2·10⁶ → diff² ≤ 1.6·10¹³, × sub × m stays
+    * far under 2⁶³ for any realistic dim. */
+  def portablePqEncode(v: ArrayData, m: Int, sub: Int,
+      cb: Array[Array[Array[Long]]])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = m * sub
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${v.numElements()} vs $dim")
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      q(i) = math.floor(v.getFloat(i).toDouble * 1000000d).toLong
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var err = 0L
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      var bestD = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < cb(j).length) {
+        val cent = cb(j)(c)
+        var d = 0L
+        var t = 0
+        while (t < sub) {
+          val diff = q(off + t) - cent(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      codes(j) = bestC
+      err += bestD
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(codes), err))
+  }
 }
 
 /** `nearest_cell(array<float>) -> bigint`: id of the L2-nearest
@@ -215,6 +271,49 @@ case class PqAdc(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** `portable_pq_encode(array<float>) -> struct<codes: array<int>,
+  * recon_err: bigint>`: the INTEGER-exact portable-PQ encode (s08/s10's
+  * oracle-twin arithmetic — floor(x·10⁶) quantize, int64 squared-L2,
+  * first-min ties). The declarative formulation builds m·k
+  * aggregate(zip_with(...)) subtrees — several hundred Catalyst nodes
+  * whose janino compilation dominated s10's wall time at every corpus
+  * size (Scale10Probe: factor 1.0 at 10× rows = all fixed cost). The
+  * kernel is one node; the int codebook rides as a reference object and
+  * the generated code is identical across (m, k) VALUES of the same
+  * shape, so the codegen cache hits. */
+case class PortablePqEncode(child: Expression, m: Int, k: Int, sub: Int)
+    extends UnaryExpression {
+  require(m > 0 && k > 0 && sub > 0, s"bad shape m=$m k=$k sub=$sub")
+
+  override def prettyName: String = "portable_pq_encode"
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("recon_err", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $t")
+  }
+
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    PqKernels.portableCodebook(m, k, sub)
+
+  protected override def nullSafeEval(input: Any): Any =
+    PqKernels.portablePqEncode(input.asInstanceOf[ArrayData], m, sub, cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("ppqCb", cb, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernels.portablePqEncode(" +
+        s"$c, $m, $sub, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortablePqEncode =
+    copy(child = newChild)
+}
+
 object PqFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
@@ -225,4 +324,6 @@ object PqFunctions {
   def pqAdc(qvec: Column, codes: Column,
       codebooks: Seq[Seq[(Long, Array[Float])]]): Column =
     toCol(PqAdc(toExpr(qvec), toExpr(codes), codebooks))
+  def portablePqEncode(vec: Column, m: Int, k: Int, sub: Int): Column =
+    toCol(PortablePqEncode(toExpr(vec), m, k, sub))
 }

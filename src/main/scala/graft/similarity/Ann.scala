@@ -419,19 +419,29 @@ object Ann {
     * range as the floor(x·10⁶)-quantized vectors, reproducible in any
     * engine. */
   def portablePqCodebook(m: Int, k: Int, sub: Int): Seq[Seq[Seq[Long]]] =
-    (0 until m).map { j =>
-      (0 until k).map { c =>
-        (0 until sub).map(i =>
-          ((j * 37L + c * 8191L + i * 127L + 11L) % 2000001L) - 1000000L)
-      }
-    }
+    graft.functions.PqKernels.portableCodebook(m, k, sub)
+      .map(_.map(_.toSeq).toSeq).toSeq
 
   /** Portable PQ encode + reconstruction error — the oracle twin that
     * pins the quantize→slice→distance→argmin machinery with INTEGER-
     * exact arithmetic (floor(x·10⁶) quantization, int64 squared-L2,
     * first-min tie-break = lowest code). Returns a struct with the
-    * m-element code array and the summed minimal distances. */
+    * m-element code array and the summed minimal distances.
+    *
+    * Native kernel ([[graft.functions.PortablePqEncode]]): the
+    * declarative witness below builds m·k aggregate/zip_with subtrees
+    * whose codegen compilation was s10's dominant FIXED cost
+    * (Scale10Probe measured factor ~1.0 at 10× rows); the kernel is
+    * one Catalyst node, same bits (spec cross-checks on real
+    * embeddings). */
   def portablePqEncode(vec: Column, dim: Int, m: Int, k: Int): Column = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    graft.functions.PqFunctions.portablePqEncode(vec, m, k, dim / m)
+  }
+
+  /** Declarative witness of [[portablePqEncode]] for the spec. */
+  private[graft] def portablePqEncodeDeclarative(
+      vec: Column, dim: Int, m: Int, k: Int): Column = {
     val sub = dim / m
     val cb = portablePqCodebook(m, k, sub)
     val q = transform(vec.cast(ArrayType(DoubleType)),

@@ -1,0 +1,190 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe: the top-10 most expensive bench queries at 10× sf0.1 —
+  * the scale-up the per-round bench never sees. Prints per-query
+  * (base seconds, 10× seconds, scaling factor) plus a one-line JSON
+  * artifact.
+  *
+  * The 10× corpus is replication with DISTINCT contents, not
+  * duplication: every copy shifts its keys by a copy-specific offset;
+  * document text is rewritten as a copy-seeded PERMUTATION of its
+  * tokens — token multiset preserved (language/quality gates score
+  * the copies like the originals) while word-order shingles change
+  * almost entirely (no cross-copy near-dup cliques) — and embedding
+  * components get a copy-specific scale nudge. So a dedup or overlap
+  * query's OUTPUT grows ~10×, not quadratically, and the measured
+  * factor isolates the engine's scaling rather than the (legitimate,
+  * ScaleProbe-measured) duplication blow-up. Dimension tables
+  * (region/nation/supplier/part) stay 1× — at 100 TB the dimensions
+  * don't grow with the facts.
+  *
+  * Reading the factors: wall-clock ratio at 10× the rows on the SAME
+  * 32 cores. ~10 = perfectly linear CPU-bound work; < 10 = sub-linear
+  * wall (fixed overheads amortized, cores better utilized at the
+  * larger size); > 10 = super-linear — a real scale problem that
+  * needs a named cause.
+  */
+object Scale10Probe {
+  private val Copies = 10
+  private val Shift = 100000000L
+
+  private def tenTimes(spark: SparkSession, src: String, out: String): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String) =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    val copies = (0 until Copies).map(lit(_))
+
+    def replicated(t: String)(per: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame =
+      copies.map(k => per(read(t), k)).reduce(_ unionByName _)
+
+    write(replicated("documents") { (d, k) =>
+      // copy-seeded token permutation: same multiset, new word order
+      val permuted = expr(
+        """array_join(transform(array_sort(transform(split(text, ' '),
+          |  (t, i) -> named_struct(
+          |    'h', md5(concat(t, '#', CAST(i AS STRING), '#', CAST(_k AS STRING))),
+          |    't', t))), s -> s.t), ' ')""".stripMargin)
+      d.withColumn("_k", k)
+        .select((col("doc_id") + k * Shift).as("doc_id"),
+          when(k === 0, col("text")).otherwise(permuted).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+
+    write(replicated("embeddings") { (d, k) =>
+      d.select((col("vec_id") + k * Shift).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0f) + k.cast("float") * lit(0.001f)))
+          .as("embedding"),
+        col("label"))
+    }, "embeddings")
+
+    write(replicated("lineitem") { (d, k) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + k * Shift)
+    }, "lineitem")
+
+    write(replicated("orders") { (d, k) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + k * Shift)
+        .withColumn("o_custkey", col("o_custkey") + k * Shift)
+    }, "orders")
+
+    write(replicated("customer") { (d, k) =>
+      d.withColumn("c_custkey", col("c_custkey") + k * Shift)
+    }, "customer")
+
+    // events must land as a single FILE named events.parquet — the
+    // streaming source globs `events.parquet` as a file inside the SF
+    // dir (testdata layout), a directory would match nothing
+    val evTmp = s"$out/_events_build"
+    replicated("events") { (d, k) =>
+      d.withColumn("event_id", col("event_id") + k * Shift)
+        .withColumn("user_id", col("user_id") + k * Shift)
+    }.coalesce(1).write.mode("overwrite").parquet(evTmp)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(evTmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $evTmp"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$out/events.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(evTmp), true)
+
+    Seq("region", "nation", "supplier", "part")
+      .foreach(t => write(read(t), t))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_scale10")
+
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/events.parquet"))) {
+      println(s"[x10] building 10x dataset at $out ...")
+      tenTimes(spark, src, out)
+    }
+
+    // round-4 bench top spenders + the round-5 reworked operators.
+    // c14 (not c13) carries the pretraining chain: both run the same
+    // composed stages, but c13's OUTPUT is corpus-size-dependent —
+    // its decontamination rule drops any train doc sharing a 3-gram
+    // with the held-out slice, and at 10x the slice is broad enough
+    // that common trigrams contaminate every doc (0 rows out, by the
+    // operator's own semantics) — while c14's stage-count funnel
+    // always emits rows and does strictly more work.
+    val queries = Seq("d02_ngram_jaccard", "q49_waiting_supplier",
+      "c14_funnel_report", "c10_bloom_decontaminate",
+      "q54_overlap_join_auto", "s10_pq_rerank", "q31_stream_interval_join",
+      "d07_lsh_vs_exact", "d13_containment", "c15_curriculum")
+
+    def time(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      require(n > 0, s"$name returned no rows at $dir — broken 10x layout?")
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // untimed warm-up (classloading + janino codegen) so the timed
+    // base run isn't charged for first-touch costs
+    queries.foreach { q =>
+      try { graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+
+    // All bases before any 10x run: a 10x query leaves enough heap
+    // churn behind that a base timed right after it reads 2-3x slow,
+    // UNDERSTATING the very factors this probe exists to expose.
+    // Bases grouped first stay clean; 10x runs inflating each other
+    // errs conservative (factors read high, not low).
+    val bases = queries.map(q => q -> time(q, src)).toMap
+    val rows = queries.map { q =>
+      val b = bases(q)
+      val x = time(q, out)
+      println(f"[x10] $q%-26s base $b%7.2f s   10x $x%7.2f s   factor ${x / b}%5.2f")
+      (q, b, x)
+    }
+    // Shipped mitigations for the known super-linear exact paths: the
+    // inverted-index family (d02/d07/d13) pays Σ df² over hot shingles
+    // — corpus-frequency-quadratic by construction. The scale paths
+    // are (a) MinHash-LSH (d03: band-bucket join, no postings
+    // blow-up) and (b) the stop-shingle cap (maxDocFreq: shingles in
+    // > cap docs carry no dedup signal and are dropped before the
+    // join). Time both at both sizes to pin that they stay ~linear.
+    def timeF(label: String, dir: String)(f: => Long): (String, Double) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = f
+      require(n >= 0, label)
+      (label, (System.nanoTime() - t0) / 1e9)
+    }
+    def cappedJaccard(dir: String): Long =
+      graft.dedup.Dedup.ngramJaccardPairs(
+        graft.core.Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.5, maxDocFreq = Some(50)).count()
+    val mitig = Seq(
+      timeF("d03_minhash_lsh", src)(
+        graft.SparkEntry.queries("d03_minhash_lsh")(spark, src).count()),
+      timeF("d02_capped_df50", src)(cappedJaccard(src))
+    ).map { case (l, b) =>
+      val x = (l match {
+        case "d03_minhash_lsh" => timeF(l, out)(
+          graft.SparkEntry.queries("d03_minhash_lsh")(spark, out).count())
+        case _ => timeF(l, out)(cappedJaccard(out))
+      })._2
+      println(f"[x10] mitigation $l%-20s base $b%7.2f s   10x $x%7.2f s   factor ${x / b}%5.2f")
+      f""""$l":{"base_sec":$b%.2f,"x10_sec":$x%.2f,"factor":${x / b}%.2f}"""
+    }
+    val json = rows.map { case (q, b, x) =>
+      f""""$q":{"base_sec":$b%.2f,"x10_sec":$x%.2f,"factor":${x / b}%.2f}"""
+    }.mkString("{\"metric\":\"scale10\",\"copies\":10,\"queries\":{", ",",
+      mitig.mkString("},\"mitigations\":{", ",", "}}"))
+    println(json)
+    spark.stop()
+  }
+}

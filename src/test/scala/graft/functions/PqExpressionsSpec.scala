@@ -52,6 +52,28 @@ class PqExpressionsSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("portable_pq_encode native == declarative witness, codes + err") {
+    val both = emb.select($"vec_id",
+      Ann.portablePqEncode($"embedding", dim = 64, m = 8, k = 8).as("native"),
+      Ann.portablePqEncodeDeclarative($"embedding", dim = 64, m = 8, k = 8)
+        .as("decl"))
+    assert(both.filter(not($"native" <=> $"decl")).count() == 0)
+    assert(both.count() > 0)
+    // and it runs inside whole-stage codegen
+    val q = emb.select(
+      Ann.portablePqEncode($"embedding", dim = 64, m = 8, k = 8).as("pq"))
+    assert(q.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("portable_pq_encode null vector propagates null") {
+    val df = Seq((1L, null: Seq[Float])).toDF("id", "embedding")
+      .select($"id", $"embedding".cast("array<float>").as("embedding"))
+    val r = df.select(
+      Ann.portablePqEncode($"embedding", dim = 64, m = 8, k = 8).as("pq"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("null vector propagates null") {
     val df = Seq((1L, null: Seq[Float])).toDF("id", "embedding")
       .select($"id", $"embedding".cast("array<float>").as("embedding"))
