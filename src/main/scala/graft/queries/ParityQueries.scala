@@ -397,6 +397,33 @@ object ParityQueries {
       |FROM f CROSS JOIN agg a
       |ORDER BY format, event_type""".stripMargin
 
+  /** p11: z-order clustered layout round-trip — `Scale.zorderWrite`
+    * clusters lineitem on (l_partkey, l_suppkey) so file min-max
+    * stats prune scans on EITHER key (the multi-axis layout lever;
+    * ZorderSpec measures the pruning on real files), and the oracle
+    * pins that the layout pass is content-neutral: every row survives
+    * the quantile/interleave/range-shuffle/sort byte-for-byte. */
+  def p11(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_p11")
+      .resolve("lineitem_z").toString
+    graft.operators.Scale.zorderWrite(
+      graft.core.Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Seq("l_partkey", "l_suppkey"), path, files = 8)
+    s.read.parquet(path)
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType),
+        col("l_partkey"), col("l_suppkey"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+  // the sort must be total for the hash gate, so order by all columns
+  private val p11Oracle: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  l_partkey, l_suppkey
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("p01_managed_devices", p01 _, Some(mdOracle("2024-11-08 00:00:00"))),
     ("p02_cloud_pcs", p02 _, Some(cpcOracle("2024-11-08 00:00:00"))),
@@ -408,5 +435,6 @@ object ParityQueries {
     ("p08_delta_sync", p08 _, Some(deltaOracle)),
     ("p09_format_roundtrip", p09 _, Some(p09Oracle)),
     ("p10_sync_retention", p10 _, Some(syncRetentionOracle)),
+    ("p11_zorder_roundtrip", p11 _, Some(p11Oracle)),
   )
 }

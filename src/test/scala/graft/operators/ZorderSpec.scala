@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: the point is FILE-STAT PRUNING on every
+  * clustered dimension. These tests measure it the way a scan would —
+  * per-file min/max of the real columns — against the single-column
+  * sort baseline that prunes only its own prefix. The tradeoff is
+  * explicit: the linear sort is BETTER on its own prefix (and total,
+  * when queries hit each axis equally at this file count); z-order is
+  * the layout that bounds the WORST axis — no predicate dimension
+  * degenerates to a full scan.
+  */
+class ZorderSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+  private val files = 16
+
+  private lazy val src = Tables.lineitem(spark, sf)
+    .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  private def writeLayouts(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val zPath = base.resolve("z").toString
+    val sPath = base.resolve("s").toString
+    Scale.zorderWrite(src, Seq("l_partkey", "l_suppkey"), zPath, files)
+    src.repartitionByRange(files, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sPath)
+    (zPath, sPath)
+  }
+
+  /** Fraction of a layout's files whose [min, max] of `c` overlaps
+    * [lo, hi] — exactly the file-skipping decision parquet min-max
+    * stats admit. */
+  private def overlapFrac(path: String, c: String, lo: Long, hi: Long): Double = {
+    val fs = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val hit = fs.count { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+      r.getLong(0) <= hi && r.getLong(1) >= lo
+    }
+    hit.toDouble / fs.length
+  }
+
+  private def midRange(c: String): (Long, Long) = {
+    val r = src.agg(min(col(c)), max(col(c))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val span = mx - mn
+    (mn + span * 7 / 16, mn + span * 9 / 16) // middle eighth of the domain
+  }
+
+  test("z-order prunes on BOTH dimensions; linear sort only on its prefix") {
+    val (zPath, sPath) = writeLayouts()
+    val (pLo, pHi) = midRange("l_partkey")
+    val (sLo, sHi) = midRange("l_suppkey")
+
+    val zPart = overlapFrac(zPath, "l_partkey", pLo, pHi)
+    val zSupp = overlapFrac(zPath, "l_suppkey", sLo, sHi)
+    val sPart = overlapFrac(sPath, "l_partkey", pLo, pHi)
+    val sSupp = overlapFrac(sPath, "l_suppkey", sLo, sHi)
+
+    info(f"files overlapping a 1/8-domain predicate, $files files:")
+    info(f"  zorder:      partkey $zPart%.2f  suppkey $zSupp%.2f")
+    info(f"  partkey-sort partkey $sPart%.2f  suppkey $sSupp%.2f")
+
+    // the linear sort is perfect on its prefix and useless on the other
+    assert(sPart <= 0.25, s"partkey-sorted layout should prune partkey: $sPart")
+    assert(sSupp >= 0.95, s"partkey-sorted layout cannot prune suppkey: $sSupp")
+    // z-order's guarantee is about the WORST axis: with 16 files and
+    // 4-bit buckets a file fixes each column's top two bits (a 4x4
+    // quarter grid), so a predicate spanning w quarters of one column
+    // overlaps at most (w+1)*4 files with quantile error — a 1/8
+    // domain range spans <= 2 quarters, bounding every axis at 12/16,
+    // where the linear sort's non-prefix axis reads EVERY file
+    assert(zPart <= 0.75, s"zorder should prune partkey scans: $zPart")
+    assert(zSupp <= 0.75, s"zorder should prune suppkey scans: $zSupp")
+    assert(math.max(zPart, zSupp) < math.max(sPart, sSupp),
+      "zorder must beat the linear sort on the worst-case axis")
+    // and it buys multi-axis pruning without losing data
+    val back = spark.read.parquet(zPath)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("zorderWrite rejects under-specified shapes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zbad").toString
+    intercept[IllegalArgumentException] {
+      Scale.zorderWrite(src, Seq("l_partkey"), tmp, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.zorderWrite(src, Seq("l_partkey", "l_suppkey"), tmp, 4,
+        levelBits = 40)
+    }
+  }
+}

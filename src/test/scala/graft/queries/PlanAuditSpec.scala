@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSpec {
   /** Queries whose construction executes jobs or writes (audited by
     * their own specs instead of a dry plan build). */
   private val effectful = Set("p04_snapshot_overwrite", "p05_retention",
-    "p09_format_roundtrip", "p10_sync_retention", "q20_stream_tumbling",
+    "p09_format_roundtrip", "p10_sync_retention", "p11_zorder_roundtrip",
+    "q20_stream_tumbling",
     "q31_stream_interval_join", "q37_stream_dedup", "d06_dup_clusters",
     "s05_kmeans", "s07_pq_trained", "c10_bloom_decontaminate")
 
@@ -82,6 +83,20 @@ class PlanAuditSpec extends SparkSpec {
       !df.queryExecution.executedPlan.toString.contains("*(")
     }
     assert(offenders.isEmpty, s"no WholeStageCodegen span in: $offenders")
+  }
+
+  /** Spark 4's InferWindowGroupLimit plans `row_number() <= k` filters
+    * as a bounded-heap WindowGroupLimit with a PARTIAL stage before the
+    * exchange — the shuffle carries at most k rows per group per map
+    * task instead of whole groups. That built-in IS the 100 TB top-k
+    * plan (no custom aggregate needed); this pin catches any refactor
+    * that breaks the rewrite's pattern (e.g. wrapping the rank filter
+    * so the rule no longer matches). */
+  test("q08 window top-k keeps its map-side WindowGroupLimit(Partial)") {
+    val plan = SparkEntry.queries("q08_window_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial window-group-limit before the exchange:\n$plan")
   }
 
   test("q12 set ops shares its distinct sides via ReusedExchange, not cache") {
