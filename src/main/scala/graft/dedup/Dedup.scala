@@ -192,14 +192,28 @@ object Dedup {
     * Caching contract (as the other pair producers): the shingle and
     * undirected-pair frames back both direction branches and are
     * cached; callers run `spark.catalog.clearCache()` between
-    * corpora. */
+    * corpora.
+    *
+    * `maxDocFreq` is the same bounded-join escape hatch as
+    * [[ngramJaccardPairs]]' (Scale10Probe: this family's Σdf² term is
+    * the one super-linear cost in the shipped operator set): shingles
+    * present in more than `cap` documents are dropped from the INDEX
+    * while denominators keep full set sizes, so reported containment
+    * is a lower bound that loses only boilerplate-shingle overlap.
+    * Default OFF to stay oracle-exact. */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     val tok = withShingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
       .cache()
     val sizes = tok.select(col(idCol), size(col("sh")).as("n_sh"))
-    val inv = tok.select(col(idCol), explode(col("sh")).as("s"))
+    val invAll = tok.select(col(idCol), explode(col("sh")).as("s"))
+    val inv = maxDocFreq.fold(invAll) { cap =>
+      val hot = invAll.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("s")
+      invAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

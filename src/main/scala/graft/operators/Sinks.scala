@@ -126,6 +126,78 @@ object Sinks {
     ()
   }
 
+  /** Keyed MERGE (upsert + tombstone delete) into a hash-bucket-
+    * partitioned parquet store, with rewrite cost O(touched buckets)
+    * — the disk-level sibling of [[applyDelta]] (which merges
+    * DataFrames in memory). Layout: `bucket=<pmod(xxhash64(id), n)>`
+    * directories; a change only ever lands in its key's bucket, so
+    * the merge reads and rewrites exactly the buckets containing
+    * changed keys (partition pruning on the scan; the touched-bucket
+    * list is ≤ n values collected to the driver) and every other
+    * bucket's files are NEVER opened. At 100 TB with n sized so a
+    * bucket is a few GB, a routine delta rewrites a handful of
+    * bucket directories instead of the table.
+    *
+    * `changes` may carry a boolean `removed` column ([[applyDelta]]'s
+    * tombstone contract); absent, every change row is an upsert.
+    * Assumes ≤ one change per id per call (the OData delta contract).
+    *
+    * Crash safety mirrors [[overwriteViaSwap]], scoped to buckets:
+    * the merged buckets materialize under `_next`, live bucket dirs
+    * are set aside under `_old`, staged dirs promote, `_old` drops
+    * last — a complete copy of every bucket exists on disk at every
+    * instant, and a replay of the same change set lands the identical
+    * state. */
+  def bucketedUpsert(spark: SparkSession, changes: DataFrame, path: String,
+      idCol: String, buckets: Int): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasRemoved = changes.columns.contains("removed")
+    def withBucket(df: DataFrame) =
+      df.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
+    val upserts = if (hasRemoved) changes.filter(!col("removed")).drop("removed")
+      else changes
+    if (!fs.exists(hPath)) {
+      withBucket(upserts).write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(path)
+      return
+    }
+    val ch = withBucket(changes).cache()
+    try {
+      val touched = ch.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted // bounded: <= `buckets` values
+      if (touched.isEmpty) return
+      val existing = spark.read.parquet(path)
+        .filter(col("bucket").isin(touched: _*)) // partition-pruned scan
+      val changedIds = ch.select(col(idCol))
+      val merged = existing.join(changedIds, Seq(idCol), "left_anti")
+        .unionByName(withBucket(upserts))
+      val next = new org.apache.hadoop.fs.Path(path + "_next")
+      val old = new org.apache.hadoop.fs.Path(path + "_old")
+      merged.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(next.toString)
+      if (fs.exists(old) && !fs.delete(old, true))
+        throw new java.io.IOException(s"upsert: cannot clear $old")
+      if (!fs.mkdirs(old))
+        throw new java.io.IOException(s"upsert: cannot stage $old")
+      touched.foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(path, s"bucket=$b")
+        val staged = new org.apache.hadoop.fs.Path(next, s"bucket=$b")
+        if (fs.exists(live) &&
+            !fs.rename(live, new org.apache.hadoop.fs.Path(old, s"bucket=$b")))
+          throw new java.io.IOException(s"upsert: cannot set aside $live")
+        // a bucket can vanish entirely (all rows tombstoned): staged
+        // dir absent is a valid outcome, the set-aside already removed it
+        if (fs.exists(staged) && !fs.rename(staged, live))
+          throw new java.io.IOException(s"upsert: cannot promote $staged")
+      }
+      fs.delete(next, true)
+      fs.delete(old, true) // best-effort; leftover _old is recoverable
+      ()
+    } finally ch.unpersist()
+  }
+
   /** Restore a swap interrupted between set-aside and promote: the
     * live path is missing but a complete `_old` copy exists. Call
     * before reading a swap-maintained table. No-op when healthy. */

@@ -397,6 +397,30 @@ object ParityQueries {
       |FROM f CROSS JOIN agg a
       |ORDER BY format, event_type""".stripMargin
 
+  /** p12: p08's delta-sync semantics executed as a DISK-level merge —
+    * the snapshot lands in a hash-bucket-partitioned store
+    * (`Sinks.bucketedUpsert`), the delta change set (one update, one
+    * new entity, one tombstone) merges with rewrite cost O(touched
+    * buckets), and the read-back must equal the in-memory
+    * `applyDelta` answer — the SAME oracle as p08, so any divergence
+    * between the memory and disk merge paths breaks the hash. */
+  def p12(s: SparkSession, d: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft_p12")
+      .resolve("devices").toString
+    val snap = ODataPageReader.readPages(s,
+      s"$fixtureRoot/managedDevices/page1.json",
+      EntitySchemas.managedDeviceSource)
+    Sinks.bucketedUpsert(s, snap, store, "id", buckets = 4)
+    val (changes, _) = ODataPageReader.readDeltaPages(s,
+      s"$fixtureRoot/managedDevicesDelta/page1.json",
+      EntitySchemas.managedDeviceSource)
+    Sinks.bucketedUpsert(s, changes, store, "id", buckets = 4)
+    s.read.parquet(store)
+      .select(col("id"), col("deviceName"), col("operatingSystem"),
+        col("complianceState"), col("lastSyncDateTime"))
+      .orderBy("id")
+  }
+
   /** p11: z-order clustered layout round-trip — `Scale.zorderWrite`
     * clusters lineitem on (l_partkey, l_suppkey) so file min-max
     * stats prune scans on EITHER key (the multi-axis layout lever;
@@ -436,5 +460,6 @@ object ParityQueries {
     ("p09_format_roundtrip", p09 _, Some(p09Oracle)),
     ("p10_sync_retention", p10 _, Some(syncRetentionOracle)),
     ("p11_zorder_roundtrip", p11 _, Some(p11Oracle)),
+    ("p12_bucketed_merge", p12 _, Some(deltaOracle)),
   )
 }

@@ -167,6 +167,39 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).count() == 0)
   }
 
+  test("containment maxDocFreq cap: lower bound that loses only hot-shingle overlap") {
+    spark.catalog.clearCache()
+    // "x y z" appears in all four docs (df=4, the boilerplate shingle);
+    // docs 1/2 share their real content besides it
+    val core = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"x y z $core"),
+      (2L, s"x y z $core zeta"),
+      (3L, "x y z uno dos tres quattro cinco"),
+      (4L, "x y z un deux trois quatre cinq")
+    ).toDF("doc_id", "text")
+    // threshold low enough that the single boilerplate shingle alone
+    // (1 of 6 shingles ~= 0.17) clears it in the exact run
+    def pairs(cap: Option[Int]) =
+      Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.15, cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+    val exact = pairs(None)
+    spark.catalog.clearCache()
+    val capped = pairs(Some(3))
+    spark.catalog.clearCache()
+    val loose = pairs(Some(1000))
+    // a generous cap changes nothing
+    assert(loose == exact)
+    // capped scores never exceed exact (denominators keep full sizes)
+    assert(capped.keySet.subsetOf(exact.keySet))
+    assert(capped.forall { case (k, v) => v <= exact(k) + 1e-15 })
+    // the real near-dup pair survives the cap; the pairs that existed
+    // ONLY through the boilerplate shingles are gone
+    assert(capped.contains((1L, 2L)))
+    assert(exact.keySet.exists(k => !capped.contains(k)))
+  }
+
   test("semanticDedup: smallest-id representative survives per cluster, cross-cluster dups untouched") {
     // cluster 1: vectors 1,2 identical (cos=1), 3 orthogonal;
     // cluster 2: vector 4 identical to 1 but in another cluster — kept

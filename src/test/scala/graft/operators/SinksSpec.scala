@@ -96,6 +96,57 @@ class SinksSpec extends SparkSpec {
       Set("id", "v", "timeGenerated"))
   }
 
+  test("bucketedUpsert merges O(touched buckets): survivors byte-identical, semantics = applyDelta, replay idempotent") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("upsert")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketFiles(): Map[String, (Long, Long)] =
+      fs.listStatus(new Path(path)).filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile))
+        .map(s => s.getPath.toString -> (s.getLen, s.getModificationTime))
+        .toMap
+    def state(): Set[(Long, String)] =
+      spark.read.parquet(path).select("id", "v").as[(Long, String)]
+        .collect().toSet
+
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.bucketedUpsert(spark, base, path, "id", buckets = 8)
+    assert(state() == (1L to 100L).map(i => (i, s"v$i")).toSet)
+
+    val before = bucketFiles()
+    // one update, one insert, one tombstone — small key set, few buckets
+    val changes = Seq((7L, "V7", false), (101L, "v101", false),
+      (13L, "", true)).toDF("id", "v", "removed")
+    Sinks.bucketedUpsert(spark, changes, path, "id", buckets = 8)
+
+    val expected = Sinks.applyDelta(base, changes, "id")
+      .as[(Long, String)].collect().toSet
+    assert(state() == expected)
+    assert(!state().exists(_._1 == 13L) && state().contains((7L, "V7")))
+
+    // rewrite scope: only buckets containing a changed key moved
+    val touched = Seq(7L, 101L, 13L).map(k =>
+      spark.range(1).select(org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(k)),
+          org.apache.spark.sql.functions.lit(8L))).as[Long].head()).toSet
+    val after = bucketFiles()
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touched.exists(b => p.contains(s"bucket=$b/")) }
+    val untouchedAfter = after.filterNot { case (p, _) =>
+      touched.exists(b => p.contains(s"bucket=$b/")) }
+    assert(untouchedBefore == untouchedAfter,
+      "buckets without changed keys must keep their exact files")
+    assert(untouchedBefore.nonEmpty && touched.size < 8)
+
+    // replaying the same change set lands the identical state
+    Sinks.bucketedUpsert(spark, changes, path, "id", buckets = 8)
+    assert(state() == expected)
+    // no staging debris
+    assert(!fs.exists(new Path(path + "_next")) &&
+      !fs.exists(new Path(path + "_old")))
+  }
+
   test("surrogate keys are unique; contiguous mode matches IDENTITY(1,1)") {
     val df = Seq("b", "a", "c").toDF("id")
     val m = Sinks.withSurrogateKey(df)
