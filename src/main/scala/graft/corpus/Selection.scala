@@ -333,10 +333,10 @@ object Selection {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val tmp = Seq("_dn_pid", "_dn_cnt", "_dn_off", "_dn_base", "_dn_rem",
-      "_dn_cut", "_dn_rank")
-    require(!df.columns.exists(tmp.contains),
-      s"input must not use reserved columns ${tmp.mkString(", ")}")
+    require(!df.columns.exists(_.startsWith("_dn_")),
+      "input must not use reserved _dn_* columns")
+    require(!outCol.startsWith("_dn_"),
+      "outCol must not use the reserved _dn_ prefix")
     val ranged = df
       .repartitionByRange(parts, partitionBy.map(col) ++ orderBy: _*)
       .withColumn("_dn_pid", spark_partition_id())
@@ -370,11 +370,20 @@ object Selection {
       new java.util.ArrayList[Row](offsetRows.asJava), offSchema)
     val joinKeys = "_dn_pid" +: partitionBy
     val w = Window.partitionBy(joinKeys.map(col): _*).orderBy(orderBy: _*)
+    // null-safe join: a NULL partition key is a normal NTILE group
+    // (groupBy above keeps it), so a plain equi-join would silently
+    // drop those rows — <=> keeps the semantics of the window form
+    val keyed = offsets.select(
+      (col("_dn_pid").as("_dn_jpid") +:
+        partitionBy.zipWithIndex.map { case (k, i) => col(k).as(s"_dn_jk$i") }) ++
+        Seq(col("_dn_off"), col("_dn_base"), col("_dn_rem"), col("_dn_cut")): _*)
+    val joinCond = (col("_dn_pid") <=> col("_dn_jpid")) +:
+      partitionBy.zipWithIndex.map { case (k, i) => col(k) <=> col(s"_dn_jk$i") }
     // integer DIV keeps the bucket math exact at any corpus size
     // (double division would lose rank precision past 2^53); the
     // narrow-bucket branch is only reached when rank > cut, which
     // implies base ≥ 1 — GREATEST guards the lazily-dead branch anyway
-    ranged.join(broadcast(offsets), joinKeys)
+    ranged.join(broadcast(keyed), joinCond.reduce(_ && _))
       .withColumn("_dn_rank", col("_dn_off") + row_number().over(w))
       .withColumn(outCol,
         when(col("_dn_rank") <= col("_dn_cut"),
@@ -382,7 +391,7 @@ object Selection {
         .otherwise(
           expr("_dn_rem + (_dn_rank - _dn_cut - 1) DIV GREATEST(_dn_base, 1) + 1"))
         .cast(LongType))
-      .drop(tmp: _*)
+      .select(df.columns.map(col) :+ col(outCol): _*)
   }
 
   /** Curriculum phases: order the corpus by a difficulty proxy

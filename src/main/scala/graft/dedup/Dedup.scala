@@ -142,6 +142,17 @@ object Dedup {
     spread.select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
   }
 
+  /** Drop shingles present in more than `cap` documents from an
+    * inverted index `(id, s)` — the shared `maxDocFreq` escape hatch
+    * of [[ngramJaccardPairs]] and [[ngramContainmentPairs]]. The hot
+    * set is tiny by construction (high-df shingles are few), so the
+    * broadcast stays bounded. */
+  private def dropHotShingles(inv: DataFrame, cap: Int): DataFrame = {
+    val hot = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("s")
+    inv.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted index:
     * explode shingles → self-join on shingle → per-pair intersection
     * count → Jaccard from per-doc set sizes. Output: (a_id, b_id,
@@ -158,11 +169,7 @@ object Dedup {
     // of the corpus carry no dedup signal. Dropping df > cap shingles
     // bounds the join at the cost of exactness for pairs whose overlap
     // is exclusively stop-shingles — default OFF to stay oracle-exact.
-    val inv = maxDocFreq.fold(invAll) { cap =>
-      val hot = invAll.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).select("s")
-      invAll.join(broadcast(hot), Seq("s"), "left_anti")
-    }
+    val inv = maxDocFreq.fold(invAll)(dropHotShingles(invAll, _))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -209,11 +216,7 @@ object Dedup {
       .cache()
     val sizes = tok.select(col(idCol), size(col("sh")).as("n_sh"))
     val invAll = tok.select(col(idCol), explode(col("sh")).as("s"))
-    val inv = maxDocFreq.fold(invAll) { cap =>
-      val hot = invAll.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).select("s")
-      invAll.join(broadcast(hot), Seq("s"), "left_anti")
-    }
+    val inv = maxDocFreq.fold(invAll)(dropHotShingles(invAll, _))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -125,6 +125,13 @@ object PqKernels {
     val q = new Array[Long](dim)
     var i = 0
     while (i < dim) {
+      // fail fast on null components: getFloat on a null slot silently
+      // reads 0.0f, which would diverge from the null-propagating
+      // declarative witness — a corrupt embedding is an error, not a
+      // zero (same policy as the dimension check above)
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"portable_pq_encode: null vector component at index $i")
       q(i) = math.floor(v.getFloat(i).toDouble * 1000000d).toLong
       i += 1
     }

@@ -116,7 +116,12 @@ object Multimodal {
           }
           Some((img.getWidth, img.getHeight, sr, sg, sb))
         }
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // imageio readers throw RuntimeExceptions (AIOOBE, IAE, NASE)
+        // on many malformed payloads, not just IOException — any
+        // decode failure is a skip, never a job abort
+        case scala.util.control.NonFatal(_) => None
+      }
   }
 
   /** Fabricate a media table from the documents fixture: the text bytes

@@ -133,7 +133,11 @@ object Scale {
     // equi-depth bucket rank: count of boundaries <= value (0..2^L-1),
     // a codegen'd fold over literal boundaries — no window, no shuffle
     def bucket(c: String, bs: Array[Double]): Column =
-      bs.distinct.map(b => when(col(c).cast("double") >= b, 1L).otherwise(0L))
+      // approxQuantile yields no boundaries for an all-NULL column (or
+      // empty input): that column contributes a constant rank instead
+      // of crashing — the write stays content-neutral either way
+      if (bs.distinct.isEmpty) lit(0L)
+      else bs.distinct.map(b => when(col(c).cast("double") >= b, 1L).otherwise(0L))
         .reduce(_ + _)
     // bit i of column j lands at z position i*n + j
     val z = cols.zip(bounds).zipWithIndex.map { case ((c, bs), j) =>

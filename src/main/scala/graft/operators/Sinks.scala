@@ -146,8 +146,18 @@ object Sinks {
     * the merged buckets materialize under `_next`, live bucket dirs
     * are set aside under `_old`, staged dirs promote, `_old` drops
     * last — a complete copy of every bucket exists on disk at every
-    * instant, and a replay of the same change set lands the identical
-    * state. */
+    * instant. A call interrupted mid-swap is repaired on the NEXT
+    * call's entry ([[repairBuckets]]: promote a staged copy where one
+    * exists, roll the set-aside copy back otherwise), after which a
+    * replay of the same change set lands the identical state — the
+    * same replay-the-uncommitted-delta contract as
+    * [[graft.pipeline.IncrementalSync]] (the cursor only advances
+    * after a completed merge).
+    *
+    * The store records its bucket count in a `_graft_buckets` file
+    * (underscore-prefixed → invisible to parquet reads); a later call
+    * with a different `buckets` fails fast instead of silently
+    * missing the buckets existing keys actually live in. */
   def bucketedUpsert(spark: SparkSession, changes: DataFrame, path: String,
       idCol: String, buckets: Int): Unit = {
     require(buckets > 0, "buckets must be positive")
@@ -159,9 +169,19 @@ object Sinks {
     val upserts = if (hasRemoved) changes.filter(!col("removed")).drop("removed")
       else changes
     if (!fs.exists(hPath)) {
+      // an all-tombstone change set against an absent store must not
+      // write a footerless empty directory (which would brick reads)
+      if (upserts.isEmpty) return
       withBucket(upserts).write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(path)
+      writeBucketMeta(fs, path, buckets)
       return
+    }
+    repairBuckets(fs, path)
+    readBucketMeta(fs, path) match {
+      case Some(n) => require(n == buckets,
+        s"store at $path was built with $n buckets, called with $buckets")
+      case None => writeBucketMeta(fs, path, buckets) // pre-metadata store
     }
     val ch = withBucket(changes).cache()
     try {
@@ -196,6 +216,59 @@ object Sinks {
       fs.delete(old, true) // best-effort; leftover _old is recoverable
       ()
     } finally ch.unpersist()
+  }
+
+  private def bucketMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+
+  private def writeBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, buckets: Int): Unit = {
+    val out = fs.create(bucketMetaPath(path), true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readBucketMeta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Int] = {
+    val p = bucketMetaPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Restore a [[bucketedUpsert]] interrupted mid-swap to a per-bucket
+    * consistent state: every bucket set aside under `_old` but missing
+    * live gets its staged `_next` copy promoted (completing that
+    * bucket's swap) or, when no staged copy exists, its `_old` copy
+    * rolled back; staging debris then drops. Each bucket ends fully
+    * pre- or fully post-merge — either way a replay of the interrupted
+    * change set (the caller's contract) converges to the committed
+    * state, because the merge is idempotent per key. */
+  private def repairBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val next = new org.apache.hadoop.fs.Path(path + "_next")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    if (fs.exists(old)) {
+      fs.listStatus(old).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("bucket=")).foreach { s =>
+        val live = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
+        if (!fs.exists(live)) {
+          val staged = new org.apache.hadoop.fs.Path(next, s.getPath.getName)
+          val src = if (fs.exists(staged)) staged else s.getPath
+          if (!fs.rename(src, live))
+            throw new java.io.IOException(s"upsert repair: cannot restore $live")
+        }
+      }
+      if (!fs.delete(old, true))
+        throw new java.io.IOException(s"upsert repair: cannot clear $old")
+    }
+    if (fs.exists(next) && !fs.delete(next, true))
+      throw new java.io.IOException(s"upsert repair: cannot clear $next")
   }
 
   /** Restore a swap interrupted between set-aside and promote: the

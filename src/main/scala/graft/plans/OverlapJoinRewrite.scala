@@ -249,6 +249,9 @@ object OverlapJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def narrowRewrite(j: Join, cond: Expression,
       p: OverlapPred): Option[LogicalPlan] = {
     if (!conf.getConfString(NarrowKey, "true").toBoolean) return None
+    // a user-pinned join hint has no faithful mapping onto this
+    // three-join decomposition; the wide fallback carries it verbatim
+    if (j.hint != JoinHint.NONE) return None
     val aLeft = canEvaluate(p.aArr, j.left)
     val (wPlan, wArr) = if (aLeft) (j.left, p.aArr) else (j.right, p.aArr)
     val (oPlan, oArr) = if (aLeft) (j.right, p.bArr) else (j.left, p.bArr)

@@ -302,6 +302,25 @@ class SelectionSpec extends SparkSpec {
     assert(winNodes.isEmpty, "distributedNtile must never plan a global window")
   }
 
+  test("distributedNtile: NULL partition keys form a normal group; reserved outCol rejected") {
+    val df = Seq((Option("a"), 1L), (Option.empty[String], 2L),
+      (Option("a"), 3L), (Option.empty[String], 4L),
+      (Option("b"), 5L), (Option.empty[String], 6L)).toDF("k", "id")
+    val dist = Selection.distributedNtile(df, 2, Seq("k"), Seq(col("id")),
+        outCol = "b")
+      .select("id", "b")
+    // the window form keeps the NULL group — so must the distributed form
+    val win = df.withColumn("b",
+        ntile(2).over(Window.partitionBy("k").orderBy("id")).cast("long"))
+      .select("id", "b")
+    assert(dist.count() == 6, "NULL-key rows must not be dropped")
+    assert(dist.exceptAll(win).isEmpty && win.exceptAll(dist).isEmpty)
+    intercept[IllegalArgumentException] {
+      Selection.distributedNtile(df, 2, Seq("k"), Seq(col("id")),
+        outCol = "_dn_rank")
+    }
+  }
+
   test("curriculumPhases: matches the ntile definition and replaces an existing phase column") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))

@@ -74,6 +74,21 @@ class PqExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("portable_pq_encode fails fast on a null vector COMPONENT") {
+    // getFloat on a null slot would silently read 0.0f and diverge from
+    // the null-propagating declarative witness — the kernel rejects it
+    val df = Seq((1L, Some(1.5f) +: None +: Seq.fill(62)(Some(0.25f))))
+      .toDF("id", "embedding")
+    val ex = intercept[Exception] {
+      df.select(Ann.portablePqEncode($"embedding", dim = 64, m = 8, k = 8))
+        .collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("null vector component")),
+      msgs.mkString("\n"))
+  }
+
   test("null vector propagates null") {
     val df = Seq((1L, null: Seq[Float])).toDF("id", "embedding")
       .select($"id", $"embedding".cast("array<float>").as("embedding"))

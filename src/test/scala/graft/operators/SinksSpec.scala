@@ -147,6 +147,71 @@ class SinksSpec extends SparkSpec {
       !fs.exists(new Path(path + "_old")))
   }
 
+  test("bucketedUpsert: an interrupted swap is repaired on the next call; replay converges") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val path = tmp("upsert_crash")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def state(): Set[(Long, String)] =
+      spark.read.parquet(path).select("id", "v").as[(Long, String)]
+        .collect().toSet
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.bucketedUpsert(spark, base, path, "id", buckets = 8)
+    val changes = Seq((7L, "V7", false), (101L, "v101", false),
+      (13L, "", true)).toDF("id", "v", "removed")
+    val expected = Sinks.applyDelta(base, changes, "id")
+      .as[(Long, String)].collect().toSet
+    val b = spark.range(1).select(pmod(xxhash64(lit(7L)), lit(8L)))
+      .as[Long].head()
+
+    // crash state 1: bucket b set aside, its merged copy staged,
+    // promote missed — a naive replay would read the live store
+    // (bucket b missing) and lose every unchanged row of that bucket
+    Sinks.applyDelta(base, changes, "id")
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(8L)))
+      .filter(col("bucket") === b).drop("bucket")
+      .write.parquet(path + s"_next/bucket=$b")
+    assert(fs.mkdirs(new Path(path + "_old")))
+    assert(fs.rename(new Path(path, s"bucket=$b"),
+      new Path(path + s"_old/bucket=$b")))
+    Sinks.bucketedUpsert(spark, changes, path, "id", buckets = 8)
+    assert(state() == expected,
+      "repair must promote the staged copy before merging")
+    assert(!fs.exists(new Path(path + "_next")) &&
+      !fs.exists(new Path(path + "_old")))
+
+    // crash state 2: set aside with NO staged copy — repair must roll
+    // the bucket back, then the replayed merge converges
+    assert(fs.mkdirs(new Path(path + "_old")))
+    assert(fs.rename(new Path(path, s"bucket=$b"),
+      new Path(path + s"_old/bucket=$b")))
+    Sinks.bucketedUpsert(spark, changes, path, "id", buckets = 8)
+    assert(state() == expected, "repair must roll back the set-aside copy")
+  }
+
+  test("bucketedUpsert: bucket-count mismatch fails fast; all-tombstone first write leaves no store") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("upsert_meta")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sinks.bucketedUpsert(spark, Seq((1L, "a")).toDF("id", "v"), path, "id",
+      buckets = 8)
+    val ex = intercept[IllegalArgumentException] {
+      Sinks.bucketedUpsert(spark,
+        Seq((1L, "b", false)).toDF("id", "v", "removed"), path, "id",
+        buckets = 4)
+    }
+    assert(ex.getMessage.contains("8 buckets"))
+    // the store is untouched by the rejected call
+    assert(spark.read.parquet(path).select("v").as[String]
+      .collect().toSeq == Seq("a"))
+
+    val p2 = tmp("upsert_empty")
+    Sinks.bucketedUpsert(spark,
+      Seq((1L, "x", true)).toDF("id", "v", "removed"), p2, "id", buckets = 8)
+    assert(!fs.exists(new Path(p2)),
+      "all-tombstone first write must not create an unreadable store")
+  }
+
   test("surrogate keys are unique; contiguous mode matches IDENTITY(1,1)") {
     val df = Seq("b", "a", "c").toDF("id")
     val m = Sinks.withSurrogateKey(df)

@@ -85,6 +85,18 @@ class ZorderSpec extends SparkSpec {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("zorderWrite tolerates an all-NULL cluster column (content-neutral)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_znull")
+      .resolve("z").toString
+    val df = src.limit(100).withColumn("allnull", lit(null).cast("long"))
+    // approxQuantile returns no boundaries for the NULL column: it must
+    // contribute a constant rank, not crash the write
+    Scale.zorderWrite(df, Seq("l_partkey", "allnull"), path, 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 100)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("zorderWrite rejects under-specified shapes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zbad").toString
     intercept[IllegalArgumentException] {

@@ -135,6 +135,27 @@ class OverlapJoinRewriteSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"no pair aggregate:\n$plan")
   }
 
+  test("a user-hinted overlap join keeps its hint (wide path carries it)") {
+    val d = Tables.documents(spark, sf)
+      .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+    val a = d.select($"doc_id".as("a_id"), $"sh".as("a_sh"))
+    val b = d.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
+    def hinted = a.join(b.hint("shuffle_hash"),
+        size(array_intersect($"a_sh", $"b_sh")) >= 5 && $"a_id" < $"b_id")
+      .select("a_id", "b_id")
+    val plan = planOf(hinted)
+    // a pinned hint has no faithful mapping onto the three-join narrow
+    // decomposition — the rewrite takes the wide path and carries it
+    assert(!plan.contains("HashAggregate"),
+      s"hinted join must take the wide path:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"hint lost in rewrite:\n$plan")
+    val got = hinted.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val want = naiveOverlap.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("wide fallback (narrow=false): same bag, first-witness single join") {
     val narrow = naiveOverlap.collect().map(r => (r.getLong(0), r.getLong(1)))
       .sorted.toSeq
