@@ -391,7 +391,10 @@ object Selection {
         .otherwise(
           expr("_dn_rem + (_dn_rank - _dn_cut - 1) DIV GREATEST(_dn_base, 1) + 1"))
         .cast(LongType))
-      .select(df.columns.map(col) :+ col(outCol): _*)
+      // an existing outCol was replaced in place by withColumn above —
+      // appending it again would duplicate the name
+      .select(df.columns.map(col) ++
+        (if (df.columns.contains(outCol)) Nil else Seq(col(outCol))): _*)
   }
 
   /** Curriculum phases: order the corpus by a difficulty proxy

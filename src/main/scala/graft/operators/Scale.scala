@@ -132,13 +132,15 @@ object Scale {
       df.stat.approxQuantile(cols.toArray, probs, 0.01).toSeq
     // equi-depth bucket rank: count of boundaries <= value (0..2^L-1),
     // a codegen'd fold over literal boundaries — no window, no shuffle
-    def bucket(c: String, bs: Array[Double]): Column =
+    def bucket(c: String, bs: Array[Double]): Column = {
       // approxQuantile yields no boundaries for an all-NULL column (or
       // empty input): that column contributes a constant rank instead
       // of crashing — the write stays content-neutral either way
-      if (bs.distinct.isEmpty) lit(0L)
-      else bs.distinct.map(b => when(col(c).cast("double") >= b, 1L).otherwise(0L))
+      val ds = bs.distinct
+      if (ds.isEmpty) lit(0L)
+      else ds.map(b => when(col(c).cast("double") >= b, 1L).otherwise(0L))
         .reduce(_ + _)
+    }
     // bit i of column j lands at z position i*n + j
     val z = cols.zip(bounds).zipWithIndex.map { case ((c, bs), j) =>
       val b = bucket(c, bs)

@@ -146,9 +146,12 @@ object Sinks {
     * the merged buckets materialize under `_next`, live bucket dirs
     * are set aside under `_old`, staged dirs promote, `_old` drops
     * last — a complete copy of every bucket exists on disk at every
-    * instant. A call interrupted mid-swap is repaired on the NEXT
-    * call's entry ([[repairBuckets]]: promote a staged copy where one
-    * exists, roll the set-aside copy back otherwise), after which a
+    * instant; `_next` doubles as the commit marker (it drops first,
+    * mandatorily, so leftover `_old` without `_next` is completed-
+    * merge debris, never rolled back). A call interrupted mid-swap is
+    * repaired on the NEXT call's entry ([[repairBuckets]]: promote a
+    * staged copy where one exists, roll the set-aside copy back
+    * otherwise), after which a
     * replay of the same change set lands the identical state — the
     * same replay-the-uncommitted-delta contract as
     * [[graft.pipeline.IncrementalSync]] (the cursor only advances
@@ -168,20 +171,34 @@ object Sinks {
       df.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
     val upserts = if (hasRemoved) changes.filter(!col("removed")).drop("removed")
       else changes
-    if (!fs.exists(hPath)) {
-      // an all-tombstone change set against an absent store must not
-      // write a footerless empty directory (which would brick reads)
+    if (fs.exists(hPath)) repairBuckets(fs, path)
+    if (!fs.exists(hPath) || !hasBucketDirs(fs, hPath)) {
+      // absent store, or an empty shell left by a merge that
+      // tombstoned every bucket: recreate from scratch. An
+      // all-tombstone change set must not write a footerless empty
+      // directory (which would brick reads) — leave the path absent
+      if (fs.exists(hPath) && !fs.delete(hPath, true))
+        throw new java.io.IOException(s"upsert: cannot clear empty shell $hPath")
       if (upserts.isEmpty) return
       withBucket(upserts).write.mode(SaveMode.Overwrite)
         .partitionBy("bucket").parquet(path)
       writeBucketMeta(fs, path, buckets)
       return
     }
-    repairBuckets(fs, path)
     readBucketMeta(fs, path) match {
       case Some(n) => require(n == buckets,
         s"store at $path was built with $n buckets, called with $buckets")
-      case None => writeBucketMeta(fs, path, buckets) // pre-metadata store
+      case None =>
+        // pre-metadata store: before pinning the caller's count as
+        // authoritative, check it against the on-disk layout — a
+        // bucket id >= buckets proves the store was built wider, and
+        // merging mod a smaller count would silently duplicate keys
+        val maxB = fs.listStatus(hPath).map(_.getPath.getName)
+          .filter(_.startsWith("bucket="))
+          .map(_.stripPrefix("bucket=").toLong).max
+        require(maxB < buckets,
+          s"store at $path has bucket=$maxB on disk, called with $buckets buckets")
+        writeBucketMeta(fs, path, buckets)
     }
     val ch = withBucket(changes).cache()
     try {
@@ -212,8 +229,20 @@ object Sinks {
         if (fs.exists(staged) && !fs.rename(staged, live))
           throw new java.io.IOException(s"upsert: cannot promote $staged")
       }
-      fs.delete(next, true)
-      fs.delete(old, true) // best-effort; leftover _old is recoverable
+      // `_next` is the commit marker: it drops FIRST, and mandatorily —
+      // repairBuckets rolls a set-aside bucket back only while `_next`
+      // still exists, so "_old without _next" unambiguously means a
+      // COMPLETED merge whose debris must never be rolled back (a
+      // rollback there would resurrect buckets the merge legitimately
+      // emptied, after the caller's cursor advanced)
+      if (!fs.delete(next, true))
+        throw new java.io.IOException(s"upsert: cannot clear $next")
+      fs.delete(old, true) // best-effort; repair clears completed debris
+      // a merge that tombstoned every bucket leaves an empty shell:
+      // drop it so the store's empty form is "path absent", keeping
+      // every future read and upsert on the defined entry paths
+      if (!hasBucketDirs(fs, hPath) && !fs.delete(hPath, true))
+        throw new java.io.IOException(s"upsert: cannot clear empty shell $hPath")
       ()
     } finally ch.unpersist()
   }
@@ -234,9 +263,16 @@ object Sinks {
     else {
       val in = fs.open(p)
       try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, n, "UTF-8").trim.toInt)
+        // read fully (a single read() may return short on some
+        // filesystems); an empty or non-numeric file — a write torn
+        // between create and write — counts as absent, which routes
+        // through the pre-metadata validation and a clean rewrite
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        val s = bytes.toString("UTF-8").trim
+        if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toInt) else None
       } finally in.close()
     }
   }
@@ -253,23 +289,36 @@ object Sinks {
       path: String): Unit = {
     val next = new org.apache.hadoop.fs.Path(path + "_next")
     val old = new org.apache.hadoop.fs.Path(path + "_old")
+    // `_next` still on disk = the interrupted call never reached its
+    // commit point (the merge deletes `_next` first, mandatorily).
+    // `_old` WITHOUT `_next` = debris of a COMPLETED merge whose
+    // best-effort cleanup failed: restoring from it would resurrect
+    // buckets that merge legitimately emptied — only delete it.
+    val midSwap = fs.exists(next)
     if (fs.exists(old)) {
-      fs.listStatus(old).filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith("bucket=")).foreach { s =>
-        val live = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
-        if (!fs.exists(live)) {
-          val staged = new org.apache.hadoop.fs.Path(next, s.getPath.getName)
-          val src = if (fs.exists(staged)) staged else s.getPath
-          if (!fs.rename(src, live))
-            throw new java.io.IOException(s"upsert repair: cannot restore $live")
+      if (midSwap) {
+        fs.listStatus(old).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("bucket=")).foreach { s =>
+          val live = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
+          if (!fs.exists(live)) {
+            val staged = new org.apache.hadoop.fs.Path(next, s.getPath.getName)
+            val src = if (fs.exists(staged)) staged else s.getPath
+            if (!fs.rename(src, live))
+              throw new java.io.IOException(s"upsert repair: cannot restore $live")
+          }
         }
       }
       if (!fs.delete(old, true))
         throw new java.io.IOException(s"upsert repair: cannot clear $old")
     }
-    if (fs.exists(next) && !fs.delete(next, true))
+    if (midSwap && !fs.delete(next, true))
       throw new java.io.IOException(s"upsert repair: cannot clear $next")
   }
+
+  private def hasBucketDirs(fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(hPath).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("bucket="))
 
   /** Restore a swap interrupted between set-aside and promote: the
     * live path is missing but a complete `_old` copy exists. Call

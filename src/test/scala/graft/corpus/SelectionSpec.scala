@@ -319,6 +319,13 @@ class SelectionSpec extends SparkSpec {
       Selection.distributedNtile(df, 2, Seq("k"), Seq(col("id")),
         outCol = "_dn_rank")
     }
+    // an existing outCol is replaced in place — exactly one column out
+    val twice = Selection.distributedNtile(
+      Selection.distributedNtile(df, 2, Seq("k"), Seq(col("id")),
+        outCol = "b"),
+      3, Seq("k"), Seq(col("id")), outCol = "b")
+    assert(twice.columns.count(_ == "b") == 1)
+    assert(twice.select(max("b")).head.getLong(0) == 3L)
   }
 
   test("curriculumPhases: matches the ntile definition and replaces an existing phase column") {

@@ -180,13 +180,87 @@ class SinksSpec extends SparkSpec {
     assert(!fs.exists(new Path(path + "_next")) &&
       !fs.exists(new Path(path + "_old")))
 
-    // crash state 2: set aside with NO staged copy — repair must roll
-    // the bucket back, then the replayed merge converges
+    // crash state 2: set aside with NO staged copy (the bucket's merged
+    // form is empty) — `_next` still present marks the uncommitted
+    // merge; repair must roll the bucket back, then the replayed merge
+    // converges
+    assert(fs.mkdirs(new Path(path + "_next")))
     assert(fs.mkdirs(new Path(path + "_old")))
     assert(fs.rename(new Path(path, s"bucket=$b"),
       new Path(path + s"_old/bucket=$b")))
     Sinks.bucketedUpsert(spark, changes, path, "id", buckets = 8)
     assert(state() == expected, "repair must roll back the set-aside copy")
+  }
+
+  test("bucketedUpsert: completed-merge _old debris is cleared, never rolled back") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val path = tmp("upsert_debris")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.bucketedUpsert(spark, base, path, "id", buckets = 4)
+    val b = spark.range(1).select(pmod(xxhash64(lit(7L)), lit(4L)))
+      .as[Long].head()
+    val bucketIds = base
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(4L)))
+      .filter(col("bucket") === b).select("id").as[Long].collect().toSeq
+    // tombstone EVERY row of bucket b — the merge legitimately removes
+    // the bucket dir
+    val wipe = bucketIds.map(i => (i, "", true)).toDF("id", "v", "removed")
+    Sinks.bucketedUpsert(spark, wipe, path, "id", buckets = 4)
+    assert(!fs.exists(new Path(path, s"bucket=$b")))
+    // simulate the merge's best-effort _old cleanup having failed
+    // (cursor HAS advanced): _old holds the pre-delete copy, _next gone
+    base.withColumn("bucket", pmod(xxhash64(col("id")), lit(4L)))
+      .filter(col("bucket") === b).drop("bucket")
+      .write.parquet(path + s"_old/bucket=$b")
+    // an unrelated later delta must clear the debris WITHOUT
+    // resurrecting the deleted rows
+    Sinks.bucketedUpsert(spark, Seq((1000L, "x", false))
+      .toDF("id", "v", "removed"), path, "id", buckets = 4)
+    val ids = spark.read.parquet(path).select("id").as[Long].collect().toSet
+    assert(bucketIds.forall(!ids.contains(_)),
+      "rows deleted by a completed merge must stay deleted")
+    assert(ids.contains(1000L))
+    assert(!fs.exists(new Path(path + "_old")))
+  }
+
+  test("bucketedUpsert: tombstoning every row leaves an absent (recreatable) store; torn meta self-heals") {
+    import org.apache.hadoop.fs.Path
+    val path = tmp("upsert_wipeall")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Sinks.bucketedUpsert(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      path, "id", buckets = 4)
+    Sinks.bucketedUpsert(spark,
+      Seq((1L, "", true), (2L, "", true)).toDF("id", "v", "removed"),
+      path, "id", buckets = 4)
+    // the empty store's canonical form is "path absent" — a footerless
+    // shell would brick every read
+    assert(!fs.exists(new Path(path)))
+    Sinks.bucketedUpsert(spark, Seq((3L, "c")).toDF("id", "v"), path, "id",
+      buckets = 4)
+    assert(spark.read.parquet(path).select("v").as[String]
+      .collect().toSeq == Seq("c"))
+
+    // a meta write torn between create and write (empty file) counts
+    // as pre-metadata: validated against the layout and rewritten
+    val metaP = new Path(path, "_graft_buckets")
+    fs.create(metaP, true).close()
+    Sinks.bucketedUpsert(spark, Seq((4L, "d")).toDF("id", "v"), path, "id",
+      buckets = 4)
+    assert(spark.read.parquet(path).count() == 2)
+    // and a legacy/pre-metadata store rejects a count smaller than an
+    // on-disk bucket id instead of silently merging mod the wrong base
+    fs.delete(metaP, false)
+    val wide = (1L to 64L).map(i => (i, "w")).toDF("id", "v")
+    Sinks.bucketedUpsert(spark, wide, path, "id", buckets = 4)
+    fs.delete(metaP, false)
+    val ex = intercept[IllegalArgumentException] {
+      Sinks.bucketedUpsert(spark,
+        Seq((1L, "z", false)).toDF("id", "v", "removed"), path, "id",
+        buckets = 2)
+    }
+    assert(ex.getMessage.contains("on disk"))
   }
 
   test("bucketedUpsert: bucket-count mismatch fails fast; all-tombstone first write leaves no store") {
