@@ -288,6 +288,28 @@ object Selection {
       .option("ignoreNullFields", "false")
       .json(path)
 
+  /** Globally ORDERED export: write `df` as `runs` sorted parquet
+    * files whose lexicographic file-name order IS the total `orderBy`
+    * order — the layout a curriculum-training loader streams start to
+    * finish (cleanest documents first) without any consumer-side sort.
+    *
+    * The 100 TB-safe shape of a total sort: `repartitionByRange` on
+    * the sort key (sampled range boundaries, one shuffle, every task
+    * holds one contiguous key range) + within-partition sort, and
+    * Spark's zero-padded `part-NNNNN` file indices follow range-
+    * partition order — a global order with NO single-partition stage.
+    * Range boundaries are sampled per execution, so FILE SIZES may
+    * vary run to run, but with a total `orderBy` (include a unique
+    * tiebreaker) the concatenated row sequence is deterministic —
+    * c16's oracle pins exactly that. */
+  def writeSortedRuns(df: DataFrame, orderBy: Seq[Column], path: String,
+      runs: Int): Unit = {
+    require(runs > 0, "runs must be positive")
+    df.repartitionByRange(runs, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Distributed exact NTILE: bit-identical to
     * `ntile(buckets) OVER (PARTITION BY partitionBy ORDER BY orderBy)`
     * but with NO single-partition global sort — the 100 TB-safe form

@@ -1397,6 +1397,42 @@ object TrainingQueries {
       |    AS BIGINT) AS phase
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** c16: curriculum-ordered EXPORT — [[Selection.writeSortedRuns]]
+    * lays the corpus out as sorted runs whose file-name order is the
+    * global (quality DESC, doc_id) order, then the files are read back
+    * IN NAME ORDER and each document's position derived from the
+    * PHYSICAL layout (file ordinal + in-file row index via a
+    * single-partition per-file read — bounded by `runs`, a
+    * verification device, not the operator). No re-sort happens on the
+    * read side, so the oracle's row_number can only hash-match if the
+    * written order is actually the total order. */
+  def c16SortedExport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("q"))
+    val out = java.nio.file.Files.createTempDirectory("graft_c16")
+      .resolve("runs").toString
+    Selection.writeSortedRuns(docs, Seq(col("q").desc, col("doc_id")),
+      out, runs = 8)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val counts = files.map(f => s.read.parquet(f).count())
+    val offsets = counts.scanLeft(0L)(_ + _)
+    files.zipWithIndex.map { case (f, i) =>
+        s.read.parquet(f).coalesce(1)
+          .select(col("doc_id"),
+            (monotonically_increasing_id() + lit(offsets(i) + 1L)).as("pos"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("doc_id")
+  }
+
+  val c16Sql: String =
+    s"""$duckQualityCtes
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY ($duckQualityScore) DESC, doc_id)
+      |    AS BIGINT) AS pos
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -1447,6 +1483,7 @@ object TrainingQueries {
     ("c13_pretrain_pipeline", c13PretrainPipeline _, Some(c13Sql)),
     ("c14_funnel_report", c14FunnelReport _, Some(c14Sql)),
     ("c15_curriculum", c15Curriculum _, Some(c15Sql)),
+    ("c16_sorted_export", c16SortedExport _, Some(c16Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }

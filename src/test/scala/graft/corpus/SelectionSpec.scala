@@ -345,6 +345,40 @@ class SelectionSpec extends SparkSpec {
     assert(again.select(max("phase")).head.getLong(0) == 5L)
   }
 
+  test("writeSortedRuns: file-name order is the global order, files internally sorted, content preserved") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val path = java.nio.file.Files.createTempDirectory("graft_runs")
+      .resolve("runs").toString
+    Selection.writeSortedRuns(li,
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      path, runs = 6)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length > 1, "expected multiple run files")
+    // per-file key sequences, read in physical row order
+    val seqs = files.map { f =>
+      spark.read.parquet(f).coalesce(1)
+        .select(col("l_extendedprice"), col("l_orderkey").cast("long"),
+          col("l_linenumber").cast("long"))
+        .collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    }
+    import scala.math.Ordering.Implicits._
+    seqs.foreach { s =>
+      assert(s.zip(s.tail).forall { case (a, b) => a <= b },
+        "each run must be internally sorted")
+    }
+    // ranges don't overlap across name order: concatenation is sorted
+    val all = seqs.flatten
+    assert(all.zip(all.tail).forall { case (a, b) => a <= b },
+      "file-name order must be the global order")
+    // nothing lost or invented
+    val back = spark.read.parquet(path)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
   test("vocabTopK: counts match a manual count and the plan is a TakeOrdered top-k") {
     val docs = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
     val top = Selection.vocabTopK(docs, "text", 2)
