@@ -81,6 +81,82 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Overlapping duplicated-n-gram SPAN removal (the boilerplate scrub
+    * of the RefinedWeb/CCNet family): every length-`width` token
+    * window whose exact text occurs in ≥ 2 DISTINCT documents is
+    * removed from ALL of them; the removed region per document is the
+    * UNION of its duplicated windows, so maximal shared spans
+    * (headers, footers, license blocks, navigation chrome) disappear
+    * wholesale at any alignment while unique text — even text sitting
+    * between two duplicated spans — survives. Differs from
+    * [[spanDedup]] on both axes: windows overlap (stride 1, so
+    * duplication is caught at every alignment, not just chunk
+    * boundaries) and removal is symmetric (boilerplate policy) rather
+    * than keep-first (canonical-copy policy).
+    *
+    * Returns (idCol, clean_text, n_removed) for EVERY input document;
+    * `n_removed` counts removed token positions.
+    *
+    * Scale shape, stage by stage — the pair space never materializes:
+    *  - window build is per-row zip-of-shifted-slices (same
+    *    quadratic-eval avoidance as [[TextOps.shingles]]), then ONE
+    *    posexplode to |tokens| rows per document;
+    *  - "duplicated" is a single hash agg on the window text with a
+    *    min≠max distinct-document test (no two-phase countDistinct);
+    *  - hit starts re-join the window table on the window text (AQE
+    *    skew-join absorbs hot boilerplate grams) and explode `width`
+    *    ways into covered positions, dedup'd by (doc, position);
+    *  - survivors are a left-anti join of token positions against the
+    *    covered set, rebuilt per document with one sort-free agg
+    *    (array_sort over collected (pos, token) structs).
+    * Every stage is a keyed shuffle bounded by |tokens| + width·|hits|.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 5): DataFrame = {
+    require(width > 0, "width must be positive")
+    val w = TextOps.tokens(col(textCol))
+    // joined(i) = tokens i..i+width-1 joined by ' '; entries past
+    // size-width null out (concat null-propagates through the ragged
+    // zip tail) and are filtered after the explode
+    val emptyArr = array().cast(ArrayType(StringType))
+    val joined = (1 until width).foldLeft(w) { (acc, k) =>
+      val shifted = when(size(w) > k, slice(w, lit(k + 1), size(w) - k))
+        .otherwise(emptyArr)
+      zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+    }
+    val toks = docs.select(col(idCol), w.as("_ss_toks"),
+      joined.as("_ss_grams"))
+    val grams = toks
+      .select(col(idCol),
+        posexplode(col("_ss_grams")).as(Seq("_ss_pos", "_ss_gram")))
+      .filter(col("_ss_gram").isNotNull)
+    val dup = grams.groupBy("_ss_gram")
+      .agg(min(col(idCol)).as("_ss_min"), max(col(idCol)).as("_ss_max"))
+      .filter(col("_ss_min") =!= col("_ss_max"))
+      .select("_ss_gram")
+    val cover = grams.join(dup, "_ss_gram")
+      .select(col(idCol),
+        explode(sequence(col("_ss_pos"), col("_ss_pos") + lit(width - 1)))
+          .as("_ss_p"))
+      .distinct()
+    val positions = toks.select(col(idCol),
+      posexplode(col("_ss_toks")).as(Seq("_ss_p", "_ss_tok")))
+    val surv = positions.join(cover, Seq(idCol, "_ss_p"), "left_anti")
+    val removed = cover.groupBy(col(idCol)).agg(count(lit(1)).as("_ss_nrem"))
+    val rebuilt = surv.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_ss_p"), col("_ss_tok")))),
+          s => s.getField("_ss_tok")),
+        " ").as("clean_text"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("_ss_nrem"), lit(0L)).as("n_removed"))
+  }
+
   /** Edit-distance fuzzy near-dup pairs — the classic fuzzy-record
     * family (names, titles, short fields) the token/shingle paths
     * don't cover. Candidates are blocked TWICE: on the caller's

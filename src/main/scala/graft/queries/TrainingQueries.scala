@@ -326,6 +326,40 @@ object TrainingQueries {
       |SELECT src_id, dst_id, containment FROM d
       |WHERE containment >= 0.8 ORDER BY src_id, dst_id""".stripMargin
 
+  /** d14: overlapping duplicated-n-gram span removal — every 5-token
+    * window shared by ≥ 2 distinct documents is scrubbed from all of
+    * them ([[graft.dedup.Dedup.substringDedup]]); the cleaned text is
+    * rebuilt end to end, so the oracle pins window extraction,
+    * distinct-doc detection, coverage union, AND reconstruction. */
+  def d14SubstringDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDedup(Tables.documents(s, d), "doc_id", "text",
+        width = 5)
+      .orderBy("doc_id")
+
+  val d14Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM t),
+      |g AS (SELECT doc_id, i, array_to_string(w[i : i + 4], ' ') AS gram FROM g0),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+      |hits AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+      |cov AS (SELECT DISTINCT doc_id, p FROM (
+      |  SELECT doc_id, unnest(generate_series(i, i + 4)) AS p FROM hits)),
+      |tokp AS (SELECT doc_id, unnest(w) AS tok,
+      |         unnest(generate_series(1, len(w))) AS p FROM t),
+      |surv AS (SELECT tokp.doc_id, tokp.p, tokp.tok
+      |  FROM tokp LEFT JOIN cov ON tokp.doc_id = cov.doc_id AND tokp.p = cov.p
+      |  WHERE cov.p IS NULL),
+      |reb AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+      |  FROM surv GROUP BY doc_id),
+      |nr AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+      |  CAST(coalesce(nr.n_removed, 0) AS BIGINT) AS n_removed
+      |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+      |       LEFT JOIN nr ON t.doc_id = nr.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** d06: duplicate clusters — connected components over the exact
     * near-dup pair graph; every doc labeled with its cluster root.
     * Oracle: recursive-CTE transitive closure over the same pairs. */
@@ -1444,6 +1478,7 @@ object TrainingQueries {
     ("d10_span_dedup", d10SpanDedup _, Some(d10Sql)),
     ("d11_edit_distance", d11EditDistance _, Some(d11Sql)),
     ("d13_containment", d13Containment _, Some(d13Sql)),
+    ("d14_substring_dedup", d14SubstringDedup _, Some(d14Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
     ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),
     ("t01_lang_id", t01LangId _, Some(t01Sql)),

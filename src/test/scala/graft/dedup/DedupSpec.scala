@@ -135,6 +135,27 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ("short tail", 1L))
   }
 
+  test("substring dedup: shared windows scrubbed at any alignment, overlaps union, unique text survives") {
+    val df = Seq(
+        (1L, "COPY RIGHT HEADER u1 u2"),      // boilerplate at offset 0
+        (2L, "pre COPY RIGHT HEADER post"),   // same boilerplate, offset 1
+        (3L, "COPY RIGHT"),                   // sub-width: shares words, no full window
+        (4L, "totally different text here"),  // unique doc untouched
+        (5L, "a1 w x y z mid COPY RIGHT HEADER b1"), // two separated dup spans
+        (6L, "a2 w x y z b2")                 // 4-token span: windows overlap
+      ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("u1 u2", 3L))          // symmetric removal, both copies
+    assert(out(2L) == ("pre post", 3L))       // caught at a different alignment
+    assert(out(3L) == ("COPY RIGHT", 0L))     // no full window -> untouched
+    assert(out(4L) == ("totally different text here", 0L))
+    // doc5: "w x y"+"x y z" union to 4 positions, header adds 3; "a1",
+    // "mid", "b1" sit between/around duplicated spans and survive
+    assert(out(5L) == ("a1 mid b1", 7L))
+    assert(out(6L) == ("a2 b2", 4L))
+  }
+
   test("edit-distance band cover: pairs straddling a band boundary are found") {
     // lengths 7 vs 10 with lenBand=8: a=7 owns band 0, b=10 owns band 1 —
     // only the ±maxDist cover explode lets them meet. dist("abcdefg",
