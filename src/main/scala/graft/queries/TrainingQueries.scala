@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
-import graft.corpus.Selection
+import graft.corpus.{Bpe, Selection}
 import graft.dedup.Dedup
 import graft.functions.TextOps
 import graft.similarity.Ann
@@ -1467,6 +1467,107 @@ object TrainingQueries {
       |    AS BIGINT) AS pos
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- BPE vocabulary training (graft.corpus.Bpe) -------------------
+
+  /** The shared CTE prefix of the BPE oracles: corpus → word counts →
+    * double-space-encoded per-character segmentations (the same
+    * encoding [[graft.corpus.Bpe]] trains over). */
+  private val duckBpeBase: String =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |wc AS (SELECT word, count(*) AS cnt
+      |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+      |s0 AS (SELECT '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS s,
+      |  cnt FROM wc)""".stripMargin
+
+  /** `k` UNROLLED trainer iterations as CTE layers — p_i (pair
+    * counts), b_i (argmax merge, ties by (l, r)), s_i (vocabulary
+    * re-segmented by one `replace`). Because the double-space
+    * encoding makes one literal replace ≡ the greedy merge fold, this
+    * lets DuckDB re-derive the ITERATIVE trainer's exact output. */
+  private def duckBpeIters(k: Int): String =
+    (1 to k).map { i =>
+      s""",
+         |p$i AS (
+         |  SELECT c[i] AS l, c[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT c, cnt, unnest(range(1, len(c))) AS i
+         |        FROM (SELECT string_split(trim(s), '  ') AS c, cnt FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |s$i AS (SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
+         |                          ' ' || b.l || b.r || ' ') AS s, cnt
+         |        FROM s${i - 1}, b$i b)""".stripMargin
+    }.mkString
+
+  /** c17: first-iteration adjacent symbol-pair counts, top 20 —
+    * pins [[graft.corpus.Bpe.wordCounts]] + [[graft.corpus.Bpe.pairCounts]]
+    * (explode + weighted hash agg over the vocabulary table). */
+  def c17BpePairs(s: SparkSession, d: String): DataFrame = {
+    val wc = Bpe.wordCounts(Tables.documents(s, d), "text")
+    Bpe.pairCounts(
+        wc.select(Bpe.spacedChars(col("word")).as("s"), col("cnt")),
+        "s", "cnt")
+      .orderBy(desc("n"), asc("l"), asc("r")).limit(20)
+  }
+
+  val c17Sql: String =
+    s"""$duckBpeBase
+      |SELECT c[i] AS l, c[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+      |FROM (SELECT c, cnt, unnest(range(1, len(c))) AS i
+      |      FROM (SELECT string_split(trim(s), '  ') AS c, cnt FROM s0))
+      |GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 20""".stripMargin
+
+  /** c18: the iterative distributed trainer itself, 3 merges — the
+    * oracle re-derives every iteration (argmax + re-segmentation)
+    * through [[duckBpeIters]], so the trainer's driver loop, argmax
+    * tie-break, and merge application are ALL hash-pinned. */
+  def c18BpeTrain(s: SparkSession, d: String): DataFrame = {
+    val merges = Bpe.train(Bpe.wordCounts(Tables.documents(s, d), "text"), 3)
+    s.createDataFrame(merges)
+      .select(col("rank"), col("left").as("l"), col("right").as("r"), col("n"))
+      .orderBy("rank")
+  }
+
+  val c18Sql: String =
+    s"""$duckBpeBase${duckBpeIters(3)}
+      |SELECT CAST(1 AS INTEGER) AS rank, l, r, n FROM b1
+      |UNION ALL SELECT CAST(2 AS INTEGER), l, r, n FROM b2
+      |UNION ALL SELECT CAST(3 AS INTEGER), l, r, n FROM b3
+      |ORDER BY rank""".stripMargin
+
+  /** c19: train-then-segment end to end — the 3 trained merges are
+    * applied to every document ([[graft.corpus.Bpe.segmentStats]],
+    * map-only: merges ride the plan as literal replaces) and the
+    * oracle re-derives the merges AND the per-document subword counts
+    * itself, so training + application are pinned as one composed
+    * pipeline. */
+  def c19BpeSegment(s: SparkSession, d: String): DataFrame = {
+    val merges = Bpe.train(Bpe.wordCounts(Tables.documents(s, d), "text"), 3)
+    Bpe.segmentStats(Tables.documents(s, d), "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
+  val c19Sql: String =
+    s"""$duckBpeBase${duckBpeIters(3)},
+      |doc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |wd AS (SELECT doc_id, unnest(w) AS word FROM doc),
+      |g0 AS (SELECT doc_id, '  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  ' AS s
+      |  FROM wd),
+      |g1 AS (SELECT doc_id, replace(s, ' ' || b.l || '  ' || b.r || ' ',
+      |                                 ' ' || b.l || b.r || ' ') AS s FROM g0, b1 b),
+      |g2 AS (SELECT doc_id, replace(s, ' ' || b.l || '  ' || b.r || ' ',
+      |                                 ' ' || b.l || b.r || ' ') AS s FROM g1, b2 b),
+      |g3 AS (SELECT doc_id, replace(s, ' ' || b.l || '  ' || b.r || ' ',
+      |                                 ' ' || b.l || b.r || ' ') AS s FROM g2, b3 b),
+      |cnts AS (SELECT doc_id, SUM(len(string_split(trim(s), '  '))) AS ns
+      |  FROM g3 GROUP BY doc_id)
+      |SELECT doc.doc_id, CAST(len(doc.w) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(cnts.ns, 0) AS BIGINT) AS n_subwords
+      |FROM doc LEFT JOIN cnts ON doc.doc_id = cnts.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -1519,6 +1620,9 @@ object TrainingQueries {
     ("c14_funnel_report", c14FunnelReport _, Some(c14Sql)),
     ("c15_curriculum", c15Curriculum _, Some(c15Sql)),
     ("c16_sorted_export", c16SortedExport _, Some(c16Sql)),
+    ("c17_bpe_pairs", c17BpePairs _, Some(c17Sql)),
+    ("c18_bpe_train", c18BpeTrain _, Some(c18Sql)),
+    ("c19_bpe_segment", c19BpeSegment _, Some(c19Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }
