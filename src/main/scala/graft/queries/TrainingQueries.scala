@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
-import graft.corpus.{Bpe, Selection}
+import graft.corpus.{Bpe, Importance, Selection}
 import graft.dedup.Dedup
 import graft.functions.TextOps
 import graft.similarity.Ann
@@ -1568,6 +1568,47 @@ object TrainingQueries {
       |FROM doc LEFT JOIN cnts ON doc.doc_id = cnts.doc_id
       |ORDER BY doc.doc_id""".stripMargin
 
+  /** c20: DSIR-style importance resampling — target domain lang='en',
+    * 64 hashed-unigram buckets, integer-rendered ratio weights
+    * ([[graft.corpus.Importance]]); the oracle re-derives both model
+    * vectors, the per-document mean ratio, and the top-100 selection.
+    * Spark plan: two model aggs (collapse to 64 rows), one map-only
+    * scoring scan with the model as an array literal, TakeOrdered. */
+  def c20ImportanceResample(s: SparkSession, d: String): DataFrame =
+    Importance.resample(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", k = 100, buckets = 64)
+
+  val c20Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |    x -> x <> '')) AS w
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id,
+      |    ((list_reduce(list_prepend(CAST(13 AS BIGINT),
+      |       list_transform(regexp_extract_all(w, '.'),
+      |         c -> CAST(ascii(c) AS BIGINT))),
+      |       (acc, c) -> (acc * 137 + c) % 2147483629) << 32)
+      |     + list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |       list_transform(regexp_extract_all(w, '.'),
+      |         c -> CAST(ascii(c) AS BIGINT))),
+      |       (acc, c) -> (acc * 131 + c) % 2147483647)) % 64 AS b
+      |  FROM tok),
+      |raw AS (SELECT b, count(*) AS rn FROM tb GROUP BY b),
+      |tgt AS (SELECT b, count(*) AS tn
+      |  FROM tb JOIN documents USING (doc_id)
+      |  WHERE documents.lang = 'en' GROUP BY b),
+      |rat AS (SELECT raw.b,
+      |    ((coalesce(tn, 0) + 1) * 1000000) // (rn + 1) AS ratio
+      |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+      |ds AS (SELECT tb.doc_id, SUM(ratio) AS sc, count(*) AS nt
+      |  FROM tb JOIN rat ON tb.b = rat.b GROUP BY tb.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+      |  CAST(CASE WHEN coalesce(nt, 0) > 0 THEN (sc * 1000) // nt
+      |       ELSE 0 END AS BIGINT) AS importance
+      |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+      |ORDER BY importance DESC, d.doc_id LIMIT 100""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -1623,6 +1664,7 @@ object TrainingQueries {
     ("c17_bpe_pairs", c17BpePairs _, Some(c17Sql)),
     ("c18_bpe_train", c18BpeTrain _, Some(c18Sql)),
     ("c19_bpe_segment", c19BpeSegment _, Some(c19Sql)),
+    ("c20_importance_resample", c20ImportanceResample _, Some(c20Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }
