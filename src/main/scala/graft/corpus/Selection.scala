@@ -455,6 +455,191 @@ object Selection {
           .as("mean_freq"))
   }
 
+  /** fastText-style supervised linear text classifier, TRAINED
+    * in-engine: per-token weights learned from a boolean-labeled
+    * corpus (the GPT-3/LLaMA quality-filter recipe — train a cheap
+    * linear classifier to recognize a reference class, score
+    * everything with it). Features are distinct unigram presence
+    * (bag-of-words, binarized, like fastText's unigram bag).
+    *
+    * Two closed-form trainings share one counting pass:
+    *  - `logOdds = true` (production): smoothed Naive-Bayes log-odds
+    *    `ln((cp+1)/(Np+2)) − ln((cn+1)/(Nn+2))` as DOUBLE — the
+    *    standard NB linear scorer.
+    *  - `logOdds = false` (hash-portable twin): the integer class-
+    *    frequency contrast `cp·Nn − cn·Np`, whose SIGN equals the
+    *    sign of the unsmoothed log-odds (cp/Np ⋛ cn/Nn cross-
+    *    multiplied) — integer-exact, so an external engine reproduces
+    *    every weight bit-for-bit.
+    *
+    * Shape at 100 TB: one explode + one token hash agg (map-side
+    * partial) for the counts; class totals are a 1-row broadcast.
+    * The weight table is vocabulary-sized, never corpus-sized. */
+  def classifierWeights(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, logOdds: Boolean = true): DataFrame = {
+    val y = col(labelCol).cast(BooleanType)
+    val tok = docs.select(y.as("y"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+    val counts = tok.groupBy("token").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
+    val totals = docs.agg(
+      sum(when(y, 1L).otherwise(0L)).as("np"),
+      sum(when(!y, 1L).otherwise(0L)).as("nn"))
+    val w =
+      if (logOdds)
+        log((col("cp") + 1).cast(DoubleType) / (col("np") + 2)) -
+          log((col("cn") + 1).cast(DoubleType) / (col("nn") + 2))
+      else col("cp") * col("nn") - col("cn") * col("np")
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), w.as("w"), col("cp"), col("cn"))
+  }
+
+  /** Apply [[classifierWeights]]: margin score = Σ w over the
+    * document's DISTINCT tokens, `predicted` = (score > 0) as 0/1.
+    * Documents with no in-vocabulary token score 0 (undecided →
+    * negative). One explode + one shuffle equi-join on the token +
+    * one doc hash agg — the weight table streams through the join,
+    * the corpus never collects. Integer-exact when the weights are
+    * the portable integer form. */
+  def classifierScore(docs: DataFrame, weights: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+    val sc = tok.join(weights.select(col("token"), col("w")), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"), sum("w").as("score"))
+    val zero = lit(0).cast(sc.schema("score").dataType)
+    docs.select(col(idCol)).join(sc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("score"), zero).as("score"),
+        (coalesce(col("score"), zero) > zero).cast(IntegerType)
+          .as("predicted"))
+  }
+
+  /** TF-IDF keyword extraction: top-`k` tokens per document ranked by
+    * term-frequency × inverse-document-frequency, ties broken by token
+    * text. `logIdf = true` (classic): score = tf · ln(N/df) as DOUBLE.
+    * `logIdf = false` (hash-portable): score = (tf · 1e6) div df —
+    * integer floor division, exact in any engine; df-monotone like the
+    * log form but rational, so no libm in the hash path.
+    *
+    * Shape at 100 TB: (doc, token) tf agg → token df agg (both
+    * map-side partial) → one shuffle join on the token; the per-doc
+    * top-k is `row_number ≤ k` over a PARTITION BY doc window, which
+    * Spark 4 plans as a bounded-heap WindowGroupLimit with a partial
+    * stage before the exchange — no whole-group sort, and the window
+    * key is document-cardinality (never low-cardinality). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, logIdf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is distinct per (doc, token), so counting rows per token IS df.
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val score =
+      if (logIdf)
+        col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df"))
+      else expr("tf * 1000000 DIV df")
+    val ranked = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("token"))))
+    ranked.filter(col("rank") <= k)
+  }
+
+  /** Pigeonhole blocking keys for a levenshtein-≤1 equi-join
+    * (PassJoin-style): an optimal single-edit alignment leaves a
+    * common prefix and a common suffix with combined length ≥
+    * Lmin = min(|a|,|b|), so with h = ⌈Lmin/2⌉, t = Lmin − h either
+    * the length-h prefixes or the length-t suffixes (anchored at the
+    * string ENDS, so indel shift cannot break them) are EQUAL. Each
+    * side's Lmin is one of {len−1, len} (length delta ≤ 1), so each
+    * string emits ≤ 4 (tag, assumedLmin, segment) keys and a true
+    * match always shares at least one. Segments carry half the
+    * string — candidates are near-matches, not length-twins. */
+  private def editOneKeys(c: Column): Column = {
+    val len = length(c)
+    def pk(l: Column) = {
+      val h = shiftright(l + 1, 1)
+      struct(lit("P").as("tag"), l.as("l"), c.substr(lit(1), h).as("seg"))
+    }
+    def sk(l: Column) = {
+      val h = shiftright(l + 1, 1)
+      val t = l - h
+      struct(lit("S").as("tag"), l.as("l"),
+        c.substr(len - t + 1, t).as("seg"))
+    }
+    array_distinct(filter(
+      array(pk(len - 1), sk(len - 1), pk(len), sk(len)),
+      k => k("l") >= 1))
+  }
+
+  /** Fuzzy decontamination report: training documents containing a
+    * word n-gram within levenshtein `maxDist` of ANY eval n-gram —
+    * catches near-verbatim benchmark leakage (typos, punctuation
+    * drift) that [[contaminationReport]]'s exact match misses.
+    *
+    * Blocking (eval side always broadcast; the train scan never
+    * shuffles — same scan-side shape as [[contaminationReport]]):
+    *  - `maxDist = 0`: plain equality join on the shingle.
+    *  - `maxDist = 1` (the production case): [[editOneKeys]]
+    *    prefix/suffix pigeonhole — candidates share half a shingle
+    *    verbatim, so the levenshtein check runs on near-matches
+    *    only, never on every length-compatible pair.
+    *  - `maxDist ≥ 2`: ±maxDist length-band blocking (edit distance
+    *    bounds the length delta) — correct but coarse; multi-segment
+    *    pigeonholes need positional substring windows, which stop
+    *    being an equi-join.
+    * A candidate pair can meet on more than one pigeonhole key, so
+    * matched pairs are dedup'd before counting (cost O(matches)). */
+  def fuzzyContaminationReport(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val trainSh = Dedup.withShingles(train, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("s"))
+    val evalSh = Dedup.withShingles(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("es")).distinct()
+    val matched = maxDist match {
+      case 0 =>
+        trainSh.join(broadcast(evalSh), col("s") === col("es"))
+      case 1 =>
+        trainSh.withColumn("k", explode(editOneKeys(col("s"))))
+          .join(broadcast(
+            evalSh.withColumn("k", explode(editOneKeys(col("es"))))), "k")
+          .filter(levenshtein(col("s"), col("es")) <= 1)
+          .select(col(idCol), col("s"), col("es")).distinct()
+      case _ =>
+        val evalBands = evalSh.select(col("es"), explode(sequence(
+          greatest(length(col("es")) - maxDist, lit(0)),
+          length(col("es")) + maxDist)).as("band"))
+        trainSh.withColumn("band", length(col("s")))
+          .join(broadcast(evalBands), "band")
+          .filter(levenshtein(col("s"), col("es")) <= maxDist)
+    }
+    // train shingles are distinct per doc: counting matched
+    // (train-shingle, eval-shingle) pairs is deterministic
+    matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_fuzzy"))
+  }
+
+  /** Drop fuzzily-contaminated training documents (anti-join against
+    * [[fuzzyContaminationReport]] ids). */
+  def fuzzyDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      maxDist: Int = 1): DataFrame =
+    train.join(
+      fuzzyContaminationReport(train, eval, idCol, textCol, n, maxDist)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Corpus-wide vocabulary: top-k whitespace tokens by frequency
     * (ties broken lexicographically). Explode → hash agg (map-side
     * partial) → global top-k via sort+limit, which Spark executes as

@@ -647,6 +647,77 @@ object TrainingQueries {
       |  CAST(len(nfc_normalize(text)) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t10: supervised linear quality/class classifier, trained AND
+    * applied in-engine (the GPT-3/CCNet recipe: learn a cheap linear
+    * model that recognizes a reference class, score the whole corpus
+    * with it). Supervision here is the `lang = 'en'` label; features
+    * are distinct unigrams; weights are the integer class-frequency
+    * contrast `cp·Nn − cn·Np` (sign-equal to the NB log-odds, exact in
+    * any engine — the production log-odds path is spec-pinned in
+    * SelectionSpec). Every weight, margin, and prediction is
+    * hash-matched by DuckDB. */
+  def t10Classifier(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val weights = Selection.classifierWeights(
+      docs.withColumn("is_en", col("lang") === "en"),
+      "doc_id", "text", "is_en", logOdds = false)
+    Selection.classifierScore(docs, weights, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val t10Sql: String =
+    """WITH lab AS (
+      |  SELECT doc_id, (lang = 'en') AS y,
+      |    list_distinct(list_filter(string_split(text, ' '),
+      |      x -> x <> '')) AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, y, unnest(toks) AS token FROM lab),
+      |tot AS (SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+      |               SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nn
+      |        FROM lab),
+      |cnt AS (SELECT token,
+      |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+      |    SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+      |  FROM tok GROUP BY token),
+      |w AS (SELECT token, cp * nn - cn * np AS w FROM cnt, tot),
+      |sc AS (SELECT t.doc_id, COUNT(*) AS n_feat, SUM(w.w) AS score
+      |  FROM tok t JOIN w USING (token) GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sc.n_feat, 0) AS BIGINT) AS n_feat,
+      |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+      |  CAST(CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE 0 END
+      |    AS INT) AS predicted
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** t11: TF-IDF keyword extraction — top-3 tokens per document by
+    * the hash-portable rational score (tf·1e6 div df; the classic
+    * tf·ln(N/df) path is spec-pinned), ties by token. The per-doc
+    * top-k plans as a bounded-heap WindowGroupLimit (doc-cardinality
+    * partition key), never a whole-group sort. */
+  def t11Tfidf(s: SparkSession, d: String): DataFrame =
+    Selection.tfidfTopK(Tables.documents(s, d), "doc_id", "text",
+        k = 3, logIdf = false)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("doc_id", "rank")
+
+  val t11Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |    x -> x <> '')) AS token
+      |  FROM documents),
+      |tfq AS (SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM tok GROUP BY doc_id, token),
+      |dfq AS (SELECT token, COUNT(*) AS df FROM tfq GROUP BY token),
+      |ranked AS (SELECT tfq.doc_id, tfq.token, tfq.tf, dfq.df,
+      |    (tfq.tf * 1000000) // dfq.df AS score,
+      |    row_number() OVER (PARTITION BY tfq.doc_id
+      |      ORDER BY (tfq.tf * 1000000) // dfq.df DESC, tfq.token)
+      |      AS rank
+      |  FROM tfq JOIN dfq USING (token))
+      |SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** s06: oracle-checked LSH buckets — s03's signature machinery
     * (quantize → hyperplane dot → sign → bit-pack) run over
     * [[Ann.portableLshCoefs]] integer hyperplanes instead of xxhash64
@@ -1609,6 +1680,36 @@ object TrainingQueries {
       |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
       |ORDER BY importance DESC, d.doc_id LIMIT 100""".stripMargin
 
+  /** c21: fuzzy decontamination report — train docs holding a 3-gram
+    * within levenshtein 1 of an eval 3-gram (c03's eval slice), the
+    * near-verbatim-leakage check exact matching misses. Eval shingles
+    * broadcast keyed by the ±1 length band; levenshtein runs only on
+    * band candidates; the train scan never shuffles. The oracle runs
+    * the identical band-blocked join (DuckDB levenshtein). */
+  def c21FuzzyDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Selection.fuzzyContaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, maxDist = 1)
+      .orderBy("doc_id")
+  }
+
+  val c21Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |ev AS (SELECT DISTINCT unnest(sh) AS es FROM tok WHERE doc_id % 97 = 0),
+      |evb AS (SELECT es, unnest([len(es)-1, len(es), len(es)+1]) AS band
+      |  FROM ev),
+      |tr AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE doc_id % 97 <> 0)
+      |SELECT tr.doc_id AS doc_id, COUNT(*) AS n_fuzzy
+      |FROM tr JOIN evb ON len(tr.s) = evb.band
+      |              AND levenshtein(tr.s, evb.es) <= 1
+      |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -1632,6 +1733,8 @@ object TrainingQueries {
     ("t07_redact_pii", t07RedactPii _, Some(t07Sql)),
     ("t08_token_freq", t08TokenFreq _, Some(t08Sql)),
     ("t09_normalize", t09Normalize _, Some(t09Sql)),
+    ("t10_classifier", t10Classifier _, Some(t10Sql)),
+    ("t11_tfidf", t11Tfidf _, Some(t11Sql)),
     ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
     ("s03_ann_lsh", s03AnnLsh _, None),
@@ -1665,6 +1768,7 @@ object TrainingQueries {
     ("c18_bpe_train", c18BpeTrain _, Some(c18Sql)),
     ("c19_bpe_segment", c19BpeSegment _, Some(c19Sql)),
     ("c20_importance_resample", c20ImportanceResample _, Some(c20Sql)),
+    ("c21_fuzzy_decontaminate", c21FuzzyDecontaminate _, Some(c21Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }

@@ -388,4 +388,122 @@ class SelectionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("classifier: planted weights and margins, log-odds sign-agrees, OOV scores 0") {
+    val labeled = Seq(
+      (1L, "good clean prose", true),
+      (2L, "good solid prose", true),
+      (3L, "spam junk garbage", false),
+      (4L, "junk spam words", false)
+    ).toDF("doc_id", "text", "y")
+    // integer contrast weights: w = cp*Nn - cn*Np with Np = Nn = 2
+    val w = Selection.classifierWeights(labeled, "doc_id", "text", "y",
+        logOdds = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("good") == 4 && w("prose") == 4 && w("clean") == 2)
+    assert(w("spam") == -4 && w("junk") == -4 && w("garbage") == -2)
+    // margins classify the training docs correctly; an OOV-only doc
+    // and an exactly-balanced doc both land at 0 → predicted 0
+    val test = Seq((1L, "good clean prose"), (3L, "spam junk garbage"),
+      (5L, "good spam"), (6L, "zzz")).toDF("doc_id", "text")
+    val weights = Selection.classifierWeights(labeled, "doc_id", "text", "y",
+      logOdds = false)
+    val sc = Selection.classifierScore(test, weights, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(sc(1L) == ((3L, 10L, 1)))
+    assert(sc(3L) == ((3L, -10L, 0)))
+    assert(sc(5L) == ((2L, 0L, 0)))
+    assert(sc(6L) == ((0L, 0L, 0)))
+    // production log-odds path: same sign on every class-skewed token
+    val lo = Selection.classifierWeights(labeled, "doc_id", "text", "y",
+        logOdds = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    w.foreach { case (tok, wi) =>
+      assert(math.signum(lo(tok)) == math.signum(wi.toDouble),
+        s"log-odds sign disagrees on '$tok': $wi vs ${lo(tok)}")
+    }
+  }
+
+  test("tfidfTopK: planted ranks, deterministic ties, log path agrees on the ranking") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c"))
+      .toDF("doc_id", "text")
+    val out = Selection.tfidfTopK(docs, "doc_id", "text", k = 2,
+        logIdf = false)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // df(a)=df(b)=df(c)=2, N=3; score = tf*1e6 div df
+    assert(out((1L, 1)) == (("a", 2L, 2L, 1000000L)))
+    assert(out((1L, 2)) == (("b", 1L, 2L, 500000L)))
+    assert(out((3L, 1)) == (("b", 3L, 2L, 1500000L)))
+    // doc 2: both tokens tie at 500000 → lexicographic token order
+    assert(out((2L, 1))._1 == "a" && out((2L, 2))._1 == "c")
+    // classic tf·ln(N/df) path ranks identically on this corpus
+    val logRanks = Selection.tfidfTopK(docs, "doc_id", "text", k = 2,
+        logIdf = true)
+      .select("doc_id", "token", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    out.foreach { case ((id, rank), (tok, _, _, _)) =>
+      assert(logRanks((id, tok)) == rank,
+        s"log-idf rank differs for doc $id token $tok")
+    }
+  }
+
+  test("fuzzyContaminationReport: catches the 1-edit leak exact matching misses; maxDist=0 degenerates to exact") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamda x")).toDF("doc_id", "text")
+    // "alpha beta gamma" vs eval's typo'd "alpha beta gamda": distance 1
+    val fuzzy = Selection.fuzzyContaminationReport(train, eval,
+        "doc_id", "text", n = 3, maxDist = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fuzzy == Map(1L -> 1L))
+    // exact matching misses it entirely
+    assert(Selection.contaminationReport(train, eval, "doc_id", "text",
+      n = 3).isEmpty)
+    // decontaminate drops the leaked doc, keeps the clean one
+    val kept = Selection.fuzzyDecontaminate(train, eval, "doc_id", "text",
+      n = 3, maxDist = 1).select("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L))
+    // maxDist = 0 is the exact report, on the real corpus slices
+    val docs = Tables.documents(spark, sf)
+    val tr = docs.filter($"doc_id" % 97 =!= 0)
+    val ev = docs.filter($"doc_id" % 97 === 0)
+    val d0 = Selection.fuzzyContaminationReport(tr, ev, "doc_id", "text",
+        n = 3, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Selection.contaminationReport(tr, ev, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d0 == exact)
+    // scale shape: eval bands broadcast, the train explode never shuffles
+    val plan = Selection.fuzzyContaminationReport(tr, ev, "doc_id", "text",
+        n = 3, maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("editOneKeys pigeonhole is lossless: maxDist=1 equals the brute-force pair set on real corpus shingles") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sf)
+    val tr = docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" < 100)
+    val ev = docs.filter($"doc_id" % 97 === 0)
+    val fast = Selection.fuzzyContaminationReport(tr, ev, "doc_id", "text",
+        n = 3, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every (train shingle, eval shingle) pair, no blocking
+    val trSh = Dedup.withShingles(tr, "doc_id", "text", 3)
+      .select($"doc_id", explode($"sh").as("s"))
+    val evSh = Dedup.withShingles(ev, "doc_id", "text", 3)
+      .select(explode($"sh").as("es")).distinct()
+    val brute = trSh.crossJoin(evSh)
+      .filter(levenshtein($"s", $"es") <= 1)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_fuzzy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute)
+    assert(brute.nonEmpty, "fixture slice should contain at least one fuzzy hit")
+  }
 }

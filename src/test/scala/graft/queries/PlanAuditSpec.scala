@@ -25,9 +25,12 @@ class PlanAuditSpec extends SparkSpec {
     * every (query, corpus) pair by design — the broadcast side is the
     * tiny query set; s04's assignment step scores every (query,
     * centroid) pair — the centroid table is nlist rows by
-    * construction. */
+    * construction; t10/t11 attach a ONE-ROW corpus-totals aggregate
+    * via crossJoin(broadcast(...)) — a scalar join, O(1) broadcast
+    * bytes regardless of corpus size (Selection.classifierWeights /
+    * tfidfTopK Scaladoc). */
   private val nestedLoopAllowed = Set("q22_cross_join", "s01_ann_bruteforce",
-    "s04_ann_ivf_trained")
+    "s04_ann_ivf_trained", "t10_classifier", "t11_tfidf")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
