@@ -640,6 +640,44 @@ object Selection {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Semantic decontamination report: training rows whose embedding
+    * sits within `threshold` cosine of an eval embedding in the SAME
+    * block — the embedding-space complement of n-gram
+    * decontamination (catches paraphrased benchmark leakage no
+    * token-level match sees). `n_close` counts the eval neighbors
+    * within the threshold.
+    *
+    * Like SemDeDup (d12), candidates are INTRA-BLOCK only — blocking
+    * (an LSH bucket, k-means cell, or domain label) is the declared
+    * approximate semantics, bounding candidates by
+    * Σ|train block|·|eval block| instead of train×eval. The eval side
+    * (benchmarks — tiny by nature) is broadcast, so the train scan
+    * never shuffles; set `broadcastEval = false` to shuffle-join a
+    * genuinely large eval side on the block key instead. */
+  def semanticContaminationReport(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, blockCol: String,
+      threshold: Double, broadcastEval: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions
+    val ev = eval.select(col(blockCol).as("_eval_block"),
+      col(vecCol).as("_eval_vec"))
+    val evs = if (broadcastEval) broadcast(ev) else ev
+    train.join(evs, col(blockCol) === col("_eval_block"))
+      .filter(VectorFunctions.cosineSim(col(vecCol), col("_eval_vec"))
+        >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_close"))
+  }
+
+  /** Drop semantically-contaminated training rows (anti-join against
+    * [[semanticContaminationReport]] ids). */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame =
+    train.join(
+      semanticContaminationReport(train, eval, idCol, vecCol, blockCol,
+        threshold).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Corpus-wide vocabulary: top-k whitespace tokens by frequency
     * (ties broken lexicographically). Explode → hash agg (map-side
     * partial) → global top-k via sort+limit, which Spark executes as

@@ -1710,6 +1710,38 @@ object TrainingQueries {
       |              AND levenshtein(tr.s, evb.es) <= 1
       |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
 
+  /** c22: semantic decontamination report — train vectors within 0.3
+    * cosine of an eval vector in the same portable-LSH bucket (d12's
+    * blocking; eval slice = vec_id % 7, sized so blocked hits exist
+    * at every SF). Embedding-space leakage detection: catches
+    * paraphrases n-gram decontamination misses. The oracle re-derives
+    * the integer hyperplane buckets and recomputes every intra-bucket
+    * cosine. */
+  def c22SemanticDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      Ann.portableLshBucket(col("embedding"), nBits = 6, dim = 64).as("bucket"))
+    Selection.semanticContaminationReport(
+        emb.filter(col("vec_id") % 7 =!= 0),
+        emb.filter(col("vec_id") % 7 === 0),
+        "vec_id", "embedding", "bucket", threshold = 0.3)
+      .orderBy("vec_id")
+  }
+
+  val c22Sql: String = {
+    val (q, bits) = duckLshBucket(nBits = 6, dim = 64)
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |  $bits AS bucket
+       |  FROM (SELECT vec_id, embedding, $q AS q FROM embeddings)),
+       |tr AS (SELECT * FROM b WHERE vec_id % 7 <> 0),
+       |ev AS (SELECT * FROM b WHERE vec_id % 7 = 0)
+       |SELECT tr.vec_id AS vec_id, COUNT(*) AS n_close
+       |FROM tr JOIN ev ON tr.bucket = ev.bucket
+       |WHERE list_cosine_similarity(CAST(tr.embedding AS DOUBLE[]),
+       |        CAST(ev.embedding AS DOUBLE[])) >= 0.3
+       |GROUP BY tr.vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -1769,6 +1801,7 @@ object TrainingQueries {
     ("c19_bpe_segment", c19BpeSegment _, Some(c19Sql)),
     ("c20_importance_resample", c20ImportanceResample _, Some(c20Sql)),
     ("c21_fuzzy_decontaminate", c21FuzzyDecontaminate _, Some(c21Sql)),
+    ("c22_semantic_decontaminate", c22SemanticDecontaminate _, Some(c22Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }

@@ -486,6 +486,29 @@ class SelectionSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("semanticContaminationReport: intra-block cosine flags the planted leak; cross-block is consciously out of scope") {
+    val train = Seq(
+      (1L, Array(1f, 0f, 0f), 10), // identical to the eval vector, same block → flagged
+      (2L, Array(0f, 1f, 0f), 10), // orthogonal, same block → kept
+      (3L, Array(1f, 0f, 0f), 20)  // identical direction, DIFFERENT block → kept (blocking is the declared semantics)
+    ).toDF("id", "vec", "blk")
+    val eval = Seq((100L, Array(1f, 0f, 0f), 10)).toDF("id", "vec", "blk")
+    val rep = Selection.semanticContaminationReport(train, eval,
+        "id", "vec", "blk", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(1L -> 1L))
+    val kept = Selection.semanticDecontaminate(train, eval,
+        "id", "vec", "blk", threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // scale shape: eval side broadcast, train never shuffles
+    val plan = Selection.semanticContaminationReport(train, eval,
+        "id", "vec", "blk", threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("editOneKeys pigeonhole is lossless: maxDist=1 equals the brute-force pair set on real corpus shingles") {
     import graft.dedup.Dedup
     val docs = Tables.documents(spark, sf)
