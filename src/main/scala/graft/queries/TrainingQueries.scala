@@ -552,6 +552,52 @@ object TrainingQueries {
       |  WHERE q.vec_id < 10)
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** s11: recall@k evaluation — the IVF index (s02's cell-restricted
+    * search, k=5) measured against the exact answer (s01's brute
+    * force, k=5) per query: the standard ANN quality gate, computed
+    * in-engine. Integer-exact ppm recall; the oracle recomputes both
+    * result sets and the overlap. */
+  def s11AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    Ann.recallAtK(
+        Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5),
+        Ann.ivfTopK(emb, queries, "vec_id", "embedding", "label", k = 5))
+      .orderBy("query_id")
+  }
+
+  val s11Sql: String =
+    """WITH exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rank <= 5),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+      |    FROM embeddings q JOIN embeddings c
+      |      ON q.label = c.label AND q.vec_id <> c.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rank <= 5),
+      |hit AS (SELECT e.query_id, COUNT(*) AS n_hit
+      |  FROM exact e JOIN approx a
+      |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |  GROUP BY e.query_id),
+      |ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact
+      |  GROUP BY query_id)
+      |SELECT ne.query_id, ne.n_exact,
+      |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+      |  (coalesce(hit.n_hit, 0) * 1000000) // ne.n_exact AS recall_ppm
+      |FROM ne LEFT JOIN hit USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
   /** s03: LSH-bucketed ANN (random hyperplanes). Spark-hash dependent
     * — spec-tested for recall against s01; rows-only here. */
   def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
@@ -1777,6 +1823,7 @@ object TrainingQueries {
     ("s08_pq_portable", s08PqPortable _, Some(s08Sql)),
     ("s09_kmeans_portable", s09KmeansPortable _, Some(s09Sql)),
     ("s10_pq_rerank", s10PqRerank _, Some(s10Sql)),
+    ("s11_ann_recall", s11AnnRecall _, Some(s11Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),

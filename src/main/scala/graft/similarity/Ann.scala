@@ -545,4 +545,29 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"), col("rank"))
   }
+
+  /** Recall@k evaluation: per-query overlap between an approximate
+    * top-k result and the exact one — the standard quality gate for
+    * any ANN index before it serves. Both inputs are
+    * (query_id, neighbor_id, …) result frames (e.g. [[bruteForceTopK]]
+    * vs [[ivfTopK]]/[[lshTopK]]); `recall_ppm` is the integer-exact
+    * parts-per-million hit rate (hash-portable — no float division).
+    *
+    * Scale: evaluation runs over a query SAMPLE by construction (the
+    * query side of every ANN operator is broadcast-sized), so both
+    * inputs are small; the hit join is on (query_id, neighbor_id).
+    * Queries the approximate index missed entirely still report
+    * (n_hit = 0) via the left join on the exact side. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_exact"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        col("recall_ppm"))
+  }
 }

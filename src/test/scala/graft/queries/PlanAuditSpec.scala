@@ -28,9 +28,12 @@ class PlanAuditSpec extends SparkSpec {
     * construction; t10/t11 attach a ONE-ROW corpus-totals aggregate
     * via crossJoin(broadcast(...)) — a scalar join, O(1) broadcast
     * bytes regardless of corpus size (Selection.classifierWeights /
-    * tfidfTopK Scaladoc). */
+    * tfidfTopK Scaladoc); s11 composes s01's brute-force exact
+    * baseline (the recall denominator is DEFINED as the exhaustive
+    * scan over the broadcast query sample). */
   private val nestedLoopAllowed = Set("q22_cross_join", "s01_ann_bruteforce",
-    "s04_ann_ivf_trained", "t10_classifier", "t11_tfidf")
+    "s04_ann_ivf_trained", "t10_classifier", "t11_tfidf",
+    "s11_ann_recall")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -228,4 +228,25 @@ class AnnSpec extends SparkSpec {
     val n = df.withColumn("cell", Ann.nearestCell(col("embedding"), cents)).count()
     assert(n == 3)
   }
+
+  test("recallAtK: planted overlap counts, zero-hit queries kept, ppm is exact integer division") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), // query 1: 3 exact neighbors
+      (2L, 20L), (2L, 21L)             // query 2: 2 exact neighbors
+    ).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L), (1L, 12L), (1L, 99L), // 2 of 3 hit (99 is a miss)
+      (2L, 98L), (2L, 97L)             // 0 of 2 hit
+    ).toDF("query_id", "neighbor_id")
+    val r = Ann.recallAtK(exact, approx)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((3L, 2L, 666666L))) // 2*1e6 div 3, floor
+    assert(r(2L) == ((2L, 0L, 0L)))      // missed entirely, still reported
+    // identical inputs → perfect recall
+    val perfect = Ann.recallAtK(exact, exact)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(perfect == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
 }
