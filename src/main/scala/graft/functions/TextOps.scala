@@ -102,6 +102,52 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  /** Word n-gram OCCURRENCES in document order (non-distinct —
+    * [[shingles]]' multiset sibling; that one deduplicates for set
+    * similarity, this one keeps every occurrence for frequency
+    * statistics). Fewer than n tokens ⇒ empty array. Same
+    * shifted-slice construction (see [[shingles]] for why not
+    * element_at). */
+  def ngramOccurrences(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val joined = (1 until n).foldLeft(w) { (acc, k) =>
+      val shifted = when(size(w) > k, slice(w, lit(k + 1), size(w) - k))
+        .otherwise(array().cast(ArrayType(StringType)))
+      zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, s => s.isNotNull)
+  }
+
+  /** The document's most frequent word n-gram, MAP-ONLY: struct
+    * (cnt: Long, gram: String). Sort the occurrence array in-row and
+    * fold a run-length argmax over it — no explode, no shuffle, no
+    * per-doc grouping; the whole computation stays inside the scan's
+    * codegen span, which is what lets a 100 TB corpus compute its
+    * Gopher repetition signals in the same single pass as the rest of
+    * the quality battery. Ties break to the lexicographically
+    * smallest gram (strict `>` over the ascending sort — the first
+    * gram to reach the max count keeps it), so the answer is
+    * deterministic and engine-portable. Empty ⇒ (0, ""). */
+  def topNgram(text: Column, n: Int): Column = {
+    val sorted = array_sort(ngramOccurrences(text, n))
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best_cnt"), lit("").as("best_gram")),
+      (st, g) => {
+        val newRun = when(g === st.getField("prev"),
+          st.getField("run") + lit(1L)).otherwise(lit(1L))
+        val better = newRun > st.getField("best_cnt")
+        struct(g.as("prev"), newRun.as("run"),
+          when(better, newRun).otherwise(st.getField("best_cnt"))
+            .as("best_cnt"),
+          when(better, g).otherwise(st.getField("best_gram"))
+            .as("best_gram"))
+      },
+      st => struct(st.getField("best_cnt").as("cnt"),
+        st.getField("best_gram").as("gram")))
+  }
+
   /** Email addresses — RE2-safe (no backrefs/lookaround), so the same
     * pattern runs verbatim in Spark (Java regex) and DuckDB (RE2). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

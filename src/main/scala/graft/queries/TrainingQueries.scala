@@ -764,6 +764,79 @@ object TrainingQueries {
       |SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** t12: the Gopher repetition battery t06 doesn't cover — the
+    * most frequent 2-gram (count + the fraction of document
+    * characters its occurrences cover, capped at 1) and the
+    * duplicated-3-gram occurrence fraction. All MAP-ONLY: the argmax
+    * is an in-row sort + run-length fold ([[TextOps.topNgram]]), so
+    * the whole battery runs inside the scan's codegen span — no
+    * explode, no per-doc shuffle at any corpus size. Integer ppm
+    * arithmetic both engines; gram ties break lexicographically. */
+  def t12TopNgram(s: SparkSession, d: String): DataFrame = {
+    val top2 = TextOps.topNgram(col("text"), 2)
+    val total2 = greatest(
+      size(TextOps.tokens(col("text"))) - 1, lit(0)).cast(LongType)
+    val total3 = greatest(
+      size(TextOps.tokens(col("text"))) - 2, lit(0)).cast(LongType)
+    val distinct3 = size(TextOps.shingles(col("text"), 3)).cast(LongType)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        top2.getField("cnt").as("top2_cnt"),
+        top2.getField("gram").as("top2_gram"),
+        total2.as("total2"), total3.as("total3"), distinct3.as("distinct3"))
+      .select(col("doc_id"), col("top2_cnt"), col("top2_gram"),
+        col("total2"),
+        when(col("total2") > 0,
+          expr("top2_cnt * 1000000 DIV total2")).otherwise(lit(0L))
+          .as("top2_ppm"),
+        when(length(col("text")) > 0,
+          least(lit(1000000L),
+            expr("top2_cnt * length(top2_gram) * 1000000 DIV length(text)")))
+          .otherwise(lit(0L)).as("top2_char_ppm"),
+        when(col("total3") > 0,
+          expr("(total3 - distinct3) * 1000000 DIV total3"))
+          .otherwise(lit(0L)).as("dup3_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val t12Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |g2 AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS gram
+      |  FROM tok),
+      |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt
+      |  FROM g2 GROUP BY doc_id, gram),
+      |top AS (SELECT doc_id, gram, cnt,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY cnt DESC, gram) AS rn
+      |  FROM c2),
+      |base AS (SELECT doc_id, text,
+      |    greatest(len(w) - 1, 0) AS total2,
+      |    greatest(len(w) - 2, 0) AS total3,
+      |    len(list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS distinct3
+      |  FROM tok)
+      |SELECT b.doc_id,
+      |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS top2_cnt,
+      |  coalesce(t.gram, '') AS top2_gram,
+      |  CAST(b.total2 AS BIGINT) AS total2,
+      |  CAST(CASE WHEN b.total2 > 0
+      |    THEN (coalesce(t.cnt, 0) * 1000000) // b.total2
+      |    ELSE 0 END AS BIGINT) AS top2_ppm,
+      |  CAST(CASE WHEN len(b.text) > 0
+      |    THEN least(1000000, (coalesce(t.cnt, 0) *
+      |      len(coalesce(t.gram, '')) * 1000000) // len(b.text))
+      |    ELSE 0 END AS BIGINT) AS top2_char_ppm,
+      |  CAST(CASE WHEN b.total3 > 0
+      |    THEN ((b.total3 - b.distinct3) * 1000000) // b.total3
+      |    ELSE 0 END AS BIGINT) AS dup3_ppm
+      |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+      |ORDER BY b.doc_id""".stripMargin
+
   /** s06: oracle-checked LSH buckets — s03's signature machinery
     * (quantize → hyperplane dot → sign → bit-pack) run over
     * [[Ann.portableLshCoefs]] integer hyperplanes instead of xxhash64
@@ -1813,6 +1886,7 @@ object TrainingQueries {
     ("t09_normalize", t09Normalize _, Some(t09Sql)),
     ("t10_classifier", t10Classifier _, Some(t10Sql)),
     ("t11_tfidf", t11Tfidf _, Some(t11Sql)),
+    ("t12_top_ngram", t12TopNgram _, Some(t12Sql)),
     ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
     ("s03_ann_lsh", s03AnnLsh _, None),

@@ -41,6 +41,37 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("exactly 1 argument"))
   }
 
+  test("topNgram: run-length argmax matches brute force; smallest gram wins ties") {
+    // planted: "b b" occurs 2x, "a b" 2x -> tie broken to "a b" (lex smallest)
+    val rows = Seq(
+      ("a b a b b b", 2L, "a b"),     // grams: ab ba ab bb bb -> ab:2 bb:2 tie
+      ("x y x y x y x", 3L, "x y"),   // xy:3 yx:3 tie -> "x y" < "y x"
+      ("q q q q", 3L, "q q"),         // qq qq qq
+      ("u v w", 1L, "u v"),           // all distinct, first lex
+      ("solo", 0L, ""),               // < 2 tokens
+      ("", 0L, ""))
+    val out = rows.map(_._1).toDF("text")
+      .select(TextOps.topNgram($"text", 2).as("t"))
+      .select($"t.cnt", $"t.gram").as[(Long, String)].collect()
+    out.zip(rows).foreach { case ((cnt, gram), (txt, wantCnt, wantGram)) =>
+      assert(cnt == wantCnt && gram == wantGram, s"for '$txt'")
+    }
+    // brute-force agreement on real corpus text: per-doc explode + count
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = docs.select($"doc_id", TextOps.topNgram($"text", 2).as("t"))
+      .select($"doc_id", $"t.cnt".as("cnt"), $"t.gram".as("gram"))
+    val brute = docs
+      .select($"doc_id", explode(TextOps.ngramOccurrences($"text", 2)).as("gram"))
+      .groupBy("doc_id", "gram").count()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(desc("count"), asc("gram"))))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"count".as("cnt"), $"gram")
+    assert(fast.orderBy("doc_id").collect().toSeq ==
+      brute.orderBy("doc_id").collect().toSeq)
+  }
+
   test("repetitionRatio: 0 for unique text, rises with repeats, 0 below n tokens") {
     val vals = Seq(
       "a b c d e",        // 4 bigrams, all distinct -> 0.0
