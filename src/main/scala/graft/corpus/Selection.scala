@@ -518,6 +518,83 @@ object Selection {
           .as("predicted"))
   }
 
+  /** Adjacent token pairs of a document as (w1, w2) structs, in
+    * document order — the bigram occurrence stream for language-model
+    * statistics. Shifted-slice construction (see
+    * [[TextOps.shingles]]); fewer than 2 tokens ⇒ empty. */
+  private def bigramPairs(text: Column): Column = {
+    val w = TextOps.tokens(text)
+    val emptyArr = array().cast(ArrayType(StringType))
+    val shifted = when(size(w) > 1, slice(w, lit(2), size(w) - 1))
+      .otherwise(emptyArr)
+    filter(zip_with(w, shifted, (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+  }
+
+  /** Bigram language-model quality scoring — the CCNet/KenLM recipe:
+    * fit an n-gram LM on a trusted reference corpus, score every
+    * document by how well the model predicts it, and filter/bucket on
+    * the score (documents the reference LM finds surprising are noise
+    * or off-domain; fluent in-domain text scores high).
+    *
+    * Training is two hash aggregations over the REFERENCE corpus only:
+    * bigram counts c(w1,w2), history counts h(w1) = Σ_w c(w1,w)
+    * (derived from the bigram table — vocabulary-bounded, no second
+    * corpus pass), and the vocabulary size V (distinct unigrams) as a
+    * 1-row broadcast. Add-one smoothing gives
+    * P(w2|w1) = (c+1)/(h+V), defined for unseen bigrams and histories.
+    *
+    * Scoring is one explode over the corpus + two equi-joins against
+    * the vocabulary-bounded model tables (AQE broadcasts them at
+    * routine vocabulary sizes) + one per-document hash agg. Two score
+    * models share the machinery:
+    *  - `logProb = true` (production): per-bigram ln P summed and
+    *    averaged — the standard per-token log-likelihood
+    *    (perplexity = exp(−avg)). DOUBLE, so spec-pinned.
+    *  - `logProb = false` (hash-portable twin): per-bigram integer
+    *    ppm = ((c+1)·1e6) div (h+V), summed, with avg = sum div n —
+    *    integer-exact in any engine, the oracle path.
+    *
+    * Output: (idCol, n_bigrams, score_sum, score_avg); documents with
+    * fewer than 2 tokens score 0 over 0 bigrams. */
+  def lmScore(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, logProb: Boolean = true): DataFrame = {
+    val refGrams = ref.select(explode(bigramPairs(col(textCol))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = refGrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val hist = bi.groupBy("w1").agg(sum("c").as("h"))
+    val vocab = ref
+      .select(explode(array_distinct(TextOps.tokens(col(textCol))))
+        .as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val occ = docs
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("h"), lit(0L)).as("h"), col("v"))
+    val perGram =
+      if (logProb)
+        log((col("c") + 1).cast(DoubleType) / (col("h") + col("v")))
+      else expr("(c + 1) * 1000000 DIV (h + v)")
+    val sc = occ.select(col(idCol), perGram.as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("s").as("score_sum"))
+    val zero = lit(0).cast(sc.schema("score_sum").dataType)
+    val avg =
+      if (logProb) coalesce(col("score_sum"), zero) /
+        greatest(col("n_bigrams"), lit(1L))
+      else expr("coalesce(score_sum, 0) DIV greatest(n_bigrams, 1)")
+    docs.select(col(idCol)).join(sc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_sum"), zero).as("score_sum"),
+        avg.as("score_avg"))
+  }
+
   /** TF-IDF keyword extraction: top-`k` tokens per document ranked by
     * term-frequency × inverse-document-frequency, ties broken by token
     * text. `logIdf = true` (classic): score = tf · ln(N/df) as DOUBLE.

@@ -1861,6 +1861,57 @@ object TrainingQueries {
        |GROUP BY tr.vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** c23: bigram language-model quality scoring — the CCNet/KenLM
+    * recipe: fit a bigram LM (add-one smoothing) on the trusted
+    * reference class (`lang = 'en'`, like t10/c20's supervision),
+    * score every document by average bigram likelihood. The driver
+    * query runs the integer-ppm twin
+    * ([[Selection.lmScore]] `logProb = false`) so every count,
+    * smoothed probability, and document score hash-matches DuckDB;
+    * the production per-token log-likelihood path is spec-pinned. */
+  def c23LmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Selection.lmScore(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", logProb = false)
+      .orderBy("doc_id")
+  }
+
+  val c23Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |rg AS (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM tok WHERE lang = 'en'),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c FROM rg GROUP BY w1, w2),
+      |hist AS (SELECT w1, SUM(c) AS h FROM bi GROUP BY w1),
+      |voc AS (SELECT COUNT(DISTINCT t) AS v FROM (
+      |  SELECT unnest(w) AS t FROM tok WHERE lang = 'en')),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM tok),
+      |sc AS (
+      |  SELECT o.doc_id, COUNT(*) AS n,
+      |    SUM(((coalesce(bi.c, 0) + 1) * 1000000)
+      |        // (coalesce(hist.h, 0) + voc.v)) AS s
+      |  FROM occ o
+      |  LEFT JOIN bi ON o.w1 = bi.w1 AND o.w2 = bi.w2
+      |  LEFT JOIN hist ON o.w1 = hist.w1
+      |  CROSS JOIN voc
+      |  GROUP BY o.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sc.n, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(sc.s, 0) AS BIGINT) AS score_sum,
+      |  CAST(CASE WHEN coalesce(sc.n, 0) > 0
+      |    THEN coalesce(sc.s, 0) // sc.n ELSE 0 END AS BIGINT)
+      |    AS score_avg
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -1923,6 +1974,7 @@ object TrainingQueries {
     ("c20_importance_resample", c20ImportanceResample _, Some(c20Sql)),
     ("c21_fuzzy_decontaminate", c21FuzzyDecontaminate _, Some(c21Sql)),
     ("c22_semantic_decontaminate", c22SemanticDecontaminate _, Some(c22Sql)),
+    ("c23_lm_score", c23LmScore _, Some(c23Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }

@@ -425,6 +425,37 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("lmScore: planted add-one bigram probabilities, integer and log paths agree") {
+    // reference corpus: bigrams (a,b):2 (b,a):1 (a,c):1; hist a->3 b->1;
+    // vocabulary {a,b,c} -> V = 3
+    val ref = Seq((100L, "a b a b"), (101L, "a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),    // (2+1)*1e6 // (3+3) = 500000
+      (2L, "z z"),    // unseen: (0+1)*1e6 // (0+3) = 333333
+      (3L, "b a c"),  // (1+1)*1e6//(1+3)=500000; (1+1)*1e6//(3+3)=333333
+      (4L, "solo"),   // < 2 tokens -> 0 bigrams
+      (100L, "a b a b"), (101L, "a c")
+    ).toDF("doc_id", "text")
+    val out = Selection.lmScore(docs, ref, "doc_id", "text", logProb = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1L, 500000L, 500000L)))
+    assert(out(2L) == ((1L, 333333L, 333333L)))
+    assert(out(3L) == ((2L, 833333L, 416666L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+    // production path: closed-form log-likelihoods on the same corpus
+    val lp = Selection.lmScore(docs, ref, "doc_id", "text", logProb = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(lp(1L)._1 == 1L && math.abs(lp(1L)._3 - math.log(3.0 / 6)) < 1e-12)
+    assert(math.abs(lp(2L)._3 - math.log(1.0 / 3)) < 1e-12)
+    assert(math.abs(lp(3L)._2 -
+      (math.log(2.0 / 4) + math.log(2.0 / 6))) < 1e-12)
+    assert(lp(4L) == ((0L, 0.0, 0.0)))
+    // fluent in-reference text outscores unseen text on both paths
+    assert(out(1L)._3 > out(2L)._3 && lp(1L)._3 > lp(2L)._3)
+  }
+
   test("tfidfTopK: planted ranks, deterministic ties, log path agrees on the ranking") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c"))
       .toDF("doc_id", "text")
