@@ -179,32 +179,52 @@ object Ann {
     * Returns (idCol, cell) under the final centroids. */
   def portableKmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, iters: Int, salt: String = "pkmeans"): DataFrame = {
-    require(k > 0 && iters >= 0 && dim > 0, "k, dim positive; iters >= 0")
-    import graft.corpus.Selection
-    val q = corpus.select(col(idCol),
+    val cents = portableKmeansCentroids(corpus, idCol, vecCol, dim, k,
+      iters, salt)
+    quantizeVec(corpus, idCol, vecCol)
+      .withColumn("cell", portableCellOf(col("q"), cents))
+      .select(col(idCol), col("cell"))
+  }
+
+  /** floor(x·10⁶) integer quantization of `vecCol` as column "q". */
+  private def quantizeVec(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol),
       transform(col(vecCol),
         x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType)).as("q"))
+
+  /** Exact integer squared-L2 argmin cell id for a quantized vector
+    * against literal centroids (ties → lower cell id). */
+  private def portableCellOf(q: Column, cents: Seq[Array[Long]]): Column = {
+    val scored = array(cents.zipWithIndex.map { case (cv, j) =>
+      val dist = aggregate(
+        zip_with(q, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(dist.as("d"), lit(j.toLong).as("cell"))
+    }: _*)
+    array_min(scored).getField("cell")
+  }
+
+  /** The trained centroids behind [[portableKmeansAssign]] (exposed so
+    * composed indexes — IVF-PQ — can share one coarse model): k
+    * md5-seeded integer vectors refined by `iters` exact-integer
+    * Lloyd's iterations. Driver holds k·dim longs — the model, never
+    * the corpus. */
+  def portableKmeansCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, iters: Int,
+      salt: String = "pkmeans"): Seq[Array[Long]] = {
+    require(k > 0 && iters >= 0 && dim > 0, "k, dim positive; iters >= 0")
+    import graft.corpus.Selection
+    val q = quantizeVec(corpus, idCol, vecCol)
     val seeds = q
       .orderBy(Selection.hashValue(Selection.saltedKey(col(idCol), salt)),
         col(idCol))
       .limit(k).select("q").collect().map(_.getSeq[Long](0).toArray)
     require(seeds.length == k && seeds.forall(_.length == dim),
-      s"portableKmeansAssign needs $k dim=$dim vectors to seed")
-
-    def cellOf(cents: Seq[Array[Long]]): Column = {
-      val scored = array(cents.zipWithIndex.map { case (cv, j) =>
-        val dist = aggregate(
-          zip_with(col("q"), typedLit(cv.toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        struct(dist.as("d"), lit(j.toLong).as("cell"))
-      }: _*)
-      array_min(scored).getField("cell")
-    }
-
+      s"portableKmeansCentroids needs $k dim=$dim vectors to seed")
     var cents: Seq[Array[Long]] = seeds.toSeq
     for (_ <- 0 until iters) {
-      val sums = q.withColumn("cell", cellOf(cents))
+      val sums = q.withColumn("cell", portableCellOf(col("q"), cents))
         .select(col("cell"), posexplode(col("q")))
         .toDF("cell", "pos", "v")
         .groupBy("cell", "pos")
@@ -220,7 +240,7 @@ object Ann {
         }
       }
     }
-    q.withColumn("cell", cellOf(cents)).select(col(idCol), col("cell"))
+    cents
   }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
@@ -459,6 +479,110 @@ object Ann {
     struct(
       array(best.map(_.getField("code")): _*).as("codes"),
       best.map(_.getField("d")).reduce(_ + _).as("recon_err"))
+  }
+
+  /** Portable PQ code array for an ALREADY-QUANTIZED int64 vector —
+    * the residual-encoding building block of [[portableIvfPqTopK]]
+    * (the float entry point [[portablePqEncode]] quantizes first;
+    * residuals are integer by construction, and a float round-trip
+    * would lose exactness). Declarative argmin per subspace, first-min
+    * tie-break = lowest code. */
+  private[graft] def portablePqEncodeIntCodes(qvec: Column, m: Int,
+      k: Int, sub: Int): Column = {
+    val cb = portablePqCodebook(m, k, sub)
+    val best = (0 until m).map { j =>
+      val qsub = slice(qvec, j * sub + 1, sub)
+      val scored = array((0 until k).map { c =>
+        val d = aggregate(
+          zip_with(qsub, typedlit(cb(j)(c)), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(d.as("d"), lit(c).as("code"))
+      }: _*)
+      array_min(scored).getField("code")
+    }
+    array(best: _*)
+  }
+
+  /** Composed IVF-PQ index, integer-exact — the FAISS `IVFPQ` serving
+    * shape: a coarse quantizer partitions the corpus into cells, each
+    * vector stores only the PQ CODES OF ITS RESIDUAL (vector − cell
+    * centroid; residuals are smaller and near-centered, which is why
+    * real deployments encode them instead of raw vectors), and a query
+    * probes its `nprobe` nearest cells, ranking candidates by
+    * asymmetric distance between its OWN residual in each probed cell
+    * and the candidates' code centroids.
+    *
+    * Everything is exact int64 over floor(x·10⁶) quantization with
+    * ties to the lower id — coarse centroids from
+    * [[portableKmeansCentroids]], residual codes from the portable
+    * codebook — so an external engine reproduces the final ranking
+    * bit-for-bit (the composition twin of s04/s07's float production
+    * paths, same pattern as s09/s08).
+    *
+    * Scale: the corpus never shuffles raw vectors — only (cell, j,
+    * code) rows (the compressed representation) reach the ADC join;
+    * the per-query distance table is |Q|·nprobe·m·k rows, broadcast;
+    * the coarse model is k·dim driver floats. Candidates are bounded
+    * by the probed cells' population, not the corpus. */
+  def portableIvfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, kCells: Int,
+      coarseIters: Int, m: Int, k: Int, nprobe: Int, topK: Int,
+      salt: String = "pkmeans"): DataFrame = {
+    require(m > 0 && dim % m == 0 && k > 0, s"m=$m must divide dim=$dim")
+    require(nprobe >= 1 && nprobe <= kCells, "nprobe in [1, kCells]")
+    require(topK >= 1, "topK must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val cb = portablePqCodebook(m, k, sub)
+    val cents = portableKmeansCentroids(corpus, idCol, vecCol, dim,
+      kCells, coarseIters, salt)
+    val centLit = typedlit(cents.map(_.toSeq))
+
+    // corpus side: cell assignment + residual codes — compressed rows
+    val codes = quantizeVec(corpus, idCol, vecCol)
+      .withColumn("cell", portableCellOf(col("q"), cents))
+      .withColumn("r", zip_with(col("q"),
+        element_at(centLit, (col("cell") + 1).cast(IntegerType)),
+        (a, b) => a - b))
+      .select(col(idCol).as("vec_id"), col("cell"),
+        posexplode(portablePqEncodeIntCodes(col("r"), m, k, sub)))
+      .toDF("vec_id", "cell", "j", "code")
+
+    // query side (broadcast-sized): probe nprobe nearest cells; per
+    // probed cell, the query's residual distance to every code centroid
+    val qrows = queries
+      .select(col(idCol).cast(LongType), quantizeVec(queries, idCol, vecCol)
+        .schema.head.name match { case _ => transform(col(vecCol),
+          x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType)) })
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dtab = qrows.flatMap { case (qid, qv) =>
+      val byDist = cents.zipWithIndex.map { case (cv, cell) =>
+        var d = 0L; var i = 0
+        while (i < dim) { val t = qv(i) - cv(i); d += t * t; i += 1 }
+        (d, cell)
+      }.sortBy(identity).take(nprobe)
+      byDist.flatMap { case (_, cell) =>
+        val qr = Array.tabulate(dim)(i => qv(i) - cents(cell)(i))
+        for (j <- 0 until m; c <- 0 until k) yield {
+          var d = 0L; var i = 0
+          while (i < sub) {
+            val t = qr(j * sub + i) - cb(j)(c)(i); d += t * t; i += 1
+          }
+          (qid, cell.toLong, j, c, d)
+        }
+      }
+    }.toSeq.toDF("query_id", "cell", "j", "code", "dcell")
+
+    val adc = codes.join(broadcast(dtab), Seq("cell", "j", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dcell").as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc"))
   }
 
   /** Two-stage retrieval with re-ranking, integer-exact (the serving
