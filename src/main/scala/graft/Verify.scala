@@ -22,7 +22,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // a throwing query must leave a visible artifact — round 7 lost
+        // five correctness rows because failures only went to stderr and
+        // the queries silently vanished from the driver's compare
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name.err"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
       finally spark.catalog.clearCache()
     }

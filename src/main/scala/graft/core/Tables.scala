@@ -33,21 +33,40 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 cannot map
-    * to TimestampType directly. Sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true, so ts arrives as epoch
-    * nanos (LongType); truncate to micros (`div`, exact integer math —
-    * a double division would lose precision above 2^53). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
+  /** Normalize a timestamp column to TimestampType regardless of how
+    * the parquet writer encoded it — the engine has now seen the same
+    * logical column arrive three ways across testdata generations:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 has no nanos TimestampType; sessions
+    *    set spark.sql.legacy.parquet.nanosAsLong=true so it arrives as
+    *    epoch-nano LongType → truncate to micros (`div`, exact integer
+    *    math — a double division would lose precision above 2^53).
+    *  - INT64 TIMESTAMP_MICROS with isAdjustedToUTC=0 (the pandas/
+    *    polars/DuckDB default) → Spark reads TIMESTAMP_NTZ; the session
+    *    TZ is pinned UTC, so casting to TimestampType preserves the
+    *    wall-clock instant exactly.
+    *  - TIMESTAMP_MICROS/MILLIS with isAdjustedToUTC=1 → already
+    *    TimestampType; pass through.
+    *
+    * Dispatch is on the OBSERVED schema, never an assumed encoding —
+    * the round-7 incident (testdata re-encoded nanos→NTZ under a
+    * frozen tree) turned a hard-coded `ts div 1000` into silently
+    * 1000×-collapsed timestamps. */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
     }
   }
+
+  /** The events table with `ts` normalized to TimestampType (UTC). */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Bucketed range join — the scale path for time-predicate joins with
   * NO equi-key, where Spark's only native plan is a broadcast
@@ -44,8 +44,11 @@ object RangeJoin {
         "(it would be silently overwritten and dropped)")
 
     val bucketMicros = lit(bucketSeconds * 1000000L)
+    // cast-to-timestamp first: a no-op on TimestampType, and the UTC
+    // session pin makes it exact on TIMESTAMP_NTZ and DATE inputs —
+    // unix_micros alone rejects NTZ (the round-7 testdata re-encoding)
     def bucketOf(ts: Column): Column =
-      floor(unix_micros(ts) / bucketMicros).cast(LongType)
+      floor(unix_micros(ts.cast(TimestampType)) / bucketMicros).cast(LongType)
 
     val p = points.withColumn("_rj_bucket", bucketOf(col(pointTs)))
     // end is exclusive, but a point in end's bucket can still precede

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: rewrite equi-key-less time-range joins into the
   * bucketed range join, automatically.
@@ -71,15 +71,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _                        => Seq.empty
   }
 
-  // TIMESTAMP and DATE: bucketOf builds UnixMicros (inputTypes
-  // Seq(TimestampType)), so DATE operands are cast to timestamp first
-  // (a pure date-date comparison survives analysis as DateType; a
-  // mixed date-timestamp comparison gets its cast from the analyzer
-  // before this rule runs). TIMESTAMP_NTZ is excluded — admitting it
-  // would inject an unresolved UnixMicros into the optimized plan.
+  // TIMESTAMP, TIMESTAMP_NTZ and DATE: bucketOf builds UnixMicros
+  // (inputTypes Seq(TimestampType)), so DATE and NTZ operands are cast
+  // to timestamp first inside the bucket expression (a pure date-date
+  // or ntz-ntz comparison survives analysis with its own type; mixed
+  // comparisons get their casts from the analyzer before this rule
+  // runs). The session TZ is pinned UTC, so the NTZ cast is exact.
+  // Round 7 proved why NTZ must be admitted: the testdata re-encoded
+  // to NTZ and the rule silently stopped firing, leaving a 99 s
+  // broadcast nested-loop where a sub-second bucketed equi-join ran
+  // before.
   private def isTemporal(e: Expression): Boolean = e.dataType match {
-    case TimestampType | DateType => true
-    case _                        => false
+    case TimestampType | TimestampNTZType | DateType => true
+    case _                                           => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -125,9 +129,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 if (lo.pt.dataType == DateType) math.max(bucketMicros, dayMicros)
                 else bucketMicros
               def toTs(e: Expression): Expression =
-                if (e.dataType == DateType)
-                  Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
-                else e
+                if (e.dataType == TimestampType) e
+                else Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
               def bucketOf(ts: Expression): Expression =
                 Floor(Divide(Cast(UnixMicros(toTs(ts)), DoubleType),
                   Literal(effMicros.toDouble)))

@@ -478,7 +478,7 @@ object CapabilityQueries {
   def q20StreamTumbling(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.EventsStream
     val out = EventsStream.runToCompletion(s,
-      EventsStream.tumblingHourly(EventsStream.readEvents(s, d)),
+      sess => EventsStream.tumblingHourly(EventsStream.readEvents(sess, d)),
       "q20_stream_tumbling_mem")
     out.orderBy("hour_start", "event_type")
   }
@@ -490,7 +490,7 @@ object CapabilityQueries {
   def q31StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.EventsStream
     EventsStream.runToCompletion(s,
-        EventsStream.errorPurchasePairs(EventsStream.readEvents(s, d)),
+        sess => EventsStream.errorPurchasePairs(EventsStream.readEvents(sess, d)),
         "q31_stream_interval_join_mem", outputMode = "append")
       .orderBy("error_id", "p_id")
   }
@@ -507,7 +507,7 @@ object CapabilityQueries {
     * spec-matched elsewhere; this pins the native operator.) */
   def q37StreamDedup(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.EventsStream
-    val deduped = EventsStream.readEvents(s, d)
+    val deduped = (sess: SparkSession) => EventsStream.readEvents(sess, d)
       .withWatermark("ts", "90 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
@@ -1437,12 +1437,14 @@ object CapabilityQueries {
     * same join+agg as one batch SQL statement. */
   def q56StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.EventsStream
-    val dim = broadcast(Tables.customer(s, d)
-      .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
-    val enriched = EventsStream.readEvents(s, d)
-      .filter(col("event_type") === "purchase")
-      .join(dim, Seq("user_id"))
-      .select("event_id", "c_mktsegment", "value")
+    val enriched = (sess: SparkSession) => {
+      val dim = broadcast(Tables.customer(sess, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+      EventsStream.readEvents(sess, d)
+        .filter(col("event_type") === "purchase")
+        .join(dim, Seq("user_id"))
+        .select("event_id", "c_mktsegment", "value")
+    }
     EventsStream.runToCompletion(s, enriched, "q56_stream_static_mem",
         outputMode = "append")
       .groupBy("c_mktsegment")

@@ -18,27 +18,27 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw parquet schema of the events table (ts = epoch nanos long,
-    * see Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming DataFrame over the events parquet with proper event-time. */
+  /** Streaming DataFrame over the events parquet with proper event-time.
+    *
+    * File-stream sources require an explicit schema; hard-coding one is
+    * how round 7 broke (the testdata's ts encoding changed under a
+    * frozen schema and every timestamp silently collapsed 1000×).
+    * Instead, sniff the ACTUAL schema with a footer-only batch read —
+    * O(1) driver work, no data scan — and apply the same
+    * encoding-dispatching normalization the batch path uses
+    * ([[graft.core.Tables.normalizeTs]]). */
   def readEvents(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       // file-stream sources take a directory; select just the events
       // file out of the shared SF dir
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeTs(raw)
+  }
 
   /** Tumbling 1-hour counts with a 2-hour watermark (streaming twin of
     * q15_event_window). */
@@ -69,19 +69,21 @@ object EventsStream {
   def snapshotEachBatch(streamed: DataFrame, target: String,
       loadTimeForBatch: Long => java.sql.Timestamp =
         _ => new java.sql.Timestamp(System.currentTimeMillis())): Unit = {
-    val q = streamed.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_snap").toString)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch-constant stamp: ONE driver-side timestamp per trigger,
-        // derived per batchId (injectable for deterministic tests)
-        graft.operators.Sinks.snapshot(batch, target,
-          loadTimeForBatch(batchId))
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_snap")
+    try {
+      val q = streamed.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batch-constant stamp: ONE driver-side timestamp per trigger,
+          // derived per batchId (injectable for deterministic tests)
+          graft.operators.Sinks.snapshot(batch, target,
+            loadTimeForBatch(batchId))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally deleteRecursively(ckpt.toFile)
   }
 
   final case class UserRunning(user_id: Long, n_events: Long,
@@ -109,34 +111,25 @@ object EventsStream {
       }
   }
 
-  /** Raw parquet schema of the documents table. */
-  val documentsRawSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("lang", StringType),
-    StructField("text", StringType)))
-
   /** Streaming DataFrame over the documents parquet (the corpus as an
-    * ingestion stream — at scale, the object-store listing feed). */
+    * ingestion stream — at scale, the object-store listing feed).
+    * Schema sniffed from the file footer, same rationale as
+    * [[readEvents]]. */
   def readDocuments(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .schema(documentsRawSchema)
+      .schema(spark.read.parquet(s"$sfDir/documents.parquet").schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
 
-  /** Raw parquet schema of the embeddings table. */
-  val embeddingsRawSchema: StructType = StructType(Seq(
-    StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(FloatType)),
-    StructField("label", IntegerType)))
-
   /** Streaming DataFrame over the embeddings parquet (the vector feed
-    * an ANN index ingests incrementally). */
+    * an ANN index ingests incrementally). Schema sniffed from the file
+    * footer, same rationale as [[readEvents]]. */
   def readEmbeddings(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .schema(embeddingsRawSchema)
+      .schema(spark.read.parquet(s"$sfDir/embeddings.parquet").schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(sfDir)
@@ -183,8 +176,10 @@ object EventsStream {
   def errorPurchasePairs(events: DataFrame,
       bucketSeconds: Long = 600L): DataFrame = {
     val bucketMicros = lit(bucketSeconds * 1000000L)
+    // cast first: no-op on TimestampType, exact on NTZ under the UTC
+    // session pin (unix_micros alone rejects TIMESTAMP_NTZ inputs)
     def bucketOf(ts: org.apache.spark.sql.Column) =
-      floor(unix_micros(ts) / bucketMicros).cast(LongType)
+      floor(unix_micros(ts.cast(TimestampType)) / bucketMicros).cast(LongType)
     val errors = events.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("ts").as("e_ts"))
       .withWatermark("e_ts", "1 hour")
@@ -212,25 +207,33 @@ object EventsStream {
     * pure fixed overhead per micro-batch (store setup + checkpoint
     * files per partition per trigger, ~2× wall time at 32 vs 8 on the
     * fixtures). A deployment sizes this to sustained stream
-    * throughput, NOT to the batch session's shuffle width; the conf is
-    * scoped to the query and restored after stop. */
-  def runToCompletion(spark: SparkSession, streamed: DataFrame,
+    * throughput, NOT to the batch session's shuffle width — so the
+    * plan is BUILT in an isolated `newSession()` child (same
+    * SparkContext and shared state, private SQLConf): the caller's
+    * session conf is never mutated, safe under concurrent harnesses.
+    * The scratch checkpoint dir is deleted after stop. */
+  def runToCompletion(spark: SparkSession, build: SparkSession => DataFrame,
       name: String, outputMode: String = "complete",
       statePartitions: Int = 8): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, statePartitions.toString)
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
     try {
-      val q = streamed.writeStream
+      val q = build(session).writeStream
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString)
+        .option("checkpointLocation", ckpt.toString)
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set(key, prev)
-    spark.table(name)
+    } finally deleteRecursively(ckpt.toFile)
+    session.table(name)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
   }
 }

@@ -14,7 +14,7 @@ object StreamProbe {
     for (p <- Seq(32, 32, 8, 4, 2)) {
       val t0 = System.nanoTime()
       val out = EventsStream.runToCompletion(spark,
-        EventsStream.errorPurchasePairs(EventsStream.readEvents(spark, d)),
+        sess => EventsStream.errorPurchasePairs(EventsStream.readEvents(sess, d)),
         s"probe_j_$p${System.nanoTime()}", outputMode = "append",
         statePartitions = p)
       val n = out.count()
@@ -23,7 +23,7 @@ object StreamProbe {
     for (p <- Seq(32, 8, 4)) {
       val t0 = System.nanoTime()
       val out = EventsStream.runToCompletion(spark,
-        EventsStream.tumblingHourly(EventsStream.readEvents(spark, d)),
+        sess => EventsStream.tumblingHourly(EventsStream.readEvents(sess, d)),
         s"probe_t_$p${System.nanoTime()}", statePartitions = p)
       val n = out.count()
       println(f"[probe] agg partitions=$p rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")

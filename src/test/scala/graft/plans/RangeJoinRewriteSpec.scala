@@ -110,15 +110,25 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(q.collect().toSet == naivePairs.collect().toSet)
   }
 
-  test("TIMESTAMP_NTZ range joins are left untouched (UnixMicros can't take them)") {
+  test("TIMESTAMP_NTZ range joins rewrite too, exactly (round-7 regression)") {
+    // the testdata's ts encoding changed to NTZ under a frozen tree in
+    // round 7 and the rule silently stopped firing — a 99 s nested loop
+    // where a sub-second bucketed equi-join ran before. Both encodings
+    // must keep the rewrite.
     val ev = Tables.events(spark, sf).limit(200)
       .withColumn("nts", $"ts".cast("timestamp_ntz"))
     val a = ev.select($"event_id".as("a_id"), $"nts".as("a_ts"))
     val b = ev.select($"event_id".as("b_id"), $"nts".as("b_ts"))
-    val q = a.join(b,
+    def q = a.join(b,
       $"b_ts" >= $"a_ts" && $"b_ts" < $"a_ts" + expr("INTERVAL 1 MINUTE"))
-    assert(!q.queryExecution.optimizedPlan.toString.contains("_rj_bucket"))
-    assert(q.count() > 0) // and the native plan still executes fine
+      .select("a_id", "b_id")
+    assert(q.queryExecution.optimizedPlan.toString.contains("_rj_bucket"),
+      "rule must fire on TIMESTAMP_NTZ columns")
+    val plan = planOf(q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"NTZ band did not rewrite:\n$plan")
+    val expected = withRuleDisabled(q.collect().toSet)
+    assert(q.collect().toSet == expected && expected.nonEmpty)
   }
 
   test("DATE-typed range joins rewrite with day-floor buckets, exactly") {

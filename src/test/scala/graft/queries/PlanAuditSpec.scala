@@ -30,10 +30,12 @@ class PlanAuditSpec extends SparkSpec {
     * bytes regardless of corpus size (Selection.classifierWeights /
     * tfidfTopK Scaladoc); s11 composes s01's brute-force exact
     * baseline (the recall denominator is DEFINED as the exhaustive
-    * scan over the broadcast query sample). */
+    * scan over the broadcast query sample); c23 attaches its one-row
+    * vocab-size aggregate the same way (`crossJoin(broadcast(vocab))`,
+    * Selection.lmScore — a scalar join, O(1) broadcast bytes). */
   private val nestedLoopAllowed = Set("q22_cross_join", "s01_ann_bruteforce",
     "s04_ann_ivf_trained", "t10_classifier", "t11_tfidf",
-    "s11_ann_recall")
+    "s11_ann_recall", "c23_lm_score")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -10,7 +10,7 @@ class EventsStreamSpec extends SparkSpec {
   test("streaming tumbling-window agg equals the batch twin") {
     val batch = CapabilityQueries.q15EventWindow(spark, sf).collect().toSeq
     val streamed = EventsStream.runToCompletion(spark,
-      EventsStream.tumblingHourly(EventsStream.readEvents(spark, sf)),
+      sess => EventsStream.tumblingHourly(EventsStream.readEvents(sess, sf)),
       "spec_tumbling")
       .orderBy("hour_start", "event_type").collect().toSeq
     assert(streamed == batch)
@@ -56,7 +56,7 @@ class EventsStreamSpec extends SparkSpec {
       .select(md5(col("text")).as("digest")).distinct()
       .collect().map(_.getString(0)).toSet
     val streamed = EventsStream.runToCompletion(spark,
-      EventsStream.dedupDocuments(EventsStream.readDocuments(spark, sf)),
+      sess => EventsStream.dedupDocuments(EventsStream.readDocuments(sess, sf)),
       "spec_dedup_docs", outputMode = "append")
     assert(streamed.count() == batchDigests.size)
     assert(streamed.select("digest").collect().map(_.getString(0)).toSet
@@ -71,14 +71,13 @@ class EventsStreamSpec extends SparkSpec {
     val src = java.nio.file.Paths.get(s"$sf/events.parquet")
     java.nio.file.Files.copy(src, dir.resolve("batch_a.parquet"))
     java.nio.file.Files.copy(src, dir.resolve("batch_b.parquet"))
-    val events = spark.readStream
-      .schema(EventsStream.eventsRawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val events = (sess: org.apache.spark.sql.SparkSession) =>
+      graft.core.Tables.normalizeTs(sess.readStream
+        .schema(sess.read.parquet(src.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString))
     val streamed = EventsStream.runToCompletion(spark,
-      EventsStream.dedupEventsWithinWatermark(events),
+      sess => EventsStream.dedupEventsWithinWatermark(events(sess)),
       "spec_dedup_events", outputMode = "append")
     val want = graft.core.Tables.events(spark, sf).count()
     assert(streamed.count() == want)
@@ -88,7 +87,7 @@ class EventsStreamSpec extends SparkSpec {
   test("streaming session windows equal the batch session_window result") {
     val batch = CapabilityQueries.q19SessionWindow(spark, sf).collect().toSeq
     val streamed = EventsStream.runToCompletion(spark,
-      EventsStream.userSessions(EventsStream.readEvents(spark, sf)),
+      sess => EventsStream.userSessions(EventsStream.readEvents(sess, sf)),
       "spec_sessions")
       .orderBy("user_id", "session_start_us").collect().toSeq
     assert(streamed == batch)
@@ -97,7 +96,7 @@ class EventsStreamSpec extends SparkSpec {
   test("stream-stream interval join emits exactly the batch range-join pair set") {
     import org.apache.spark.sql.functions.{col, expr}
     val streamed = EventsStream.runToCompletion(spark,
-        EventsStream.errorPurchasePairs(EventsStream.readEvents(spark, sf)),
+        sess => EventsStream.errorPurchasePairs(EventsStream.readEvents(sess, sf)),
         "spec_ss_join", outputMode = "append")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ev = graft.core.Tables.events(spark, sf)
@@ -124,7 +123,7 @@ class EventsStreamSpec extends SparkSpec {
       ev.join(dim, Seq("user_id"))
         .select("event_id", "user_id", "c_mktsegment")
     val streamed = EventsStream.runToCompletion(spark,
-        enrich(EventsStream.readEvents(spark, sf)),
+        sess => enrich(EventsStream.readEvents(sess, sf)),
         "spec_stream_static", outputMode = "append")
     val batch = enrich(graft.core.Tables.events(spark, sf))
     assert(streamed.count() == batch.count() && batch.count() > 0)
@@ -145,7 +144,7 @@ class EventsStreamSpec extends SparkSpec {
         Ann.portablePqEncode(col("embedding"), dim = 64, m = 8, k = 8)
           .getField("codes").as("codes"))
     val streamed = EventsStream.runToCompletion(spark,
-      encode(EventsStream.readEmbeddings(spark, sf)),
+      sess => encode(EventsStream.readEmbeddings(sess, sf)),
       "spec_ann_stream", outputMode = "append")
     val batch = encode(graft.core.Tables.embeddings(spark, sf))
     assert(streamed.count() == batch.count() && batch.count() > 0)
@@ -166,9 +165,7 @@ class EventsStreamSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("spec_chunk_stream")
-    val batch = chunk(spark.read
-      .schema(EventsStream.documentsRawSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sf))
+    val batch = chunk(graft.core.Tables.documents(spark, sf))
     assert(streamed.count() == batch.count() && batch.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
@@ -191,9 +188,7 @@ class EventsStreamSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("spec_corpus_stream")
-    val batch = project(spark.read
-      .schema(EventsStream.documentsRawSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sf))
+    val batch = project(graft.core.Tables.documents(spark, sf))
     assert(streamed.count() == batch.count() && batch.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
