@@ -389,13 +389,39 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(sh, s => xxhash64(i, s))))
 
+  /** Drop band-buckets holding more than `cap` documents from a
+    * banded frame `(id, band, bhash)` — the LSH analog of
+    * [[dropHotShingles]]. The candidate self-join emits Σ b² pairs
+    * over bucket sizes b, so ONE boilerplate-heavy bucket of B docs
+    * costs B² regardless of corpus size; capping bounds the join.
+    * Recall cost is small by LSH's own construction: a pair dropped
+    * here is lost only if the hot band was its ONLY colliding band,
+    * and near-dups above the S-curve threshold collide in several
+    * bands with high probability. The hot set is tiny (high-count
+    * buckets are few), so the broadcast stays bounded. */
+  private def dropHotBuckets(banded: DataFrame, cap: Int): DataFrame = {
+    val hot = banded.groupBy("band", "bhash").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap).select("band", "bhash")
+    banded.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
+  }
+
   /** MinHash+LSH near-dup detection: signatures → band hashes →
     * bucket self-join for candidates → exact Jaccard verify.
     * bands*rowsPerBand must equal k; with 16 bands × 4 rows the LSH
-    * S-curve puts ~0.5 collision probability at J≈0.5. */
+    * S-curve puts ~0.5 collision probability at J≈0.5.
+    *
+    * `maxBucketSize` is the bounded-join escape hatch (the same
+    * contract as [[ngramJaccardPairs]]' `maxDocFreq`): band-buckets
+    * with more than `cap` members — mass-duplicated boilerplate, the
+    * one input shape whose candidate count grows quadratically — are
+    * dropped before the self-join ([[dropHotBuckets]]). Verified
+    * pairs remain exact-Jaccard; only candidate RECALL is affected,
+    * and only for pairs whose sole collision was a hot band. Default
+    * OFF so d03/d07's declared output is unchanged. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val rows = k / bands
     val tok = withShingles(docs, idCol, textCol, n)
       .filter(size(col("sh")) > 0)
@@ -407,10 +433,11 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("shh"), k))
       .cache()
     // band hash = xxhash64 over the band's slice of the signature
-    val banded = tok.select(col(idCol), posexplode(array(
+    val bandedAll = tok.select(col(idCol), posexplode(array(
         (0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
       .toDF(idCol, "band", "bhash")
+    val banded = maxBucketSize.fold(bandedAll)(dropHotBuckets(bandedAll, _))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -466,17 +493,21 @@ object Dedup {
     * by a streaming ingest that also appends it to the store. */
   def minhashLshPairsFromIndexes(index: DataFrame, newIdx: DataFrame,
       idCol: String, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val rows = k / bands
     val all = index.select(col(idCol), col("shh"), col("sig"))
       .withColumn("is_new", lit(false))
       .unionByName(newIdx.select(col(idCol), col("shh"), col("sig"))
         .withColumn("is_new", lit(true)))
       .cache()
-    val banded = all.select(col(idCol), col("is_new"), posexplode(array(
+    val bandedAll = all.select(col(idCol), col("is_new"), posexplode(array(
         (0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
       .toDF(idCol, "is_new", "band", "bhash")
+    // a hot bucket costs |bucket ∩ index| × |bucket ∩ batch| here —
+    // still unbounded in the index side; same escape hatch
+    val banded = maxBucketSize.fold(bandedAll)(dropHotBuckets(bandedAll, _))
     val candidates = banded.as("a").join(
         banded.filter(col("is_new")).as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&

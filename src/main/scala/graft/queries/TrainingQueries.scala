@@ -1078,6 +1078,131 @@ object TrainingQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s12: the composed IVF-PQ serving index, integer-exact end-to-end
+    * ([[Ann.portableIvfPqTopK]]) — coarse k-means cells via s09's
+    * trainer machinery, residual PQ codes per cell via s08's encode
+    * machinery (over vector − cell centroid), nprobe cell probing and
+    * asymmetric-distance ranking via s10's ADC machinery (on the
+    * query's OWN residual in each probed cell). Every stage is exact
+    * int64 over floor(x·10⁶) quantization with ties to the lower id,
+    * so DuckDB re-derives the whole index — cells, residual codes,
+    * probe order, distance tables, final top-k — bit-for-bit. */
+  def s12IvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.portableIvfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, kCells = 4, coarseIters = 2, m = 8, k = 8,
+        nprobe = 2, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val s12Sql: String = {
+    val dim = 64; val kCells = 4; val m = 8; val k = 8; val sub = 8
+    val nprobe = 2; val topK = 5
+    val h = duckHash("'pkmeans:' || CAST(vec_id AS VARCHAR)")
+    val cb = Ann.portablePqCodebook(m, k, sub)
+    val cbAll = cb.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    // exact int64 squared-L2 over the full dim (coarse assign + probe)
+    def dist(qRef: String, cRef: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, ${dim + 1}),
+         |              i -> ($qRef[i] - $cRef[i]) * ($qRef[i] - $cRef[i]))),
+         |            (acc, x) -> acc + x)""".stripMargin
+    // s09's Lloyd's CTE builders, parameterized by kCells
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT q0.vec_id, q0.q, $cents.cell,
+         |      row_number() OVER (PARTITION BY q0.vec_id
+         |        ORDER BY ${dist("q0.q", s"$cents.c")}, $cents.cell) AS rn
+         |    FROM q0 CROSS JOIN $cents)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCtes(a: String, prev: String, next: String): String =
+      s"""u_$next AS (
+         |  SELECT cell, list((s - ((s % n) + n) % n) // n
+         |                    ORDER BY pos) AS c
+         |  FROM (SELECT $a.cell, p.i AS pos, SUM($a.q[p.i]) AS s,
+         |          COUNT(*) AS n
+         |        FROM $a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) p
+         |        GROUP BY $a.cell, p.i)
+         |  GROUP BY cell),
+         |$next AS (
+         |  SELECT $prev.cell, COALESCE(u_$next.c, $prev.c) AS c
+         |  FROM $prev LEFT JOIN u_$next ON u_$next.cell = $prev.cell)"""
+        .stripMargin
+    // s08's per-subspace argmin over the RESIDUAL array r
+    def distsR(j: Int) = {
+      val lits = cb(j).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""list_transform(range(0, $k), c ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, ${sub + 1}), i ->
+         |      (r[${j * sub} + i] - ($lits)[c + 1][i])
+         |      * (r[${j * sub} + i] - ($lits)[c + 1][i]))),
+         |    (acc, x) -> acc + x))""".stripMargin
+    }
+    val dCols = (0 until m).map(j => s"(${distsR(j)}) AS d$j").mkString(",\n  ")
+    val codesArr = (0 until m)
+      .map(j => s"CAST(list_position(d$j, list_min(d$j)) - 1 AS INTEGER)")
+      .mkString("[", ", ", "]")
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT rn - 1 AS cell, q AS c FROM (
+       |    SELECT q, row_number() OVER (ORDER BY $h, vec_id) AS rn
+       |    FROM q0)
+       |  WHERE rn <= $kCells),
+       |${assignCte("a1", "c0")},
+       |${updateCtes("a1", "c0", "c1")},
+       |${assignCte("a2", "c1")},
+       |${updateCtes("a2", "c1", "c2")},
+       |${assignCte("af", "c2")},
+       |resid AS (
+       |  SELECT af.vec_id, af.cell,
+       |    list_transform(range(1, ${dim + 1}), i -> af.q[i] - c2.c[i]) AS r
+       |  FROM af JOIN c2 ON af.cell = c2.cell),
+       |codes AS (
+       |  SELECT vec_id, cell, unnest(range(0, $m)) AS j,
+       |    unnest($codesArr) AS code
+       |  FROM (SELECT vec_id, cell, $dCols FROM resid)),
+       |qs AS (SELECT vec_id AS query_id, q FROM q0 WHERE vec_id < 10),
+       |probe AS (
+       |  SELECT query_id, cell,
+       |    list_transform(range(1, ${dim + 1}), i -> q[i] - c[i]) AS qr
+       |  FROM (
+       |    SELECT qs.query_id, c2.cell, qs.q, c2.c,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY ${dist("qs.q", "c2.c")}, c2.cell) AS rn
+       |    FROM qs CROSS JOIN c2)
+       |  WHERE rn <= $nprobe),
+       |dtab AS (
+       |  SELECT query_id, cell, jc.j AS j, jc.c AS code,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${sub + 1}), i ->
+       |        (qr[jc.j * $sub + i] - ($cbAll)[jc.j + 1][jc.c + 1][i])
+       |        * (qr[jc.j * $sub + i] - ($cbAll)[jc.j + 1][jc.c + 1][i]))),
+       |      (acc, x) -> acc + x) AS dcell
+       |  FROM probe CROSS JOIN (
+       |    SELECT j, c FROM (SELECT unnest(range(0, $m)) AS j)
+       |    CROSS JOIN (SELECT unnest(range(0, $k)) AS c)) jc),
+       |adc AS (
+       |  SELECT query_id, vec_id, CAST(SUM(dcell) AS BIGINT) AS adc
+       |  FROM codes JOIN dtab ON codes.cell = dtab.cell
+       |    AND codes.j = dtab.j AND codes.code = dtab.code
+       |  WHERE query_id <> vec_id
+       |  GROUP BY query_id, vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS neighbor_id, adc
+       |FROM (
+       |  SELECT query_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, vec_id) AS rank
+       |  FROM adc)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // -------------------------------------------------- corpus selection
 
   /** DuckDB rendering of [[Selection.hashValue]]: parse the first 8
@@ -1949,6 +2074,7 @@ object TrainingQueries {
     ("s09_kmeans_portable", s09KmeansPortable _, Some(s09Sql)),
     ("s10_pq_rerank", s10PqRerank _, Some(s10Sql)),
     ("s11_ann_recall", s11AnnRecall _, Some(s11Sql)),
+    ("s12_ivfpq", s12IvfPq _, Some(s12Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),

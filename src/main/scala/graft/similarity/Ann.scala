@@ -552,9 +552,9 @@ object Ann {
     // query side (broadcast-sized): probe nprobe nearest cells; per
     // probed cell, the query's residual distance to every code centroid
     val qrows = queries
-      .select(col(idCol).cast(LongType), quantizeVec(queries, idCol, vecCol)
-        .schema.head.name match { case _ => transform(col(vecCol),
-          x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType)) })
+      .select(col(idCol).cast(LongType),
+        transform(col(vecCol),
+          x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType)))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val dtab = qrows.flatMap { case (qid, qv) =>
       val byDist = cents.zipWithIndex.map { case (cv, cell) =>

@@ -20,6 +20,38 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)          // verified candidates = exact answer
   }
 
+  test("LSH maxBucketSize cap: boilerplate mega-bucket pruned, distinct near-dups keep full recall; cap above max changes nothing") {
+    val boiler = "terms of service boilerplate repeated verbatim on every page of this site"
+    val docs = (
+      // 30 identical boilerplate docs: every band maps them to one
+      // 30-doc bucket (435 candidate pairs from boilerplate alone)
+      (0 until 30).map(i => (i.toLong, boiler)) ++ Seq(
+        (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (101L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (102L, "completely unrelated text about spark catalyst optimizer internals"))
+      ).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate pairs found, plus the planted distinct near-dup pair
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.count(p => p._1 < 30L && p._2 < 30L) == 30 * 29 / 2)
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        maxBucketSize = Some(10))
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mega-bucket's quadratic pair set is gone; the near-dup pair
+    // sits in its own size-2 buckets and keeps full recall
+    assert(capped.contains((100L, 101L)))
+    assert(!capped.exists(p => p._1 < 30L && p._2 < 30L))
+    // a cap above the largest bucket is a no-op
+    val loose = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        maxBucketSize = Some(1000))
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == uncapped)
+  }
+
   test("simhash: identical text -> identical signature; near-dups cluster at low hamming") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

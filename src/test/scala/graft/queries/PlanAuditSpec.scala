@@ -18,7 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "p09_format_roundtrip", "p10_sync_retention", "p11_zorder_roundtrip",
     "p12_bucketed_merge", "q20_stream_tumbling",
     "q31_stream_interval_join", "q37_stream_dedup", "d06_dup_clusters",
-    "s05_kmeans", "s07_pq_trained", "c10_bloom_decontaminate")
+    "s05_kmeans", "s07_pq_trained", "s12_ivfpq", "c10_bloom_decontaminate")
 
   /** Intentional nested-loop/cross plans:
     * q22 is a cross join by definition; s01 brute-force ANN scores

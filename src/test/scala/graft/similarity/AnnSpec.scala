@@ -229,6 +229,83 @@ class AnnSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("IVF-PQ: planted duplicate ranks first probing only its own cell (nprobe=1)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // an exact duplicate of query 3 quantizes identically, so it lands
+    // in the query's own (first-probed) cell with the query's own
+    // residual — its codes attain the per-subspace ADC minimum, and the
+    // (adc, vec_id) tie-break puts the smallest id first
+    val dupOf3 = emb.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(-1L))
+    val corpus = emb.unionByName(dupOf3)
+    val out = Ann.portableIvfPqTopK(corpus, emb.filter(col("vec_id") === 3),
+        "vec_id", "embedding", dim = 64, kCells = 4, coarseIters = 2,
+        m = 8, k = 8, nprobe = 1, topK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val top = out.filter(r => r._1 == 3L && r._2 == 1L).head
+    assert(top._3 == -1L)
+    // minimal ADC over everything the probe surfaced
+    assert(out.filter(_._1 == 3L).map(_._4).min == top._4)
+    assert(out.filter(_._1 == 3L).map(_._2).sorted.toSeq == (1L to 5L))
+  }
+
+  test("IVF-PQ: nprobe=kCells degenerates to exhaustive ADC ranking (independent recompute)") {
+    import spark.implicits._
+    // small synthetic corpus; the whole index — cells, residual codes,
+    // distance tables, ranking — recomputed in plain Scala and compared
+    // pairwise. nprobe=kCells probes every cell, so candidates are the
+    // full corpus and the expected ranking is total.
+    val dim = 4; val kCells = 2; val m = 2; val k = 4; val iters = 2
+    val topK = 3; val sub = dim / m
+    val rows = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 7 + j).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Ann.portableIvfPqTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", dim, kCells, iters, m, k,
+        nprobe = kCells, topK = topK)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val cents = Ann.portableKmeansCentroids(emb, "vec_id", "embedding",
+      dim, kCells, iters)
+    val cb = Ann.portablePqCodebook(m, k, sub)
+    val quant = rows.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+    }
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cellOf(q: Array[Long]): Int =
+      cents.zipWithIndex.map { case (c, j) => (l2(q, c.toSeq), j) }.min._2
+    val corpusInfo = quant.map { case (id, q) =>
+      val cell = cellOf(q)
+      val r = q.zip(cents(cell)).map { case (a, b) => a - b }
+      val codes = Array.tabulate(m) { j =>
+        val rs = r.slice(j * sub, j * sub + sub).toSeq
+        (0 until k).map(c => (l2(rs, cb(j)(c)), c)).min._2
+      }
+      (id, cell, codes)
+    }
+    val qmap = quant.toMap
+    for (qid <- 0L until 3L) {
+      val qv = qmap(qid)
+      val expected = corpusInfo.filter(_._1 != qid)
+        .map { case (id, cell, codes) =>
+          val qr = qv.zip(cents(cell)).map { case (a, b) => a - b }
+          val adc = (0 until m).map { j =>
+            l2(qr.slice(j * sub, j * sub + sub).toSeq, cb(j)(codes(j)))
+          }.sum
+          (adc, id)
+        }.sorted.take(topK)
+      expected.zipWithIndex.foreach { case ((adc, id), i) =>
+        assert(out((qid, i + 1L)) == ((id, adc)),
+          s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
   test("recallAtK: planted overlap counts, zero-hit queries kept, ppm is exact integer division") {
     import spark.implicits._
     val exact = Seq(
