@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * plan, only in well-bounded per-partition decode stages.
   *
   * Codec status: IMAGE decode is REAL — pure-JVM `javax.imageio`
-  * (PNG/BMP/GIF/JPEG) via [[MediaCodec.decodeImage]], no external
-  * libraries. Audio/video codec work (resample, frame extraction)
-  * stays STUBBED — the container ships no media libraries — behind
+  * (PNG/BMP/GIF/JPEG) via [[MediaCodec.decodeImage]] — and AUDIO is
+  * REAL — pure-JVM `javax.sound.sampled` RIFF/WAVE encode+decode via
+  * [[MediaCodec.encodeWavPcm16]]/[[MediaCodec.decodeWav]] — no
+  * external libraries either way. VIDEO codec work (frame extraction)
+  * stays STUBBED — the container ships no video libraries — behind
   * [[MediaCodec]], with a deterministic fake so the Spark-side
   * contract (schema, partitioning, batch shape, null handling) is real
   * and testable. The Scala analog of a Pandas-UDF `mapInPandas` decode
@@ -48,6 +50,15 @@ object Multimodal {
       sum_r: Long,
       sum_g: Long,
       sum_b: Long)
+
+  /** Decoded-audio statistics: format + integer-exact sample moments
+    * (the verifiable core of loudness/clipping/silence gates). */
+  final case class AudioStats(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      sum_samples: Long,
+      max_abs: Long)
 
   /** STUB decode: a real implementation hands the payload bytes to an
     * image or audio codec. The deterministic fake derives a feature
@@ -122,6 +133,60 @@ object Multimodal {
         // decode failure is a skip, never a job abort
         case scala.util.control.NonFatal(_) => None
       }
+
+    /** REAL codec — WAV encode via pure-JVM `javax.sound.sampled` (no
+      * external libraries, the audio analog of [[encodePng]]): mono
+      * signed PCM16 little-endian samples → a complete RIFF/WAVE
+      * container. */
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0, s"bad sample rate $sampleRate")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xFF).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** REAL codec — WAV decode via `javax.sound.sampled`: payload
+      * bytes → (sampleRate, nSamples, Σ samples, max |sample|), all
+      * integer-exact. Handles mono PCM16 in either endianness; None on
+      * anything undecodable or a different format — callers skip
+      * (the same skip-entity policy as [[decodeImage]]). */
+    def decodeWav(bytes: Array[Byte]): Option[(Int, Long, Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val data = ais.readAllBytes()
+          val le = !fmt.isBigEndian
+          var sum = 0L; var maxAbs = 0L; var n = 0L
+          var i = 0
+          while (i + 1 < data.length) {
+            val lo = data(if (le) i else i + 1) & 0xFF
+            val hi: Int = data(if (le) i + 1 else i) // sign-extends
+            val s = (hi << 8) | lo
+            sum += s
+            val a = math.abs(s.toLong)
+            if (a > maxAbs) maxAbs = a
+            n += 1; i += 2
+          }
+          Some((fmt.getSampleRate.toInt, n, sum, maxAbs))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Fabricate a media table from the documents fixture: the text bytes
@@ -165,6 +230,44 @@ object Multimodal {
             Some(w), Some(h), None)
         }
       }
+  }
+
+  /** Deterministic WAV fixture table: each document id becomes a REAL
+    * mono-PCM16 WAV whose samples are a closed-form function of
+    * (id, i) — the audio analog of [[pngFromDocuments]]: the engine
+    * path genuinely encodes and decodes RIFF/WAVE bytes; an external
+    * SQL oracle reproduces the decoded-sample statistics from the
+    * closed form without needing a codec. */
+  def wavFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (64 + id % 33).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          val samples = Array.tabulate(n) { i =>
+            (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort
+          }
+          val bytes = MediaCodec.encodeWavPcm16(rate, samples)
+          MediaRecord(id, bytes, "audio/wav", s"mem://wav/$id",
+            None, None, Some(n * 1000L / rate))
+        }
+      }
+  }
+
+  /** Per-partition REAL audio decode stage: payloads through
+    * [[MediaCodec.decodeWav]]; undecodable rows are skipped. Narrow
+    * map over the scan — no shuffle. */
+  def decodeAudioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeWav(r.media).map { case (rate, n, sum, maxAbs) =>
+          AudioStats(r.media_id, rate, n, sum, maxAbs)
+        }
+      }
+    }
   }
 
   /** Per-partition REAL image decode stage: payloads through

@@ -1539,6 +1539,32 @@ object TrainingQueries {
       |  CAST(SUM((doc_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
       |FROM ps GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** m05: REAL WAV audio decode — every document id becomes a genuine
+    * RIFF/WAVE payload (mono PCM16, closed-form samples), the engine
+    * decodes it with `javax.sound.sampled`, and the oracle reproduces
+    * the decoded-sample statistics from the closed form without any
+    * codec (the m04 pattern applied to audio). */
+  def m05WavDecode(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.decodeAudioStats(Multimodal.wavFromDocuments(s, d))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("sum_samples"), col("max_abs"))
+      .orderBy("media_id")
+  }
+
+  val m05Sql: String =
+    """WITH ss AS (
+      |  SELECT doc_id, unnest(range(0, 64 + doc_id % 33)) AS i FROM documents),
+      |vs AS (
+      |  SELECT doc_id, ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+      |  FROM ss)
+      |SELECT doc_id AS media_id,
+      |  CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+      |  CAST(64 + doc_id % 33 AS BIGINT) AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS sum_samples,
+      |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
+      |FROM vs GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -2037,6 +2063,108 @@ object TrainingQueries {
       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** c24: the END-TO-END corpus build — every family of the library's
+    * LLM-data operators composed into ONE pipeline, checked by ONE
+    * oracle (the capstone the per-operator queries build toward):
+    *
+    *   1–4. c13's pretraining stages: PII-redact + normalize prep,
+    *        length/diversity gate, exact dedup (min-id survivor),
+    *        3-gram eval decontamination ([[pretrainStages]]);
+    *   5.   near-dup removal AT SCALE: MinHash+LSH pairs over the
+    *        prepped text ([[Dedup.minhashLshPairs]] — band-bucket
+    *        join, never N²); a doc with a smaller-id near-dup partner
+    *        is dropped (deterministic, order-free survivor rule);
+    *   6.   semantic decontamination: doc embeddings within cosine
+    *        0.3 of a held-out eval vector in the same LSH bucket
+    *        ([[Selection.semanticContaminationReport]], c22's shape);
+    *   7.   curriculum phases by quality score over the surviving
+    *        docs ([[Selection.curriculumPhases]], c15's shape);
+    *   8.   deterministic shuffle into 8 shards with in-shard
+    *        positions ([[Selection.shuffleShards]], c08's shape) —
+    *        the layout a data loader streams.
+    *
+    * The DuckDB oracle re-derives all eight stages (the c13 CTE chain,
+    * an exact-Jaccard twin of the LSH stage — the d07-established
+    * equivalence — the c22 bucket/cosine join, the c15 NTILE, the c08
+    * hash shards) and must hash-match the composition end to end.
+    *
+    * Plan: the whole pipeline is anti-joins + one LSH band join +
+    * one broadcast bucket join over the gated corpus — no stage
+    * materializes to the driver; shares pretrainStages'/LSH's
+    * documented caching contract. */
+  def c24CorpusBuild(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.Dedup
+    val cleanTrain = pretrainStages(s, d)
+      .collectFirst { case ("4_decontaminated", df) => df }.get
+    val pairs = Dedup.minhashLshPairs(cleanTrain, "doc_id", "t",
+      n = 3, threshold = 0.5)
+    val nearDeduped = cleanTrain.join(
+      pairs.select(col("b_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      Ann.portableLshBucket(col("embedding"), nBits = 6, dim = 64).as("bucket"))
+    val flagged = Selection.semanticContaminationReport(
+        emb.filter(col("vec_id") % 7 =!= 0),
+        emb.filter(col("vec_id") % 7 === 0),
+        "vec_id", "embedding", "bucket", threshold = 0.3)
+      .select(col("vec_id").as("doc_id"))
+    val decon = nearDeduped.join(flagged, Seq("doc_id"), "left_anti")
+    val withQ = decon.select(col("doc_id"))
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q")), Seq("doc_id"))
+    val phased = Selection.curriculumPhases(withQ, "doc_id", col("q"),
+      phases = 3)
+    Selection.shuffleShards(phased, "doc_id", nShards = 8)
+      .select("doc_id", "phase", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  val c24Sql: String = {
+    val h = duckHash("'shuffle:' || CAST(doc_id AS VARCHAR)")
+    val (q6, bits6) = duckLshBucket(nBits = 6, dim = 64)
+    // duckQualityCtes is a full WITH clause; splice its body into this
+    // query's chain (names t/m are free here)
+    val qualityBody = duckQualityCtes.stripPrefix("WITH ")
+    s"""$pretrainCtesSql,
+       |inv AS (SELECT doc_id, unnest(sh) AS s3 FROM sh
+       |        WHERE doc_id IN (SELECT doc_id FROM train)),
+       |nsz AS (SELECT doc_id, len(sh) AS nsh FROM sh
+       |        WHERE doc_id IN (SELECT doc_id FROM train)),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM inv a JOIN inv b ON a.s3 = b.s3 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |nd_drop AS (
+       |  SELECT DISTINCT c.b_id AS doc_id
+       |  FROM cand c JOIN nsz sa ON c.a_id = sa.doc_id
+       |              JOIN nsz sb ON c.b_id = sb.doc_id
+       |  WHERE c.inter / (sa.nsh + sb.nsh - c.inter) >= 0.5),
+       |surv1 AS (SELECT doc_id FROM train
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)),
+       |eb AS (
+       |  SELECT vec_id,
+       |  $bits6 AS bucket, embedding
+       |  FROM (SELECT vec_id, embedding, $q6 AS q FROM embeddings)),
+       |sem_flag AS (
+       |  SELECT DISTINCT tr.vec_id
+       |  FROM (SELECT * FROM eb WHERE vec_id % 7 <> 0) tr
+       |  JOIN (SELECT * FROM eb WHERE vec_id % 7 = 0) ev2
+       |    ON tr.bucket = ev2.bucket
+       |  WHERE list_cosine_similarity(CAST(tr.embedding AS DOUBLE[]),
+       |          CAST(ev2.embedding AS DOUBLE[])) >= 0.3),
+       |surv2 AS (SELECT doc_id FROM surv1
+       |          WHERE doc_id NOT IN (SELECT vec_id FROM sem_flag)),
+       |$qualityBody,
+       |scored AS (
+       |  SELECT m.doc_id, ($duckQualityScore) AS q
+       |  FROM m JOIN surv2 ON m.doc_id = surv2.doc_id)
+       |SELECT doc_id,
+       |  CAST(NTILE(3) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS phase,
+       |  $h % 8 AS shard,
+       |  ROW_NUMBER() OVER (PARTITION BY $h % 8 ORDER BY $h, doc_id) AS pos
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -2079,6 +2207,7 @@ object TrainingQueries {
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),
     ("m04_png_decode", m04PngDecode _, Some(m04Sql)),
+    ("m05_wav_decode", m05WavDecode _, Some(m05Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),
@@ -2101,6 +2230,7 @@ object TrainingQueries {
     ("c21_fuzzy_decontaminate", c21FuzzyDecontaminate _, Some(c21Sql)),
     ("c22_semantic_decontaminate", c22SemanticDecontaminate _, Some(c22Sql)),
     ("c23_lm_score", c23LmScore _, Some(c23Sql)),
+    ("c24_corpus_build", c24CorpusBuild _, Some(c24Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }

@@ -73,6 +73,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec: encode → decode round-trips exact sample stats, rejects malformed and non-PCM16") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = Multimodal.MediaCodec.encodeWavPcm16(16000, samples)
+    // a genuine RIFF/WAVE container came out
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((rate, n, sum, maxAbs)) = Multimodal.MediaCodec.decodeWav(bytes)
+    assert(rate == 16000 && n == samples.length)
+    assert(sum == samples.map(_.toLong).sum)
+    assert(maxAbs == 32768L) // |-32768| — the asymmetric PCM16 extreme
+    // malformed payloads and non-audio bytes skip, never throw
+    assert(Multimodal.MediaCodec.decodeWav("not audio".getBytes).isEmpty)
+    assert(Multimodal.MediaCodec.decodeWav(bytes.take(16)).isEmpty)
+  }
+
+  test("wavFromDocuments: decoded stats match the closed-form sample function") {
+    val stats = Multimodal.decodeAudioStats(
+      Multimodal.wavFromDocuments(spark, sf))
+      .filter(_.media_id < 20).collect().sortBy(_.media_id)
+    assert(stats.length == 20)
+    stats.foreach { s =>
+      val id = s.media_id
+      val n = (64 + id % 33).toInt
+      assert(s.sample_rate == 8000 + (id % 3) * 4000)
+      assert(s.n_samples == n)
+      val vs = (0 until n).map(i => ((id * 7919 + i.toLong * 104729) % 65536) - 32768)
+      assert(s.sum_samples == vs.sum)
+      assert(s.max_abs == vs.map(math.abs).max)
+    }
+  }
+
   test("frame sampling emits every stride-th fixed-size block") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)

@@ -126,6 +126,9 @@ class PlanAuditSpec extends SparkSpec {
   private val documentedCaching = Set("d02_ngram_jaccard", "d03_minhash_lsh",
     "d04_simhash", "d07_lsh_vs_exact", "d09_incremental_dedup",
     "d13_containment", "c13_pretrain_pipeline", "c14_funnel_report",
+    // c24 composes c13's cached prep/dedup frames + LSH's cached
+    // signature frame (same contract, one clearCache per corpus)
+    "c24_corpus_build",
     // distributedNtile pins its range layout (offsets must describe the
     // exact partitioning the output pass reads — Selection Scaladoc)
     "c15_curriculum", "q55_quantile_buckets")
