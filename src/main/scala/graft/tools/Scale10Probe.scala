@@ -119,7 +119,14 @@ object Scale10Probe {
     val queries = Seq("d02_ngram_jaccard", "q49_waiting_supplier",
       "c14_funnel_report", "c10_bloom_decontaminate",
       "q54_overlap_join_auto", "s10_pq_rerank", "q31_stream_interval_join",
-      "d07_lsh_vs_exact", "d13_containment", "c15_curriculum")
+      "d07_lsh_vs_exact", "d13_containment", "c15_curriculum",
+      // round-8 additions: the two round-7 scale-killers (q31 above,
+      // q32's rewrite fallback) + the composed IVF-PQ index. c24 is
+      // NOT probed for the same reason c13 isn't: its embedded
+      // decontamination stage empties the corpus at 10x by its own
+      // semantics (see the c14 note above) — c14 + d07 + c15 probe
+      // c24's constituent stages individually.
+      "q32_range_join_auto", "s12_ivfpq")
 
     def time(name: String, dir: String): Double = {
       spark.catalog.clearCache()
