@@ -18,20 +18,33 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view so Spark SQL text queries mirror
-    * the DuckDB oracle SQL 1:1. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    * the DuckDB oracle SQL 1:1 — through the same normalizing accessors
+    * the DataFrame paths use, so SQL and DataFrame queries can never
+    * disagree about an encoding. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "events" -> events, "orders" -> orders, "lineitem" -> lineitem,
+      "embeddings" -> embeddings)
     names.foreach { n =>
-      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
-      df.createOrReplaceTempView(n)
+      loaders.getOrElse(n, (s: SparkSession, d: String) => load(s, d, n))
+        .apply(spark, sfDir)
+        .createOrReplaceTempView(n)
     }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  // o_orderdate / l_shipdate ship with the same writer-dependent
+  // encoding drift as events.ts (currently TIMESTAMP_NTZ micros) —
+  // normalize at the boundary so no query can hit an NTZ-illegal
+  // function the way q18/q30 did on events in round 7
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "lineitem"), "l_shipdate")
 
   /** Normalize a timestamp column to TimestampType regardless of how
     * the parquet writer encoded it — the engine has now seen the same
@@ -68,5 +81,22 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The embeddings table with `embedding` restored to the library's
+    * declared `array<float>` contract — a regeneration that emits
+    * `array<double>` (the pandas/polars default for float columns that
+    * pass through python floats) would otherwise crash every typed
+    * `getSeq[Float]`/`getFloat` consumer in the ANN stack. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = load(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(_, _) =>
+        raw.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding")
+            .cast(ArrayType(FloatType)))
+      case _ => raw
+    }
+  }
 }

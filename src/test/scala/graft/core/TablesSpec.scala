@@ -57,6 +57,34 @@ class TablesSpec extends SparkSpec {
     assert(Tables.normalizeTs(withTs).collect() === withTs.collect())
   }
 
+  test("orders/lineitem loaders normalize their ts columns; embeddings restores array<float>") {
+    val sf = "/root/testdata/sf0.001"
+    assert(Tables.orders(spark, sf).schema("o_orderdate").dataType == TimestampType)
+    assert(Tables.lineitem(spark, sf).schema("l_shipdate").dataType == TimestampType)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    assert(Tables.embeddings(spark, sf).schema("embedding").dataType ==
+      ArrayType(FloatType))
+    // a double-encoded regeneration comes back as the declared float
+    // contract (the drift shape pandas/polars produce)
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdrift")
+    val asDouble = Tables.embeddings(spark, sf)
+      .withColumn("embedding", $"embedding".cast(ArrayType(DoubleType)))
+    asDouble.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val restored = Tables.embeddings(spark, dir.toString)
+    assert(restored.schema("embedding").dataType == ArrayType(FloatType))
+    assert(restored.count() == asDouble.count())
+  }
+
+  test("registerAll views use the normalizing accessors (SQL and DataFrame paths agree)") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    assert(spark.table("events").schema("ts").dataType == TimestampType)
+    assert(spark.table("orders").schema("o_orderdate").dataType == TimestampType)
+    assert(spark.table("lineitem").schema("l_shipdate").dataType == TimestampType)
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    assert(spark.table("embeddings").schema("embedding").dataType ==
+      ArrayType(FloatType))
+  }
+
   test("events loader yields TimestampType on the CURRENT testdata encoding") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType == TimestampType)
