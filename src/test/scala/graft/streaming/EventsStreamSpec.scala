@@ -31,17 +31,11 @@ class EventsStreamSpec extends SparkSpec {
 
   test("flatMapGroupsWithState running totals equal batch aggregation") {
     import spark.implicits._
-    val streamed = EventsStream.userRunningTotals(
-      EventsStream.readEvents(spark, sf))
-    val q = streamed.writeStream.format("memory")
-      .queryName("spec_running").outputMode("update")
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft_ckpt_run").toString)
-      .start()
-    q.processAllAvailable()
-    q.stop()
     // single source file -> one micro-batch -> final update per user
-    val got = spark.table("spec_running")
+    val got = EventsStream.runToCompletion(spark,
+        sess => EventsStream.userRunningTotals(
+          EventsStream.readEvents(sess, sf)).toDF(),
+        "spec_running", outputMode = "update")
       .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val want = graft.core.Tables.events(spark, sf)
@@ -156,15 +150,9 @@ class EventsStreamSpec extends SparkSpec {
     import graft.corpus.Selection
     val chunk = (df: org.apache.spark.sql.DataFrame) =>
       Selection.chunkSliding(df, "doc_id", "text", chunkSize = 32, stride = 24)
-    val q = chunk(EventsStream.readDocuments(spark, sf))
-      .writeStream.format("memory").queryName("spec_chunk_stream")
-      .outputMode("append")
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft_ckpt_chunk").toString)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val streamed = spark.table("spec_chunk_stream")
+    val streamed = EventsStream.runToCompletion(spark,
+      sess => chunk(EventsStream.readDocuments(sess, sf)),
+      "spec_chunk_stream", outputMode = "append")
     val batch = chunk(graft.core.Tables.documents(spark, sf))
     assert(streamed.count() == batch.count() && batch.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty &&
@@ -179,15 +167,9 @@ class EventsStreamSpec extends SparkSpec {
       Selection.assignSplits(df, "doc_id")
         .select(col("doc_id"), col("split"),
           TextOps.redactPii(col("text")).as("redacted"))
-    val q = project(EventsStream.readDocuments(spark, sf))
-      .writeStream.format("memory").queryName("spec_corpus_stream")
-      .outputMode("append")
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft_ckpt_corpus").toString)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val streamed = spark.table("spec_corpus_stream")
+    val streamed = EventsStream.runToCompletion(spark,
+      sess => project(EventsStream.readDocuments(sess, sf)),
+      "spec_corpus_stream", outputMode = "append")
     val batch = project(graft.core.Tables.documents(spark, sf))
     assert(streamed.count() == batch.count() && batch.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty &&
