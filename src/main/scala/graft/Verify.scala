@@ -19,8 +19,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // a rerun into the same outDir must not inherit a stale marker
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.err"))
+      }
       catch { case e: Throwable =>
         // a throwing query must leave a visible artifact — round 7 lost
         // five correctness rows because failures only went to stderr and

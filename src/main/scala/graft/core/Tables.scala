@@ -17,20 +17,26 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The ONE dispatch from table name to its (possibly normalizing)
+    * loader — registerAll and tools.Doctor both use it, so a table
+    * gaining boundary normalization can never be normalized in one
+    * place and raw in the other. */
+  def loaderFor(name: String): (SparkSession, String) => DataFrame =
+    name match {
+      case "events"     => events
+      case "orders"     => orders
+      case "lineitem"   => lineitem
+      case "embeddings" => embeddings
+      case other        => (s, d) => load(s, d, other)
+    }
+
   /** Register every table as a temp view so Spark SQL text queries mirror
     * the DuckDB oracle SQL 1:1 — through the same normalizing accessors
     * the DataFrame paths use, so SQL and DataFrame queries can never
     * disagree about an encoding. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
-      "events" -> events, "orders" -> orders, "lineitem" -> lineitem,
-      "embeddings" -> embeddings)
-    names.foreach { n =>
-      loaders.getOrElse(n, (s: SparkSession, d: String) => load(s, d, n))
-        .apply(spark, sfDir)
-        .createOrReplaceTempView(n)
-    }
-  }
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n =>
+      loaderFor(n)(spark, sfDir).createOrReplaceTempView(n))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -389,6 +389,22 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(sh, s => xxhash64(i, s))))
 
+  /** The ONE rendering of the LSH banding: explode a signature frame
+    * into `(…, band, bhash)` rows, band hash = xxhash64 over the
+    * band's slice of the signature. Shared by [[minhashLshPairs]],
+    * [[minhashLshPairsFromIndexes]], and `tools.LshBucketProbe` — the
+    * probe's bucket-distribution measurements are, by construction,
+    * of the same banding the production join uses. `carryCols` ride
+    * through unchanged. */
+  private[graft] def bandedOf(sigs: DataFrame, idCol: String,
+      bands: Int, rows: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    val cols = col(idCol) +: carryCols.map(col)
+    sigs.select(cols :+ posexplode(array(
+        (0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)): _*)
+      .toDF((idCol +: carryCols) ++ Seq("band", "bhash"): _*)
+  }
+
   /** Drop band-buckets holding more than `cap` documents from a
     * banded frame `(id, band, bhash)` — the LSH analog of
     * [[dropHotShingles]]. The candidate self-join emits Σ b² pairs
@@ -432,11 +448,7 @@ object Dedup {
       .drop("sh")
       .withColumn("sig", minhashSignature(col("shh"), k))
       .cache()
-    // band hash = xxhash64 over the band's slice of the signature
-    val bandedAll = tok.select(col(idCol), posexplode(array(
-        (0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
-      .toDF(idCol, "band", "bhash")
+    val bandedAll = bandedOf(tok, idCol, bands, rows)
     val banded = maxBucketSize.fold(bandedAll)(dropHotBuckets(bandedAll, _))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
@@ -501,10 +513,8 @@ object Dedup {
       .unionByName(newIdx.select(col(idCol), col("shh"), col("sig"))
         .withColumn("is_new", lit(true)))
       .cache()
-    val bandedAll = all.select(col(idCol), col("is_new"), posexplode(array(
-        (0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
-      .toDF(idCol, "is_new", "band", "bhash")
+    val bandedAll = bandedOf(all, idCol, bands, rows,
+      carryCols = Seq("is_new"))
     // a hot bucket costs |bucket ∩ index| × |bucket ∩ batch| here —
     // still unbounded in the index side; same escape hatch
     val banded = maxBucketSize.fold(bandedAll)(dropHotBuckets(bandedAll, _))

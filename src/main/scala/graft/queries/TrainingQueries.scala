@@ -2073,7 +2073,13 @@ object TrainingQueries {
     *   5.   near-dup removal AT SCALE: MinHash+LSH pairs over the
     *        prepped text ([[Dedup.minhashLshPairs]] — band-bucket
     *        join, never N²); a doc with a smaller-id near-dup partner
-    *        is dropped (deterministic, order-free survivor rule);
+    *        is dropped (deterministic, order-free survivor rule).
+    *        Banding is 32×2 (not d03's 16×4): the ORACLE for this
+    *        stage is the exact all-pairs Jaccard, so candidate recall
+    *        at the J=0.5 threshold must be ~certain — P[collide] =
+    *        1−(1−J^rows)^bands is 0.64 at J=0.5 under 16×4 but
+    *        1−0.75^32 ≈ 0.9999 under 32×2 (precision is unaffected:
+    *        candidates are exact-verified before emission);
     *   6.   semantic decontamination: doc embeddings within cosine
     *        0.3 of a held-out eval vector in the same LSH bucket
     *        ([[Selection.semanticContaminationReport]], c22's shape);
@@ -2097,7 +2103,7 @@ object TrainingQueries {
     val cleanTrain = pretrainStages(s, d)
       .collectFirst { case ("4_decontaminated", df) => df }.get
     val pairs = Dedup.minhashLshPairs(cleanTrain, "doc_id", "t",
-      n = 3, threshold = 0.5)
+      n = 3, k = 64, bands = 32, threshold = 0.5)
     val nearDeduped = cleanTrain.join(
       pairs.select(col("b_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")

@@ -81,8 +81,7 @@ object EventsStream {
             loadTimeForBatch(batchId))
         }
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
     } finally deleteRecursively(ckpt.toFile)
   }
 
@@ -225,8 +224,10 @@ object EventsStream {
         .outputMode(outputMode)
         .option("checkpointLocation", ckpt.toString)
         .start()
-      q.processAllAvailable()
-      q.stop()
+      // stop in finally: a throwing processAllAvailable must not leak a
+      // live query (it would keep the memory-sink name registered and
+      // fail any same-name retry) or race the checkpoint delete below
+      try q.processAllAvailable() finally q.stop()
     } finally deleteRecursively(ckpt.toFile)
     session.table(name)
   }

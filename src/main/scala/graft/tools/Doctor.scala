@@ -27,13 +27,9 @@ object Doctor {
       if (!new java.io.File(path).exists()) warn(s"$t: $path MISSING")
       else {
         val raw = spark.read.parquet(path)
-        val loaded = t match {
-          case "events"     => Tables.events(spark, sfDir)
-          case "orders"     => Tables.orders(spark, sfDir)
-          case "lineitem"   => Tables.lineitem(spark, sfDir)
-          case "embeddings" => Tables.embeddings(spark, sfDir)
-          case _            => raw
-        }
+        // the same dispatch registerAll uses — a table normalized there
+        // is, by construction, normalized here
+        val loaded = Tables.loaderFor(t)(spark, sfDir)
         val n = loaded.count()
         val drifts = raw.schema.fields.zip(loaded.schema.fields).collect {
           case (a, b) if a.dataType != b.dataType =>
@@ -63,7 +59,8 @@ object Doctor {
           loaded.schema("embedding").dataType match {
             case ArrayType(FloatType, _) =>
               val d = loaded.selectExpr("min(size(embedding))", "max(size(embedding))").head()
-              if (d.getInt(0) != d.getInt(1))
+              if (d.isNullAt(0)) () // zero rows: already warned above
+              else if (d.getInt(0) != d.getInt(1))
                 warn(s"embeddings: ragged dims [${d.getInt(0)}, ${d.getInt(1)}]")
               else println(s"[doctor] embeddings   dim=${d.getInt(0)} uniform OK")
             case other => warn(s"embeddings.embedding: $other (expected array<float>)")

@@ -52,10 +52,9 @@ object LshBucketProbe {
       } else {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
         val idx = graft.dedup.Dedup.minhashIndex(docs, "doc_id", "text")
-        val banded = idx.select(col("doc_id"), posexplode(array(
-            (0 until bands).map(b =>
-              xxhash64(slice(col("sig"), b * rows + 1, rows))): _*)))
-          .toDF("doc_id", "band", "bhash")
+        // the production banding, not a re-derivation — measurements
+        // here are of exactly the join minhashLshPairs runs
+        val banded = graft.dedup.Dedup.bandedOf(idx, "doc_id", bands, rows)
         val sizes = banded.groupBy("band", "bhash")
           .agg(count(lit(1)).as("b")).select("b").cache()
         val stats = sizes.agg(
