@@ -72,7 +72,10 @@ object Multimodal {
     val FeatureDim = 8
 
     def decodeFeature(digestHex: String): Array[Float] = {
-      // ??? — codec unavailable in this environment; deterministic fake:
+      // ??? — a real featurizer is a learned model (CLIP-style vision /
+      // audio embedding), unavailable in this container; the CODECS are
+      // real ([[decodeImage]]/[[decodeWav]]) — this fake stands in for
+      // the model inference step only. Deterministic fake:
       require(digestHex.length == 32, s"expected 32 hex chars, got ${digestHex.length}")
       val out = new Array[Float](FeatureDim)
       var i = 0
@@ -102,36 +105,47 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** REAL codec — image decode via `javax.imageio` (PNG always
-      * available on the JVM; BMP/GIF/JPEG ride the same call): payload
-      * bytes → dimensions + per-channel pixel sums. None when the
-      * payload is not a decodable image — callers skip, mirroring the
-      * skip-entity error policy (reference GRAPH-PS:116-130: one bad
-      * record must not fail the load). */
-    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    /** REAL codec — full-pixel image decode via `javax.imageio` (PNG
+      * always available on the JVM; BMP/GIF/JPEG ride the same call):
+      * payload bytes → (width, height, packed 0xRRGGBB row-major
+      * pixels). None when the payload is not a decodable image —
+      * callers skip, mirroring the skip-entity error policy
+      * (reference GRAPH-PS:116-130: one bad record must not fail the
+      * load). */
+    def decodeImageRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         if (img == null) None
         else {
-          var (sr, sg, sb) = (0L, 0L, 0L)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val rgb = new Array[Int](w * h)
           var y = 0
-          while (y < img.getHeight) {
+          while (y < h) {
             var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-              x += 1
-            }
+            while (x < w) { rgb(y * w + x) = img.getRGB(x, y) & 0xFFFFFF; x += 1 }
             y += 1
           }
-          Some((img.getWidth, img.getHeight, sr, sg, sb))
+          Some((w, h, rgb))
         }
       } catch {
         // imageio readers throw RuntimeExceptions (AIOOBE, IAE, NASE)
         // on many malformed payloads, not just IOException — any
         // decode failure is a skip, never a job abort
         case scala.util.control.NonFatal(_) => None
+      }
+
+    /** [[decodeImageRgb]] reduced to dimensions + per-channel sums. */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+      decodeImageRgb(bytes).map { case (w, h, rgb) =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < rgb.length) {
+          val p = rgb(i)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          i += 1
+        }
+        (w, h, sr, sg, sb)
       }
 
     /** REAL codec — WAV encode via pure-JVM `javax.sound.sampled` (no
@@ -157,12 +171,12 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** REAL codec — WAV decode via `javax.sound.sampled`: payload
-      * bytes → (sampleRate, nSamples, Σ samples, max |sample|), all
-      * integer-exact. Handles mono PCM16 in either endianness; None on
-      * anything undecodable or a different format — callers skip
-      * (the same skip-entity policy as [[decodeImage]]). */
-    def decodeWav(bytes: Array[Byte]): Option[(Int, Long, Long, Long)] =
+    /** REAL codec — full-sample WAV decode via `javax.sound.sampled`:
+      * payload bytes → the signed PCM16 samples. Handles mono PCM16 in
+      * either endianness; None on anything undecodable or a different
+      * format — callers skip (the same skip-entity policy as
+      * [[decodeImageRgb]]). */
+    def decodeWavSamples(bytes: Array[Byte]): Option[Array[Short]] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -173,18 +187,35 @@ object Multimodal {
         else {
           val data = ais.readAllBytes()
           val le = !fmt.isBigEndian
-          var sum = 0L; var maxAbs = 0L; var n = 0L
+          val out = new Array[Short](data.length / 2)
           var i = 0
           while (i + 1 < data.length) {
             val lo = data(if (le) i else i + 1) & 0xFF
             val hi: Int = data(if (le) i + 1 else i) // sign-extends
-            val s = (hi << 8) | lo
-            sum += s
-            val a = math.abs(s.toLong)
-            if (a > maxAbs) maxAbs = a
-            n += 1; i += 2
+            out(i / 2) = ((hi << 8) | lo).toShort
+            i += 2
           }
-          Some((fmt.getSampleRate.toInt, n, sum, maxAbs))
+          Some(out)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** [[decodeWavSamples]] reduced to (sampleRate, nSamples,
+      * Σ samples, max |sample|), all integer-exact. */
+    def decodeWav(bytes: Array[Byte]): Option[(Int, Long, Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val rate = ais.getFormat.getSampleRate.toInt
+        decodeWavSamples(bytes).map { samples =>
+          var sum = 0L; var maxAbs = 0L
+          var i = 0
+          while (i < samples.length) {
+            sum += samples(i)
+            val a = math.abs(samples(i).toLong)
+            if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          (rate, samples.length.toLong, sum, maxAbs)
         }
       } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -254,6 +285,71 @@ object Multimodal {
             None, None, Some(n * 1000L / rate))
         }
       }
+  }
+
+  /** Per-partition REAL image RESIZE stage: decode the payload, map
+    * every output pixel to its nearest-neighbor source pixel
+    * (`src = floor(dst * srcDim / outDim)` — pure integer math, the
+    * standard NN resample), and emit the RESIZED image's channel
+    * sums. The resize every vision-training pipeline runs before
+    * batching, with integer-exact statistics an external oracle can
+    * reproduce from the source pixels without any image library.
+    * Undecodable payloads are skipped. Narrow map — no shuffle. */
+  def resizedImageStats(media: Dataset[MediaRecord], outW: Int,
+      outH: Int): Dataset[ImageStats] = {
+    require(outW > 0 && outH > 0, s"bad output dims ${outW}x$outH")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeImageRgb(r.media).map { case (w, h, rgb) =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val p = rgb(sy * w + x * w / outW)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(r.media_id, outW, outH, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  /** Per-partition REAL audio feature extraction: decode the WAV and
+    * reduce it to an 8-band energy profile — Σ|sample| per contiguous
+    * eighth of the stream (band b covers samples
+    * [floor(b·n/8), floor((b+1)·n/8))). The cheap fingerprint audio
+    * dedup/quality gates run on, integer-exact so an oracle
+    * reproduces every band from the sample function with no codec.
+    * Output: (media_id, e0..e7 as an array). */
+  def audioEnergyProfile(media: Dataset[MediaRecord],
+      bands: Int = 8): DataFrame = {
+    require(bands > 0, s"bands must be positive, got $bands")
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeWavSamples(r.media).map { samples =>
+          val n = samples.length
+          val e = new Array[Long](bands)
+          var b = 0
+          while (b < bands) {
+            var i = b.toLong * n / bands
+            val end = (b + 1).toLong * n / bands
+            var acc = 0L
+            while (i < end) { acc += math.abs(samples(i.toInt).toLong); i += 1 }
+            e(b) = acc
+            b += 1
+          }
+          (r.media_id, e.toSeq)
+        }
+      }
+    }.toDF("media_id", "energy")
   }
 
   /** Per-partition REAL audio decode stage: payloads through

@@ -1565,6 +1565,68 @@ object TrainingQueries {
       |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
       |FROM vs GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** m06: REAL image RESIZE — decode the genuine PNG payloads, map
+    * every output pixel to its nearest-neighbor source pixel (pure
+    * integer index math), and verify the RESIZED channel sums against
+    * an oracle that composes the closed-form pixel function with the
+    * same index mapping — the resize every vision pipeline runs
+    * before batching, end-to-end through a real codec. */
+  def m06ResizeStats(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.resizedImageStats(Multimodal.pngFromDocuments(s, d),
+        outW = 6, outH = 4)
+      .select(col("media_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("media_id")
+  }
+
+  val m06Sql: String =
+    """WITH xs AS (
+      |  SELECT doc_id, unnest(range(0, 6)) AS x FROM documents),
+      |ps AS (
+      |  SELECT doc_id, x, unnest(range(0, 4)) AS y FROM xs),
+      |mm AS (
+      |  SELECT doc_id,
+      |    (x * (4 + doc_id % 5)) // 6 AS sx,
+      |    (y * (4 + doc_id % 3)) // 4 AS sy
+      |  FROM ps)
+      |SELECT doc_id AS media_id,
+      |  CAST(6 AS INTEGER) AS width,
+      |  CAST(4 AS INTEGER) AS height,
+      |  CAST(SUM((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((doc_id * 17 + sx * 11 + sy * 3) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id * 23 + sx * 5 + sy * 19) % 256) AS BIGINT) AS sum_b
+      |FROM mm GROUP BY doc_id ORDER BY media_id""".stripMargin
+
+  /** m07: REAL audio feature extraction — decode the genuine WAV
+    * payloads and reduce each to an 8-band Σ|sample| energy profile
+    * (the cheap fingerprint audio dedup/quality gates run on); the
+    * oracle recomputes every band from the closed-form sample
+    * function with no codec. */
+  def m07AudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.audioEnergyProfile(Multimodal.wavFromDocuments(s, d))
+      .select(col("media_id"), posexplode(col("energy")))
+      .toDF("media_id", "band", "energy")
+      .orderBy("media_id", "band")
+  }
+
+  val m07Sql: String =
+    """WITH ss AS (
+      |  SELECT doc_id, 64 + doc_id % 33 AS n,
+      |    unnest(range(0, 64 + doc_id % 33)) AS i
+      |  FROM documents),
+      |vs AS (
+      |  SELECT doc_id, n, i,
+      |    abs(((doc_id * 7919 + i * 104729) % 65536) - 32768) AS a
+      |  FROM ss)
+      |SELECT doc_id AS media_id, CAST(b AS INTEGER) AS band,
+      |  CAST(SUM(a) AS BIGINT) AS energy
+      |FROM vs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+      |WHERE i >= (b * n) // 8 AND i < ((b + 1) * n) // 8
+      |GROUP BY doc_id, b
+      |ORDER BY media_id, band""".stripMargin
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -2214,6 +2276,8 @@ object TrainingQueries {
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),
     ("m04_png_decode", m04PngDecode _, Some(m04Sql)),
     ("m05_wav_decode", m05WavDecode _, Some(m05Sql)),
+    ("m06_resize", m06ResizeStats _, Some(m06Sql)),
+    ("m07_audio_energy", m07AudioEnergy _, Some(m07Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),

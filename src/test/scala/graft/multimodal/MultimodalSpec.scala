@@ -104,6 +104,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: identity dims reproduce the original stats; downscale picks the NN-mapped pixels") {
+    val media = Multimodal.pngFromDocuments(spark, sf)
+    // identity resize == plain decode for a couple of known shapes
+    // (ids with w=5,h=4: id%5==1 && id%3==1 → e.g. id 16? 16%5=1,16%3=1)
+    val orig = Multimodal.decodeImageStats(media)
+      .filter(_.media_id < 30).collect().map(s => s.media_id -> s).toMap
+    orig.values.filter(s => s.width == 5 && s.height == 4).take(3).foreach { s =>
+      val same = Multimodal.resizedImageStats(
+          media.filter(_.media_id == s.media_id), s.width, s.height)
+        .collect().head
+      assert((same.sum_r, same.sum_g, same.sum_b) == (s.sum_r, s.sum_g, s.sum_b))
+    }
+    // downscale to 1x1 == exactly the (0,0) source pixel of each image
+    val one = Multimodal.resizedImageStats(media, 1, 1)
+      .filter(_.media_id < 10).collect()
+    one.foreach { s =>
+      val id = s.media_id
+      assert(s.sum_r == (id * 31) % 256 && s.sum_g == (id * 17) % 256 &&
+        s.sum_b == (id * 23) % 256)
+    }
+  }
+
+  test("audio energy profile: bands partition the stream (sum of bands == total |s| energy)") {
+    val media = Multimodal.wavFromDocuments(spark, sf)
+    val profiles = Multimodal.audioEnergyProfile(media)
+      .filter("media_id < 20").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(profiles.size == 20)
+    profiles.foreach { case (id, bands) =>
+      assert(bands.length == 8)
+      val n = (64 + id % 33).toInt
+      val total = (0 until n).map(i =>
+        math.abs(((id * 7919 + i.toLong * 104729) % 65536) - 32768)).sum
+      assert(bands.sum == total, s"media $id: band sums must conserve energy")
+    }
+  }
+
   test("frame sampling emits every stride-th fixed-size block") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
