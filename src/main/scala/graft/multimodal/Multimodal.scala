@@ -11,17 +11,21 @@ import org.apache.spark.sql.types._
   * datasets of tensors: the engine never interprets the payload in the
   * plan, only in well-bounded per-partition decode stages.
   *
-  * Codec status: IMAGE decode is REAL — pure-JVM `javax.imageio`
-  * (PNG/BMP/GIF/JPEG) via [[MediaCodec.decodeImage]] — and AUDIO is
-  * REAL — pure-JVM `javax.sound.sampled` RIFF/WAVE encode+decode via
-  * [[MediaCodec.encodeWavPcm16]]/[[MediaCodec.decodeWav]] — no
-  * external libraries either way. VIDEO codec work (frame extraction)
-  * stays STUBBED — the container ships no video libraries — behind
-  * [[MediaCodec]], with a deterministic fake so the Spark-side
-  * contract (schema, partitioning, batch shape, null handling) is real
-  * and testable. The Scala analog of a Pandas-UDF `mapInPandas` decode
-  * is the typed `mapPartitions` below: one codec init per partition,
-  * streaming row batches through it.
+  * Codec status — every task-list stage (decode / feature-extract /
+  * resize / frame-sample) runs through a REAL pure-JVM codec:
+  * IMAGE decode+resize via `javax.imageio` (PNG/BMP/GIF/JPEG,
+  * [[MediaCodec.decodeImageRgb]]), AUDIO via `javax.sound.sampled`
+  * RIFF/WAVE encode+decode ([[MediaCodec.encodeWavPcm16]] /
+  * [[MediaCodec.decodeWavSamples]]), and MULTI-FRAME extraction via
+  * `javax.imageio` animated-GIF sequences
+  * ([[MediaCodec.encodeAnimatedGif]]/[[MediaCodec.decodeGifFrames]] —
+  * the one multi-frame container the JVM ships a codec for). True
+  * video codecs (H.264 etc.) don't exist in this container; the
+  * byte-block [[sampleFrames]] stub and the digest-based
+  * [[MediaCodec.decodeFeature]] fake remain as the shape contracts
+  * for those learned/native stages. The Scala analog of a Pandas-UDF
+  * `mapInPandas` decode is the typed `mapPartitions` below: one codec
+  * init per partition, streaming row batches through it.
   */
 object Multimodal {
 
@@ -199,6 +203,93 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** REAL codec — multi-frame (animated) GIF encode via pure-JVM
+      * `javax.imageio` write sequences: `rgb(frame, x, y)` rendered
+      * into one GIF container holding `frames` full frames. GIF is
+      * palettized (≤256 colors per frame) — callers wanting exact
+      * round-trips keep each frame's distinct-color count under that,
+      * which the writer then encodes losslessly. The closest thing to
+      * a video container the JVM ships a codec for. */
+    def encodeAnimatedGif(width: Int, height: Int, frames: Int,
+        rgb: (Int, Int, Int) => Int): Array[Byte] = {
+      require(width > 0 && height > 0 && frames > 0,
+        s"bad shape ${width}x$height x$frames")
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        // GIF interlacing is ON by default and permutes row storage
+        // order — harmless for viewers, fatal for pixel-exact stats
+        // (the isolated round-trip showed rows 1/2 swapped at h=3)
+        val wp = writer.getDefaultWriteParam
+        wp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        var f = 0
+        while (f < frames) {
+          // an INDEXED frame with an exact per-frame palette: the GIF
+          // writer stores the color table verbatim (a TYPE_INT_RGB
+          // frame would get quantized through the default 216-color
+          // web palette and break pixel-exact round-trips)
+          val pixels = Array.tabulate(height, width)((y, x) => rgb(f, x, y))
+          val palette = pixels.flatten.distinct
+          require(palette.length <= 256,
+            s"frame $f has ${palette.length} colors — GIF holds at most 256")
+          val icm = new java.awt.image.IndexColorModel(8, palette.length,
+            palette.map(p => ((p >> 16) & 0xFF).toByte),
+            palette.map(p => ((p >> 8) & 0xFF).toByte),
+            palette.map(p => (p & 0xFF).toByte))
+          val img = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) { img.setRGB(x, y, pixels(y)(x)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), wp)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** REAL codec — multi-frame GIF decode: every frame's dimensions
+      * + per-channel pixel sums, in frame order. None when the payload
+      * is not a decodable GIF (same skip-entity policy). */
+    def decodeGifFrames(bytes: Array[Byte])
+        : Option[Seq[(Int, Int, Long, Long, Long)]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            Some((0 until n).map { i =>
+              val img = reader.read(i)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              (img.getWidth, img.getHeight, sr, sg, sb)
+            })
+          } finally reader.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** [[decodeWavSamples]] reduced to (sampleRate, nSamples,
       * Σ samples, max |sample|), all integer-exact. */
     def decodeWav(bytes: Array[Byte]): Option[(Int, Long, Long, Long)] =
@@ -285,6 +376,54 @@ object Multimodal {
             None, None, Some(n * 1000L / rate))
         }
       }
+  }
+
+  /** Deterministic animated-GIF fixture table: each document id
+    * becomes a REAL multi-frame GIF whose frame pixels are a
+    * closed-form function of (id, frame, x, y) — the video analog of
+    * [[pngFromDocuments]]: genuine container bytes through a genuine
+    * multi-frame codec, statistics an oracle reproduces with no
+    * codec. Frames are small (≤ 24 px, far under GIF's 256-color
+    * palette bound) so the encode is lossless. */
+  def gifFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val frames = (2 + id % 3).toInt
+          val w = (3 + id % 4).toInt
+          val h = (3 + id % 2).toInt
+          val bytes = MediaCodec.encodeAnimatedGif(w, h, frames, (f, x, y) => {
+            val r = ((id * 29 + f * 41 + x * 7 + y * 13) % 256).toInt
+            val g = ((id * 37 + f * 43 + x * 11 + y * 3) % 256).toInt
+            val b = ((id * 41 + f * 47 + x * 5 + y * 19) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          MediaRecord(id, bytes, "image/gif", s"mem://gif/$id",
+            Some(w), Some(h), Some(frames * 100L))
+        }
+      }
+  }
+
+  /** Per-partition REAL multi-frame decode stage: every frame of every
+    * GIF payload through [[MediaCodec.decodeGifFrames]] — the frame
+    * extraction step of a video pipeline, run on a genuine container.
+    * Undecodable payloads are skipped. Narrow map — no shuffle.
+    * Output: (media_id, frame_idx, width, height, sum_r, sum_g,
+    * sum_b). */
+  def gifFrameStats(media: Dataset[MediaRecord]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeGifFrames(r.media).toSeq.flatMap(_.zipWithIndex.map {
+          case ((w, h, sr, sg, sb), i) =>
+            (r.media_id, i.toLong, w, h, sr, sg, sb)
+        })
+      }
+    }.toDF("media_id", "frame_idx", "width", "height",
+      "sum_r", "sum_g", "sum_b")
   }
 
   /** Per-partition REAL image RESIZE stage: decode the payload, map

@@ -1627,6 +1627,38 @@ object TrainingQueries {
       |GROUP BY doc_id, b
       |ORDER BY media_id, band""".stripMargin
 
+  /** m08: REAL multi-frame (video-shaped) frame extraction — every
+    * document id becomes a genuine ANIMATED GIF (the one multi-frame
+    * container the JVM ships a codec for; frames written indexed with
+    * exact per-frame palettes, interlace disabled), the engine
+    * extracts every frame with `javax.imageio` read sequences and
+    * keeps every 2nd frame (the sampling step of a video pipeline),
+    * and the oracle reproduces each sampled frame's channel sums from
+    * the closed-form pixel function with no codec. m03's byte-block
+    * stub remains the shape-contract twin; this is the real thing. */
+  def m08GifFrames(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.gifFrameStats(Multimodal.gifFromDocuments(s, d))
+      .filter(col("frame_idx") % 2 === 0)
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val m08Sql: String =
+    """WITH fs AS (
+      |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS f FROM documents),
+      |sampled AS (SELECT doc_id, f FROM fs WHERE f % 2 = 0),
+      |xs AS (
+      |  SELECT doc_id, f, unnest(range(0, 3 + doc_id % 4)) AS x FROM sampled),
+      |ps AS (
+      |  SELECT doc_id, f, x, unnest(range(0, 3 + doc_id % 2)) AS y FROM xs)
+      |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(3 + doc_id % 4 AS INTEGER) AS width,
+      |  CAST(3 + doc_id % 2 AS INTEGER) AS height,
+      |  CAST(SUM((doc_id * 29 + f * 41 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((doc_id * 37 + f * 43 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id * 41 + f * 47 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+      |FROM ps GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -2278,6 +2310,7 @@ object TrainingQueries {
     ("m05_wav_decode", m05WavDecode _, Some(m05Sql)),
     ("m06_resize", m06ResizeStats _, Some(m06Sql)),
     ("m07_audio_energy", m07AudioEnergy _, Some(m07Sql)),
+    ("m08_gif_frames", m08GifFrames _, Some(m08Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),

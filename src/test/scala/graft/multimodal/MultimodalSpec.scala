@@ -141,6 +141,56 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF codec: encode → per-frame decode round-trips exact pixel sums in frame order") {
+    // hand case: 3 frames, distinct closed-form pixels, < 256 colors
+    val (w, h, n) = (4, 3, 3)
+    def px(f: Int, x: Int, y: Int): Int = {
+      val r = (f * 50 + x * 7 + y * 13) % 256
+      val g = (f * 60 + x * 11 + y * 3) % 256
+      val b = (f * 70 + x * 5 + y * 19) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val bytes = Multimodal.MediaCodec.encodeAnimatedGif(w, h, n, px)
+    assert(new String(bytes.slice(0, 3), "US-ASCII") == "GIF")
+    val Some(frames) = Multimodal.MediaCodec.decodeGifFrames(bytes)
+    assert(frames.length == n)
+    frames.zipWithIndex.foreach { case ((fw, fh, sr, sg, sb), f) =>
+      assert((fw, fh) == (w, h))
+      val expected = for { x <- 0 until w; y <- 0 until h } yield
+        ((f * 50 + x * 7 + y * 13) % 256,
+         (f * 60 + x * 11 + y * 3) % 256,
+         (f * 70 + x * 5 + y * 19) % 256)
+      assert(sr == expected.map(_._1).sum, s"frame $f red")
+      assert(sg == expected.map(_._2).sum, s"frame $f green")
+      assert(sb == expected.map(_._3).sum, s"frame $f blue")
+    }
+    // malformed payloads skip, never throw
+    assert(Multimodal.MediaCodec.decodeGifFrames("not a gif".getBytes).isEmpty)
+  }
+
+  test("gifFromDocuments: per-frame decoded stats match the closed-form pixel function") {
+    val stats = Multimodal.gifFrameStats(Multimodal.gifFromDocuments(spark, sf))
+      .filter("media_id < 15").collect()
+      .groupBy(_.getLong(0))
+    assert(stats.size == 15)
+    stats.foreach { case (id, rows) =>
+      val frames = (2 + id % 3).toInt
+      val w = (3 + id % 4).toInt
+      val h = (3 + id % 2).toInt
+      assert(rows.length == frames, s"media $id frame count")
+      rows.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, f) =>
+        assert(r.getLong(1) == f && r.getInt(2) == w && r.getInt(3) == h)
+        val exp = for { x <- 0 until w; y <- 0 until h } yield
+          ((id * 29 + f * 41 + x * 7 + y * 13) % 256,
+           (id * 37 + f * 43 + x * 11 + y * 3) % 256,
+           (id * 41 + f * 47 + x * 5 + y * 19) % 256)
+        assert(r.getLong(4) == exp.map(_._1).sum, s"media $id frame $f r")
+        assert(r.getLong(5) == exp.map(_._2).sum, s"media $id frame $f g")
+        assert(r.getLong(6) == exp.map(_._3).sum, s"media $id frame $f b")
+      }
+    }
+  }
+
   test("frame sampling emits every stride-th fixed-size block") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
