@@ -605,10 +605,13 @@ object Dedup {
   /** SimHash near-dup candidates: Hamming(a,b) ≤ maxHamming. Blocked by
     * the pigeonhole principle on four 16-bit chunks (≤3 differing bits
     * ⇒ at least one chunk identical) — a bucket join, never N².
-    * Hamming distance via bit_count(xor). */
+    * Hamming distance via bit_count(xor). `tokenHash` defaults to
+    * xxhash64 (production); pass [[portableTokenHash]] to make the
+    * full pair set engine-portable (the d04 oracle gate). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol, w => xxhash64(w))
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = w => xxhash64(w)): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol, tokenHash)
       .cache()
     val chunked = sigs.select(col(idCol), col("sig"), posexplode(array(
         (0 until 4).map(c =>

@@ -16,9 +16,15 @@ import graft.similarity.Ann
   *
   * Oracle strategy: everything built from engine-portable arithmetic
   * (integer set algebra, exact fold hashes, double division) carries
-  * full DuckDB SQL; operators whose outputs depend on Spark-internal
-  * hashes (xxhash64 in MinHash/SimHash/LSH) are spec-tested against
-  * their exact counterparts instead and run here as rows-only checks.
+  * full DuckDB SQL. Operators whose production outputs depend on
+  * Spark-internal hashes or merge-order-sensitive floats (xxhash64 in
+  * MinHash/SimHash/LSH, VectorMean-trained centroids) run here as
+  * QUANTITATIVE oracle gates instead: either the same machinery over
+  * portable arithmetic (d04, s03, s04 — every value hash-matched), or
+  * integer recall/descent bounds the oracle can assert (d03's
+  * LSH-vs-exact counts, s05/s07's Lloyd's-objective descent). The
+  * Spark-hash production paths stay spec-tested against their exact
+  * counterparts.
   */
 object TrainingQueries {
 
@@ -112,14 +118,50 @@ object TrainingQueries {
       |WHERE inter/(ca.n + cb.n - inter) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** d03: MinHash+LSH near-dup pairs (candidates via band-bucket join,
-    * exact-Jaccard verified). Spark-hash dependent — no SQL oracle;
-    * DedupSpec proves pairs ⊆ exact d02 pairs with full recall on the
-    * planted near-dups. */
-  def d03MinhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.5)
-      .orderBy("a_id", "b_id")
+  /** d03: MinHash+LSH near-dup dedup as a QUANTITATIVE recall gate —
+    * the scale path's pair set counted against the exact inverted-index
+    * pair set (d02) computed in the same query: one row
+    * (n_exact, n_hit, n_lsh), hash-matched when LSH found exactly the
+    * exact pairs (n_hit = n_lsh = n_exact; the oracle emits the exact
+    * count three times). Banding here is the recall-hardened 32×2
+    * configuration c24 ships (miss ≈ 1e-4 per J=0.5 pair vs ~0.2 for
+    * 16×4 near the S-curve knee); d07 pins the default 16×4 banding's
+    * per-pair Jaccard values bit-for-bit. Precision is structural
+    * (candidates are exact-Jaccard-verified before emission), so a
+    * mismatch in ANY of the three counts is a real recall/precision
+    * regression, not hash noise. */
+  def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5).select("a_id", "b_id")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+      k = 64, bands = 32, threshold = 0.5).select("a_id", "b_id")
+    // three one-row aggregates; scalar broadcast joins (O(1) bytes)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(
+        exact.join(lsh, Seq("a_id", "b_id")).agg(count(lit(1)).as("n_hit"))))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+  }
+
+  val d03Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |cnt AS (SELECT doc_id, len(sh) AS n FROM tok),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM tok) a
+      |  JOIN (SELECT doc_id, unnest(sh) AS s FROM tok) b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a_id, b_id
+      |  FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE inter/(ca.n + cb.n - inter) >= 0.5)
+      |SELECT COUNT(*) AS n_exact, COUNT(*) AS n_hit, COUNT(*) AS n_lsh
+      |FROM p""".stripMargin
 
   /** d07: oracle-checked LSH — the at-scale dedup path (d03's
     * MinHash+LSH) inner-joined against the exact inverted-index pairs
@@ -199,24 +241,37 @@ object TrainingQueries {
       |WHERE inter/(ca.n + cb.n - inter) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** d04: SimHash near-dup candidates (Hamming ≤ 3 via chunk-collision
-    * join). Spark-hash dependent — spec-tested, rows-only here. */
-  def d04Simhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3)
+  /** d04: SimHash near-dup candidates as a full oracle gate — the d04
+    * chunk-collision pair machinery run over
+    * [[Dedup.portableTokenHash]] signatures (d08's portable hash), so
+    * DuckDB reproduces EVERY candidate pair and its Hamming distance
+    * bit-for-bit; each pair carries an `in_exact` overlap flag against
+    * the exact 3-gram Jaccard pairs (d02), so the gated output itself
+    * quantifies how SimHash candidates overlap the exact near-dup
+    * baseline. The xxhash64 signature path stays
+    * [[Dedup.simhashPairs]]' production default (better-mixed bits;
+    * spec-pinned against its declarative witness). */
+  def d04Simhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+      tokenHash = Dedup.portableTokenHash)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_exact"))
+    pairs.join(exact, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        col("hamming").cast(LongType).as("hamming"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"))
       .orderBy("a_id", "b_id")
+  }
 
-  /** d08: oracle-checked SimHash — the d04 signature machinery (token
-    * explode → 64 ±1 bit-sums in one hash aggregate → sign fold) run
-    * over [[Dedup.portableTokenHash]] instead of xxhash64, so DuckDB
-    * reproduces every signature bit-for-bit. d04 stays the production
-    * path (xxhash64's bits mix better); this pins the machinery. */
-  def d08SimhashPortable(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text",
-        Dedup.portableTokenHash)
-      .orderBy("doc_id")
-
-  val d08Sql: String = {
+  /** The ONE rendering of the portable SimHash signature machinery in
+    * DuckDB SQL (tokenize → portable token hash → 64 ±1 bit-sums in
+    * one aggregate → sign fold), ending in `sig(doc_id, sig)` — shared
+    * by d08's signature oracle and d04's pair-gate oracle (the
+    * duckHash discipline: determinism-critical oracle expressions are
+    * generated once). */
+  private def duckSimhashSigCtes: String = {
     // the same 64 bit-sums the Spark plan builds, generated not typed
     val sums = (0 until 64).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -224,7 +279,7 @@ object TrainingQueries {
     val bits = (0 until 64).map(j =>
       s"CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
       .mkString(" |\n    ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
        |    x -> x <> '')) AS w
        |  FROM documents),
@@ -242,11 +297,55 @@ object TrainingQueries {
        |sums AS (
        |  SELECT doc_id,
        |    $sums
-       |  FROM th GROUP BY doc_id)
-       |SELECT doc_id,
-       |  $bits AS sig
-       |FROM sums ORDER BY doc_id""".stripMargin
+       |  FROM th GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $bits AS sig
+       |  FROM sums)""".stripMargin
   }
+
+  val d04Sql: String =
+    s"""WITH $duckSimhashSigCtes,
+       |sp AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |jtok AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |        FROM documents)),
+       |jcnt AS (SELECT doc_id, len(sh) AS n FROM jtok),
+       |jpairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM jtok) a
+       |  JOIN (SELECT doc_id, unnest(sh) AS s FROM jtok) b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ep AS (
+       |  SELECT a_id, b_id
+       |  FROM jpairs JOIN jcnt ca ON ca.doc_id = a_id
+       |              JOIN jcnt cb ON cb.doc_id = b_id
+       |  WHERE inter/(ca.n + cb.n - inter) >= 0.5)
+       |SELECT sp.a_id, sp.b_id, sp.hamming,
+       |  CAST(CASE WHEN ep.a_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact
+       |FROM sp LEFT JOIN ep ON sp.a_id = ep.a_id AND sp.b_id = ep.b_id
+       |ORDER BY sp.a_id, sp.b_id""".stripMargin
+
+  /** d08: oracle-checked SimHash — the d04 signature machinery (token
+    * explode → 64 ±1 bit-sums in one hash aggregate → sign fold) run
+    * over [[Dedup.portableTokenHash]] instead of xxhash64, so DuckDB
+    * reproduces every signature bit-for-bit (d04 gates the PAIR set
+    * built from these signatures; this pins each signature value). */
+  def d08SimhashPortable(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text",
+        Dedup.portableTokenHash)
+      .orderBy("doc_id")
+
+  val d08Sql: String =
+    s"""WITH $duckSimhashSigCtes
+       |SELECT doc_id, sig FROM sig ORDER BY doc_id""".stripMargin
 
   /** d05: embedding-cosine near-dup pairs blocked on label. */
   def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
@@ -598,23 +697,58 @@ object TrainingQueries {
       |FROM ne LEFT JOIN hit USING (query_id)
       |ORDER BY query_id""".stripMargin
 
-  /** s03: LSH-bucketed ANN (random hyperplanes). Spark-hash dependent
-    * — spec-tested for recall against s01; rows-only here. */
+  /** s03: LSH-bucketed ANN as a FULL oracle twin of the
+    * bucket → bucket-join → rank pipeline ([[Ann.portableLshTopK]]):
+    * integer-hyperplane buckets (s06's coefficients) and exact integer
+    * squared-L2 ranking over the quantized vectors, so DuckDB
+    * reproduces every neighbor, rank and distance bit-for-bit. The
+    * xxhash64-hyperplane production signature stays
+    * [[Ann.lshSignature]] (spec-pinned); s06 pins the bucket values,
+    * this pins the whole search. */
   def s03AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+    Ann.portableLshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", dim = 64, nBits = 8, k = 5)
       .orderBy("query_id", "rank")
   }
 
-  /** s04: full IVF — centroids trained with the VectorMean Aggregator,
-    * queries assigned to nearest centroid, search within cell.
-    * Centroid floats are merge-order sensitive — spec-tested,
-    * rows-only here. */
+  val s03Sql: String = {
+    val (q, bits) = duckLshBucket(nBits = 8, dim = 64)
+    s"""WITH b AS (
+       |  SELECT vec_id, q,
+       |  $bits AS bucket
+       |  FROM (SELECT vec_id, $q AS q FROM embeddings)),
+       |j AS (
+       |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 65),
+       |        i -> (qq.q[i] - cc.q[i]) * (qq.q[i] - cc.q[i]))),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM b qq JOIN b cc
+       |    ON qq.bucket = cc.bucket AND qq.vec_id <> cc.vec_id
+       |  WHERE qq.vec_id < 10),
+       |r AS (
+       |  SELECT query_id, neighbor_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS rank
+       |  FROM j)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s04: trained IVF as a FULL oracle twin of the
+    * train → assign → cell-restricted-rank pipeline
+    * ([[Ann.portableIvfExactTopK]]): coarse cells from the portable
+    * integer k-means trainer (s09's machinery, same salt/params so the
+    * oracle shares its CTEs), exact integer argmin assignment for
+    * corpus and queries, exact integer squared-L2 ranking within the
+    * query's cell. The float VectorMean-trained path stays
+    * [[Ann.ivfTrainedTopK]] (merge-order-sensitive floats; spec-tested
+    * nprobe/recall properties in AnnSpec). */
   def s04AnnIvfTrained(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Ann.ivfTrainedTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
-        "embedding", "label", k = 3)
+    Ann.portableIvfExactTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", dim = 64, cells = 8, iters = 2, topK = 3)
       .orderBy("query_id", "rank")
   }
 
@@ -889,19 +1023,28 @@ object TrainingQueries {
         dim = 64, k = 8, iters = 2)
       .orderBy("vec_id")
 
-  val s09Sql: String = {
+  /** Exact integer squared-L2 between two BIGINT[64] refs in DuckDB —
+    * shared by the portable-k-means CTEs and s04's within-cell rank. */
+  private def duckIntL2(qRef: String, cRef: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, 65),
+       |              i -> ($qRef[i] - $cRef[i]) * ($qRef[i] - $cRef[i]))),
+       |            (acc, x) -> acc + x)""".stripMargin
+
+  /** The ONE rendering of [[Ann.portableKmeansCentroids]]'
+    * seed → assign → update → assign machinery in DuckDB SQL (k=8,
+    * dim=64, 2 exact-integer Lloyd's iterations, salt 'pkmeans'),
+    * ending in `a3(vec_id, q, cell)` — the final assignment WITH the
+    * quantized vectors. Shared by s09's assignment oracle and s04's
+    * trained-IVF search oracle. */
+  private def duckPkmeansCtes: String = {
     val h = duckHash("'pkmeans:' || CAST(vec_id AS VARCHAR)")
-    def dist(qRef: String, cRef: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |            list_transform(range(1, 65),
-         |              i -> ($qRef[i] - $cRef[i]) * ($qRef[i] - $cRef[i]))),
-         |            (acc, x) -> acc + x)""".stripMargin
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT vec_id, q, cell FROM (
          |    SELECT q0.vec_id, q0.q, $cents.cell,
          |      row_number() OVER (PARTITION BY q0.vec_id
-         |        ORDER BY ${dist("q0.q", s"$cents.c")}, $cents.cell) AS rn
+         |        ORDER BY ${duckIntL2("q0.q", s"$cents.c")}, $cents.cell) AS rn
          |    FROM q0 CROSS JOIN $cents)
          |  WHERE rn = 1)""".stripMargin
     def updateCtes(a: String, prev: String, next: String): String =
@@ -921,7 +1064,7 @@ object TrainingQueries {
          |  SELECT $prev.cell, COALESCE(u_$next.c, $prev.c) AS c
          |  FROM $prev LEFT JOIN u_$next ON u_$next.cell = $prev.cell)"""
         .stripMargin
-    s"""WITH q0 AS (
+    s"""q0 AS (
        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -934,23 +1077,59 @@ object TrainingQueries {
        |${updateCtes("a1", "c0", "c1")},
        |${assignCte("a2", "c1")},
        |${updateCtes("a2", "c1", "c2")},
-       |${assignCte("a3", "c2")}
-       |SELECT vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
+       |${assignCte("a3", "c2")}""".stripMargin
   }
 
-  /** s07: product-quantization ANN — codebooks trained per subspace
-    * (k-means), corpus encoded to m small codes, queries ranked by
-    * asymmetric distance against the code arrays only. Trained floats
-    * are merge-order sensitive (same reason as s04) — rows-only here;
-    * the machinery oracle is s08, exactness properties in AnnSpec. */
+  val s09Sql: String =
+    s"""WITH $duckPkmeansCtes
+       |SELECT vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
+
+  val s04Sql: String =
+    s"""WITH $duckPkmeansCtes,
+       |j AS (
+       |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |    ${duckIntL2("qq.q", "cc.q")} AS d2
+       |  FROM a3 qq JOIN a3 cc
+       |    ON qq.cell = cc.cell AND qq.vec_id <> cc.vec_id
+       |  WHERE qq.vec_id < 10),
+       |r AS (
+       |  SELECT query_id, neighbor_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS rank
+       |  FROM j)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** s07: PQ codebook training as a QUANTITATIVE descent gate: 2
+    * per-subspace k-means iterations must cut total reconstruction
+    * error (Σ over the corpus of each vector's ADC distance to its own
+    * codes — the quantity PQ training minimizes) to ≤ 90% of the seed
+    * codebook's. Observed ratio ≈ 0.76-0.78 at sf0.001/0.01/0.1
+    * (GateProbe); per-subspace Lloyd's descends monotonically, so the
+    * ~12-point margin absorbs float merge-order jitter. Trained
+    * floats themselves are merge-order sensitive (same as s04's
+    * trainer) — the encode/serve machinery is pinned bit-for-bit by
+    * s08 (encode), s10 (rerank) and s12 (IVF-PQ); search exactness
+    * properties live in AnnSpec. */
   def s07PqTrained(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cb = Ann.pqTrainCodebooks(emb, "vec_id", "embedding",
-      dim = 64, m = 8, k = 16, iters = 2)
-    Ann.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
-        "embedding", dim = 64, cb, k = 5)
-      .orderBy("query_id", "rank")
+    def reconErr(iters: Int): Double = {
+      val cb = Ann.pqTrainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = iters)
+      emb.select(Ann.pqAdcDistance(col("embedding"),
+          Ann.pqEncode(col("embedding"), 64, cb), 64, cb).as("e"))
+        .agg(sum("e")).collect()(0).getDouble(0)
+    }
+    val e0 = reconErr(0)
+    val e2 = reconErr(2)
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .select(col("n_vectors"),
+        lit(if (e2 * 10.0 <= e0 * 9.0) 1L else 0L).as("descended"))
   }
+
+  val s07Sql: String =
+    """SELECT COUNT(*) AS n_vectors, CAST(1 AS BIGINT) AS descended
+      |FROM embeddings""".stripMargin
 
   /** s08: portable-PQ oracle twin — integer-exact encode +
     * reconstruction error over the fixed affine-mod codebook, so
@@ -1421,16 +1600,31 @@ object TrainingQueries {
       |      FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
 
-  /** s05: distributed k-means corpus clustering (Lloyd's, 8 cells,
-    * 3 iterations, deterministic hash-drawn seeds) — every embedding
-    * labeled with its learned cell. Centroid floats are merge-order
-    * sensitive — spec-tested (planted-cluster recovery, degeneracy
-    * guard); rows-only here. */
-  def s05Kmeans(s: SparkSession, d: String): DataFrame =
-    Ann.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 8, iters = 3)
-      .select("vec_id", "cell")
-      .orderBy("vec_id")
+  /** s05: distributed k-means (Lloyd's, 8 cells, deterministic
+    * hash-drawn seeds) as a QUANTITATIVE descent gate: 3 training
+    * iterations must cut the clustering objective (total within-cell
+    * squared L2, [[Ann.kmeansSse]]) to ≤ 90% of the seed centroids'
+    * objective. Observed ratio ≈ 0.76 at sf0.001/0.01/0.1 (GateProbe),
+    * so the bound has ~14-point margin; exact Lloyd's descends
+    * monotonically and the float trainer's merge-order jitter is
+    * orders of magnitude below it. The trained ASSIGNMENT is
+    * float-merge-order sensitive and stays spec-tested
+    * (planted-cluster recovery, degeneracy guard); s09 pins the
+    * trainer machinery bit-for-bit in integer arithmetic. */
+  def s05Kmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val sse0 = Ann.kmeansSse(emb, "embedding",
+      Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 0))
+    val sse3 = Ann.kmeansSse(emb, "embedding",
+      Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3))
+    emb.agg(count(lit(1)).as("n_points"))
+      .select(col("n_points"),
+        lit(if (sse3 * 10.0 <= sse0 * 9.0) 1L else 0L).as("descended"))
+  }
+
+  val s05Sql: String =
+    """SELECT COUNT(*) AS n_points, CAST(1 AS BIGINT) AS descended
+      |FROM embeddings""".stripMargin
 
   // -------------------------------------------------------- multimodal
 
@@ -2268,9 +2462,9 @@ object TrainingQueries {
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
-    ("d03_minhash_lsh", d03MinhashLsh _, None),
+    ("d03_minhash_lsh", d03MinhashLsh _, Some(d03Sql)),
     ("d07_lsh_vs_exact", d07LshVsExact _, Some(d07Sql)),
-    ("d04_simhash", d04Simhash _, None),
+    ("d04_simhash", d04Simhash _, Some(d04Sql)),
     ("d08_simhash_portable", d08SimhashPortable _, Some(d08Sql)),
     ("d09_incremental_dedup", d09IncrementalDedup _, Some(d09Sql)),
     ("d10_span_dedup", d10SpanDedup _, Some(d10Sql)),
@@ -2293,11 +2487,11 @@ object TrainingQueries {
     ("t12_top_ngram", t12TopNgram _, Some(t12Sql)),
     ("s01_ann_bruteforce", s01AnnBruteForce _, Some(s01Sql)),
     ("s02_ann_ivf", s02AnnIvf _, Some(s02Sql)),
-    ("s03_ann_lsh", s03AnnLsh _, None),
-    ("s04_ann_ivf_trained", s04AnnIvfTrained _, None),
-    ("s05_kmeans", s05Kmeans _, None),
+    ("s03_ann_lsh", s03AnnLsh _, Some(s03Sql)),
+    ("s04_ann_ivf_trained", s04AnnIvfTrained _, Some(s04Sql)),
+    ("s05_kmeans", s05Kmeans _, Some(s05Sql)),
     ("s06_lsh_portable", s06LshPortable _, Some(s06Sql)),
-    ("s07_pq_trained", s07PqTrained _, None),
+    ("s07_pq_trained", s07PqTrained _, Some(s07Sql)),
     ("s08_pq_portable", s08PqPortable _, Some(s08Sql)),
     ("s09_kmeans_portable", s09KmeansPortable _, Some(s09Sql)),
     ("s10_pq_rerank", s10PqRerank _, Some(s10Sql)),

@@ -243,6 +243,55 @@ object Ann {
     cents
   }
 
+  /** Lloyd's objective: total squared L2 distance from every corpus
+    * vector to its nearest centroid — one scan, one scalar aggregate
+    * (the per-row min is a k-entry literal-array fold, no join). Used
+    * by the s05 oracle gate to assert training DESCENDED the
+    * objective (monotone under exact Lloyd's; the float trainer's
+    * merge-order jitter is orders of magnitude below the descent this
+    * gates on). */
+  def kmeansSse(corpus: DataFrame, vecCol: String,
+      cents: Seq[(Long, Array[Float])]): Double = {
+    require(cents.nonEmpty, "centroids must be non-empty")
+    val minD = array_min(array(cents.sortBy(_._1).map { case (_, v) =>
+      VectorFunctions.l2Distance(col(vecCol), typedlit(v))
+    }: _*))
+    corpus.agg(sum(minD)).collect()(0).getDouble(0)
+  }
+
+  /** Portable trained-IVF search — the oracle twin of
+    * [[ivfTrainedTopK]]'s WHOLE pipeline (trainer + assignment +
+    * cell-restricted ranking), in the s06/s08/s09 quantize-and-pin
+    * pattern: coarse cells from [[portableKmeansCentroids]] (exact
+    * integer Lloyd's), corpus and queries assigned by exact integer
+    * argmin, candidates restricted to the query's cell, ranked by
+    * exact integer squared L2 over the floor(x·10⁶)-quantized
+    * vectors. Every cell, rank and distance is BIGINT arithmetic an
+    * external engine reproduces bit-for-bit. Same plan shape as the
+    * float path: corpus never shuffled, queries broadcast, one
+    * partial-ranked window. */
+  def portableIvfExactTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, cells: Int, iters: Int,
+      topK: Int, salt: String = "pkmeans"): DataFrame = {
+    val cents = portableKmeansCentroids(corpus, idCol, vecCol, dim, cells,
+      iters, salt)
+    val c = quantizeVec(corpus, idCol, vecCol)
+      .withColumn("cell", portableCellOf(col("q"), cents))
+    val q = quantizeVec(queries, idCol, vecCol)
+      .withColumn("cell", portableCellOf(col("q"), cents))
+      .select(col(idCol).as("query_id"), col("q").as("qv"), col("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("d2", aggregate(
+        zip_with(col("q"), col("qv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
+        col("d2"))
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
     * with pseudo-random hyperplanes. Hyperplane j component i is a
     * deterministic hash-derived value in [-1,1] — no stored model. */
@@ -668,6 +717,35 @@ object Ann {
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"), col("rank"))
+  }
+
+  /** Portable-LSH bucketed top-k — the oracle twin of [[lshTopK]]'s
+    * WHOLE pipeline (bucket → bucket-join → rank), in the s06 pattern:
+    * buckets from [[portableLshBucket]] (integer hyperplanes), ranking
+    * by exact integer squared L2 over the floor(x·10⁶)-quantized
+    * vectors — every bucket, rank and distance reproducible
+    * bit-for-bit in an external engine. Same plan shape as the
+    * production path: corpus never shuffled, queries broadcast,
+    * candidates only from the query's bucket. */
+  def portableLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol),
+      transform(col(vecCol).cast(ArrayType(DoubleType)),
+        x => floor(x * 1000000d).cast(LongType)).as("q"),
+      portableLshBucket(col(vecCol), nBits, dim).as("bucket"))
+    val scored = prep(corpus).join(
+        broadcast(prep(queries).select(col(idCol).as("query_id"),
+          col("q").as("qv"), col("bucket"))),
+        "bucket")
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("d2", aggregate(
+        zip_with(col("q"), col("qv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
+        col("d2"))
   }
 
   /** Recall@k evaluation: per-query overlap between an approximate

@@ -70,6 +70,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("simhash pairs with portable hash equal the brute-force pair set of portable signatures") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text",
+        Dedup.portableTokenHash)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+        tokenHash = Dedup.portableTokenHash)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(pairs == expected,
+      "chunk-collision blocking must lose no pair vs the N^2 recompute")
+  }
+
   test("duplicate clusters: chains collapse to one root, singletons self-root") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")

@@ -23,19 +23,19 @@ class PlanAuditSpec extends SparkSpec {
   /** Intentional nested-loop/cross plans:
     * q22 is a cross join by definition; s01 brute-force ANN scores
     * every (query, corpus) pair by design — the broadcast side is the
-    * tiny query set; s04's assignment step scores every (query,
-    * centroid) pair — the centroid table is nlist rows by
-    * construction; t10/t11 attach a ONE-ROW corpus-totals aggregate
+    * tiny query set; t10/t11 attach a ONE-ROW corpus-totals aggregate
     * via crossJoin(broadcast(...)) — a scalar join, O(1) broadcast
     * bytes regardless of corpus size (Selection.classifierWeights /
     * tfidfTopK Scaladoc); s11 composes s01's brute-force exact
     * baseline (the recall denominator is DEFINED as the exhaustive
     * scan over the broadcast query sample); c23 attaches its one-row
     * vocab-size aggregate the same way (`crossJoin(broadcast(vocab))`,
-    * Selection.lmScore — a scalar join, O(1) broadcast bytes). */
+    * Selection.lmScore — a scalar join, O(1) broadcast bytes); d03's
+    * recall gate composes its three ONE-ROW count aggregates the same
+    * way. */
   private val nestedLoopAllowed = Set("q22_cross_join", "s01_ann_bruteforce",
-    "s04_ann_ivf_trained", "t10_classifier", "t11_tfidf",
-    "s11_ann_recall", "c23_lm_score")
+    "t10_classifier", "t11_tfidf",
+    "s11_ann_recall", "c23_lm_score", "d03_minhash_lsh")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

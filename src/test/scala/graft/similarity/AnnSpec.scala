@@ -306,6 +306,65 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("portable LSH top-k: neighbors share the query's portable bucket; d2 is the exact integer L2") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val out = Ann.portableLshTopK(emb, q, "vec_id", "embedding",
+      dim = 64, nBits = 8, k = 5).collect()
+    assert(out.nonEmpty)
+    val buckets = emb.select(col("vec_id"),
+        Ann.portableLshBucket(col("embedding"), nBits = 8, dim = 64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quant = emb.select(col("vec_id"),
+        transform(col("embedding").cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+          x => floor(x * 1000000d).cast(
+            org.apache.spark.sql.types.LongType)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    out.foreach { r =>
+      val (qid, nid, d2) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(qid != nid)
+      assert(buckets(qid) == buckets(nid), s"$qid/$nid cross-bucket")
+      val expect = quant(qid).zip(quant(nid))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(d2 == expect, s"$qid->$nid integer L2 mismatch")
+    }
+  }
+
+  test("portable IVF exact top-k: neighbors share the query's trained cell, ranks follow integer L2") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val out = Ann.portableIvfExactTopK(emb, q, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2, topK = 3).collect()
+    assert(out.nonEmpty)
+    val cells = Ann.portableKmeansAssign(emb, "vec_id", "embedding",
+        dim = 64, k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (qid, rows) =>
+      rows.foreach { r =>
+        assert(cells(qid) == cells(r.getLong(1)), "cross-cell neighbor")
+      }
+      // ranks are 1..n and d2 non-decreasing along them
+      val ranked = rows.sortBy(_.getLong(2))
+      assert(ranked.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
+      val d2s = ranked.map(_.getLong(3)).toSeq
+      assert(d2s == d2s.sorted, s"query $qid d2 not ordered by rank")
+    }
+  }
+
+  test("kmeansSse: Lloyd's objective descends from seed to trained centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val sse0 = Ann.kmeansSse(emb, "embedding",
+      Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 0))
+    val sse3 = Ann.kmeansSse(emb, "embedding",
+      Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3))
+    assert(sse0 > 0.0 && sse3 > 0.0)
+    assert(sse3 <= sse0, s"training must not increase the objective " +
+      s"($sse0 -> $sse3)")
+  }
+
   test("recallAtK: planted overlap counts, zero-hit queries kept, ppm is exact integer division") {
     import spark.implicits._
     val exact = Seq(
