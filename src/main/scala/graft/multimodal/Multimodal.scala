@@ -19,11 +19,12 @@ import org.apache.spark.sql.types._
   * [[MediaCodec.decodeWavSamples]]), and MULTI-FRAME extraction via
   * `javax.imageio` animated-GIF sequences
   * ([[MediaCodec.encodeAnimatedGif]]/[[MediaCodec.decodeGifFrames]] —
-  * the one multi-frame container the JVM ships a codec for). True
-  * video codecs (H.264 etc.) don't exist in this container; the
-  * byte-block [[sampleFrames]] stub and the digest-based
-  * [[MediaCodec.decodeFeature]] fake remain as the shape contracts
-  * for those learned/native stages. The Scala analog of a Pandas-UDF
+  * the one multi-frame container the JVM ships a codec for; frame
+  * EXTRACTION in [[gifFrameStats]], stride SAMPLING in
+  * [[sampleGifFrames]]). True video codecs (H.264 etc.) and learned
+  * featurizers don't exist in this container; the digest-based
+  * [[MediaCodec.decodeFeature]] fake remains as the shape contract
+  * for those native stages. The Scala analog of a Pandas-UDF
   * `mapInPandas` decode is the typed `mapPartitions` below: one codec
   * init per partition, streaming row batches through it.
   */
@@ -290,6 +291,43 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** REAL codec — multi-frame GIF decode to PIXELS: every frame's
+      * dimensions + row-major 0xRRGGBB pixel array, in frame order
+      * (the pixel-level sibling of [[decodeGifFrames]], for stages
+      * that fingerprint or transform frame content rather than
+      * aggregate it). None on undecodable payloads (same skip-entity
+      * policy). */
+    def decodeGifFramePixels(bytes: Array[Byte])
+        : Option[Seq[(Int, Int, Array[Int])]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            Some((0 until n).map { i =>
+              val img = reader.read(i)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val rgb = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  rgb(y * w + x) = img.getRGB(x, y) & 0xFFFFFF
+                  x += 1
+                }
+                y += 1
+              }
+              (w, h, rgb)
+            })
+          } finally reader.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** [[decodeWavSamples]] reduced to (sampleRate, nSamples,
       * Σ samples, max |sample|), all integer-exact. */
     def decodeWav(bytes: Array[Byte]): Option[(Int, Long, Long, Long)] =
@@ -542,19 +580,35 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling stub: every `stride`-th fixed-size block of the
-    * payload (stands in for video frame extraction; the slicing/batch
-    * shape is the real contract). */
-  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
-      stride: Int): DataFrame = {
-    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+  /** Per-partition REAL frame SAMPLING stage: decode the multi-frame
+    * GIF container ([[MediaCodec.decodeGifFramePixels]]), keep every
+    * `stride`-th frame, and emit each sampled frame's dimensions plus
+    * an order-sensitive pixel fingerprint — the polynomial fold
+    * `fp = (fp·31 + pixel) mod (2³¹−1)` over row-major 0xRRGGBB
+    * values. Channel sums (m08) cannot tell two frames with permuted
+    * pixels apart; the fingerprint is the frame-identity key a
+    * video-dedup stage would bucket on, and it is integer-exact so an
+    * external oracle reproduces it from the pixel function with no
+    * codec. Undecodable payloads are skipped. Narrow map — no
+    * shuffle. */
+  def sampleGifFrames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
     require(stride > 0, s"stride must be positive, got $stride")
     val s = media.sparkSession
     import s.implicits._
-    media.flatMap { r =>
-      r.media.grouped(frameBytes).zipWithIndex
-        .filter(_._2 % stride == 0)
-        .map { case (frame, idx) => (r.media_id, idx.toLong, frame) }
-    }.toDF("media_id", "frame_idx", "frame")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeGifFramePixels(r.media).toSeq.flatMap(
+          _.zipWithIndex.collect {
+            case ((w, h, rgb), i) if i % stride == 0 =>
+              var fp = 0L
+              var j = 0
+              while (j < rgb.length) {
+                fp = (fp * 31L + rgb(j)) % 2147483647L
+                j += 1
+              }
+              (r.media_id, i.toLong, w, h, fp)
+          })
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "pix_fp")
   }
 }

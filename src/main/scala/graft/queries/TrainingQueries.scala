@@ -1666,44 +1666,38 @@ object TrainingQueries {
       |    AS VARCHAR) AS feature_json
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** m03: frame sampling — every 3rd 64-byte block of the binary
-    * payload ([[graft.multimodal.Multimodal.sampleFrames]], the video
-    * frame-extraction stand-in; slicing/batch shape is the real
-    * contract). Frames are binary, so the compared row carries their
-    * byte length + md5 hex. Scoped to ASCII payloads (byte slicing ==
-    * char slicing) so the DuckDB oracle can reproduce each frame with
-    * VARCHAR substring — its substring cannot slice BLOBs. */
+  /** m03: REAL frame sampling — every 3rd frame of a genuine
+    * animated-GIF container (m08's fixture), decoded with
+    * `javax.imageio` read sequences
+    * ([[graft.multimodal.Multimodal.sampleGifFrames]]); each sampled
+    * frame emits its dimensions plus an order-sensitive pixel
+    * fingerprint (polynomial fold over row-major pixels) — the
+    * frame-identity key a video-dedup stage buckets on, which channel
+    * sums (m08) cannot provide. The oracle reproduces every
+    * fingerprint from the closed-form pixel function with no codec —
+    * so the hash match also proves the GIF round-trip is pixel-exact
+    * in ORDER, not just in aggregate. */
   def m03FrameSample(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.Multimodal
-    val ascii = Tables.documents(s, d)
-      .filter(octet_length(col("text")) === length(col("text")))
-      .select(col("doc_id").as("media_id"))
-    // semi-join BEFORE frame extraction: excluded payloads are never
-    // sliced (the scale-shape contract this query documents)
-    val media = Multimodal.mediaFromDocuments(s, d)
-    val asciiMedia = media.join(ascii, Seq("media_id"), "left_semi")
-      .as[Multimodal.MediaRecord](
-        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
-    Multimodal.sampleFrames(asciiMedia, frameBytes = 64, stride = 3)
-      .select(col("media_id"), col("frame_idx"),
-        length(col("frame")).cast(LongType).as("frame_bytes"),
-        md5(col("frame")).as("frame_digest"))
+    Multimodal.sampleGifFrames(Multimodal.gifFromDocuments(s, d), stride = 3)
       .orderBy("media_id", "frame_idx")
   }
 
   val m03Sql: String =
-    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
-      |           WHERE octet_length(encode(text)) = length(text)),
-      |idx AS (SELECT media_id, text,
-      |          unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 3))
-      |            AS frame_idx
-      |        FROM m)
-      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-      |  CAST(length(substring(text, 1 + CAST(frame_idx AS BIGINT) * 64, 64))
-      |    AS BIGINT) AS frame_bytes,
-      |  md5(substring(text, 1 + CAST(frame_idx AS BIGINT) * 64, 64))
-      |    AS frame_digest
-      |FROM idx ORDER BY media_id, frame_idx""".stripMargin
+    """WITH fs AS (
+      |  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS f FROM documents),
+      |sampled AS (SELECT doc_id, f FROM fs WHERE f % 3 = 0)
+      |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(3 + doc_id % 4 AS INTEGER) AS width,
+      |  CAST(3 + doc_id % 2 AS INTEGER) AS height,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    flatten(list_transform(range(0, 3 + doc_id % 2), y ->
+      |      list_transform(range(0, 3 + doc_id % 4), x ->
+      |        ((doc_id * 29 + f * 41 + x * 7 + y * 13) % 256) * 65536
+      |        + ((doc_id * 37 + f * 43 + x * 11 + y * 3) % 256) * 256
+      |        + ((doc_id * 41 + f * 47 + x * 5 + y * 19) % 256))))),
+      |    (acc, p) -> (acc * 31 + p) % 2147483647) AS pix_fp
+      |FROM sampled ORDER BY media_id, frame_idx""".stripMargin
 
   /** m04: REAL image codec end to end — each document id is rendered
     * into actual PNG bytes (javax.imageio encode) whose pixels follow
@@ -1828,8 +1822,9 @@ object TrainingQueries {
     * extracts every frame with `javax.imageio` read sequences and
     * keeps every 2nd frame (the sampling step of a video pipeline),
     * and the oracle reproduces each sampled frame's channel sums from
-    * the closed-form pixel function with no codec. m03's byte-block
-    * stub remains the shape-contract twin; this is the real thing. */
+    * the closed-form pixel function with no codec. m03 runs the same
+    * container through the stride-sampling stage with per-frame pixel
+    * FINGERPRINTS (order-sensitive) instead of channel sums. */
   def m08GifFrames(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.Multimodal
     Multimodal.gifFrameStats(Multimodal.gifFromDocuments(s, d))

@@ -191,14 +191,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frame sampling emits every stride-th fixed-size block") {
-    val media = Multimodal.mediaFromDocuments(spark, sf)
-    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
-    val forDoc = frames.filter("media_id = 0").collect()
-    assert(forDoc.nonEmpty)
-    assert(forDoc.map(_.getLong(1)).forall(_ % 2 == 0))
-    // all but possibly the final block are exactly frameBytes long
-    val sizes = forDoc.map(_.getAs[Array[Byte]]("frame").length)
-    assert(sizes.init.forall(_ == 16))
+  test("GIF frame sampling keeps stride-th frames with order-sensitive pixel fingerprints") {
+    val media = Multimodal.gifFromDocuments(spark, sf)
+    val out = Multimodal.sampleGifFrames(media, stride = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).forall(_ % 2 == 0), "non-stride frame kept")
+    // fingerprint equals the polynomial fold over the closed-form
+    // pixels in row-major order — an independent recompute, and a
+    // pixel-ORDER check (channel sums cannot catch a permutation)
+    out.filter(_.getLong(0) < 20).foreach { r =>
+      val (id, f) = (r.getLong(0), r.getLong(1))
+      val w = (3 + id % 4).toInt
+      val h = (3 + id % 2).toInt
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      var fp = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (((id * 29 + f * 41 + x * 7 + y * 13) % 256) << 16) |
+          (((id * 37 + f * 43 + x * 11 + y * 3) % 256) << 8) |
+          ((id * 41 + f * 47 + x * 5 + y * 19) % 256)
+        fp = (fp * 31L + p) % 2147483647L
+      }
+      assert(r.getLong(4) == fp, s"media $id frame $f fingerprint")
+    }
   }
 }
