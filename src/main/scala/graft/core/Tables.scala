@@ -76,11 +76,43 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema(colName).dataType match {
       case LongType =>
+        // The LongType arm only ever means "TIMESTAMP(NANOS) read under
+        // nanosAsLong" today — but a future regeneration writing raw
+        // epoch micros/millis as plain INT64 would land in this same
+        // arm and be silently collapsed/expanded 1000×: the exact
+        // failure class this dispatch exists to prevent, reintroduced
+        // as a heuristic. Guard by magnitude: epoch-NANOS for any
+        // plausible year (1973-2128) sit in [1e17, 5e18]; micros/millis
+        // are 3/6 orders smaller. Throw loudly on ambiguity instead of
+        // guessing (one bounded min/max job per load; memoized per
+        // path set so repeated loads in probe loops pay it once).
+        assertNanoRange(df, colName)
         df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
       case TimestampNTZType =>
         df.withColumn(colName, col(colName).cast(TimestampType))
       case _ => df
     }
+  }
+
+  private val nanosChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def assertNanoRange(df: DataFrame, colName: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val key =
+      try df.inputFiles.sorted.mkString("|") + "#" + colName
+      catch { case scala.util.control.NonFatal(_) => "" }
+    if (key.nonEmpty && nanosChecked.contains(key)) return
+    val bounds = df.agg(min(col(colName)), max(col(colName))).collect()(0)
+    if (!bounds.isNullAt(0)) {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      require(lo >= 100000000000000000L && hi < 5000000000000000000L,
+        s"raw INT64 '$colName' range [$lo, $hi] is not plausible " +
+          "epoch-NANOS (1973-2128); refusing to guess the unit — " +
+          "normalizeTs dispatches on observed encoding, and this " +
+          "column's writer used one it has not seen")
+    }
+    if (key.nonEmpty) nanosChecked.add(key)
   }
 
   /** The events table with `ts` normalized to TimestampType (UTC). */

@@ -182,6 +182,14 @@ object Multimodal {
       * format — callers skip (the same skip-entity policy as
       * [[decodeImageRgb]]). */
     def decodeWavSamples(bytes: Array[Byte]): Option[Array[Short]] =
+      decodeWavRateSamples(bytes).map(_._2)
+
+    /** One-pass WAV decode to (sampleRate, samples) — the container is
+      * opened and parsed ONCE; [[decodeWavSamples]] and [[decodeWav]]
+      * are projections of this (decodeWav previously re-opened the
+      * payload just to read the rate, doubling per-row decode cost in
+      * the mapPartitions stage). */
+    def decodeWavRateSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -200,7 +208,7 @@ object Multimodal {
             out(i / 2) = ((hi << 8) | lo).toShort
             i += 2
           }
-          Some(out)
+          Some((fmt.getSampleRate.toInt, out))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -328,25 +336,21 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** [[decodeWavSamples]] reduced to (sampleRate, nSamples,
-      * Σ samples, max |sample|), all integer-exact. */
+    /** [[decodeWavRateSamples]] reduced to (sampleRate, nSamples,
+      * Σ samples, max |sample|), all integer-exact. One container
+      * parse. */
     def decodeWav(bytes: Array[Byte]): Option[(Int, Long, Long, Long)] =
-      try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val rate = ais.getFormat.getSampleRate.toInt
-        decodeWavSamples(bytes).map { samples =>
-          var sum = 0L; var maxAbs = 0L
-          var i = 0
-          while (i < samples.length) {
-            sum += samples(i)
-            val a = math.abs(samples(i).toLong)
-            if (a > maxAbs) maxAbs = a
-            i += 1
-          }
-          (rate, samples.length.toLong, sum, maxAbs)
+      decodeWavRateSamples(bytes).map { case (rate, samples) =>
+        var sum = 0L; var maxAbs = 0L
+        var i = 0
+        while (i < samples.length) {
+          sum += samples(i)
+          val a = math.abs(samples(i).toLong)
+          if (a > maxAbs) maxAbs = a
+          i += 1
         }
-      } catch { case scala.util.control.NonFatal(_) => None }
+        (rate, samples.length.toLong, sum, maxAbs)
+      }
   }
 
   /** Fabricate a media table from the documents fixture: the text bytes

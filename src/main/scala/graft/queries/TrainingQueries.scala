@@ -2362,7 +2362,14 @@ object TrainingQueries {
     *        at the J=0.5 threshold must be ~certain — P[collide] =
     *        1−(1−J^rows)^bands is 0.64 at J=0.5 under 16×4 but
     *        1−0.75^32 ≈ 0.9999 under 32×2 (precision is unaffected:
-    *        candidates are exact-verified before emission);
+    *        candidates are exact-verified before emission). The gate
+    *        is therefore PROBABILISTIC with a quantified envelope:
+    *        worst case ~1e-4 miss per exactly-threshold pair, and the
+    *        observed gate corpora carry ~25 exact pairs (d03's count
+    *        gate), nearly all planted well above J=0.5 where the miss
+    *        probability is ≤1e-13 — end-to-end flake odds ≲ a few in
+    *        10⁵ per regeneration, and a miss localizes to this stage
+    *        by construction (the d03 count gate fails with it);
     *   6.   semantic decontamination: doc embeddings within cosine
     *        0.3 of a held-out eval vector in the same LSH bucket
     *        ([[Selection.semanticContaminationReport]], c22's shape);

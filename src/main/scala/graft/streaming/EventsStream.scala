@@ -24,12 +24,13 @@ object EventsStream {
     * how round 7 broke (the testdata's ts encoding changed under a
     * frozen schema and every timestamp silently collapsed 1000×).
     * Instead, sniff the ACTUAL schema with a footer-only batch read —
-    * O(1) driver work, no data scan — and apply the same
-    * encoding-dispatching normalization the batch path uses
-    * ([[graft.core.Tables.normalizeTs]]). */
+    * O(1) driver work, no data scan, memoized per (sfDir, table) so
+    * probe loops re-opening the same source pay the footer read once —
+    * and apply the same encoding-dispatching normalization the batch
+    * path uses ([[graft.core.Tables.normalizeTs]]). */
   def readEvents(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val rawSchema = sniffSchema(spark, sfDir, "events")
     val raw = spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -117,7 +118,7 @@ object EventsStream {
   def readDocuments(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/documents.parquet").schema)
+      .schema(sniffSchema(spark, sfDir, "documents"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
@@ -128,10 +129,24 @@ object EventsStream {
   def readEmbeddings(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/embeddings.parquet").schema)
+      .schema(sniffSchema(spark, sfDir, "embeddings"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(sfDir)
+
+  /** Footer-only schema sniff, memoized per (sfDir, table). The
+    * testdata tree is immutable within a run, so a once-read schema
+    * stays valid; a NEW path (regenerated tree elsewhere) misses the
+    * cache and is sniffed fresh — the encoding dispatch is never
+    * frozen across generations. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
+  private def sniffSchema(spark: SparkSession, sfDir: String,
+      table: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(s"$sfDir/$table.parquet",
+      path => spark.read.parquet(path).schema)
 
   /** Streaming exact dedup — d01's operator under the streaming
     * engine: the first-seen document per content digest is emitted,

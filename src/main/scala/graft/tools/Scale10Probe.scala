@@ -128,12 +128,16 @@ object Scale10Probe {
       // c24's constituent stages individually.
       "q32_range_join_auto", "s12_ivfpq")
 
-    def time(name: String, dir: String): Double = {
+    // rows recorded alongside seconds: a super-linear factor with a
+    // matching output-row ratio is the output's cost, not the plan's
+    // (q31: pair density is quadratic in events/hour BY SEMANTICS —
+    // sec-per-output-row is the honest scaling signal there)
+    def time(name: String, dir: String): (Double, Long) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       require(n > 0, s"$name returned no rows at $dir — broken 10x layout?")
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, n)
     }
 
     // untimed warm-up (classloading + janino codegen) so the timed
@@ -151,10 +155,11 @@ object Scale10Probe {
     // errs conservative (factors read high, not low).
     val bases = queries.map(q => q -> time(q, src)).toMap
     val rows = queries.map { q =>
-      val b = bases(q)
-      val x = time(q, out)
-      println(f"[x10] $q%-26s base $b%7.2f s   10x $x%7.2f s   factor ${x / b}%5.2f")
-      (q, b, x)
+      val (b, bn) = bases(q)
+      val (x, xn) = time(q, out)
+      println(f"[x10] $q%-26s base $b%7.2f s ($bn rows)   10x $x%7.2f s " +
+        f"($xn rows)   factor ${x / b}%5.2f   row-ratio ${xn.toDouble / bn}%5.2f")
+      (q, b, bn, x, xn)
     }
     // Shipped mitigations for the known super-linear exact paths: the
     // inverted-index family (d02/d07/d13) pays Σ df² over hot shingles
@@ -174,21 +179,28 @@ object Scale10Probe {
       graft.dedup.Dedup.ngramJaccardPairs(
         graft.core.Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.5, maxDocFreq = Some(50)).count()
+    // lsh_band_bucket is the bare production LSH path (d03's QUERY is
+    // now the recall GATE, which embeds the exact inverted-index twin
+    // — timing it would measure the oracle baseline, not the
+    // mitigation)
+    def lshPairs(dir: String): Long =
+      graft.dedup.Dedup.minhashLshPairs(
+        graft.core.Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.5).count()
     val mitig = Seq(
-      timeF("d03_minhash_lsh", src)(
-        graft.SparkEntry.queries("d03_minhash_lsh")(spark, src).count()),
+      timeF("lsh_band_bucket", src)(lshPairs(src)),
       timeF("d02_capped_df50", src)(cappedJaccard(src))
     ).map { case (l, b) =>
       val x = (l match {
-        case "d03_minhash_lsh" => timeF(l, out)(
-          graft.SparkEntry.queries("d03_minhash_lsh")(spark, out).count())
+        case "lsh_band_bucket" => timeF(l, out)(lshPairs(out))
         case _ => timeF(l, out)(cappedJaccard(out))
       })._2
       println(f"[x10] mitigation $l%-20s base $b%7.2f s   10x $x%7.2f s   factor ${x / b}%5.2f")
       f""""$l":{"base_sec":$b%.2f,"x10_sec":$x%.2f,"factor":${x / b}%.2f}"""
     }
-    val json = rows.map { case (q, b, x) =>
-      f""""$q":{"base_sec":$b%.2f,"x10_sec":$x%.2f,"factor":${x / b}%.2f}"""
+    val json = rows.map { case (q, b, bn, x, xn) =>
+      f""""$q":{"base_sec":$b%.2f,"x10_sec":$x%.2f,"factor":${x / b}%.2f,""" +
+        f""""base_rows":$bn,"x10_rows":$xn,"row_ratio":${xn.toDouble / bn}%.2f}"""
     }.mkString("{\"metric\":\"scale10\",\"copies\":10,\"queries\":{", ",",
       mitig.mkString("},\"mitigations\":{", ",", "}}"))
     println(json)

@@ -47,6 +47,20 @@ class TablesSpec extends SparkSpec {
     assert(writeAndNormalize("utc") == expected)
   }
 
+  test("normalizeTs refuses a raw INT64 column whose magnitude is not epoch-nanos") {
+    // raw epoch MICROS (and millis) written as plain INT64 land in the
+    // same LongType arm as legacy nanos; dividing them by 1000 would
+    // silently collapse every instant 1000× — the guard must throw
+    // loudly instead of guessing the unit
+    val dir = java.nio.file.Files.createTempDirectory("graft_enc_micros")
+    val path = dir.resolve("t.parquet").toString
+    micros.toDF("ts").coalesce(1).write.mode("overwrite").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Tables.normalizeTs(spark.read.parquet(path)).collect()
+    }
+    assert(e.getMessage.contains("epoch-NANOS"))
+  }
+
   test("normalizeTs leaves non-ts columns and other frames untouched") {
     val df = Seq((1L, "a")).toDF("id", "v")
     // no ts column at all → schema lookup would throw; the events
