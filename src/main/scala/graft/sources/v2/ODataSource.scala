@@ -57,6 +57,12 @@ import scala.collection.JavaConverters._
   *     .option("authToken", token)   // rendered as a Bearer header
   *     .load()
   * }}}
+  * Live auth without a pre-acquired token: the OAuth2
+  * client-credentials grant ([[ClientCredentialsTokenProvider]]) —
+  * `.option("tokenUrl", ...).option("clientId", ...)
+  * .option("clientSecret", ...)` (+ optional `scope`); tokens are
+  * acquired with the reference's bounded-retry envelope, cached per
+  * executor JVM, and refreshed once on HTTP 401.
   * Delta (incremental) mode: point the source at a delta page chain —
   * `endpoint = .../entity/delta` for the first sync or `firstPage =
   * <persisted deltaLink>` for later rounds — with `delta=true` and a
@@ -102,7 +108,16 @@ class ODataSource extends TableProvider
       delta = Option(opts.get("delta")).exists(_.toBoolean),
       tokenProvider = TokenProvider.fromOptions(
         Option(opts.get("authToken")),
-        Option(opts.get("tokenProviderClass"))))
+        Option(opts.get("tokenProviderClass")),
+        Option(opts.get("tokenUrl")),
+        Option(opts.get("clientId")),
+        Option(opts.get("clientSecret")),
+        Option(opts.get("scope")),
+        // the reference's login envelope (≤5 tries / 10 s) by default;
+        // injectable so specs with stub STS failures run in ms
+        Option(opts.get("tokenRetries")).map(_.toInt).getOrElse(5),
+        Option(opts.get("tokenRetrySleepMs")).map(_.toLong)
+          .getOrElse(10000L)))
     if (conf.delta)
       require(schema.fields.exists(f =>
           f.name == "removed" && f.dataType == BooleanType),
@@ -207,6 +222,66 @@ class StaticTokenProvider(t: String) extends TokenProvider {
   }
 }
 
+/** O8 LIVE acquisition — the OAuth2 client-credentials grant
+  * (RFC 6749 §4.4), the public-protocol analog of the reference's
+  * service-principal login (MD-PS:95-117): POST
+  * `grant_type=client_credentials` + client id/secret (+ optional
+  * scope) as `application/x-www-form-urlencoded` to the token
+  * endpoint, read `access_token` out of the JSON response. Acquisition
+  * failures (non-200, malformed body, transport) THROW and ride the
+  * base class's bounded fixed-sleep retry — the reference's ≤5-try /
+  * 10 s envelope, both knobs constructor-injectable for tests; an
+  * expired token at the RESOURCE (HTTP 401) invalidates the JVM cache
+  * and [[HttpPageFetcher]] retries once with a fresh acquisition.
+  * Cache identity folds endpoint + client id + scope + a SHA-256 of
+  * the secret (never the raw secret), so two connectors with
+  * different credentials can never share a token slot. */
+class ClientCredentialsTokenProvider(tokenUrl: String, clientId: String,
+    clientSecret: String, scope: Option[String] = None,
+    retries: Int = 5, sleepMs: Long = 10000L) extends TokenProvider {
+  override protected def acquireRetries: Int = retries
+  override protected def acquireSleepMs: Long = sleepMs
+
+  override protected def acquire(): String = {
+    val conn = java.net.URI.create(tokenUrl).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(30000)
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type",
+        "application/x-www-form-urlencoded")
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val form = (Seq("grant_type" -> "client_credentials",
+        "client_id" -> clientId, "client_secret" -> clientSecret) ++
+        scope.map("scope" -> _))
+        .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+      val os = conn.getOutputStream
+      try os.write(form.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      val code = conn.getResponseCode
+      if (code != 200)
+        throw new java.io.IOException(s"token endpoint HTTP $code")
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).get("access_token")
+      if (node == null || node.asText.isEmpty)
+        throw new java.io.IOException(
+          "token endpoint response carries no access_token")
+      node.asText
+    } finally conn.disconnect()
+  }
+
+  override protected def cacheKey: String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(clientSecret.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"${getClass.getName}#$tokenUrl#$clientId#${scope.getOrElse("")}#" +
+      d.map("%02x".format(_)).mkString
+  }
+}
+
 object TokenProvider {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -218,17 +293,36 @@ object TokenProvider {
   /** Connector options → provider: `authToken` wraps a literal token;
     * `tokenProviderClass` names a public no-arg [[TokenProvider]]
     * subclass instantiated reflectively (the DSv2 string-options analog
-    * of a credential-provider registry). */
+    * of a credential-provider registry); `tokenUrl` + `clientId` +
+    * `clientSecret` (+ `scope`) wire the live client-credentials grant
+    * ([[ClientCredentialsTokenProvider]]). The three mechanisms are
+    * mutually exclusive. */
   def fromOptions(authToken: Option[String],
-      providerClass: Option[String]): Option[TokenProvider] =
-    (authToken, providerClass) match {
-      case (Some(t), None) => Some(new StaticTokenProvider(t))
-      case (None, Some(c)) => Some(Class.forName(c)
+      providerClass: Option[String],
+      tokenUrl: Option[String] = None,
+      clientId: Option[String] = None,
+      clientSecret: Option[String] = None,
+      scope: Option[String] = None,
+      tokenRetries: Int = 5,
+      tokenRetrySleepMs: Long = 10000L): Option[TokenProvider] = {
+    require(Seq(authToken, providerClass, tokenUrl).count(_.isDefined) <= 1,
+      "at most one of 'authToken', 'tokenProviderClass' and 'tokenUrl' " +
+        "may be set")
+    require(tokenUrl.isDefined || (clientId.isEmpty && clientSecret.isEmpty
+        && scope.isEmpty),
+      "'clientId'/'clientSecret'/'scope' require 'tokenUrl'")
+    (authToken, providerClass, tokenUrl) match {
+      case (Some(t), None, None) => Some(new StaticTokenProvider(t))
+      case (None, Some(c), None) => Some(Class.forName(c)
         .getDeclaredConstructor().newInstance().asInstanceOf[TokenProvider])
-      case (None, None) => None
-      case _ => throw new IllegalArgumentException(
-        "at most one of 'authToken' and 'tokenProviderClass' may be set")
+      case (None, None, Some(u)) =>
+        require(clientId.isDefined && clientSecret.isDefined,
+          "'tokenUrl' requires 'clientId' and 'clientSecret'")
+        Some(new ClientCredentialsTokenProvider(u, clientId.get,
+          clientSecret.get, scope, tokenRetries, tokenRetrySleepMs))
+      case _ => None
     }
+  }
 }
 
 class ODataTable(entitySchema: StructType, conf: ODataConf)

@@ -221,6 +221,110 @@ class ODataSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("O8 live: client-credentials grant against a stub STS — form fields, retry, cache, 401 refresh") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentLinkedQueue
+
+    val issued = new AtomicInteger(0)
+    val tokenBodies = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/oauth2/token", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      tokenBodies.add(body)
+      val n = issued.incrementAndGet()
+      if (n == 1) ex.sendResponseHeaders(503, -1) // transient STS failure
+      else {
+        val b = s"""{"token_type":"Bearer","expires_in":3599,
+                   |"access_token":"cc-tok-$n"}""".stripMargin.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      }
+      ex.close()
+    })
+    val pageHits = new ConcurrentLinkedQueue[String]()
+    server.createContext("/v1.0/devices", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse("")
+      pageHits.add(auth)
+      if (auth == "Bearer cc-tok-3") { // cc-tok-2 is expired at the resource
+        val b = """{"value":[{"id":"a","os":"linux"},{"id":"b","os":"mac"}]}"""
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      } else ex.sendResponseHeaders(401, -1)
+      ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("os",
+          org.apache.spark.sql.types.StringType)))
+      // the full DSv2 option path: acquisition (with one 503 retried
+      // inside the provider's envelope), a 401-expired first token,
+      // one refresh, then the page parse
+      val rows = spark.read.format("graft-odata").schema(schema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/devices")
+        .option("tokenUrl", s"http://127.0.0.1:$port/oauth2/token")
+        .option("clientId", "graft-app")
+        .option("clientSecret", "s3cret")
+        .option("scope", "https://resource.example/.default")
+        .option("retrySleepMs", "0")
+        .option("tokenRetrySleepMs", "0")
+        .load()
+        .collect()
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+      // every token request carried the RFC 6749 §4.4 form fields
+      val bodies = tokenBodies.asScala.toSeq
+      assert(bodies.nonEmpty)
+      bodies.foreach { b =>
+        assert(b.contains("grant_type=client_credentials"))
+        assert(b.contains("client_id=graft-app"))
+        assert(b.contains("client_secret=s3cret"))
+        assert(b.contains("scope=https%3A%2F%2Fresource.example%2F.default"))
+      }
+      // 503 then cc-tok-2 (rejected 401) then cc-tok-3 (accepted)
+      assert(issued.get() == 3)
+      // the expired token was presented exactly once, refreshed, and
+      // every later hit (planning + executor fetches) used the fresh one
+      val auths = pageHits.asScala.toSeq
+      assert(auths.head == "Bearer cc-tok-2")
+      assert(auths.tail.nonEmpty &&
+        auths.tail.forall(_ == "Bearer cc-tok-3"))
+      // accepted token is JVM-cached: a second scan issues nothing new
+      val again = spark.read.format("graft-odata").schema(schema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/devices")
+        .option("tokenUrl", s"http://127.0.0.1:$port/oauth2/token")
+        .option("clientId", "graft-app")
+        .option("clientSecret", "s3cret")
+        .option("scope", "https://resource.example/.default")
+        .option("retrySleepMs", "0")
+        .option("tokenRetrySleepMs", "0")
+        .load().count()
+      assert(again == 2)
+      assert(issued.get() == 3)
+    } finally server.stop(0)
+  }
+
+  test("client-credentials options validate as a group") {
+    // clientId without tokenUrl, and tokenUrl missing the secret, are
+    // config errors, not silent unauthenticated scans
+    assertThrows[IllegalArgumentException] {
+      TokenProvider.fromOptions(None, None, None, Some("id"), None, None)
+    }
+    assertThrows[IllegalArgumentException] {
+      TokenProvider.fromOptions(None, None, Some("http://sts"), Some("id"),
+        None, None)
+    }
+    assertThrows[IllegalArgumentException] {
+      TokenProvider.fromOptions(Some("tok"), None, Some("http://sts"),
+        Some("id"), Some("sec"), None)
+    }
+  }
+
   test("delta mode: tombstones surface as removed=true; pruning remaps by name; schema guard") {
     import graft.queries.ParityQueries.fixtureRoot
     import org.apache.spark.sql.types.{BooleanType, StructField}
