@@ -118,6 +118,29 @@ object Tables {
   /** The events table with `ts` normalized to TimestampType (UTC). */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(load(s, d, "events"))
+
+  /** Build the date-partitioned physical layout for events — the
+    * 100 TB read-path posture SURVEY §7 promises (at scale, event data
+    * lands partitioned at ingest; the flat testdata file stands in for
+    * the raw feed). One `dt=YYYY-MM-DD` directory per event day, `ts`
+    * already normalized, so day-ranged queries through
+    * [[eventsPartitioned]] hit Catalyst PARTITION PRUNING: the scan
+    * lists only matching directories — file I/O proportional to the
+    * days queried, not the retention horizon. Idempotent overwrite. */
+  def buildPartitionedEvents(s: SparkSession, sfDir: String,
+      outDir: String): Unit =
+    events(s, sfDir)
+      .withColumn("dt", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+      .write.mode("overwrite").partitionBy("dt").parquet(outDir)
+
+  /** Events over a [[buildPartitionedEvents]] layout: same columns as
+    * [[events]] plus the `dt` DATE partition column. Filters on `dt`
+    * (or `to_date(ts)` rewritten by hand to `dt`) prune directories
+    * before any file is opened — probe artifact:
+    * tools.PartitionProbe. */
+  def eventsPartitioned(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(s.read.parquet(dir))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 
   /** The embeddings table with `embedding` restored to the library's
