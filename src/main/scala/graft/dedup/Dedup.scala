@@ -245,6 +245,13 @@ object Dedup {
     // of the corpus carry no dedup signal. Dropping df > cap shingles
     // bounds the join at the cost of exactness for pairs whose overlap
     // is exclusively stop-shingles — default OFF to stay oracle-exact.
+    // The cap helps ONLY when signal df and noise df are separable:
+    // sized above the corpus's background df and below the hot-clique
+    // df it is meant to cut (SKEW_PROBE_r9: cap 500 vs background 148
+    // vs clique 5000 drops exactly the clique). A cap below background
+    // silently prunes every pair (the retracted round-8 "df50 flat"
+    // cell); against high-df BACKGROUND the exact path stays Σdf² and
+    // the scale answer is minhashLshPairs, not a cap.
     val inv = maxDocFreq.fold(invAll)(dropHotShingles(invAll, _))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") &&

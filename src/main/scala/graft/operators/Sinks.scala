@@ -23,6 +23,19 @@ object Sinks {
     df.withColumn("timeGenerated", lit(loadTime))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** O15/O16 over NEWLINE-DELIMITED JSON — the closest analog of the
+    * reference README's alternate targets ("Azure blob storage / log
+    * analytics workspace" ship row-wise JSON): same full-refresh +
+    * batch-constant-timestamp semantics as [[snapshot]], rendered as
+    * an NDJSON directory (one JSON document per line, Spark's native
+    * distributed json writer — no driver-side serialization).
+    * Timestamps render as ISO-8601 UTC strings (the session pins UTC),
+    * so any log-ingestion agent can consume the lines without parquet
+    * tooling. */
+  def ndjsonSnapshot(df: DataFrame, path: String, loadTime: Timestamp): Unit =
+    df.withColumn("timeGenerated", lit(loadTime))
+      .write.mode(SaveMode.Overwrite).json(path)
+
   /** O17 — retention mode (the reference's commented alternative,
     * MD-SQL:107-111): append this batch as a `load_date=<date>`
     * partition (the date of the batch-constant `timeGenerated`), then

@@ -175,10 +175,16 @@ object Scale10Probe {
       require(n >= 0, label)
       (label, (System.nanoTime() - t0) / 1e9)
     }
+    // cap=500: ABOVE the corpus's background shingle df (the permuted
+    // 10x corpus's common-vocabulary trigrams reach df 148 — measured
+    // by tools.DfDiag; a cap of 50 sat BELOW background, pruned every
+    // pair-generating shingle, and made the old "capped flat" cell
+    // vacuously flat on zero output) and BELOW any mass-duplication
+    // clique (SkewProbe's planted boilerplate has df 5000)
     def cappedJaccard(dir: String): Long =
       graft.dedup.Dedup.ngramJaccardPairs(
         graft.core.Tables.documents(spark, dir), "doc_id", "text",
-        threshold = 0.5, maxDocFreq = Some(50)).count()
+        threshold = 0.5, maxDocFreq = Some(500)).count()
     // lsh_band_bucket is the bare production LSH path (d03's QUERY is
     // now the recall GATE, which embeds the exact inverted-index twin
     // — timing it would measure the oracle baseline, not the
@@ -189,7 +195,7 @@ object Scale10Probe {
         threshold = 0.5).count()
     val mitig = Seq(
       timeF("lsh_band_bucket", src)(lshPairs(src)),
-      timeF("d02_capped_df50", src)(cappedJaccard(src))
+      timeF("d02_capped_df500", src)(cappedJaccard(src))
     ).map { case (l, b) =>
       val x = (l match {
         case "lsh_band_bucket" => timeF(l, out)(lshPairs(out))

@@ -24,6 +24,25 @@ class SinksSpec extends SparkSpec {
       Timestamp.valueOf("2024-11-08 00:00:00"))
   }
 
+  test("ndjson snapshot: overwrite semantics, one JSON doc per line, ISO-8601 batch ts") {
+    val path = tmp("ndjson")
+    Sinks.ndjsonSnapshot(Seq(("a", 1), ("b", 2)).toDF("id", "v"), path,
+      Timestamp.valueOf("2024-09-01 00:00:00"))
+    Sinks.ndjsonSnapshot(Seq(("c", 3)).toDF("id", "v"), path,
+      Timestamp.valueOf("2024-11-08 00:00:00"))
+    // read back as a Spark json source: full refresh happened
+    val rows = spark.read.json(path).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("id") == "c")
+    // and as raw lines: valid one-doc-per-line NDJSON any agent can eat
+    val lines = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(lines.length == 1)
+    assert(lines.head.startsWith("{") && lines.head.endsWith("}"))
+    assert(lines.head.contains(""""timeGenerated":"2024-11-08T00:00:00.000Z""""))
+  }
+
   test("retention append keeps rows within maxAgeDays, ages out the rest") {
     val path = tmp("ret")
     Sinks.retentionAppend(spark, Seq(("old", 1)).toDF("id", "v"), path,

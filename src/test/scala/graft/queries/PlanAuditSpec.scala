@@ -56,13 +56,27 @@ class PlanAuditSpec extends SparkSpec {
     * over AGGREGATE metadata (bounded rows), never row data:
     * c04's shard-offset prefix sum runs over per-shard token totals
     * (≤ max_id/shardSize rows — thousands at 100 TB; see
-    * Selection.packSequences Scaladoc). */
+    * Selection.packSequences Scaladoc). The other documented bounded
+    * site, Sinks.withSurrogateKey's OPT-IN contiguous mode
+    * (Sinks.scala), is API-only — no query plans it, so it needs no
+    * entry here. */
   private val globalWindowAllowed = Set("c04_pack_sequences")
+
+  /** Queries the window audit genuinely cannot dry-plan: physical
+    * writes and streaming queries (their plans are audited by their
+    * own specs/probes). Batch-effectful queries whose CONSTRUCTION
+    * merely runs jobs (trainers, bloom builds, gates) ARE audited —
+    * their logical plans must obey the same no-global-window
+    * invariant as everything else. */
+  private val unplannable = Set("p04_snapshot_overwrite", "p05_retention",
+    "p09_format_roundtrip", "p10_sync_retention", "p11_zorder_roundtrip",
+    "p12_bucketed_merge", "q20_stream_tumbling",
+    "q31_stream_interval_join", "q37_stream_dedup")
 
   test("no query plans a window with an empty partition spec over row data") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
-        effectful(name) || globalWindowAllowed(name) }
+        unplannable(name) || globalWindowAllowed(name) }
       .flatMap { case (name, fn) =>
         val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
