@@ -584,6 +584,44 @@ object Multimodal {
     }
   }
 
+  /** Per-partition REAL image FEATURE extraction: per-channel color
+    * histogram over the decoded pixels — `bins` equal-width buckets
+    * per RGB channel, integer-exact counts. The classic pre-learned
+    * retrieval/near-dup image feature (what embedding models replaced,
+    * and still the cheap first-pass filter at corpus scale); unlike
+    * the digest-based [[MediaCodec.decodeFeature]] shape contract this
+    * is REAL feature extraction from REAL decoded pixel data, and an
+    * external oracle reproduces every count from the pixel function
+    * with no codec. Long-format output (media_id, channel, bin, n) —
+    * ready for the bucketed-join dedup shapes. Undecodable payloads
+    * are skipped. Narrow map — no shuffle. */
+  def imageHistogram(media: Dataset[MediaRecord], bins: Int = 4): DataFrame = {
+    require(bins > 0 && 256 % bins == 0,
+      s"bins must divide 256, got $bins")
+    val width = 256 / bins
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeImageRgb(r.media).toSeq.flatMap {
+          case (_, _, rgb) =>
+            val counts = Array.ofDim[Long](3, bins)
+            var i = 0
+            while (i < rgb.length) {
+              val p = rgb(i)
+              counts(0)(((p >> 16) & 0xFF) / width) += 1
+              counts(1)(((p >> 8) & 0xFF) / width) += 1
+              counts(2)((p & 0xFF) / width) += 1
+              i += 1
+            }
+            for ((name, idx) <- Seq(("r", 0), ("g", 1), ("b", 2));
+                 b <- 0 until bins)
+              yield (r.media_id, name, b.toLong, counts(idx)(b))
+        }
+      }
+    }.toDF("media_id", "channel", "bin", "n")
+  }
+
   /** Per-partition REAL frame SAMPLING stage: decode the multi-frame
     * GIF container ([[MediaCodec.decodeGifFramePixels]]), keep every
     * `stride`-th frame, and emit each sampled frame's dimensions plus

@@ -1848,6 +1848,52 @@ object TrainingQueries {
       |  CAST(SUM((doc_id * 41 + f * 47 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
       |FROM ps GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin
 
+  /** m09: REAL image feature extraction — 4-bin-per-channel color
+    * histograms over the decoded PNG pixels
+    * ([[graft.multimodal.Multimodal.imageHistogram]]): the classic
+    * pre-learned retrieval/near-dup image feature, computed from real
+    * codec output and integer-exact, so the oracle reproduces every
+    * count from the closed-form pixel function with no codec. This
+    * retires "feature extraction" as a fake: m02's digest featurizer
+    * remains only as the shape contract for LEARNED (model-weight)
+    * featurizers, which genuinely don't exist in this container. */
+  def m09ImageHistogram(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.imageHistogram(Multimodal.pngFromDocuments(s, d), bins = 4)
+      .orderBy("media_id", "channel", "bin")
+  }
+
+  val m09Sql: String =
+    """WITH xs AS (
+      |  SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS x FROM documents),
+      |ps AS (
+      |  SELECT doc_id, x, unnest(range(0, 4 + doc_id % 3)) AS y FROM xs),
+      |px AS (
+      |  SELECT doc_id,
+      |    (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+      |    (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
+      |    (doc_id * 23 + x * 5 + y * 19) % 256 AS b
+      |  FROM ps),
+      |long AS (
+      |  SELECT doc_id, 'r' AS channel, r // 64 AS bin FROM px
+      |  UNION ALL SELECT doc_id, 'g', g // 64 FROM px
+      |  UNION ALL SELECT doc_id, 'b', b // 64 FROM px),
+      |counts AS (
+      |  SELECT doc_id, channel, bin, COUNT(*) AS n
+      |  FROM long GROUP BY doc_id, channel, bin),
+      |dense AS (
+      |  SELECT d.doc_id, c.channel, b.bin
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  CROSS JOIN (SELECT unnest(['r','g','b']) AS channel) c
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS bin) b)
+      |SELECT dense.doc_id AS media_id, dense.channel AS channel,
+      |  CAST(dense.bin AS BIGINT) AS bin,
+      |  CAST(COALESCE(counts.n, 0) AS BIGINT) AS n
+      |FROM dense LEFT JOIN counts
+      |  ON counts.doc_id = dense.doc_id AND counts.channel = dense.channel
+      | AND counts.bin = dense.bin
+      |ORDER BY media_id, channel, bin""".stripMargin
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -2507,6 +2553,7 @@ object TrainingQueries {
     ("m06_resize", m06ResizeStats _, Some(m06Sql)),
     ("m07_audio_energy", m07AudioEnergy _, Some(m07Sql)),
     ("m08_gif_frames", m08GifFrames _, Some(m08Sql)),
+    ("m09_image_histogram", m09ImageHistogram _, Some(m09Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),

@@ -191,6 +191,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image histogram: dense per-channel bin counts equal the closed-form recompute") {
+    val media = Multimodal.pngFromDocuments(spark, sf)
+    val out = Multimodal.imageHistogram(media, bins = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val ids = media.select("media_id").collect().map(_.getLong(0))
+    ids.filter(_ < 20).foreach { id =>
+      val w = (4 + id % 5).toInt
+      val h = (4 + id % 3).toInt
+      val exp = scala.collection.mutable.Map[(String, Long), Long]()
+        .withDefaultValue(0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        exp(("r", (id * 31 + x * 7 + y * 13) % 256 / 64)) += 1
+        exp(("g", (id * 17 + x * 11 + y * 3) % 256 / 64)) += 1
+        exp(("b", (id * 23 + x * 5 + y * 19) % 256 / 64)) += 1
+      }
+      for (c <- Seq("r", "g", "b"); b <- 0L until 4L) {
+        assert(out((id, c, b)) == exp((c, b)),
+          s"media $id channel $c bin $b")
+      }
+      // dense: every (channel, bin) cell present, counts sum to pixels
+      assert(Seq("r", "g", "b").forall(c =>
+        (0L until 4L).map(b => out((id, c, b))).sum == w * h))
+    }
+  }
+
   test("GIF frame sampling keeps stride-th frames with order-sensitive pixel fingerprints") {
     val media = Multimodal.gifFromDocuments(spark, sf)
     val out = Multimodal.sampleGifFrames(media, stride = 2).collect()

@@ -121,6 +121,22 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial window-group-limit before the exchange:\n$plan")
   }
 
+  /** The round-9 portable ANN gates must keep the serving-path plan
+    * shape: the corpus side never shuffles before ranking — candidates
+    * come from a BROADCAST hash join on the bucket/cell key, and the
+    * top-k filter plans the map-side WindowGroupLimit (so the exchange
+    * carries ≤ k rows per query per map task, not whole buckets). */
+  test("portable ANN gates: broadcast candidate join + map-side window group limit") {
+    Seq("s03_ann_lsh", "s04_ann_ivf_trained").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: candidate join must broadcast the query side:\n$plan")
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: rank filter must plan a WindowGroupLimit:\n$plan")
+    }
+  }
+
   test("q12 set ops shares its distinct sides via ReusedExchange, not cache") {
     spark.catalog.clearCache() // drop registrations from earlier plan builds
     val df = CapabilityQueries.q12SetOps(spark, sf)
