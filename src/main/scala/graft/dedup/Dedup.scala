@@ -600,14 +600,18 @@ object Dedup {
     * xxhash64 (better-mixed bits, one codegen'd call per token); this
     * hash exists to give the signature MACHINERY an exact external
     * check. */
-  def portableTokenHash(tok: Column): Column = {
-    def fold(seed: Long, base: Int, mod: Long): Column =
-      aggregate(
-        transform(regexp_extract_all(tok, lit("."), lit(0)),
-          c => ascii(c).cast(LongType)),
-        lit(seed), (acc, c) => (acc * base + c) % mod)
-    shiftleft(fold(13L, 137, 2147483629L), 32) + fold(7L, 131, 2147483647L)
-  }
+  def portableTokenHash(tok: Column): Column =
+    // ONE char extraction + ONE fold carrying both accumulators in a
+    // struct (the naive two-fold form re-ran the per-char regex and
+    // the array walk twice per token for the same values)
+    aggregate(
+      transform(regexp_extract_all(tok, lit("."), lit(0)),
+        c => ascii(c).cast(LongType)),
+      struct(lit(13L).as("a"), lit(7L).as("b")),
+      (acc, c) => struct(
+        ((acc.getField("a") * 137 + c) % 2147483629L).as("a"),
+        ((acc.getField("b") * 131 + c) % 2147483647L).as("b")),
+      acc => shiftleft(acc.getField("a"), 32) + acc.getField("b"))
 
   /** SimHash near-dup candidates: Hamming(a,b) ≤ maxHamming. Blocked by
     * the pigeonhole principle on four 16-bit chunks (≤3 differing bits
