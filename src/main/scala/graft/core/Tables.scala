@@ -99,9 +99,20 @@ object Tables {
 
   private def assertNanoRange(df: DataFrame, colName: String): Unit = {
     import org.apache.spark.sql.functions.{col, max, min}
+    // a streaming frame cannot run the bounded min/max job here —
+    // stream readers validate the SOURCE FILE through the batch path
+    // first (EventsStream.sniffSchema → validateNanos), so the guard
+    // has already run for the same data by the time a stream reaches
+    // this arm
+    if (df.isStreaming) return
+    // memo key: only a real file set identifies the data; in-memory /
+    // JDBC frames (empty inputFiles) must NOT share a slot — they get
+    // checked every time instead (the min/max is bounded and cheap)
     val key =
-      try df.inputFiles.sorted.mkString("|") + "#" + colName
-      catch { case scala.util.control.NonFatal(_) => "" }
+      try {
+        val files = df.inputFiles
+        if (files.isEmpty) "" else files.sorted.mkString("|") + "#" + colName
+      } catch { case scala.util.control.NonFatal(_) => "" }
     if (key.nonEmpty && nanosChecked.contains(key)) return
     val bounds = df.agg(min(col(colName)), max(col(colName))).collect()(0)
     if (!bounds.isNullAt(0)) {
@@ -113,6 +124,17 @@ object Tables {
           "column's writer used one it has not seen")
     }
     if (key.nonEmpty) nanosChecked.add(key)
+  }
+
+  /** Run the nanos-magnitude guard for a parquet FILE through the
+    * batch reader — the validation hook for streaming sources, whose
+    * frames cannot execute the min/max job themselves. Memoized like
+    * every guard run (same file-set key). */
+  def validateNanos(s: SparkSession, path: String, colName: String): Unit = {
+    import org.apache.spark.sql.types.LongType
+    val df = s.read.parquet(path)
+    if (df.schema.exists(f => f.name == colName && f.dataType == LongType))
+      assertNanoRange(df, colName)
   }
 
   /** The events table with `ts` normalized to TimestampType (UTC). */

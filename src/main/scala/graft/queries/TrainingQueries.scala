@@ -1111,17 +1111,21 @@ object TrainingQueries {
     * trainer) — the encode/serve machinery is pinned bit-for-bit by
     * s08 (encode), s10 (rerank) and s12 (IVF-PQ); search exactness
     * properties live in AnnSpec. */
+  /** The s07 gate's reconstruction-error evaluation at an iteration
+    * count — ONE body shared with tools.GateProbe (same rationale as
+    * [[kmeansSseAt]]). */
+  private[graft] def pqReconErrAt(emb: DataFrame, iters: Int): Double = {
+    val cb = Ann.pqTrainCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iters = iters)
+    emb.select(Ann.pqAdcDistance(col("embedding"),
+        Ann.pqEncode(col("embedding"), 64, cb), 64, cb).as("e"))
+      .agg(sum("e")).collect()(0).getDouble(0)
+  }
+
   def s07PqTrained(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    def reconErr(iters: Int): Double = {
-      val cb = Ann.pqTrainCodebooks(emb, "vec_id", "embedding",
-        dim = 64, m = 8, k = 16, iters = iters)
-      emb.select(Ann.pqAdcDistance(col("embedding"),
-          Ann.pqEncode(col("embedding"), 64, cb), 64, cb).as("e"))
-        .agg(sum("e")).collect()(0).getDouble(0)
-    }
-    val e0 = reconErr(0)
-    val e2 = reconErr(2)
+    val e0 = pqReconErrAt(emb, 0)
+    val e2 = pqReconErrAt(emb, 2)
     emb.agg(count(lit(1)).as("n_vectors"))
       .select(col("n_vectors"),
         lit(if (e2 * 10.0 <= e0 * 9.0) 1L else 0L).as("descended"))
@@ -1604,19 +1608,25 @@ object TrainingQueries {
     * hash-drawn seeds) as a QUANTITATIVE descent gate: 3 training
     * iterations must cut the clustering objective (total within-cell
     * squared L2, [[Ann.kmeansSse]]) to ≤ 90% of the seed centroids'
-    * objective. Observed ratio ≈ 0.76 at sf0.001/0.01/0.1 (GateProbe),
-    * so the bound has ~14-point margin; exact Lloyd's descends
+    * objective. Observed ratio ≈ 0.57-0.58 at sf0.001/0.01/0.1
+    * (GateProbe), so the bound has >30 points of margin; exact Lloyd's
+    * (squared objective — the one its mean update minimizes) descends
     * monotonically and the float trainer's merge-order jitter is
     * orders of magnitude below it. The trained ASSIGNMENT is
     * float-merge-order sensitive and stays spec-tested
     * (planted-cluster recovery, degeneracy guard); s09 pins the
     * trainer machinery bit-for-bit in integer arithmetic. */
+  /** The s05 gate's objective evaluation at an iteration count — ONE
+    * body shared with tools.GateProbe, so the recorded calibration
+    * evidence can never drift from the shipped gate's computation. */
+  private[graft] def kmeansSseAt(emb: DataFrame, iters: Int): Double =
+    Ann.kmeansSse(emb, "embedding",
+      Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = iters))
+
   def s05Kmeans(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val sse0 = Ann.kmeansSse(emb, "embedding",
-      Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 0))
-    val sse3 = Ann.kmeansSse(emb, "embedding",
-      Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3))
+    val sse0 = kmeansSseAt(emb, 0)
+    val sse3 = kmeansSseAt(emb, 3)
     emb.agg(count(lit(1)).as("n_points"))
       .select(col("n_points"),
         lit(if (sse3 * 10.0 <= sse0 * 9.0) 1L else 0L).as("descended"))

@@ -186,12 +186,36 @@ object Ann {
       .select(col(idCol), col("cell"))
   }
 
-  /** floor(x·10⁶) integer quantization of `vecCol` as column "q". */
+  /** The ONE floor(x·10⁶) integer quantization expression every
+    * portable twin shares (a second rendering could silently diverge
+    * from the oracle SQL's quantizer). */
+  private def quantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType))
+
+  /** [[quantized]] applied to `vecCol` as column "q". */
   private def quantizeVec(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =
-    df.select(col(idCol),
-      transform(col(vecCol),
-        x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType)).as("q"))
+    df.select(col(idCol), quantized(col(vecCol)).as("q"))
+
+  /** Broadcast-candidate exact-integer ranking shared by the portable
+    * search twins ([[portableLshTopK]], [[portableIvfExactTopK]]):
+    * corpus `(idCol, q, key)` joined to the broadcast query frame
+    * `(query_id, qv, key)` on `key`, exact integer squared L2 over the
+    * quantized vectors, `row_number ≤ k` with ties to the lower id.
+    * The corpus side never shuffles before ranking. */
+  private def integerTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, key: String, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), key)
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("d2", aggregate(
+        zip_with(col("q"), col("qv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
+        col("d2"))
+  }
 
   /** Exact integer squared-L2 argmin cell id for a quantized vector
     * against literal centroids (ties → lower cell id). */
@@ -253,10 +277,14 @@ object Ann {
   def kmeansSse(corpus: DataFrame, vecCol: String,
       cents: Seq[(Long, Array[Float])]): Double = {
     require(cents.nonEmpty, "centroids must be non-empty")
+    // l2Distance is the ROOT distance; the Lloyd's objective (and the
+    // monotone-descent property the s05 gate relies on) is the SQUARED
+    // sum — sqrt is monotone, so squaring the per-row min root
+    // distance yields exactly the min squared distance
     val minD = array_min(array(cents.sortBy(_._1).map { case (_, v) =>
       VectorFunctions.l2Distance(col(vecCol), typedlit(v))
     }: _*))
-    corpus.agg(sum(minD)).collect()(0).getDouble(0)
+    corpus.agg(sum(minD * minD)).collect()(0).getDouble(0)
   }
 
   /** Portable trained-IVF search — the oracle twin of
@@ -280,16 +308,7 @@ object Ann {
     val q = quantizeVec(queries, idCol, vecCol)
       .withColumn("cell", portableCellOf(col("q"), cents))
       .select(col(idCol).as("query_id"), col("q").as("qv"), col("cell"))
-    val scored = c.join(broadcast(q), "cell")
-      .filter(col("query_id") =!= col(idCol))
-      .withColumn("d2", aggregate(
-        zip_with(col("q"), col("qv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy("query_id").orderBy(col("d2"), col(idCol))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
-        col("d2"))
+    integerTopK(c, q, idCol, "cell", topK)
   }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
@@ -730,22 +749,12 @@ object Ann {
   def portableLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
     def prep(df: DataFrame) = df.select(col(idCol),
-      transform(col(vecCol).cast(ArrayType(DoubleType)),
-        x => floor(x * 1000000d).cast(LongType)).as("q"),
+      quantized(col(vecCol)).as("q"),
       portableLshBucket(col(vecCol), nBits, dim).as("bucket"))
-    val scored = prep(corpus).join(
-        broadcast(prep(queries).select(col(idCol).as("query_id"),
-          col("q").as("qv"), col("bucket"))),
-        "bucket")
-      .filter(col("query_id") =!= col(idCol))
-      .withColumn("d2", aggregate(
-        zip_with(col("q"), col("qv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy("query_id").orderBy(col("d2"), col(idCol))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
-        col("d2"))
+    integerTopK(prep(corpus),
+      prep(queries).select(col(idCol).as("query_id"), col("q").as("qv"),
+        col("bucket")),
+      idCol, "bucket", k)
   }
 
   /** Recall@k evaluation: per-query overlap between an approximate

@@ -31,6 +31,11 @@ object EventsStream {
   def readEvents(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     val rawSchema = sniffSchema(spark, sfDir, "events")
+    // the nanos-magnitude guard cannot run on a streaming frame (no
+    // jobs at plan time) — validate the source FILE through the batch
+    // path first, so a mis-encoded raw INT64 ts throws here instead of
+    // silently collapsing 1000x inside the stream
+    graft.core.Tables.validateNanos(spark, s"$sfDir/events.parquet", "ts")
     val raw = spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -22,22 +22,14 @@ object GateProbe {
       val docs = Tables.documents(spark, d)
       val queries = emb.filter(col("vec_id") < 10)
 
-      // s05: Lloyd's descent, seed SSE vs 3-iteration SSE
-      val seedC = Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 0)
-      val trainC = Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
-      val sse0 = Ann.kmeansSse(emb, "embedding", seedC)
-      val sse3 = Ann.kmeansSse(emb, "embedding", trainC)
+      // s05 / s07: the SAME gate bodies the shipped queries run
+      // (TrainingQueries.kmeansSseAt / pqReconErrAt) — calibration
+      // evidence cannot drift from the gates it calibrates
+      val sse0 = graft.queries.TrainingQueries.kmeansSseAt(emb, 0)
+      val sse3 = graft.queries.TrainingQueries.kmeansSseAt(emb, 3)
       println(f"s05: sse0=$sse0%.2f sse3=$sse3%.2f ratio=${sse3 / sse0}%.4f")
-
-      // s07: PQ recon err, seed codebook vs 2-iteration codebook
-      def reconErr(iters: Int): Double = {
-        val cb = Ann.pqTrainCodebooks(emb, "vec_id", "embedding",
-          dim = 64, m = 8, k = 16, iters = iters)
-        emb.select(Ann.pqAdcDistance(col("embedding"),
-            Ann.pqEncode(col("embedding"), 64, cb), 64, cb).as("e"))
-          .agg(sum("e")).collect()(0).getDouble(0)
-      }
-      val e0 = reconErr(0); val e2 = reconErr(2)
+      val e0 = graft.queries.TrainingQueries.pqReconErrAt(emb, 0)
+      val e2 = graft.queries.TrainingQueries.pqReconErrAt(emb, 2)
       println(f"s07: err0=$e0%.2f err2=$e2%.2f ratio=${e2 / e0}%.4f")
 
       // d03: exact pairs vs recall-hardened 32x2 LSH pairs

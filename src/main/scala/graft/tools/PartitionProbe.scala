@@ -44,8 +44,13 @@ object PartitionProbe {
         scans(a.executedPlan)
     }.flatten
     val scan = scans(scanDf.queryExecution.executedPlan).head
+    // decimal sum: the two sides aggregate under different physical
+    // plans, and a DOUBLE sum is merge-order sensitive — exact-equality
+    // comparison needs the order-free accumulator (the tumblingHourly
+    // pattern)
     val pruned = part.filter(col("dt") === lit(day))
-      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("v"))
     val prunedRows = pruned.collect()
     val filesRead = scan.metrics("numFiles").value
     val hasPartFilters = scan.partitionFilters.nonEmpty
@@ -53,10 +58,12 @@ object PartitionProbe {
     // correctness twin: the flat table filtered on to_date(ts)
     val flat = Tables.events(spark, sfDir)
       .filter(to_date(col("ts")) === lit(day))
-      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("v"))
       .collect()
     def keyed(rs: Array[org.apache.spark.sql.Row]) =
-      rs.map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      rs.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2)))).toMap
     val agree = keyed(flat) == keyed(prunedRows)
 
     println(s"""{"metric":"partition_prune","sf":"${new java.io.File(sfDir)

@@ -26,7 +26,11 @@ object SkewProbe {
     val spark = graft.core.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("/tmp/graft_skew")
+    // default out dir encodes the SOURCE: a cached skew corpus built
+    // from one sfDir must never be silently reused for another (the
+    // Scale10Probe suffix discipline)
+    val out = args.lift(1).getOrElse(
+      s"/tmp/graft_skew_${new java.io.File(src).getName}")
 
     // 10% of documents become ONE identical boilerplate paragraph —
     // the mass-dup clique (exact dedup would remove it, but span/LSH
