@@ -25,6 +25,11 @@ object Bench {
     } else {
       try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     }
+    // m10 reads a directory of real PNG files; materializing that
+    // directory is corpus ARRIVAL (test scaffolding), not operator
+    // work, so build it before timing starts (memoized per session).
+    try graft.multimodal.Multimodal.pngFileFixture(spark, sfDir)
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -30,6 +30,22 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Spread a key column across the full core count BEFORE a
+    * CPU-bound codec stage. Codec decode cost is per-ROW, not
+    * per-byte-of-input-file, so its parallelism must not be inherited
+    * from the scan's file-split count: a documents table that fits in
+    * one parquet split (one 584 KB file at sf0.1 — or, at 100 TB, any
+    * layout with fewer large files than cores) would otherwise run
+    * every encode/decode on a single core while 31 idle. The shuffle
+    * moved is only the id column (8 bytes/row) — payloads are
+    * GENERATED after the exchange — so the repartition is ~free and
+    * the codec stage scales with the cluster, not the file count.
+    * Hash-on-id (not round-robin) keeps the placement deterministic. */
+  private def spreadForCodec(ids: Dataset[Long]): Dataset[Long] = {
+    val par = ids.sparkSession.sparkContext.defaultParallelism
+    ids.repartition(par, col(ids.columns.head))
+  }
+
   /** A media row: payload + self-describing metadata. */
   final case class MediaRecord(
       media_id: Long,
@@ -74,6 +90,14 @@ object Multimodal {
     * portable; raw-byte folds in float32 are not). Lane sums are small
     * integers, so the Float values are exact. */
   object MediaCodec {
+    // ImageIO defaults to FILE-backed cache streams: every encode and
+    // decode (including the ImageIO.read/write convenience paths)
+    // spills through a disk temp file — create + write + delete per
+    // RECORD, which serializes codec stages on filesystem latency.
+    // Every payload here is an in-memory byte array, so cache in
+    // memory. Per-JVM; runs once per executor at first codec use.
+    javax.imageio.ImageIO.setUseCache(false)
+
     val FeatureDim = 8
 
     def decodeFeature(digestHex: String): Array[Float] = {
@@ -153,6 +177,35 @@ object Multimodal {
         (w, h, sr, sg, sb)
       }
 
+    // javax.sound's AudioSystem.getAudioInputStream / AudioSystem.write
+    // facades re-run a ServiceLoader provider scan on EVERY call
+    // (JDK13Services hands back a fresh provider list each time), and
+    // for payloads this small the scan dwarfs the actual RIFF parse.
+    // Resolve the SPI providers once per JVM and dispatch directly;
+    // fall back to the facade if the loader finds nothing (exotic
+    // classloader setups), so behavior never regresses.
+    // WAV-capable readers are consulted FIRST: the JDK's provider list
+    // leads with AIFF/AU/MIDI, and the MIDI reader's rejection path
+    // re-runs its own provider scan per call (synchronized — it
+    // serializes a 32-thread decode stage); for the RIFF payloads this
+    // engine carries, the Wave reader accepting on the first try keeps
+    // the rejection paths cold.
+    private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .forEach(r => b += r)
+      b.result().sortBy(r =>
+        if (r.getClass.getSimpleName.startsWith("Wave")) 0 else 1)
+    }
+    private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+      val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .forEach(w => b += w)
+      b.result()
+    }
+
     /** REAL codec — WAV encode via pure-JVM `javax.sound.sampled` (no
       * external libraries, the audio analog of [[encodePng]]): mono
       * signed PCM16 little-endian samples → a complete RIFF/WAVE
@@ -171,8 +224,11 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+        case Some(w) => w.write(ais, wave, out)
+        case None    => javax.sound.sampled.AudioSystem.write(ais, wave, out)
+      }
       out.toByteArray
     }
 
@@ -191,8 +247,19 @@ object Multimodal {
       * the mapPartitions stage). */
     def decodeWavRateSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] =
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val in = new java.io.ByteArrayInputStream(bytes)
+        val ais =
+          if (audioReaders.isEmpty)
+            javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+          else audioReaders.iterator.flatMap { r =>
+            in.reset() // ByteArrayInputStream: back to offset 0
+            try Some(r.getAudioInputStream(in))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            }
+          }.nextOption().getOrElse(
+            throw new javax.sound.sampled.UnsupportedAudioFileException(
+              "no provider recognizes the payload"))
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
             fmt.getEncoding !=
@@ -380,6 +447,7 @@ object Multimodal {
     import spark.implicits._
     graft.core.Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
+      .transform(spreadForCodec)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = (4 + id % 5).toInt
@@ -406,6 +474,7 @@ object Multimodal {
     import spark.implicits._
     graft.core.Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
+      .transform(spreadForCodec)
       .mapPartitions { ids =>
         ids.map { id =>
           val n = (64 + id % 33).toInt
@@ -431,6 +500,7 @@ object Multimodal {
     import spark.implicits._
     graft.core.Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
+      .transform(spreadForCodec)
       .mapPartitions { ids =>
         ids.map { id =>
           val frames = (2 + id % 3).toInt
@@ -633,6 +703,69 @@ object Multimodal {
     * external oracle reproduces it from the pixel function with no
     * codec. Undecodable payloads are skipped. Narrow map — no
     * shuffle. */
+  /** Materialize the PNG fixtures as REAL files on disk — one
+    * `<media_id>.png` per document under `<root>/<sfName>/png/` — and
+    * return the directory. This is the ingestion shape of an actual
+    * vision corpus: payloads living as objects in a store, not rows
+    * already inside a table. Idempotent per (root, sf): a `_SUCCESS`
+    * marker written after the last payload gates reuse, so repeated
+    * runs in a session pay the write once (per-JVM memo keyed by sf
+    * dir; the directory itself lives under the system temp root like
+    * every other scratch sink in the engine). Files are written from
+    * the executors (local-mode shared filesystem); at cluster scale
+    * this fixture-build utility would target a distributed store and
+    * the READ path ([[imageStatsFromFiles]]) is unchanged. */
+  private val pngFixtureMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def pngFileFixture(spark: SparkSession, sfDir: String): String =
+    pngFixtureMemo.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_m10_png").toFile
+      // fixture dirs hold thousands of files — reclaim them when the
+      // session JVM exits rather than leaking them into /tmp
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+        }
+        rm(dir)
+      }
+      val path = dir.getAbsolutePath
+      pngFromDocuments(spark, sfDir).foreachPartition {
+        (rows: Iterator[MediaRecord]) =>
+          rows.foreach { r =>
+            val f = new java.io.File(path, s"${r.media_id}.png")
+            val out = new java.io.FileOutputStream(f)
+            try out.write(r.media) finally out.close()
+          }
+      }
+      new java.io.File(dir, "_SUCCESS").createNewFile()
+      path
+    })
+
+  /** Decode image statistics from a DIRECTORY of real image files via
+    * Spark's built-in `binaryFile` source — the production ingestion
+    * path for vision corpora. The source yields (path, length,
+    * content) rows with small files bin-packed into splits, so decode
+    * parallelism comes from the file count (the cluster-scale
+    * complement of [[spreadForCodec]], which covers generated/few-file
+    * inputs). Ids are recovered from file names; undecodable payloads
+    * are skipped (skip-entity policy). */
+  def imageStatsFromFiles(spark: SparkSession, dir: String): Dataset[ImageStats] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          val id = name.stripSuffix(".png").toLong
+          MediaCodec.decodeImage(bytes).map { case (w, h, sr, sg, sb) =>
+            ImageStats(id, w, h, sr, sg, sb)
+          }
+        }
+      }
+  }
+
   def sampleGifFrames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
     require(stride > 0, s"stride must be positive, got $stride")
     val s = media.sparkSession

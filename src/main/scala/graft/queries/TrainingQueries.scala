@@ -1904,6 +1904,26 @@ object TrainingQueries {
       | AND counts.bin = dense.bin
       |ORDER BY media_id, channel, bin""".stripMargin
 
+  /** m10: file-based multimodal INGESTION — the PNG fixtures are
+    * materialized as real `.png` FILES on disk and read back through
+    * Spark's built-in `binaryFile` source (path/length/content rows,
+    * small files bin-packed into splits), then decoded with the real
+    * codec. This is the production shape of a vision corpus — payloads
+    * as objects in a store, not rows already in a table — and the scan
+    * itself supplies decode parallelism (one split per file group).
+    * Output equals m04's, so the same closed-form oracle verifies the
+    * entire file write → binaryFile scan → codec decode loop. */
+  def m10BinaryFileIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val dir = Multimodal.pngFileFixture(s, d)
+    Multimodal.imageStatsFromFiles(s, dir)
+      .select(col("media_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("media_id")
+  }
+
+  val m10Sql: String = m04Sql
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -2564,6 +2584,7 @@ object TrainingQueries {
     ("m07_audio_energy", m07AudioEnergy _, Some(m07Sql)),
     ("m08_gif_frames", m08GifFrames _, Some(m08Sql)),
     ("m09_image_histogram", m09ImageHistogram _, Some(m09Sql)),
+    ("m10_binaryfile_ingest", m10BinaryFileIngest _, Some(m10Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),

@@ -240,4 +240,42 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(4) == fp, s"media $id frame $f fingerprint")
     }
   }
+
+  test("binaryFile ingestion: real files on disk round-trip through the binary source to exact stats") {
+    val dir = Multimodal.pngFileFixture(spark, sf)
+    assert(new java.io.File(dir, "_SUCCESS").isFile)
+    // memoized: a second call must return the same directory, not rebuild
+    assert(Multimodal.pngFileFixture(spark, sf) == dir)
+    val stats = Multimodal.imageStatsFromFiles(spark, dir)
+      .filter(_.media_id < 10).collect().sortBy(_.media_id)
+    assert(stats.length == 10)
+    stats.foreach { s =>
+      val id = s.media_id
+      val (w, h) = ((4 + id % 5).toInt, (4 + id % 3).toInt)
+      assert((s.width, s.height) == (w, h))
+      val expected = for { x <- 0 until w; y <- 0 until h } yield
+        ((id * 31 + x * 7 + y * 13) % 256,
+         (id * 17 + x * 11 + y * 3) % 256,
+         (id * 23 + x * 5 + y * 19) % 256)
+      assert(s.sum_r == expected.map(_._1).sum)
+      assert(s.sum_g == expected.map(_._2).sum)
+      assert(s.sum_b == expected.map(_._3).sum)
+    }
+  }
+
+  test("codec fixture stages spread across the full core count, not the file-split count") {
+    // The documents table is one parquet split at test SFs; codec
+    // encode/decode cost is per-row CPU, so the fixture generators must
+    // not inherit that single partition (Multimodal.spreadForCodec).
+    val par = spark.sparkContext.defaultParallelism
+    Seq(
+      Multimodal.pngFromDocuments(spark, sf),
+      Multimodal.wavFromDocuments(spark, sf),
+      Multimodal.gifFromDocuments(spark, sf)
+    ).foreach { ds =>
+      assert(ds.rdd.getNumPartitions == par,
+        s"codec stage runs in ${ds.rdd.getNumPartitions} partition(s); " +
+          s"expected $par — decode parallelism must be decoupled from file splits")
+    }
+  }
 }
