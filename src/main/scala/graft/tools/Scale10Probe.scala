@@ -126,7 +126,12 @@ object Scale10Probe {
       // decontamination stage empties the corpus at 10x by its own
       // semantics (see the c14 note above) — c14 + d07 + c15 probe
       // c24's constituent stages individually.
-      "q32_range_join_auto", "s12_ivfpq")
+      "q32_range_join_auto", "s12_ivfpq",
+      // round-9 additions: the mergeable-summary family's scan-bound
+      // sketch union (should read ~flat: one pass + KB-sized state)
+      // and the streaming sessionizer (state ∝ open sessions — 10×
+      // users ⇒ 10× state, honest linear)
+      "q58_hll_shard_merge", "q57_stream_session")
 
     // rows recorded alongside seconds: a super-linear factor with a
     // matching output-row ratio is the output's cost, not the plan's

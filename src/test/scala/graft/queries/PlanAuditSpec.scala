@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkSpec {
   private val effectful = Set("p04_snapshot_overwrite", "p05_retention",
     "p09_format_roundtrip", "p10_sync_retention", "p11_zorder_roundtrip",
     "p12_bucketed_merge", "q20_stream_tumbling",
-    "q31_stream_interval_join", "q37_stream_dedup", "d06_dup_clusters",
+    "q31_stream_interval_join", "q37_stream_dedup", "q57_stream_session",
+    "q59_countmin_topk", "d06_dup_clusters",
     "s05_kmeans", "s07_pq_trained", "s12_ivfpq", "c10_bloom_decontaminate")
 
   /** Intentional nested-loop/cross plans:
@@ -35,7 +36,10 @@ class PlanAuditSpec extends SparkSpec {
     * way. */
   private val nestedLoopAllowed = Set("q22_cross_join", "s01_ann_bruteforce",
     "t10_classifier", "t11_tfidf",
-    "s11_ann_recall", "c23_lm_score", "d03_minhash_lsh")
+    "s11_ann_recall", "c23_lm_score", "d03_minhash_lsh",
+    // q58 attaches its ONE-ROW exact-distinct aggregate via
+    // crossJoin(broadcast(...)) — a scalar join, O(1) broadcast bytes
+    "q58_hll_shard_merge")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -71,7 +75,7 @@ class PlanAuditSpec extends SparkSpec {
   private val unplannable = Set("p04_snapshot_overwrite", "p05_retention",
     "p09_format_roundtrip", "p10_sync_retention", "p11_zorder_roundtrip",
     "p12_bucketed_merge", "q20_stream_tumbling",
-    "q31_stream_interval_join", "q37_stream_dedup")
+    "q31_stream_interval_join", "q37_stream_dedup", "q57_stream_session")
 
   test("no query plans a window with an empty partition spec over row data") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
