@@ -39,6 +39,12 @@ import scala.collection.JavaConverters._
   *   expanded objects arrive as nested JSON and parse through any
   *   nested StructType/ArrayType fields in the entity schema.
   * - `$top` ("Graph page size", BASELINE.md): `pageSize` option.
+  * - LIMIT (O21 interactive sample): SupportsPushDownLimit — a pushed
+  *   `.limit(n)` shrinks `$top` to n and stops the driver's cursor
+  *   walk as soon as the planned pages carry n raw rows, so a sample
+  *   against a huge entity fetches one page, not the chain. Declined
+  *   (left to Spark) under delta mode or pushed filters — see
+  *   [[ODataScanBuilder.pushLimit]].
   * - 429 retry (O7): all page loads go through [[RetryingPageFetcher]]
   *   with bounded fixed-backoff retries; [[HttpPageFetcher]] maps
   *   HTTP 429/503 and transport errors to [[RetryableFetchException]],
@@ -338,13 +344,31 @@ class ODataTable(entitySchema: StructType, conf: ODataConf)
 
 class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT → `$top` + early cursor-walk stop (O21's interactive sample:
+    * `.limit(100)` on a 10M-row entity fetches one page, not the whole
+    * chain). Declined in two cases where truncation is unsound:
+    * delta mode (a shortened chain never reaches the deltaLink page —
+    * the sync cursor would be silently corrupted) and pushed filters
+    * (the walk counts RAW page rows; rows the source-side filter drops
+    * would make it stop before `limit` SURVIVING rows exist). Declining
+    * just leaves Spark's own limit in the plan. */
+  override def pushLimit(l: Int): Boolean = {
+    if (conf.delta || pushed.nonEmpty) false
+    else { limit = Some(l); true }
+  }
+
+  /** Pages are row-quantized: the last planned page may carry rows past
+    * the limit, so Spark must keep its own limit on top. */
+  override def isPartiallyPushed: Boolean = true
 
   /** Accept only what OData's $filter can express in the reference:
     * top-level string equality. Everything else stays in Spark. */
@@ -361,10 +385,11 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ODataScan(required, pushed, conf)
+  override def build(): Scan = new ODataScan(required, pushed, conf, limit)
 }
 
-class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
+class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
+    limit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -387,11 +412,19 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
     * delta mode the synthetic `removed` column is excluded — it is
     * derived from the @removed marker, not an entity property, and a
     * server honoring $select would reject it. */
+  /** Live-mode `$top`: the configured page size, shrunk to the pushed
+    * limit when that is smaller — a `.limit(5)` sample must not ask
+    * the server for a 999-row page. */
+  private def effectiveTop: Option[Int] = limit match {
+    case Some(l) => Some(conf.pageSize.fold(l)(math.min(_, l)))
+    case None => conf.pageSize
+  }
+
   private def startPage: String = conf.endpoint match {
     case Some(ep) =>
       val sel = (required.fieldNames.toSeq ++ filterOnlyCols)
         .filterNot(c => conf.delta && c == "removed")
-      ODataUrl.build(ep, sel, pushed, conf.pageSize, conf.expand)
+      ODataUrl.build(ep, sel, pushed, effectiveTop, conf.expand)
     case None => conf.firstPage.get
   }
 
@@ -400,8 +433,9 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
     val fil = ODataUrl.renderFilter(pushed)
     s"ODataScan($$select=$sel" +
       (if (fil.nonEmpty) s", $$filter=$fil" else "") +
-      conf.pageSize.map(n => s", $$top=$n").getOrElse("") +
-      conf.expand.map(e => s", $$expand=$e").getOrElse("") + ")"
+      effectiveTop.map(n => s", $$top=$n").getOrElse("") +
+      conf.expand.map(e => s", $$expand=$e").getOrElse("") +
+      limit.map(l => s", limit=$l").getOrElse("") + ")"
   }
 
   /** Driver-side cursor walk, one partition per page. Cursor chains
@@ -416,6 +450,7 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
     val fetcher = conf.newFetcher()
     val out = Array.newBuilder[InputPartition]
     var budget = conf.bodyBudgetBytes
+    var rowsPlanned = 0L
     var next: Option[String] = Some(startPage)
     var pages = 0
     while (next.isDefined) {
@@ -437,6 +472,15 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf)
       }
       next = PageCursor.nextLink(body, path)
       pages += 1
+      // pushed LIMIT: stop the walk once the planned pages carry
+      // enough raw rows (no pushed filters by pushLimit's guard, so
+      // raw rows == surviving rows); the unwalked tail is never
+      // fetched. Spark's retained limit trims the row-quantized
+      // overshoot of the last page.
+      limit.foreach { l =>
+        rowsPlanned += PageCursor.rowCount(body)
+        if (rowsPlanned >= l) next = None
+      }
     }
     out.result()
   }
@@ -744,6 +788,14 @@ object PageCursor {
   /** Extract @odata.nextLink from a page body, resolved. */
   def nextLink(body: String, currentPath: String): Option[String] =
     link(body, nextLinkField).map(resolve(_, currentPath))
+
+  /** Row count of a page body's `value` array — drives the pushed-limit
+    * early stop of the cursor walk. A malformed/absent array counts 0
+    * (the walk then continues; correctness never depends on this). */
+  def rowCount(body: String): Int = {
+    val node = mapper.readTree(body).get("value")
+    if (node != null && node.isArray) node.size else 0
+  }
 
   private val nextLinkField = "@odata.nextLink"
 }

@@ -5,6 +5,7 @@ import graft.core.EntitySchemas
 import graft.queries.ParityQueries
 import graft.sources.ODataPageReader
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.read.Scan
 import org.apache.spark.sql.functions._
 import java.util.concurrent.atomic.AtomicInteger
 import scala.jdk.CollectionConverters._
@@ -488,6 +489,58 @@ class ODataSourceSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("urlBodyBudgetBytes"))
     } finally server.stop(0)
+  }
+
+  private def scanOf(df: DataFrame): Scan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.head
+
+  test("pushed LIMIT stops the cursor walk at the covering page") {
+    // fixture chain: page1 = 4 rows → page2 = 2 rows
+    val q3 = readMd.limit(3)
+    assert(scanOf(q3).description().contains("limit=3"))
+    assert(scanOf(q3).toBatch.planInputPartitions().length == 1,
+      "limit 3 is covered by page1's 4 rows — page2 must not be fetched")
+    assert(q3.count() == 3, "Spark's retained limit trims the overshoot")
+    val q5 = readMd.limit(5)
+    assert(scanOf(q5).toBatch.planInputPartitions().length == 2,
+      "limit 5 needs both pages")
+    assert(q5.count() == 5)
+  }
+
+  test("LIMIT is declined under pushed filters and under delta mode") {
+    // pushed filter: raw page rows ≠ surviving rows — walk must not stop
+    val filtered = readMd.filter(col("operatingSystem") === "Windows").limit(2)
+    assert(!scanOf(filtered).description().contains("limit="))
+    assert(filtered.count() == 2)
+    // delta: truncating the chain would lose the deltaLink page
+    import graft.queries.ParityQueries.fixtureRoot
+    val delta = spark.read.format("graft-odata")
+      .schema(EntitySchemas.managedDeviceSource.add("removed",
+        org.apache.spark.sql.types.BooleanType))
+      .option("firstPage", s"$fixtureRoot/managedDevicesDelta/page1.json")
+      .option("delta", "true").load().limit(1)
+    assert(!scanOf(delta).description().contains("limit="))
+    assert(delta.count() == 1)
+  }
+
+  test("live-mode LIMIT shrinks $top to the limit") {
+    val df = spark.read.format("graft-odata")
+      .schema(EntitySchemas.managedDeviceSource)
+      .option("endpoint", "https://example.invalid/v1.0/devices")
+      .option("pageSize", "999").option("authToken", "t")
+      .load().limit(3)
+    val desc = scanOf(df).description() // plan-only: nothing is fetched
+    assert(desc.contains("$top=3") && desc.contains("limit=3"), desc)
+    // and a limit LARGER than the page size leaves $top alone
+    val big = spark.read.format("graft-odata")
+      .schema(EntitySchemas.managedDeviceSource)
+      .option("endpoint", "https://example.invalid/v1.0/devices")
+      .option("pageSize", "2").option("authToken", "t")
+      .load().limit(500)
+    assert(scanOf(big).description().contains("$top=2"))
   }
 
   test("utf8Length counts real encoded bytes: multi-byte and surrogate pairs") {
