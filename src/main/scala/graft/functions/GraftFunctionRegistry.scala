@@ -61,6 +61,59 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("graft_nfc_normalize"),
       info("graft_nfc_normalize", "graft_nfc_normalize(text)"),
       arity("graft_nfc_normalize", 1)(es => NfcNormalize(es.head))),
+    // theta distinct-set algebra (lgK is a literal, like minhash's k)
+    (FunctionIdentifier("graft_theta_sketch_agg"),
+      info("graft_theta_sketch_agg", "graft_theta_sketch_agg(value, lgK)"),
+      arity("graft_theta_sketch_agg", 2)(es => es(1) match {
+        case IntegerLiteral(lgK) =>
+          ThetaSketchAgg(es.head, lgK).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_theta_sketch_agg lgK must be an integer literal, got $other")
+      })),
+    (FunctionIdentifier("graft_theta_union_agg"),
+      info("graft_theta_union_agg", "graft_theta_union_agg(sketch, lgK)"),
+      arity("graft_theta_union_agg", 2)(es => es(1) match {
+        case IntegerLiteral(lgK) =>
+          ThetaUnionAgg(es.head, lgK).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_theta_union_agg lgK must be an integer literal, got $other")
+      })),
+    (FunctionIdentifier("graft_theta_estimate"),
+      info("graft_theta_estimate", "graft_theta_estimate(sketch)"),
+      arity("graft_theta_estimate", 1)(es => ThetaEstimate(es.head))),
+    (FunctionIdentifier("graft_theta_intersect_estimate"),
+      info("graft_theta_intersect_estimate",
+        "graft_theta_intersect_estimate(a, b)"),
+      arity("graft_theta_intersect_estimate", 2)(es =>
+        ThetaIntersectEstimate(es.head, es(1)))),
+    (FunctionIdentifier("graft_theta_a_not_b_estimate"),
+      info("graft_theta_a_not_b_estimate",
+        "graft_theta_a_not_b_estimate(a, b)"),
+      arity("graft_theta_a_not_b_estimate", 2)(es =>
+        ThetaANotBEstimate(es.head, es(1)))),
+    // KLL mergeable quantiles (k is a literal, like theta's lgK)
+    (FunctionIdentifier("graft_kll_sketch_agg"),
+      info("graft_kll_sketch_agg", "graft_kll_sketch_agg(value, k)"),
+      arity("graft_kll_sketch_agg", 2)(es => es(1) match {
+        case IntegerLiteral(k) =>
+          KllSketchAgg(es.head, k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_kll_sketch_agg k must be an integer literal, got $other")
+      })),
+    (FunctionIdentifier("graft_kll_merge_agg"),
+      info("graft_kll_merge_agg", "graft_kll_merge_agg(sketch, k)"),
+      arity("graft_kll_merge_agg", 2)(es => es(1) match {
+        case IntegerLiteral(k) =>
+          KllMergeAgg(es.head, k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_kll_merge_agg k must be an integer literal, got $other")
+      })),
+    (FunctionIdentifier("graft_kll_quantile"),
+      info("graft_kll_quantile", "graft_kll_quantile(sketch, rank)"),
+      arity("graft_kll_quantile", 2)(es => KllQuantile(es.head, es(1)))),
+    (FunctionIdentifier("graft_kll_rank"),
+      info("graft_kll_rank", "graft_kll_rank(sketch, value)"),
+      arity("graft_kll_rank", 2)(es => KllRank(es.head, es(1)))),
     // text battery
     fromColumn("graft_lang_id", TextOps.langId),
     fromColumn("graft_token_count", TextOps.tokenCount),

@@ -1606,6 +1606,128 @@ object CapabilityQueries {
     """SELECT l_returnflag, COUNT(*) AS n, CAST(1 AS BIGINT) AS within_rank_err
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- Q61
+  /** q61: audience overlap via theta-sketch set algebra — the summary
+    * op HLL cannot express: |purchasers ∩ error-reporters| and
+    * |purchasers \ error-reporters| computed from per-day sketch bytes
+    * (`graft.functions.ThetaSketchAgg` → shard rollup via
+    * `ThetaUnionAgg` → intersection / A-not-B estimates), so at 100 TB
+    * both audiences are read ONCE into day sketches and every overlap
+    * question afterwards touches kilobytes. Gate: both estimates within
+    * 2% (+2 absolute) of the exact counts — integer-tight at fixture
+    * SFs because below 2^lgK distinct the sketch is in exact mode
+    * (ThetaSketch Scaladoc). One-row exact aggregates attach via
+    * crossJoin(broadcast(...)) — scalar joins, O(1) bytes. */
+  def q61ThetaAudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    val ev = Tables.events(s, d)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id")
+    def sketchOf(t: String) = // per-day shards, then the rollup union
+      ev.filter(col("event_type") === t)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(thetaSketch(col("user_id")).as("sk"))
+        .agg(thetaUnion(col("sk")).as("sk"))
+    val a = sketchOf("purchase").select(col("sk").as("sk_a"))
+    val b = sketchOf("error").select(col("sk").as("sk_b"))
+    val exactBoth = users("purchase").intersect(users("error"))
+      .agg(count(lit(1)).as("exact_both"))
+    val exactOnly = users("purchase").except(users("error"))
+      .agg(count(lit(1)).as("exact_only_purchase"))
+    def gate(est: Column, exact: Column): Column =
+      (abs(est - exact) * 100 <= exact * 2 + lit(200)).cast(LongType)
+    a.crossJoin(b).crossJoin(broadcast(exactBoth))
+      .crossJoin(broadcast(exactOnly))
+      .select(col("exact_both"), col("exact_only_purchase"),
+        gate(thetaIntersectEstimate(col("sk_a"), col("sk_b")),
+          col("exact_both")).as("intersect_within_2pct"),
+        gate(thetaANotBEstimate(col("sk_a"), col("sk_b")),
+          col("exact_only_purchase")).as("diff_within_2pct"))
+  }
+
+  val q61Sql: String =
+    """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |SELECT (SELECT COUNT(*) FROM p JOIN e USING (user_id)) AS exact_both,
+      |  (SELECT COUNT(*) FROM p ANTI JOIN e USING (user_id)) AS exact_only_purchase,
+      |  CAST(1 AS BIGINT) AS intersect_within_2pct,
+      |  CAST(1 AS BIGINT) AS diff_within_2pct""".stripMargin
+
+  // --------------------------------------------------------------- Q62
+  /** q62: mergeable quantiles via KLL sketches — what q60's
+    * `percentile_approx` cannot do: per-(returnflag, ship-month) shard
+    * sketches built ONCE (`graft.functions.KllSketchAgg`, k=200 ⇒
+    * ~1.65% rank error), merged per flag at query time
+    * (`KllMergeAgg`), median read from the merged bytes. At 100 TB
+    * the month shards are pre-aggregated next to the data and every
+    * later quantile question merges kilobytes instead of re-scanning.
+    * Gate (q60's distributed rank check, widened): KLL compaction is
+    * randomized, so the test is the published PROBABILISTIC bound with
+    * 3× slack — the median's observed rank within ±5% of 0.5 — never
+    * an exact value. */
+  def q62KllQuantileMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllFunctions._
+    val li = Tables.lineitem(s, d)
+      .select("l_returnflag", "l_shipdate", "l_extendedprice")
+    val merged = li
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(kllSketch(col("l_extendedprice")).as("sk"))
+      .groupBy("l_returnflag")
+      .agg(kllMerge(col("sk")).as("sk"))
+      .select(col("l_returnflag"), kllQuantile(col("sk"), lit(0.5)).as("v"))
+    li.join(broadcast(merged), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L))
+          .as("cnt_le"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("cnt_le") - col("n") * 0.5) <= col("n") * 0.05 + lit(1))
+          .cast(LongType).as("within_rank_err"))
+      .orderBy("l_returnflag")
+  }
+
+  val q62Sql: String = q60Sql
+
+  // --------------------------------------------------------------- Q63
+  /** q63: the sketch table maintained by the STREAMING engine — the
+    * "sketches pre-aggregated next to the data" posture under
+    * continuous arrival: the event stream feeds a per-day theta-sketch
+    * aggregation (the custom [[graft.functions.ThetaSketchAgg]]
+    * serializing its Union buffer through the state store between
+    * micro-batches), and the finished per-day sketches are then
+    * estimated and checked against the exact batch distinct counts —
+    * integer-tight in exact mode, so `matches_exact` is a REAL
+    * equality, not an envelope. At scale this is the streaming job
+    * that keeps q58/q61's shard sketches current as events land. */
+  def q63StreamSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.EventsStream
+    import graft.functions.ThetaFunctions._
+    val agged = (sess: SparkSession) =>
+      EventsStream.readEvents(sess, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(thetaSketch(col("user_id")).as("sk"))
+    val streamed = EventsStream.runToCompletion(s, agged,
+        "q63_stream_sketch_mem")
+      .select(unix_micros(col("day").cast(TimestampType)).as("day_us"),
+        thetaEstimate(col("sk")).as("est"))
+    val exact = Tables.events(s, d)
+      .groupBy(unix_micros(date_trunc("day", col("ts"))
+        .cast(TimestampType)).as("day_us"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    streamed.join(exact, Seq("day_us")) // ~one row per day, both sides
+      .select(col("day_us"), col("exact_users"),
+        (col("est") === col("exact_users")).cast(LongType)
+          .as("matches_exact"))
+      .orderBy("day_us")
+  }
+
+  val q63Sql: String =
+    """SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BIGINT) AS matches_exact
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -1668,5 +1790,8 @@ object CapabilityQueries {
     ("q58_hll_shard_merge", q58HllShardMerge _, Some(q58Sql)),
     ("q59_countmin_topk", q59CountminTopTalkers _, Some(q59Sql)),
     ("q60_quantile_gate", q60ApproxQuantileGate _, Some(q60Sql)),
+    ("q61_theta_overlap", q61ThetaAudienceOverlap _, Some(q61Sql)),
+    ("q62_kll_quantile_merge", q62KllQuantileMerge _, Some(q62Sql)),
+    ("q63_stream_sketch", q63StreamSketch _, Some(q63Sql)),
   )
 }

@@ -18,7 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "p09_format_roundtrip", "p10_sync_retention", "p11_zorder_roundtrip",
     "p12_bucketed_merge", "q20_stream_tumbling",
     "q31_stream_interval_join", "q37_stream_dedup", "q57_stream_session",
-    "q59_countmin_topk", "d06_dup_clusters",
+    "q59_countmin_topk", "q63_stream_sketch", "d06_dup_clusters",
     "s05_kmeans", "s07_pq_trained", "s12_ivfpq", "c10_bloom_decontaminate")
 
   /** Intentional nested-loop/cross plans:
@@ -37,9 +37,10 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed = Set("q22_cross_join", "s01_ann_bruteforce",
     "t10_classifier", "t11_tfidf",
     "s11_ann_recall", "c23_lm_score", "d03_minhash_lsh",
-    // q58 attaches its ONE-ROW exact-distinct aggregate via
-    // crossJoin(broadcast(...)) — a scalar join, O(1) broadcast bytes
-    "q58_hll_shard_merge")
+    // q58/q61 attach ONE-ROW exact aggregates (and q61 its two one-row
+    // sketch sides) via crossJoin(broadcast(...)) — scalar joins, O(1)
+    // broadcast bytes
+    "q58_hll_shard_merge", "q61_theta_overlap")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -75,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
   private val unplannable = Set("p04_snapshot_overwrite", "p05_retention",
     "p09_format_roundtrip", "p10_sync_retention", "p11_zorder_roundtrip",
     "p12_bucketed_merge", "q20_stream_tumbling",
-    "q31_stream_interval_join", "q37_stream_dedup", "q57_stream_session")
+    "q31_stream_interval_join", "q37_stream_dedup", "q57_stream_session",
+    "q63_stream_sketch")
 
   test("no query plans a window with an empty partition spec over row data") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
