@@ -114,6 +114,35 @@ object GraftFunctionRegistry {
     (FunctionIdentifier("graft_kll_rank"),
       info("graft_kll_rank", "graft_kll_rank(sketch, value)"),
       arity("graft_kll_rank", 2)(es => KllRank(es.head, es(1)))),
+    // frequent-items (Misra-Gries) heavy hitters
+    (FunctionIdentifier("graft_freq_sketch_agg"),
+      info("graft_freq_sketch_agg", "graft_freq_sketch_agg(value, maxMapSize)"),
+      arity("graft_freq_sketch_agg", 2)(es => es(1) match {
+        case IntegerLiteral(m) =>
+          FreqSketchAgg(es.head, m).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_freq_sketch_agg maxMapSize must be an integer literal, got $other")
+      })),
+    (FunctionIdentifier("graft_freq_merge_agg"),
+      info("graft_freq_merge_agg", "graft_freq_merge_agg(sketch, maxMapSize)"),
+      arity("graft_freq_merge_agg", 2)(es => es(1) match {
+        case IntegerLiteral(m) =>
+          FreqMergeAgg(es.head, m).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_freq_merge_agg maxMapSize must be an integer literal, got $other")
+      })),
+    (FunctionIdentifier("graft_freq_estimate"),
+      info("graft_freq_estimate", "graft_freq_estimate(sketch, item)"),
+      arity("graft_freq_estimate", 2)(es => FreqEstimate(es.head, es(1)))),
+    (FunctionIdentifier("graft_freq_lower_bound"),
+      info("graft_freq_lower_bound", "graft_freq_lower_bound(sketch, item)"),
+      arity("graft_freq_lower_bound", 2)(es => FreqLowerBound(es.head, es(1)))),
+    (FunctionIdentifier("graft_freq_upper_bound"),
+      info("graft_freq_upper_bound", "graft_freq_upper_bound(sketch, item)"),
+      arity("graft_freq_upper_bound", 2)(es => FreqUpperBound(es.head, es(1)))),
+    (FunctionIdentifier("graft_freq_max_error"),
+      info("graft_freq_max_error", "graft_freq_max_error(sketch)"),
+      arity("graft_freq_max_error", 1)(es => FreqMaxError(es.head))),
     // text battery
     fromColumn("graft_lang_id", TextOps.langId),
     fromColumn("graft_token_count", TextOps.tokenCount),

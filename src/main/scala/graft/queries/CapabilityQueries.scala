@@ -1728,6 +1728,49 @@ object CapabilityQueries {
       |  CAST(1 AS BIGINT) AS matches_exact
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- Q64
+  /** q64: heavy hitters, fully distributed — q59's question answered
+    * without the driver ever touching a sketch: per-day frequent-items
+    * shards ([[graft.functions.FreqSketchAgg]], Misra–Gries) roll up
+    * through a MERGE AGGREGATE ([[graft.functions.FreqMergeAgg]]), so
+    * the combine runs shuffle-side like any partial aggregation, and
+    * the one merged sketch broadcasts onto the exact top-20 as a
+    * scalar join. Gates: `bounds_contain_exact` is the family's
+    * DETERMINISTIC guarantee (lb ≤ true ≤ ub always, at any scale);
+    * `estimate_exact` additionally holds here because the fixture's
+    * user cardinality sits below the map capacity (maxMapSize 8192 —
+    * no purge ever fires, maxError 0, every count exact); past
+    * saturation it degrades and the containment gate is the operative
+    * one. */
+  def q64FreqTopTalkers(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.FreqFunctions._
+    val m = 8192
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val merged = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(freqSketch(col("user_id"), m).as("sk"))
+      .agg(freqMerge(col("sk"), m).as("sk"))
+    val exactTop = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(20)
+    exactTop.crossJoin(broadcast(merged))
+      .select(col("user_id"), col("exact_n"),
+        (freqLowerBound(col("sk"), col("user_id")) <= col("exact_n") &&
+          col("exact_n") <= freqUpperBound(col("sk"), col("user_id")))
+          .cast(LongType).as("bounds_contain_exact"),
+        (freqEstimate(col("sk"), col("user_id")) === col("exact_n") &&
+          freqMaxError(col("sk")) === 0).cast(LongType).as("estimate_exact"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
+  val q64Sql: String =
+    """SELECT user_id, COUNT(*) AS exact_n,
+      |  CAST(1 AS BIGINT) AS bounds_contain_exact,
+      |  CAST(1 AS BIGINT) AS estimate_exact
+      |FROM events GROUP BY user_id
+      |ORDER BY exact_n DESC, user_id LIMIT 20""".stripMargin
+
   /** name -> (impl, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_filter_project", q01FilterProject _, Some(q01Sql)),
@@ -1793,5 +1836,6 @@ object CapabilityQueries {
     ("q61_theta_overlap", q61ThetaAudienceOverlap _, Some(q61Sql)),
     ("q62_kll_quantile_merge", q62KllQuantileMerge _, Some(q62Sql)),
     ("q63_stream_sketch", q63StreamSketch _, Some(q63Sql)),
+    ("q64_freq_topk", q64FreqTopTalkers _, Some(q64Sql)),
   )
 }

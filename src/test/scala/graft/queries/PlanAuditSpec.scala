@@ -37,10 +37,10 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed = Set("q22_cross_join", "s01_ann_bruteforce",
     "t10_classifier", "t11_tfidf",
     "s11_ann_recall", "c23_lm_score", "d03_minhash_lsh",
-    // q58/q61 attach ONE-ROW exact aggregates (and q61 its two one-row
-    // sketch sides) via crossJoin(broadcast(...)) — scalar joins, O(1)
-    // broadcast bytes
-    "q58_hll_shard_merge", "q61_theta_overlap")
+    // q58/q61/q64 attach ONE-ROW aggregates (exact counts, or the one
+    // merged sketch) via crossJoin(broadcast(...)) — scalar joins,
+    // O(1) broadcast bytes
+    "q58_hll_shard_merge", "q61_theta_overlap", "q64_freq_topk")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
