@@ -390,7 +390,7 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
 
 class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
     limit: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -446,11 +446,24 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
     * Past the budget the partition is cursor-only and the driver
     * retains nothing — heap stays O(bodyBudgetBytes) regardless of
     * page count. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = walked.parts
+
+  /** Walk result, memoized: [[planInputPartitions]] and
+    * [[estimateStatistics]] are both driver-side planning calls, and a
+    * second walk would double every page request against a
+    * rate-limited live API. totalRows counts each page's `value` array
+    * (one Jackson parse per page, driver-side — negligible next to the
+    * fetch); totalBytes sums raw body bytes, an upper bound on row
+    * data (JSON framing included). */
+  private case class Walked(parts: Array[InputPartition],
+      totalBytes: Long, totalRows: Long)
+
+  private lazy val walked: Walked = {
     val fetcher = conf.newFetcher()
     val out = Array.newBuilder[InputPartition]
     var budget = conf.bodyBudgetBytes
     var rowsPlanned = 0L
+    var bytesTotal = 0L
     var next: Option[String] = Some(startPage)
     var pages = 0
     while (next.isDefined) {
@@ -464,6 +477,7 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
       val path = next.get
       val body = fetcher.fetch(path)
       val bodyBytes = PageCursor.utf8Length(body)
+      bytesTotal += bodyBytes
       if (bodyBytes <= budget) {
         budget -= bodyBytes
         out += ODataInputPartition(path, Some(body))
@@ -472,17 +486,27 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
       }
       next = PageCursor.nextLink(body, path)
       pages += 1
+      rowsPlanned += PageCursor.rowCount(body)
       // pushed LIMIT: stop the walk once the planned pages carry
       // enough raw rows (no pushed filters by pushLimit's guard, so
       // raw rows == surviving rows); the unwalked tail is never
       // fetched. Spark's retained limit trims the row-quantized
       // overshoot of the last page.
-      limit.foreach { l =>
-        rowsPlanned += PageCursor.rowCount(body)
-        if (rowsPlanned >= l) next = None
-      }
+      limit.foreach { l => if (rowsPlanned >= l) next = None }
     }
-    out.result()
+    Walked(out.result(), bytesTotal, rowsPlanned)
+  }
+
+  /** Connector-reported statistics (SupportsReportStatistics): lets the
+    * optimizer auto-broadcast a small entity in joins with no explicit
+    * hint — the common case for this source's dimension-sized Graph
+    * entities. Exact page-chain totals, not estimates (the walk touches
+    * every page anyway). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(walked.totalBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(walked.totalRows)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

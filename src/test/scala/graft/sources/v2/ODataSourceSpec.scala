@@ -543,6 +543,30 @@ class ODataSourceSpec extends SparkSpec {
     assert(scanOf(big).description().contains("$top=2"))
   }
 
+  test("scan reports exact statistics; small entities auto-broadcast in joins") {
+    val scan = scanOf(readMd)
+    val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows.getAsLong == 6)
+    assert(stats.sizeInBytes.getAsLong > 0)
+    // with stats reported, the optimizer broadcasts the 6-row entity
+    // against a large side WITHOUT an explicit broadcast() hint (absent
+    // stats, DSv2 assumes defaultSizeInBytes = huge → sort-merge)
+    val big = spark.range(200000)
+      .selectExpr("cast(id as string) as id", "id as n")
+    val joined = big.join(readMd.select("id", "deviceName"), Seq("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected stats-driven auto-broadcast:\n$plan")
+  }
+
+  test("stats and partition planning share one memoized cursor walk") {
+    val batch = scanOf(readMd.limit(3)).toBatch
+    // reference equality: a second call must reuse the walked result,
+    // not re-fetch the page chain (live APIs are rate-limited)
+    assert(batch.planInputPartitions() eq batch.planInputPartitions())
+  }
+
   test("utf8Length counts real encoded bytes: multi-byte and surrogate pairs") {
     import java.nio.charset.StandardCharsets.UTF_8
     // ascii, 2-byte, 3-byte, and a supplementary char (surrogate pair,
