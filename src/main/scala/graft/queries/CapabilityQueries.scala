@@ -1679,10 +1679,16 @@ object CapabilityQueries {
     li.join(broadcast(merged), Seq("l_returnflag"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L))
+          .as("cnt_lt"),
         sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L))
           .as("cnt_le"))
+      // a duplicated median value occupies the rank INTERVAL
+      // [cnt_lt, cnt_le]; the guarantee is that this interval comes
+      // within ±εN of 0.5N (q60's construction, 3× slack)
       .select(col("l_returnflag"), col("n"),
-        (abs(col("cnt_le") - col("n") * 0.5) <= col("n") * 0.05 + lit(1))
+        (col("cnt_le") >= col("n") * 0.5 - (col("n") * 0.05 + lit(1)) &&
+          col("cnt_lt") <= col("n") * 0.5 + (col("n") * 0.05 + lit(1)))
           .cast(LongType).as("within_rank_err"))
       .orderBy("l_returnflag")
   }

@@ -45,6 +45,14 @@ import scala.collection.JavaConverters._
   *   against a huge entity fetches one page, not the chain. Declined
   *   (left to Spark) under delta mode or pushed filters — see
   *   [[ODataScanBuilder.pushLimit]].
+  * - COUNT(*) (OData `$count=true` / `@odata.count`, v4 §11.2.5.5):
+  *   SupportsPushDownAggregates — `df.count()` reads the server-stated
+  *   inline count from ONE page instead of walking the chain; declined
+  *   unless the source states it and the query is the plain ungrouped,
+  *   unfiltered, unlimited shape ([[ODataScanBuilder.pushAggregation]]).
+  * - Scan statistics (SupportsReportStatistics): exact page-chain row/
+  *   byte totals from the memoized walk, so small entities
+  *   auto-broadcast in joins with no hint.
   * - 429 retry (O7): all page loads go through [[RetryingPageFetcher]]
   *   with bounded fixed-backoff retries; [[HttpPageFetcher]] maps
   *   HTTP 429/503 and transport errors to [[RetryableFetchException]],
@@ -344,11 +352,13 @@ class ODataTable(entitySchema: StructType, conf: ODataConf)
 
 class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -370,6 +380,43 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     * the limit, so Spark must keep its own limit on top. */
   override def isPartiallyPushed: Boolean = true
 
+  /** COUNT(*) → the OData inline count (`@odata.count` / `$count=true`,
+    * OData v4 §11.2.5.5): the server states the total on the FIRST
+    * page, so `df.count()` costs one page fetch instead of walking and
+    * parsing the whole chain. Accepted only for the plain shape —
+    * no grouping, no pushed filters (a file-mode inline count is the
+    * UNfiltered total; live `$filter`+`$count` composition is possible
+    * but not shipped), no limit, not delta — and only when the source
+    * actually states the count (probed with one driver-side fetch,
+    * memoized and reused by the scan). Declining leaves Spark's own
+    * aggregate reading the normal scan. */
+  private lazy val inlineCount: Option[Long] =
+    try {
+      val start = conf.endpoint match {
+        case Some(ep) =>
+          ep + (if (ep.contains("?")) "&" else "?") + "$count=true&$top=1"
+        case None => conf.firstPage.get
+      }
+      PageCursor.inlineCount(conf.newFetcher().fetch(start))
+    } catch { case _: Exception => None }
+
+  private def countPushable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    !conf.delta && pushed.isEmpty && limit.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      inlineCount.isDefined
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countPushable(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (countPushable(agg)) { countPushed = true; true } else false
+  }
+
   /** Accept only what OData's $filter can express in the reference:
     * top-level string equality. Everything else stays in Spark. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -385,8 +432,36 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ODataScan(required, pushed, conf, limit)
+  override def build(): Scan =
+    if (countPushed) new ODataCountScan(inlineCount.get)
+    else new ODataScan(required, pushed, conf, limit)
 }
+
+/** The scan a completely-pushed COUNT(*) builds: one synthetic
+  * partition carrying the server-stated total; no page chain is walked
+  * and no row data moves. */
+class ODataCountScan(count: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"ODataCountScan($$count=$count)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ODataCountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](
+              p.asInstanceOf[ODataCountPartition].count))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class ODataCountPartition(count: Long) extends InputPartition
 
 class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
     limit: Option[Int] = None)
@@ -819,6 +894,14 @@ object PageCursor {
   def rowCount(body: String): Int = {
     val node = mapper.readTree(body).get("value")
     if (node != null && node.isArray) node.size else 0
+  }
+
+  /** The OData inline count (`@odata.count`, stated when the request
+    * carried `$count=true` or the fixture declares it) — the chain's
+    * TOTAL row count as asserted by the server on the first page. */
+  def inlineCount(body: String): Option[Long] = {
+    val node = mapper.readTree(body).get("@odata.count")
+    Option(node).filter(_.canConvertToLong).map(_.asLong())
   }
 
   private val nextLinkField = "@odata.nextLink"

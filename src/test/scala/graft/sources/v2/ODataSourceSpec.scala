@@ -543,6 +543,45 @@ class ODataSourceSpec extends SparkSpec {
     assert(scanOf(big).description().contains("$top=2"))
   }
 
+  test("COUNT(*) is answered by the inline count: one page, no chain walk") {
+    val agged = readMd.agg(count(lit(1)).as("n"))
+    val desc = agged.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }.mkString
+    assert(desc.contains("ODataCountScan($count=6)"), desc)
+    assert(agged.collect().head.getLong(0) == 6L)
+    assert(readMd.count() == 6L)
+  }
+
+  test("COUNT(*) pushdown declines: filters, delta, absent annotation") {
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString
+    // filtered count: file-mode inline count is the UNfiltered total
+    val filtered = readMd.filter(col("operatingSystem") === "Windows")
+      .agg(count(lit(1)).as("n"))
+    assert(!scanDesc(filtered).contains("ODataCountScan"))
+    assert(filtered.collect().head.getLong(0) == 4L)
+    // cloudPCs fixture states no @odata.count → normal scan, right answer
+    import graft.queries.ParityQueries.fixtureRoot
+    val pcs = spark.read.format("graft-odata")
+      .schema(EntitySchemas.cloudPcSource)
+      .option("firstPage", s"$fixtureRoot/cloudPCs/page1.json")
+      .load().agg(count(lit(1)).as("n"))
+    assert(!scanDesc(pcs).contains("ODataCountScan"))
+    assert(pcs.collect().head.getLong(0) > 0L)
+    // delta chains must walk to the deltaLink page regardless
+    val delta = spark.read.format("graft-odata")
+      .schema(EntitySchemas.managedDeviceSource.add("removed",
+        org.apache.spark.sql.types.BooleanType))
+      .option("firstPage", s"$fixtureRoot/managedDevicesDelta/page1.json")
+      .option("delta", "true").load().agg(count(lit(1)).as("n"))
+    assert(!scanDesc(delta).contains("ODataCountScan"))
+  }
+
   test("scan reports exact statistics; small entities auto-broadcast in joins") {
     val scan = scanOf(readMd)
     val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
