@@ -156,6 +156,78 @@ object ParityQueries {
       .orderBy("id")
   }
 
+  /** p13: p08's delta-sync runbook executed by the STREAMING engine —
+    * the change set arrives through the connector's micro-batch source
+    * ([[graft.sources.v2.ODataMicroBatchStream]]: the offset IS the
+    * delta cursor), each micro-batch upserting the parquet snapshot
+    * via foreachBatch + [[Sinks.applyDelta]] + the crash-safe swap.
+    * The fixture chain's live deltaLink is rewritten to a bounded
+    * no-change cursor so the verification run terminates; a deployment
+    * keeps the query running and the engine's CHECKPOINT replaces the
+    * hand-persisted cursor file. Oracle: the SAME deltaOracle as
+    * p08/p12 — three executions of one semantics (driver-loop, disk
+    * merge, stream). */
+  def p13(s: SparkSession, d: String): DataFrame = {
+    val chain = p13Chain()
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_p13_snap")
+      .resolve("snapshot").toString
+    val snap0 = ODataPageReader.readPages(s,
+      s"$fixtureRoot/managedDevices/page1.json",
+      EntitySchemas.managedDeviceSource)
+    Sinks.overwriteViaSwap(s, snap0, snapDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_p13_ckpt")
+    val changes = s.readStream.format("graft-odata")
+      .schema(EntitySchemas.managedDeviceSource.add("removed", BooleanType))
+      .option("firstPage", chain.resolve("page1.json").toString)
+      .option("delta", "true").load()
+    val q = changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        Sinks.recoverSwap(sess, snapDir)
+        val cur = sess.read.schema(EntitySchemas.managedDeviceSource)
+          .parquet(snapDir)
+        Sinks.overwriteViaSwap(sess,
+          Sinks.applyDelta(cur, batch, "id"), snapDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    deleteRecursively(ckpt.toFile)
+    s.read.schema(EntitySchemas.managedDeviceSource).parquet(snapDir)
+      .select(col("id"), col("deviceName"), col("operatingSystem"),
+        col("complianceState"), col("lastSyncDateTime"))
+      .orderBy("id")
+  }
+
+  /** The p08 delta fixtures, copied to a temp chain whose final
+    * deltaLink is a bounded no-change cursor (live Graph answers an
+    * empty page with a fresh cursor when nothing changed — this IS
+    * that page, self-looping so the stream quiesces). */
+  private def p13Chain(): java.nio.file.Path = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = java.nio.file.Files.createTempDirectory("graft_p13_chain")
+    val src = java.nio.file.Paths.get(s"$fixtureRoot/managedDevicesDelta")
+    java.nio.file.Files.copy(src.resolve("page1.json"),
+      dir.resolve("page1.json"))
+    val p2 = mapper.readTree(
+        java.nio.file.Files.readString(src.resolve("page2.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    p2.put("@odata.deltaLink", "cursor1.json")
+    java.nio.file.Files.writeString(dir.resolve("page2.json"),
+      mapper.writeValueAsString(p2))
+    java.nio.file.Files.writeString(dir.resolve("cursor1.json"),
+      """{"value":[],"@odata.deltaLink":"cursor1.json"}""")
+    dir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   private def deltaOracle: String =
     s"""WITH snap AS (
        |  SELECT CAST(v.id AS VARCHAR) AS id,
@@ -461,5 +533,6 @@ object ParityQueries {
     ("p10_sync_retention", p10 _, Some(syncRetentionOracle)),
     ("p11_zorder_roundtrip", p11 _, Some(p11Oracle)),
     ("p12_bucketed_merge", p12 _, Some(deltaOracle)),
+    ("p13_stream_delta_sync", p13 _, Some(deltaOracle)),
   )
 }

@@ -45,6 +45,11 @@ import scala.collection.JavaConverters._
   *   against a huge entity fetches one page, not the chain. Declined
   *   (left to Spark) under delta mode or pushed filters — see
   *   [[ODataScanBuilder.pushLimit]].
+  * - ORDER BY + LIMIT (SupportsPushDownTopN): live mode composes
+  *   `$orderby` + `$top` and stops the walk like a plain limit — the
+  *   server's globally-sorted first pages are a superset of the true
+  *   top-n; declined in fixture/file mode (no server to sort) and for
+  *   sorts OData's null-ordering contract can't express.
   * - COUNT(*) (OData `$count=true` / `@odata.count`, v4 §11.2.5.5):
   *   SupportsPushDownAggregates — `df.count()` reads the server-stated
   *   inline count from ONE page instead of walking the chain; declined
@@ -345,7 +350,9 @@ class ODataTable(entitySchema: StructType, conf: ODataConf)
     s"odata:${conf.endpoint.orElse(conf.firstPage).get}"
   override def schema(): StructType = entitySchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    (if (conf.delta) Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+    else Set(TableCapability.BATCH_READ)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ODataScanBuilder(entitySchema, conf)
 }
@@ -353,11 +360,12 @@ class ODataTable(entitySchema: StructType, conf: ODataConf)
 class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var orderBy: Option[String] = None
   private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -377,8 +385,44 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
   }
 
   /** Pages are row-quantized: the last planned page may carry rows past
-    * the limit, so Spark must keep its own limit on top. */
+    * the limit, so Spark must keep its own limit on top (covers both
+    * SupportsPushDownLimit and SupportsPushDownTopN — Spark re-sorts
+    * and re-limits the returned prefix, so a server that ignored
+    * `$orderby` could only cost completeness, never wrong order). */
   override def isPartiallyPushed: Boolean = true
+
+  /** ORDER BY + LIMIT → `$orderby` + `$top` and the same early walk
+    * stop as a plain limit. LIVE mode only: the server sorts the
+    * chain globally, so its first pages ARE a superset of the true
+    * top-n; a fixture file chain has no server to sort, and stopping
+    * its walk early could drop qualifying rows. Accepted only for
+    * top-level column sorts whose null ordering matches OData's
+    * (null < any value ⇒ asc/NULLS_FIRST, desc/NULLS_LAST — exactly
+    * Spark's defaults); anything else stays in Spark. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (conf.delta || pushed.nonEmpty || conf.endpoint.isEmpty) return false
+    val terms = orders.toSeq.map { o =>
+      (o.expression(), o.direction(), o.nullOrdering()) match {
+        case (r: NamedReference, SortDirection.ASCENDING,
+            NullOrdering.NULLS_FIRST) if r.fieldNames.length == 1 &&
+            fullSchema.fieldNames.contains(r.fieldNames.head) =>
+          Some(s"${r.fieldNames.head} asc")
+        case (r: NamedReference, SortDirection.DESCENDING,
+            NullOrdering.NULLS_LAST) if r.fieldNames.length == 1 &&
+            fullSchema.fieldNames.contains(r.fieldNames.head) =>
+          Some(s"${r.fieldNames.head} desc")
+        case _ => None
+      }
+    }
+    if (terms.exists(_.isEmpty) || terms.isEmpty) false
+    else {
+      orderBy = Some(terms.flatten.mkString(","))
+      limit = Some(l)
+      true
+    }
+  }
 
   /** COUNT(*) → the OData inline count (`@odata.count` / `$count=true`,
     * OData v4 §11.2.5.5): the server states the total on the FIRST
@@ -434,7 +478,7 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
 
   override def build(): Scan =
     if (countPushed) new ODataCountScan(inlineCount.get)
-    else new ODataScan(required, pushed, conf, limit)
+    else new ODataScan(required, pushed, conf, limit, orderBy)
 }
 
 /** The scan a completely-pushed COUNT(*) builds: one synthetic
@@ -463,8 +507,136 @@ class ODataCountScan(count: Long) extends Scan with Batch {
 
 case class ODataCountPartition(count: Long) extends InputPartition
 
+/** Streaming micro-batch source over a DELTA page chain — the
+  * reference's scheduled incremental sync ([[graft.pipeline
+  * .IncrementalSync]]'s runbook) as a Structured Streaming source:
+  *
+  *  - the OFFSET is the delta cursor itself (`@odata.deltaLink`), so
+  *    the engine's checkpoint replaces the hand-persisted cursor file
+  *    and restart-resume is exactly cursor-resume;
+  *  - each trigger polls one delta ROUND: walk the chain from the
+  *    current cursor to its deltaLink, one InputPartition per page
+  *    (bodies carried within the byte budget, the batch connector's
+  *    contract), rows flow through the same delta-aware reader
+  *    (tombstones → `removed = true`);
+  *  - an unchanged cursor (the no-change poll: an empty page whose
+  *    deltaLink equals the cursor) advances nothing — no empty batch;
+  *  - a restart or multi-round catch-up re-walks from the committed
+  *    start offset, chaining rounds until the end offset's page is
+  *    reached, so `planInputPartitions(start, end)` is total over any
+  *    committed offset pair.
+  *
+  * Compose with `foreachBatch(Sinks.applyDelta)` for the maintained
+  * snapshot — idempotent under replay, the same crash-ordering
+  * argument as the batch runbook. */
+class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
+    conf: ODataConf, startPage: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  case class CursorOffset(page: String) extends Offset {
+    override def json(): String = {
+      val n = mapper.createObjectNode()
+      n.put("page", page)
+      mapper.writeValueAsString(n)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    CursorOffset(mapper.readTree(json).get("page").asText())
+
+  override def initialOffset(): Offset = CursorOffset(startPage)
+
+  /** Cursor the next poll starts from; advanced by [[latestOffset]]. */
+  private var cursor: String = startPage
+  /** Rounds already walked this run, keyed by their FROM page — lets
+    * planInputPartitions reuse the poll's fetches instead of paying
+    * the rate-limited API twice. */
+  private val rounds =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[InputPartition], String)]()
+
+  override def latestOffset(): Offset = {
+    val (parts, deltaLink) = walkRound(cursor)
+    deltaLink match {
+      case Some(next) if next != cursor =>
+        rounds.put(cursor, (parts, next))
+        cursor = next
+        CursorOffset(next)
+      case Some(_) => CursorOffset(cursor) // no-change poll: self cursor
+      case None => throw new IllegalStateException(
+        s"delta round starting at $cursor ended without a deltaLink — " +
+          "the cursor cannot advance; the service broke the delta contract")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CursorOffset].page
+    val e = end.asInstanceOf[CursorOffset].page
+    if (s == e) return Array.empty
+    val out = Array.newBuilder[InputPartition]
+    var from = s
+    var guard = 0
+    while (from != e) {
+      guard += 1
+      if (guard > conf.maxPages) throw new IllegalStateException(
+        s"offset range $s .. $e spans more than maxPages=${conf.maxPages} " +
+          "delta rounds — runaway chain or inconsistent checkpoint")
+      val (parts, next) = Option(rounds.remove(from)).getOrElse {
+        val (p, d) = walkRound(from) // restart/catch-up: re-walk
+        (p, d.getOrElse(throw new IllegalStateException(
+          s"delta chain from $from ended without a deltaLink before " +
+            s"reaching the committed end offset $e")))
+      }
+      out ++= parts
+      from = next
+    }
+    out.result()
+  }
+
+  /** One delta round: pages from `from` through the page carrying the
+    * deltaLink. Same budget/maxPages discipline as the batch walk. */
+  private def walkRound(from: String): (Array[InputPartition], Option[String]) = {
+    val fetcher = conf.newFetcher()
+    val out = Array.newBuilder[InputPartition]
+    var budget = conf.bodyBudgetBytes
+    var path = from
+    var pages = 0
+    var deltaLink: Option[String] = None
+    var done = false
+    while (!done) {
+      if (pages >= conf.maxPages)
+        throw new IllegalStateException(
+          s"delta round exceeds maxPages=${conf.maxPages} at $path")
+      val body = fetcher.fetch(path)
+      val bodyBytes = PageCursor.utf8Length(body)
+      if (bodyBytes <= budget) {
+        budget -= bodyBytes
+        out += ODataInputPartition(path, Some(body))
+      } else {
+        out += ODataInputPartition(path, None)
+      }
+      pages += 1
+      PageCursor.nextLink(body, path) match {
+        case Some(n) => path = n
+        case None =>
+          deltaLink = PageCursor.deltaLink(body, path)
+          done = true
+      }
+    }
+    (out.result(), deltaLink)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ODataReaderFactory(required, pushed, conf)
+
+  override def commit(end: Offset): Unit = () // engine checkpoints offsets
+  override def stop(): Unit = ()
+}
+
 class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, orderBy: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -499,7 +671,7 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
     case Some(ep) =>
       val sel = (required.fieldNames.toSeq ++ filterOnlyCols)
         .filterNot(c => conf.delta && c == "removed")
-      ODataUrl.build(ep, sel, pushed, effectiveTop, conf.expand)
+      ODataUrl.build(ep, sel, pushed, effectiveTop, conf.expand, orderBy)
     case None => conf.firstPage.get
   }
 
@@ -510,6 +682,7 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
       (if (fil.nonEmpty) s", $$filter=$fil" else "") +
       effectiveTop.map(n => s", $$top=$n").getOrElse("") +
       conf.expand.map(e => s", $$expand=$e").getOrElse("") +
+      orderBy.map(o => s", $$orderby=$o").getOrElse("") +
       limit.map(l => s", limit=$l").getOrElse("") + ")"
   }
 
@@ -582,6 +755,20 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
       java.util.OptionalLong.of(walked.totalBytes)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(walked.totalRows)
+  }
+
+  /** Delta-mode STREAMING: the scheduled incremental-sync runbook
+    * ([[graft.pipeline.IncrementalSync]]) as a continuous source —
+    * each micro-batch is one delta round, the offset IS the delta
+    * cursor, and the engine's checkpoint replaces the hand-persisted
+    * cursor file. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(conf.delta,
+      "streaming read requires delta=true (a full-refresh entity has " +
+        "no cursor to advance; wrap snapshot loads in foreachBatch " +
+        "instead — EventsStream.snapshotEachBatch)")
+    new ODataMicroBatchStream(required, pushed, conf, startPage)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -809,12 +996,14 @@ object ODataUrl {
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
   def build(endpoint: String, select: Seq[String], pushed: Array[Filter],
-      top: Option[Int], expand: Option[String]): String = {
+      top: Option[Int], expand: Option[String],
+      orderBy: Option[String] = None): String = {
     val filter = renderFilter(pushed)
     val params = Seq(
       if (select.nonEmpty) Some("$select=" + select.mkString(",")) else None,
       if (filter.nonEmpty) Some("$filter=" + enc(filter)) else None,
       expand.map(e => "$expand=" + enc(e)),
+      orderBy.map(o => "$orderby=" + enc(o)),
       top.map(n => "$top=" + n)).flatten
     if (params.isEmpty) endpoint
     else endpoint + (if (endpoint.contains("?")) "&" else "?") +

@@ -606,6 +606,121 @@ class ODataSourceSpec extends SparkSpec {
     assert(batch.planInputPartitions() eq batch.planInputPartitions())
   }
 
+  test("ORDER BY + LIMIT pushes $orderby/$top live; declined in file mode") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val seen = new ConcurrentLinkedQueue[String]()
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    // the server honors $orderby: a DESC-sorted two-page chain
+    server.createContext("/v1.0/sorted", (ex: HttpExchange) => {
+      seen.add(ex.getRequestURI.toString)
+      if (ex.getRequestURI.toString.contains("page2"))
+        respond(ex, """{"value":[{"id":"x"}]}""")
+      else respond(ex,
+        s"""{"value":[{"id":"z"},{"id":"y"}],
+           |"@odata.nextLink":"http://127.0.0.1:$port/v1.0/sorted/page2"}"""
+          .stripMargin)
+    })
+    server.start()
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType)))
+      val df = spark.read.format("graft-odata").schema(schema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/sorted")
+        .option("authToken", "t").option("retrySleepMs", "0")
+        .load()
+        .orderBy(col("id").desc).limit(2)
+      val desc = scanOf(df).description()
+      assert(desc.contains("$orderby=id desc") && desc.contains("limit=2"),
+        desc)
+      assert(df.collect().map(_.getString(0)).toSeq == Seq("z", "y"))
+      // walk stopped at page1 (2 rows cover the top-2): page2 untouched
+      assert(!seen.asScala.exists(_.contains("page2")), seen.asScala.toSeq)
+      assert(seen.asScala.forall(u =>
+        u.contains("%24orderby=id%20desc") || u.contains("$orderby=id%20desc")),
+        seen.asScala.toSeq)
+    } finally server.stop(0)
+    // file mode: no server to sort — TopN stays in Spark, answer right
+    val fq = readMd.orderBy(col("deviceName").desc).limit(2)
+    assert(!scanOf(fq).description().contains("$orderby"))
+    assert(fq.collect().length == 2)
+  }
+
+  test("delta chain streams as micro-batches: cursor offsets, rounds, tombstones") {
+    import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_delta_ckpt")
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), body)
+    // round 1: two adds + one add across a two-page chain
+    write("p1.json",
+      """{"value":[{"id":"a","deviceName":"A"},{"id":"b","deviceName":"B"}],
+        |"@odata.nextLink":"p2.json"}""".stripMargin)
+    write("p2.json",
+      """{"value":[{"id":"c","deviceName":"C"}],
+        |"@odata.deltaLink":"cursor1.json"}""".stripMargin)
+    // the no-change poll: empty page, cursor self-loop
+    write("cursor1.json",
+      """{"value":[],"@odata.deltaLink":"cursor1.json"}""")
+    val schema = new StructType().add("id", StringType)
+      .add("deviceName", StringType).add("removed", BooleanType)
+    val stream = spark.readStream.format("graft-odata").schema(schema)
+      .option("firstPage", dir.resolve("p1.json").toString)
+      .option("delta", "true").load()
+    val q = stream.writeStream.format("memory").queryName("delta_stream_mem")
+      .outputMode("append").option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("delta_stream_mem").count() == 3)
+      // a later trigger finds round 2 at the cursor: an update + a
+      // tombstone, then a fresh self-looping cursor
+      write("cursor1.json",
+        """{"value":[{"id":"a","deviceName":"A2"},
+          |{"id":"b","@removed":{"reason":"deleted"}}],
+          |"@odata.deltaLink":"cursor2.json"}""".stripMargin)
+      write("cursor2.json",
+        """{"value":[],"@odata.deltaLink":"cursor2.json"}""")
+      q.processAllAvailable()
+      val rows = spark.table("delta_stream_mem").collect()
+      assert(rows.length == 5, rows.mkString(";"))
+      assert(rows.count(_.getAs[Boolean]("removed")) == 1)
+      assert(rows.filter(_.getAs[Boolean]("removed"))
+        .head.getAs[String]("id") == "b")
+      // the update row carries its new payload
+      assert(rows.exists(r => r.getAs[String]("id") == "a" &&
+        r.getAs[String]("deviceName") == "A2"))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("delta_stream_mem")
+    }
+  }
+
+  test("streaming read without delta=true is rejected with guidance") {
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-odata")
+        .schema(EntitySchemas.managedDeviceSource)
+        .option("firstPage", mdFirstPage).load()
+        .writeStream.format("memory").queryName("no_delta_stream").start()
+    }
+    // without delta=true the table doesn't advertise MICRO_BATCH_READ,
+    // so Spark rejects at capability-check; the toMicroBatchStream
+    // require() is the belt-and-braces backstop behind it
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("delta=true") ||
+      m.toLowerCase.contains("does not support")), e.toString)
+  }
+
   test("utf8Length counts real encoded bytes: multi-byte and surrogate pairs") {
     import java.nio.charset.StandardCharsets.UTF_8
     // ascii, 2-byte, 3-byte, and a supplementary char (surrogate pair,
