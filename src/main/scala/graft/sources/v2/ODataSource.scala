@@ -531,8 +531,9 @@ case class ODataCountPartition(count: Long) extends InputPartition
   * argument as the batch runbook. */
 class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
     conf: ODataConf, startPage: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -549,20 +550,23 @@ class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
 
   override def initialOffset(): Offset = CursorOffset(startPage)
 
-  /** Cursor the next poll starts from; advanced by [[latestOffset]]. */
-  private var cursor: String = startPage
   /** Rounds already walked this run, keyed by their FROM page — lets
     * planInputPartitions reuse the poll's fetches instead of paying
     * the rate-limited API twice. */
   private val rounds =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[InputPartition], String)]()
 
-  override def latestOffset(): Offset = {
+  /** STATELESS poll via SupportsAdmissionControl: the engine hands the
+    * last committed offset in, so a restarted instance resumes from
+    * the checkpoint rather than from an internal field reset to the
+    * first page (which would report a stale "latest" behind the
+    * committed cursor and wedge the query). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cursor = start.asInstanceOf[CursorOffset].page
     val (parts, deltaLink) = walkRound(cursor)
     deltaLink match {
       case Some(next) if next != cursor =>
         rounds.put(cursor, (parts, next))
-        cursor = next
         CursorOffset(next)
       case Some(_) => CursorOffset(cursor) // no-change poll: self cursor
       case None => throw new IllegalStateException(
@@ -570,6 +574,13 @@ class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
           "the cursor cannot advance; the service broke the delta contract")
     }
   }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Engine calls the stateful variant only on sources without
+    * admission control — never here (the Kafka source does the same). */
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(start, limit) is the polling entry point")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CursorOffset].page

@@ -699,6 +699,29 @@ class ODataSourceSpec extends SparkSpec {
       // the update row carries its new payload
       assert(rows.exists(r => r.getAs[String]("id") == "a" &&
         r.getAs[String]("deviceName") == "A2"))
+      q.stop()
+      // RESTART from the checkpoint: a new query instance must resume
+      // at the committed cursor (cursor2), not re-read rounds 1-2 —
+      // exercises deserializeOffset + the stateless admission-control
+      // poll (an internal cursor field would reset to page1 here)
+      write("cursor2.json",
+        """{"value":[{"id":"d","deviceName":"D"}],
+          |"@odata.deltaLink":"cursor3.json"}""".stripMargin)
+      write("cursor3.json",
+        """{"value":[],"@odata.deltaLink":"cursor3.json"}""")
+      // (memory sinks refuse checkpoint recovery; foreachBatch is the
+      // recoverable sink, which is also p13's production shape)
+      val resumed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q2 = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => resumed.add(r.getAs[String]("id")))
+        }
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(resumed.asScala.toSeq == Seq("d"),
+        s"restart must resume at the committed cursor, got ${resumed.asScala.toSeq}")
     } finally {
       q.stop()
       spark.catalog.dropTempView("delta_stream_mem")
