@@ -100,8 +100,18 @@ case class ThetaSketchAgg(child: Expression, lgK: Int = 14,
     if (v != null) child.dataType match {
       case LongType => buffer.update(v.asInstanceOf[Long])
       case IntegerType => buffer.update(v.asInstanceOf[Int].toLong)
-      // UTF-8 bytes: identical hash to DataSketches' update(String)
-      case StringType => buffer.update(v.asInstanceOf[UTF8String].getBytes)
+      case StringType =>
+        // DataSketches silently IGNORES empty byte arrays, so a bare
+        // getBytes would drop "" from the sketch while COUNT(DISTINCT)
+        // counts it — breaking the exact-mode gates on dirty feeds. A
+        // constant trailing marker byte keeps the encoding injective
+        // (s₁+0x00 = s₂+0x00 ⟺ s₁ = s₂) and makes "" a 1-byte update.
+        // Sketches only ever compare to OTHER graft theta sketches, so
+        // parity with DataSketches' update(String) hashing is not a
+        // requirement.
+        val b = v.asInstanceOf[UTF8String].getBytes
+        val marked = java.util.Arrays.copyOf(b, b.length + 1)
+        buffer.update(marked)
       case _ => ()
     }
     buffer

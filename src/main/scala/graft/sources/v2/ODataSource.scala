@@ -507,6 +507,57 @@ class ODataCountScan(count: Long) extends Scan with Batch {
 
 case class ODataCountPartition(count: Long) extends InputPartition
 
+/** The ONE driver-side cursor walk — shared by the batch scan (limit
+  * stop, byte/row statistics) and the streaming delta rounds
+  * (deltaLink extraction), so the two can never drift on budget
+  * accounting, maxPages discipline, or partition construction. Each
+  * page body is JSON-parsed exactly once ([[PageCursor.pageMeta]]:
+  * nextLink + deltaLink + row count from the same tree). */
+private[v2] object PageWalk {
+  final case class Result(parts: Array[InputPartition], totalBytes: Long,
+      totalRows: Long, deltaLink: Option[String])
+
+  def walk(conf: ODataConf, start: String,
+      limitRows: Option[Int] = None): Result = {
+    val fetcher = conf.newFetcher()
+    val out = Array.newBuilder[InputPartition]
+    var budget = conf.bodyBudgetBytes
+    var rows = 0L
+    var bytes = 0L
+    var next: Option[String] = Some(start)
+    var pages = 0
+    var deltaLink: Option[String] = None
+    while (next.isDefined) {
+      if (pages >= conf.maxPages)
+        throw new IllegalStateException(
+          s"page chain exceeds maxPages=${conf.maxPages} at ${next.get}; " +
+            "raise the maxPages option — a silently truncated scan is " +
+            "indistinguishable from a complete one downstream, which " +
+            "merely shortens a full refresh but CORRUPTS a delta sync " +
+            "(incomplete change set, deltaLink page never reached)")
+      val path = next.get
+      val body = fetcher.fetch(path)
+      val bodyBytes = PageCursor.utf8Length(body)
+      bytes += bodyBytes
+      if (bodyBytes <= budget) {
+        budget -= bodyBytes
+        out += ODataInputPartition(path, Some(body))
+      } else {
+        out += ODataInputPartition(path, None)
+      }
+      pages += 1
+      val meta = PageCursor.pageMeta(body, path)
+      rows += meta.rows
+      next = meta.nextLink
+      if (next.isEmpty) deltaLink = meta.deltaLink
+      // pushed-limit early stop (never set in delta mode — pushLimit's
+      // guard — so it cannot truncate a chain ahead of its deltaLink)
+      limitRows.foreach { l => if (rows >= l) next = None }
+    }
+    Result(out.result(), bytes, rows, deltaLink)
+  }
+}
+
 /** Streaming micro-batch source over a DELTA page chain — the
   * reference's scheduled incremental sync ([[graft.pipeline
   * .IncrementalSync]]'s runbook) as a Structured Streaming source:
@@ -563,12 +614,21 @@ class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
     * committed cursor and wedge the query). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cursor = start.asInstanceOf[CursorOffset].page
-    val (parts, deltaLink) = walkRound(cursor)
-    deltaLink match {
+    val r = PageWalk.walk(conf, cursor)
+    r.deltaLink match {
       case Some(next) if next != cursor =>
-        rounds.put(cursor, (parts, next))
+        rounds.put(cursor, (r.parts, next))
         CursorOffset(next)
-      case Some(_) => CursorOffset(cursor) // no-change poll: self cursor
+      case Some(_) =>
+        // no-change poll: the empty page whose cursor points at itself.
+        // Rows on a SELF-cursor page would be silently dropped on every
+        // poll forever — a delta-contract violation that must be loud.
+        if (r.totalRows > 0) throw new IllegalStateException(
+          s"delta page at $cursor carries ${r.totalRows} row(s) but its " +
+            "deltaLink points back at the same cursor — these rows can " +
+            "never be ingested (the offset cannot advance); the service " +
+            "broke the delta contract")
+        CursorOffset(cursor)
       case None => throw new IllegalStateException(
         s"delta round starting at $cursor ended without a deltaLink — " +
           "the cursor cannot advance; the service broke the delta contract")
@@ -589,60 +649,49 @@ class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
     val out = Array.newBuilder[InputPartition]
     var from = s
     var guard = 0
-    while (from != e) {
+    var done = false
+    while (!done && from != e) {
       guard += 1
       if (guard > conf.maxPages) throw new IllegalStateException(
         s"offset range $s .. $e spans more than maxPages=${conf.maxPages} " +
           "delta rounds — runaway chain or inconsistent checkpoint")
-      val (parts, next) = Option(rounds.remove(from)).getOrElse {
-        val (p, d) = walkRound(from) // restart/catch-up: re-walk
-        (p, d.getOrElse(throw new IllegalStateException(
-          s"delta chain from $from ended without a deltaLink before " +
-            s"reaching the committed end offset $e")))
+      Option(rounds.get(from)) match {
+        case Some((parts, next)) =>
+          out ++= parts
+          from = next
+        case None =>
+          // restart/catch-up: re-walk. A FRESH walk always reaches the
+          // service's CURRENT cursor; if that differs from the recorded
+          // end offset `e`, the service advanced while the query was
+          // down and a historical cursor cannot be re-materialized —
+          // emit the walked superset (it covers the recorded range; the
+          // idempotent delta sink absorbs the replayed tail when the
+          // next poll starts from `e`) and STOP, rather than chasing a
+          // cursor that can never equal `e` until maxPages throws.
+          val r = PageWalk.walk(conf, from)
+          out ++= r.parts
+          val next = r.deltaLink.getOrElse(throw new IllegalStateException(
+            s"delta chain from $from ended without a deltaLink before " +
+              s"reaching the committed end offset $e"))
+          // cache for replans of this same batch (multi-action
+          // foreachBatch bodies) — cleared at commit like poll rounds
+          rounds.put(from, (r.parts, next))
+          if (next == e) from = next else done = true
       }
-      out ++= parts
-      from = next
     }
     out.result()
-  }
-
-  /** One delta round: pages from `from` through the page carrying the
-    * deltaLink. Same budget/maxPages discipline as the batch walk. */
-  private def walkRound(from: String): (Array[InputPartition], Option[String]) = {
-    val fetcher = conf.newFetcher()
-    val out = Array.newBuilder[InputPartition]
-    var budget = conf.bodyBudgetBytes
-    var path = from
-    var pages = 0
-    var deltaLink: Option[String] = None
-    var done = false
-    while (!done) {
-      if (pages >= conf.maxPages)
-        throw new IllegalStateException(
-          s"delta round exceeds maxPages=${conf.maxPages} at $path")
-      val body = fetcher.fetch(path)
-      val bodyBytes = PageCursor.utf8Length(body)
-      if (bodyBytes <= budget) {
-        budget -= bodyBytes
-        out += ODataInputPartition(path, Some(body))
-      } else {
-        out += ODataInputPartition(path, None)
-      }
-      pages += 1
-      PageCursor.nextLink(body, path) match {
-        case Some(n) => path = n
-        case None =>
-          deltaLink = PageCursor.deltaLink(body, path)
-          done = true
-      }
-    }
-    (out.result(), deltaLink)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ODataReaderFactory(required, pushed, conf)
 
-  override def commit(end: Offset): Unit = () // engine checkpoints offsets
+  /** The engine checkpoints offsets itself; our only per-batch state is
+    * the walked-round cache, which the committed batch no longer needs
+    * (keeping entries single-use via remove() would break foreachBatch
+    * bodies that run more than one action — Spark replans the SAME
+    * micro-batch per action, and a second plan must reuse the cached
+    * pages, not re-poll a rate-limited live API mid-batch). */
+  override def commit(end: Offset): Unit = rounds.clear()
   override def stop(): Unit = ()
 }
 
@@ -718,42 +767,12 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
       totalBytes: Long, totalRows: Long)
 
   private lazy val walked: Walked = {
-    val fetcher = conf.newFetcher()
-    val out = Array.newBuilder[InputPartition]
-    var budget = conf.bodyBudgetBytes
-    var rowsPlanned = 0L
-    var bytesTotal = 0L
-    var next: Option[String] = Some(startPage)
-    var pages = 0
-    while (next.isDefined) {
-      if (pages >= conf.maxPages)
-        throw new IllegalStateException(
-          s"page chain exceeds maxPages=${conf.maxPages} at ${next.get}; " +
-            "raise the maxPages option — a silently truncated scan is " +
-            "indistinguishable from a complete one downstream, which " +
-            "merely shortens a full refresh but CORRUPTS a delta sync " +
-            "(incomplete change set, deltaLink page never reached)")
-      val path = next.get
-      val body = fetcher.fetch(path)
-      val bodyBytes = PageCursor.utf8Length(body)
-      bytesTotal += bodyBytes
-      if (bodyBytes <= budget) {
-        budget -= bodyBytes
-        out += ODataInputPartition(path, Some(body))
-      } else {
-        out += ODataInputPartition(path, None)
-      }
-      next = PageCursor.nextLink(body, path)
-      pages += 1
-      rowsPlanned += PageCursor.rowCount(body)
-      // pushed LIMIT: stop the walk once the planned pages carry
-      // enough raw rows (no pushed filters by pushLimit's guard, so
-      // raw rows == surviving rows); the unwalked tail is never
-      // fetched. Spark's retained limit trims the row-quantized
-      // overshoot of the last page.
-      limit.foreach { l => if (rowsPlanned >= l) next = None }
-    }
-    Walked(out.result(), bytesTotal, rowsPlanned)
+    // pushed LIMIT: PageWalk stops once the planned pages carry enough
+    // raw rows (no pushed filters by pushLimit's guard, so raw rows ==
+    // surviving rows); the unwalked tail is never fetched. Spark's
+    // retained limit trims the row-quantized overshoot of the last page.
+    val r = PageWalk.walk(conf, startPage, limitRows = limit)
+    Walked(r.parts, r.totalBytes, r.totalRows)
   }
 
   /** Connector-reported statistics (SupportsReportStatistics): lets the
@@ -1102,6 +1121,21 @@ object PageCursor {
   def inlineCount(body: String): Option[Long] = {
     val node = mapper.readTree(body).get("@odata.count")
     Option(node).filter(_.canConvertToLong).map(_.asLong())
+  }
+
+  final case class PageMeta(nextLink: Option[String],
+      deltaLink: Option[String], rows: Int)
+
+  /** Everything the cursor walk needs from a page, in ONE JSON parse
+    * (the walk previously re-parsed the same body per cursor field). */
+  def pageMeta(body: String, currentPath: String): PageMeta = {
+    val root = mapper.readTree(body)
+    def l(field: String): Option[String] =
+      Option(root.get(field)).filter(!_.isNull)
+        .map(n => resolve(n.asText(), currentPath))
+    val v = root.get("value")
+    PageMeta(l(nextLinkField), l("@odata.deltaLink"),
+      if (v != null && v.isArray) v.size else 0)
   }
 
   private val nextLinkField = "@odata.nextLink"

@@ -72,6 +72,17 @@ class ThetaSketchSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("theta_events")
   }
 
+  test("empty strings count as a distinct value, matching countDistinct") {
+    import spark.implicits._
+    val df = Seq("", "a", "b", "", "a").toDF("s")
+    val r = df.agg(
+      thetaEstimate(thetaSketch(col("s"))).as("est"),
+      countDistinct(col("s")).as("exact")).collect().head
+    // DataSketches drops empty byte arrays; the marker-byte encoding
+    // must keep "" countable — 3 distinct values, not 2
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+  }
+
   test("string inputs sketch consistently with long inputs' cardinality") {
     val asStr = ev.select(col("user_id").cast("string").as("u"))
       .agg(thetaEstimate(thetaSketch(col("u"))).as("est"))
