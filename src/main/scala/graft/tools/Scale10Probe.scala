@@ -128,10 +128,14 @@ object Scale10Probe {
       // c24's constituent stages individually.
       "q32_range_join_auto", "s12_ivfpq",
       // round-9 additions: the mergeable-summary family's scan-bound
-      // sketch union (should read ~flat: one pass + KB-sized state)
-      // and the streaming sessionizer (state ∝ open sessions — 10×
-      // users ⇒ 10× state, honest linear)
-      "q58_hll_shard_merge", "q57_stream_session")
+      // sketch union (should read ~flat: one pass + KB-sized state),
+      // the streaming sessionizer (state ∝ open sessions — 10×
+      // users ⇒ 10× state, honest linear), and the KLL quantile merge
+      // (two-level agg + broadcast join + rank-check rescan — the
+      // family's most plan-complex member; expected ~linear in the
+      // two scans)
+      "q58_hll_shard_merge", "q57_stream_session",
+      "q62_kll_quantile_merge")
 
     // rows recorded alongside seconds: a super-linear factor with a
     // matching output-row ratio is the output's cost, not the plan's
