@@ -572,10 +572,13 @@ private[v2] object PageWalk {
   *    (tombstones → `removed = true`);
   *  - an unchanged cursor (the no-change poll: an empty page whose
   *    deltaLink equals the cursor) advances nothing — no empty batch;
-  *  - a restart or multi-round catch-up re-walks from the committed
-  *    start offset, chaining rounds until the end offset's page is
-  *    reached, so `planInputPartitions(start, end)` is total over any
-  *    committed offset pair.
+  *  - a restart re-walks a recorded offset range from its start
+  *    cursor: an exact replay when the service's cursor still matches
+  *    the recorded end; the walked SUPERSET when the service advanced
+  *    during downtime (a historical cursor cannot be re-materialized —
+  *    the idempotent delta sink absorbs the replayed tail); a loud
+  *    failure when the chain no longer advances (reset service,
+  *    inconsistent checkpoint).
   *
   * Compose with `foreachBatch(Sinks.applyDelta)` for the maintained
   * snapshot — idempotent under replay, the same crash-ordering
@@ -649,8 +652,7 @@ class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
     val out = Array.newBuilder[InputPartition]
     var from = s
     var guard = 0
-    var done = false
-    while (!done && from != e) {
+    while (from != e) {
       guard += 1
       if (guard > conf.maxPages) throw new IllegalStateException(
         s"offset range $s .. $e spans more than maxPages=${conf.maxPages} " +
@@ -661,22 +663,33 @@ class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
           from = next
         case None =>
           // restart/catch-up: re-walk. A FRESH walk always reaches the
-          // service's CURRENT cursor; if that differs from the recorded
-          // end offset `e`, the service advanced while the query was
-          // down and a historical cursor cannot be re-materialized —
-          // emit the walked superset (it covers the recorded range; the
-          // idempotent delta sink absorbs the replayed tail when the
-          // next poll starts from `e`) and STOP, rather than chasing a
-          // cursor that can never equal `e` until maxPages throws.
+          // service's CURRENT cursor; three outcomes:
+          //  - it equals the recorded end `e`: the round replays exactly;
+          //  - it ADVANCED past `e` (changes landed during downtime): a
+          //    historical cursor cannot be re-materialized, so emit the
+          //    walked superset — it covers the recorded range, and the
+          //    idempotent delta sink absorbs the replayed tail when the
+          //    next poll starts from `e`;
+          //  - it did NOT advance (deltaLink == from while from != e): a
+          //    reset/regressed service — the rows the checkpoint recorded
+          //    at `e` are unreachable, so fail loudly rather than commit
+          //    a silently-empty batch.
           val r = PageWalk.walk(conf, from)
           out ++= r.parts
           val next = r.deltaLink.getOrElse(throw new IllegalStateException(
             s"delta chain from $from ended without a deltaLink before " +
               s"reaching the committed end offset $e"))
+          if (next == from) throw new IllegalStateException(
+            s"replaying committed offsets $s .. $e: the chain at $from no " +
+              "longer advances (self-looping cursor) — the service lost " +
+              "or reset the recorded delta rounds; inconsistent checkpoint")
           // cache for replans of this same batch (multi-action
-          // foreachBatch bodies) — cleared at commit like poll rounds
-          rounds.put(from, (r.parts, next))
-          if (next == e) from = next else done = true
+          // foreachBatch bodies, Spark replans per action): store the
+          // recorded END as the entry's terminator so a replan exits
+          // here instead of falling off the cache into a fresh live
+          // re-poll mid-batch — the entry's parts already cover s .. e.
+          rounds.put(from, (r.parts, e))
+          from = e
       }
     }
     out.result()
@@ -1106,14 +1119,6 @@ object PageCursor {
   /** Extract @odata.nextLink from a page body, resolved. */
   def nextLink(body: String, currentPath: String): Option[String] =
     link(body, nextLinkField).map(resolve(_, currentPath))
-
-  /** Row count of a page body's `value` array — drives the pushed-limit
-    * early stop of the cursor walk. A malformed/absent array counts 0
-    * (the walk then continues; correctness never depends on this). */
-  def rowCount(body: String): Int = {
-    val node = mapper.readTree(body).get("value")
-    if (node != null && node.isArray) node.size else 0
-  }
 
   /** The OData inline count (`@odata.count`, stated when the request
     * carried `$count=true` or the fixture declares it) — the chain's
