@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -117,14 +117,13 @@ case class FreqMergeAgg(child: Expression, maxMapSize: Int = 1024,
     copy(child = newChild)
 }
 
-abstract class FreqItemScalar extends BinaryExpression {
+abstract class FreqItemScalar extends BinaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (binary sketch, bigint item), got ($l, $r)")
-    }
+  // ImplicitCastInputTypes so SQL integer literals coerce like
+  // built-ins: `graft_freq_estimate(sk, 5)` parses 5 as INT and the
+  // analyzer inserts the cast to bigint instead of failing analysis
+  override def inputTypes = Seq(BinaryType, LongType)
 }
 
 /** `graft_freq_estimate(sketch, item) -> bigint` */

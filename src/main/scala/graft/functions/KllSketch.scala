@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -125,16 +125,15 @@ case class KllMergeAgg(child: Expression, k: Int = 200,
     copy(child = newChild)
 }
 
-abstract class KllScalarBase extends BinaryExpression {
+abstract class KllScalarBase extends BinaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   // empty-sketch queries return null even for non-null inputs
   override def nullable: Boolean = true
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (binary sketch, double), got ($l, $r)")
-    }
+  // ImplicitCastInputTypes so SQL literals coerce like built-ins:
+  // `graft_kll_quantile(sk, 0.5)` parses 0.5 as DECIMAL(1,1) and the
+  // analyzer inserts the cast to double instead of failing analysis
+  override def inputTypes = Seq(BinaryType, DoubleType)
 }
 
 /** `graft_kll_quantile(sketch, rank) -> double` — the value at a

@@ -1531,8 +1531,13 @@ object CapabilityQueries {
     * then served as a broadcast dimension against the exact top-20
     * talkers. Two quantitative gates per key: `never_underestimates`
     * (a count-min structural guarantee — deterministic) and
-    * `within_eps_bound` (est ≤ exact + 4εN; violation probability
-    * (1/4)^depth ≈ 1e-6 per key at δ=0.001 ⇒ depth 10). At 100 TB the
+    * `within_eps_bound` (est ≤ exact + 4εN). Spark's sketch uses
+    * width = ⌈2/ε⌉ and depth = ⌈log₂(1/δ)⌉ = 10 at δ=0.001, so each
+    * row's expected overestimate is ≤ N/width = εN/2; by Markov,
+    * P[row err ≥ 4εN] ≤ 1/8, and the min over 10 independent rows
+    * violates the 4εN slack with probability ≤ (1/8)^10 ≈ 1e-9 per
+    * key (the standard ≤ εN guarantee holds at (1/2)^10 = δ). At
+    * 100 TB the
     * shard sketches are pre-aggregated next to the data and only
     * sketch bytes move — the raw stream is scanned once, ever. */
   def q59CountminTopTalkers(s: SparkSession, d: String): DataFrame = {

@@ -398,20 +398,35 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     * its walk early could drop qualifying rows. Accepted only for
     * top-level column sorts whose null ordering matches OData's
     * (null < any value ⇒ asc/NULLS_FIRST, desc/NULLS_LAST — exactly
-    * Spark's defaults); anything else stays in Spark. */
+    * Spark's defaults); anything else stays in Spark. String columns
+    * are declined entirely: Graph/OData servers typically sort text
+    * case-insensitively or locale-aware while Spark sorts UTF8 binary,
+    * so the early walk stop could fetch a prefix that is NOT a
+    * superset of Spark's true top-n (e.g. desc limit 1 over
+    * {"Z","a"}: a case-folding server yields "Z", the binary-order
+    * answer is "a") and the retained re-sort could not restore the
+    * missing rows. Numeric/temporal/boolean orderings are
+    * collation-free, so only those are pushed. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (conf.delta || pushed.nonEmpty || conf.endpoint.isEmpty) return false
+    def sortableType(name: String): Boolean = fullSchema(name).dataType match {
+      case _: org.apache.spark.sql.types.NumericType | _: BooleanType |
+           _: DateType | _: TimestampType => true
+      case _ => false // StringType and everything else: collation-sensitive
+    }
     val terms = orders.toSeq.map { o =>
       (o.expression(), o.direction(), o.nullOrdering()) match {
         case (r: NamedReference, SortDirection.ASCENDING,
             NullOrdering.NULLS_FIRST) if r.fieldNames.length == 1 &&
-            fullSchema.fieldNames.contains(r.fieldNames.head) =>
+            fullSchema.fieldNames.contains(r.fieldNames.head) &&
+            sortableType(r.fieldNames.head) =>
           Some(s"${r.fieldNames.head} asc")
         case (r: NamedReference, SortDirection.DESCENDING,
             NullOrdering.NULLS_LAST) if r.fieldNames.length == 1 &&
-            fullSchema.fieldNames.contains(r.fieldNames.head) =>
+            fullSchema.fieldNames.contains(r.fieldNames.head) &&
+            sortableType(r.fieldNames.head) =>
           Some(s"${r.fieldNames.head} desc")
         case _ => None
       }

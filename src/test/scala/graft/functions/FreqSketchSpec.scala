@@ -67,6 +67,14 @@ class FreqSketchSpec extends SparkSpec {
           |      FROM freq_events GROUP BY event_type)""".stripMargin)
         .collect().head.getLong(0)
       assert(r == 0L)
+      // bare integer literal parses as INT: ImplicitCastInputTypes must
+      // coerce it to bigint like a built-in, not fail analysis
+      val est = spark.sql(
+        """SELECT graft_freq_estimate(
+          |  graft_freq_sketch_agg(user_id, 8192), 5) AS est
+          |FROM freq_events""".stripMargin).collect().head.getLong(0)
+      val exact = ev.filter(col("user_id") === 5L).count()
+      assert(est == exact, s"est $est != exact $exact")
     } finally spark.catalog.dropTempView("freq_events")
   }
 

@@ -56,13 +56,21 @@ class KllSketchSpec extends SparkSpec {
   test("SQL surface: graft_kll_* resolve from SQL text") {
     li.createOrReplaceTempView("kll_lineitem")
     try {
+      // bare 0.5 parses as DECIMAL(1,1): ImplicitCastInputTypes must
+      // coerce it to double like a built-in, not fail analysis
       val v = spark.sql(
         """SELECT graft_kll_quantile(
-          |  graft_kll_merge_agg(sk, 200), CAST(0.5 AS DOUBLE)) AS v
+          |  graft_kll_merge_agg(sk, 200), 0.5) AS v
           |FROM (SELECT graft_kll_sketch_agg(l_extendedprice, 200) AS sk
           |      FROM kll_lineitem GROUP BY l_returnflag)""".stripMargin)
         .collect().head.getDouble(0)
       assert(math.abs(exactRank(v) - 0.5) <= 0.05)
+      // same for the rank direction with an integer literal value
+      val r = spark.sql(
+        """SELECT graft_kll_rank(graft_kll_sketch_agg(l_extendedprice, 200),
+          |  0) AS r FROM kll_lineitem""".stripMargin)
+        .collect().head.getDouble(0)
+      assert(r == 0.0, s"rank of 0 should be 0.0, got $r")
     } finally spark.catalog.dropTempView("kll_lineitem")
   }
 

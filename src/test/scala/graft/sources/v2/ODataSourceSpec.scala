@@ -623,9 +623,9 @@ class ODataSourceSpec extends SparkSpec {
     server.createContext("/v1.0/sorted", (ex: HttpExchange) => {
       seen.add(ex.getRequestURI.toString)
       if (ex.getRequestURI.toString.contains("page2"))
-        respond(ex, """{"value":[{"id":"x"}]}""")
+        respond(ex, """{"value":[{"id":"x","n":1}]}""")
       else respond(ex,
-        s"""{"value":[{"id":"z"},{"id":"y"}],
+        s"""{"value":[{"id":"z","n":3},{"id":"y","n":2}],
            |"@odata.nextLink":"http://127.0.0.1:$port/v1.0/sorted/page2"}"""
           .stripMargin)
     })
@@ -633,21 +633,30 @@ class ODataSourceSpec extends SparkSpec {
     try {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.StringType)))
-      val df = spark.read.format("graft-odata").schema(schema)
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      val base = spark.read.format("graft-odata").schema(schema)
         .option("endpoint", s"http://127.0.0.1:$port/v1.0/sorted")
         .option("authToken", "t").option("retrySleepMs", "0")
         .load()
-        .orderBy(col("id").desc).limit(2)
+      val df = base.orderBy(col("n").desc).limit(2)
       val desc = scanOf(df).description()
-      assert(desc.contains("$orderby=id desc") && desc.contains("limit=2"),
+      assert(desc.contains("$orderby=n desc") && desc.contains("limit=2"),
         desc)
       assert(df.collect().map(_.getString(0)).toSeq == Seq("z", "y"))
       // walk stopped at page1 (2 rows cover the top-2): page2 untouched
       assert(!seen.asScala.exists(_.contains("page2")), seen.asScala.toSeq)
       assert(seen.asScala.forall(u =>
-        u.contains("%24orderby=id%20desc") || u.contains("$orderby=id%20desc")),
+        u.contains("%24orderby=n%20desc") || u.contains("$orderby=n%20desc")),
         seen.asScala.toSeq)
+      // string sorts are collation-sensitive (server may case-fold while
+      // Spark compares UTF8 binary): declined even live — TopN stays in
+      // Spark and the full chain is read, so the answer is binary-exact
+      val sq = base.orderBy(col("id").desc).limit(2)
+      assert(!scanOf(sq).description().contains("$orderby"),
+        scanOf(sq).description())
+      assert(sq.collect().map(_.getString(0)).toSeq == Seq("z", "y"))
     } finally server.stop(0)
     // file mode: no server to sort — TopN stays in Spark, answer right
     val fq = readMd.orderBy(col("deviceName").desc).limit(2)
