@@ -2133,13 +2133,17 @@ object TrainingQueries {
 
   /** c16: curriculum-ordered EXPORT — [[Selection.writeSortedRuns]]
     * lays the corpus out as sorted runs whose file-name order is the
-    * global (quality DESC, doc_id) order, then the files are read back
-    * IN NAME ORDER and each document's position derived from the
-    * PHYSICAL layout (file ordinal + in-file row index via a
-    * single-partition per-file read — bounded by `runs`, a
-    * verification device, not the operator). No re-sort happens on the
-    * read side, so the oracle's row_number can only hash-match if the
-    * written order is actually the total order. */
+    * global (quality DESC, doc_id) order, then each document's
+    * position is derived from the PHYSICAL layout read back in ONE
+    * distributed scan: the parquet `_metadata` columns give every row
+    * its (file_path, row_index) — the row's byte-order position in its
+    * file, straight from the reader, no re-sort — and per-file base
+    * offsets are a #files-sized aggregate (metadata, not row data)
+    * cumulative-summed and broadcast-joined back. No driver file
+    * listing and no per-file `coalesce(1)` round trips: the position
+    * of every row is computed where the row is read. The oracle's
+    * row_number can only hash-match if the written order is actually
+    * the total order. */
   def c16SortedExport(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"),
       TextOps.qualityScore(col("text")).as("q"))
@@ -2147,16 +2151,19 @@ object TrainingQueries {
       .resolve("runs").toString
     Selection.writeSortedRuns(docs, Seq(col("q").desc, col("doc_id")),
       out, runs = 8)
-    val files = new java.io.File(out).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
-    val counts = files.map(f => s.read.parquet(f).count())
-    val offsets = counts.scanLeft(0L)(_ + _)
-    files.zipWithIndex.map { case (f, i) =>
-        s.read.parquet(f).coalesce(1)
-          .select(col("doc_id"),
-            (monotonically_increasing_id() + lit(offsets(i) + 1L)).as("pos"))
-      }
-      .reduce(_ unionByName _)
+    val back = s.read.parquet(out)
+      .select(col("doc_id"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+    // run files are part-00000..part-0000N under one directory, so
+    // path order ≡ name order ≡ run order; the window is over #files
+    // rows (8 here, thousands at 100 TB — still metadata-sized)
+    val fileBase = back.groupBy("fp").agg(count(lit(1)).as("n"))
+      .withColumn("base", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("fp")) - col("n"))
+      .select("fp", "base")
+    back.join(broadcast(fileBase), Seq("fp"))
+      .select(col("doc_id"), (col("base") + col("ri") + lit(1L)).as("pos"))
       .orderBy("doc_id")
   }
 

@@ -61,11 +61,14 @@ class PlanAuditSpec extends SparkSpec {
     * over AGGREGATE metadata (bounded rows), never row data:
     * c04's shard-offset prefix sum runs over per-shard token totals
     * (≤ max_id/shardSize rows — thousands at 100 TB; see
-    * Selection.packSequences Scaladoc). The other documented bounded
-    * site, Sinks.withSurrogateKey's OPT-IN contiguous mode
-    * (Sinks.scala), is API-only — no query plans it, so it needs no
-    * entry here. */
-  private val globalWindowAllowed = Set("c04_pack_sequences")
+    * Selection.packSequences Scaladoc); c16's file-base prefix sum
+    * runs over per-FILE row counts (#files rows — the groupBy
+    * aggregate collapses row data before the window). The other
+    * documented bounded site, Sinks.withSurrogateKey's OPT-IN
+    * contiguous mode (Sinks.scala), is API-only — no query plans it,
+    * so it needs no entry here. */
+  private val globalWindowAllowed = Set("c04_pack_sequences",
+    "c16_sorted_export")
 
   /** Queries the window audit genuinely cannot dry-plan: physical
     * writes and streaming queries (their plans are audited by their
