@@ -632,6 +632,39 @@ object Selection {
     ranked.filter(col("rank") <= k)
   }
 
+  /** Ceiling for a forced eval-side broadcast, in estimated payload
+    * bytes. Eval suites are tiny today, but they GROW — every new
+    * benchmark adds shingles/embeddings, and the maxDist=1 pigeonhole
+    * explodes ~2·len keys per eval shingle — and past some size a
+    * forced broadcast stops being a win and becomes the failure mode:
+    * the build no longer fits next to executor working memory and
+    * degrades into rebuild/GC collapse. The contamination operators
+    * therefore ESTIMATE the eval side with a side-sized job (the
+    * train scan is never touched) and fall back to a shuffle join on
+    * the blocking key past this bound — the same posture as
+    * `broadcastEval = false`, chosen automatically. 256 MB:
+    * comfortably under Spark's broadcast limits and a small fraction
+    * of a healthy executor heap. */
+  val MaxEvalBroadcastBytes: Long = 256L << 20
+
+  /** Hint `side` for broadcast only when `estBytes` fits under
+    * `maxBytes`; otherwise return it unhinted so the equi-join plans
+    * a shuffle join on its key (or lets AQE pick). */
+  private def broadcastIfFits(side: DataFrame, estBytes: Long,
+      maxBytes: Long): DataFrame =
+    if (estBytes <= maxBytes) broadcast(side) else side
+
+  /** Estimated in-memory bytes of an eval-side frame: one O(side)
+    * aggregation job — rows × fixed row overhead plus the variable
+    * payload mass (characters / vector elements). Deliberately an
+    * overestimate of the serialized form: the guard should trip
+    * before the build does. */
+  private def estimatedRowBytes(df: DataFrame, payload: Column): Long = {
+    val r = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(payload.cast(LongType)), lit(0L)).as("p")).head()
+    r.getLong(0) * 64L + r.getLong(1)
+  }
+
   /** Pigeonhole blocking keys for a levenshtein-≤1 equi-join
     * (PassJoin-style): an optimal single-edit alignment leaves a
     * common prefix and a common suffix with combined length ≥
@@ -664,8 +697,11 @@ object Selection {
     * catches near-verbatim benchmark leakage (typos, punctuation
     * drift) that [[contaminationReport]]'s exact match misses.
     *
-    * Blocking (eval side always broadcast; the train scan never
-    * shuffles — same scan-side shape as [[contaminationReport]]):
+    * Blocking (eval side broadcast while its ESTIMATED size fits
+    * `maxBroadcastBytes` — measured with a side-sized job, see
+    * [[MaxEvalBroadcastBytes]] — so the train scan never shuffles;
+    * past the bound the join falls back to a shuffle on the same
+    * blocking key, identical answer, scale-safe plan):
     *  - `maxDist = 0`: plain equality join on the shingle.
     *  - `maxDist = 1` (the production case): [[editOneKeys]]
     *    prefix/suffix pigeonhole — candidates share half a shingle
@@ -679,7 +715,8 @@ object Selection {
     * matched pairs are dedup'd before counting (cost O(matches)). */
   def fuzzyContaminationReport(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1,
+      maxBroadcastBytes: Long = MaxEvalBroadcastBytes): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val trainSh = Dedup.withShingles(train, idCol, textCol, n)
       .select(col(idCol), explode(col("sh")).as("s"))
@@ -687,19 +724,24 @@ object Selection {
       .select(explode(col("sh")).as("es")).distinct()
     val matched = maxDist match {
       case 0 =>
-        trainSh.join(broadcast(evalSh), col("s") === col("es"))
+        val est = estimatedRowBytes(evalSh, length(col("es")))
+        trainSh.join(broadcastIfFits(evalSh, est, maxBroadcastBytes),
+          col("s") === col("es"))
       case 1 =>
+        val evalKeys = evalSh.withColumn("k", explode(editOneKeys(col("es"))))
+        val est = estimatedRowBytes(evalKeys,
+          length(col("es")) + length(col("k.seg")))
         trainSh.withColumn("k", explode(editOneKeys(col("s"))))
-          .join(broadcast(
-            evalSh.withColumn("k", explode(editOneKeys(col("es"))))), "k")
+          .join(broadcastIfFits(evalKeys, est, maxBroadcastBytes), "k")
           .filter(levenshtein(col("s"), col("es")) <= 1)
           .select(col(idCol), col("s"), col("es")).distinct()
       case _ =>
         val evalBands = evalSh.select(col("es"), explode(sequence(
           greatest(length(col("es")) - maxDist, lit(0)),
           length(col("es")) + maxDist)).as("band"))
+        val est = estimatedRowBytes(evalBands, length(col("es")))
         trainSh.withColumn("band", length(col("s")))
-          .join(broadcast(evalBands), "band")
+          .join(broadcastIfFits(evalBands, est, maxBroadcastBytes), "band")
           .filter(levenshtein(col("s"), col("es")) <= maxDist)
     }
     // train shingles are distinct per doc: counting matched
@@ -711,9 +753,11 @@ object Selection {
     * [[fuzzyContaminationReport]] ids). */
   def fuzzyDecontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      maxDist: Int = 1): DataFrame =
+      maxDist: Int = 1,
+      maxBroadcastBytes: Long = MaxEvalBroadcastBytes): DataFrame =
     train.join(
-      fuzzyContaminationReport(train, eval, idCol, textCol, n, maxDist)
+      fuzzyContaminationReport(train, eval, idCol, textCol, n, maxDist,
+        maxBroadcastBytes)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
@@ -728,16 +772,23 @@ object Selection {
     * (an LSH bucket, k-means cell, or domain label) is the declared
     * approximate semantics, bounding candidates by
     * Σ|train block|·|eval block| instead of train×eval. The eval side
-    * (benchmarks — tiny by nature) is broadcast, so the train scan
-    * never shuffles; set `broadcastEval = false` to shuffle-join a
-    * genuinely large eval side on the block key instead. */
+    * (benchmarks — tiny by nature) is broadcast while its ESTIMATED
+    * size (rows × vector bytes, one side-sized job) fits
+    * `maxBroadcastBytes`, so the train scan never shuffles; past the
+    * bound — or with `broadcastEval = false` forcing it — the join
+    * shuffles on the block key instead, identical answer. */
   def semanticContaminationReport(train: DataFrame, eval: DataFrame,
       idCol: String, vecCol: String, blockCol: String,
-      threshold: Double, broadcastEval: Boolean = true): DataFrame = {
+      threshold: Double, broadcastEval: Boolean = true,
+      maxBroadcastBytes: Long = MaxEvalBroadcastBytes): DataFrame = {
     import graft.functions.VectorFunctions
     val ev = eval.select(col(blockCol).as("_eval_block"),
       col(vecCol).as("_eval_vec"))
-    val evs = if (broadcastEval) broadcast(ev) else ev
+    val evs =
+      if (!broadcastEval) ev
+      else broadcastIfFits(ev,
+        estimatedRowBytes(ev, size(col("_eval_vec")) * lit(8)),
+        maxBroadcastBytes)
     train.join(evs, col(blockCol) === col("_eval_block"))
       .filter(VectorFunctions.cosineSim(col(vecCol), col("_eval_vec"))
         >= threshold)
@@ -749,10 +800,12 @@ object Selection {
     * [[semanticContaminationReport]] ids). */
   def semanticDecontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): DataFrame =
+      threshold: Double,
+      maxBroadcastBytes: Long = MaxEvalBroadcastBytes): DataFrame =
     train.join(
       semanticContaminationReport(train, eval, idCol, vecCol, blockCol,
-        threshold).select(col(idCol)),
+        threshold, maxBroadcastBytes = maxBroadcastBytes)
+        .select(col(idCol)),
       Seq(idCol), "left_anti")
 
   /** Corpus-wide vocabulary: top-k whitespace tokens by frequency

@@ -540,6 +540,56 @@ class SelectionSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("contamination eval broadcasts auto-fall back to a shuffle join past the size bound, same answer") {
+    val docs = Tables.documents(spark, sf)
+    val tr = docs.filter($"doc_id" % 97 =!= 0)
+    val ev = docs.filter($"doc_id" % 97 === 0)
+    // disable Spark's own stats-driven auto-broadcast so the guard's
+    // decision is the only broadcast source: with the hint the join
+    // broadcasts regardless of this conf, without it it must shuffle
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      // healthy side: estimate fits the default bound → broadcast hint
+      val healthy = Selection.fuzzyContaminationReport(tr, ev,
+        "doc_id", "text", n = 3, maxDist = 1)
+      assert(healthy.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      // forced-tiny bound: the guard must refuse the hint → shuffle
+      // join on the pigeonhole key, train scan shuffles but never
+      // collapses into one build
+      val guarded = Selection.fuzzyContaminationReport(tr, ev,
+        "doc_id", "text", n = 3, maxDist = 1, maxBroadcastBytes = 0L)
+      val gplan = guarded.queryExecution.executedPlan.toString
+      assert(!gplan.contains("BroadcastHashJoin"), gplan)
+      assert(gplan.contains("SortMergeJoin") ||
+        gplan.contains("ShuffledHashJoin"), gplan)
+      // both sides of the threshold: identical answers
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows(guarded) == rows(healthy) && rows(healthy).nonEmpty)
+      // semantic twin: same guard, same invariance
+      val emb = Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding",
+          graft.similarity.Ann.portableLshBucket($"embedding",
+            nBits = 6, dim = 64).as("bucket"))
+      val (trE, evE) = (emb.filter($"vec_id" % 7 =!= 0),
+        emb.filter($"vec_id" % 7 === 0))
+      val semHealthy = Selection.semanticContaminationReport(trE, evE,
+        "vec_id", "embedding", "bucket", threshold = 0.3)
+      assert(semHealthy.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val semGuarded = Selection.semanticContaminationReport(trE, evE,
+        "vec_id", "embedding", "bucket", threshold = 0.3,
+        maxBroadcastBytes = 0L)
+      val splan = semGuarded.queryExecution.executedPlan.toString
+      assert(!splan.contains("BroadcastHashJoin"), splan)
+      assert(rows(semGuarded) == rows(semHealthy) &&
+        rows(semHealthy).nonEmpty)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("editOneKeys pigeonhole is lossless: maxDist=1 equals the brute-force pair set on real corpus shingles") {
     import graft.dedup.Dedup
     val docs = Tables.documents(spark, sf)
