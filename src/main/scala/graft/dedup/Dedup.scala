@@ -474,6 +474,59 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** MinHash+LSH DIRECTED containment pairs — the linear-scale path
+    * for [[ngramContainmentPairs]] (which pays Σ df² over the shingle
+    * postings — corpus-frequency-quadratic by construction, the same
+    * cost family as [[ngramJaccardPairs]] whose scale path is
+    * [[minhashLshPairs]]). Same LSH band-bucket candidate generation
+    * as [[minhashLshPairs]]; each candidate is then scored with the
+    * EXACT hashed-shingle containment in both directions
+    * (inter/|src|), threshold-filtered — precision is structural,
+    * like every verified-LSH path here.
+    *
+    * Declared approximate semantics (recall): band collisions are
+    * governed by the pair's JACCARD, not its containment, and a
+    * highly asymmetric pair (tiny doc quoted inside a huge one) has
+    * J ≈ |A|/|B| however high its containment. The default
+    * recall-hardened 32×2 banding catches J=0.3 pairs w.p. ~0.95 and
+    * J=0.15 pairs w.p. ~0.5, so containment hits hiding below that
+    * are the declared loss — the d15 gate counts them against the
+    * exact twin on the fixture corpus. At 100 TB this trade is the
+    * standard one: the exact inverted index is the oracle
+    * construction, this is what ships. */
+  def minhashContainmentPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 64, bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val rows = k / bands
+    val tok = withShingles(docs, idCol, textCol, n)
+      .filter(size(col("sh")) > 0)
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+      .drop("sh")
+      .withColumn("sig", minhashSignature(col("shh"), k))
+      .cache()
+    val bandedAll = bandedOf(tok, idCol, bands, rows)
+    val banded = maxBucketSize.fold(bandedAll)(dropHotBuckets(bandedAll, _))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    val scored = candidates
+      .join(tok.select(col(idCol).as("a_id"), col("shh").as("sha")), "a_id")
+      .join(tok.select(col(idCol).as("b_id"), col("shh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .cache()
+    scored.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        (col("inter") / col("na")).as("containment"))
+      .unionByName(scored.select(col("b_id").as("src_id"),
+        col("a_id").as("dst_id"),
+        (col("inter") / col("nb")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Per-document signature index for INCREMENTAL dedup: hashed
     * shingle set + MinHash signature, materialized once and stored
     * (parquet) so later batches dedup against signatures instead of

@@ -425,6 +425,56 @@ object TrainingQueries {
       |SELECT src_id, dst_id, containment FROM d
       |WHERE containment >= 0.8 ORDER BY src_id, dst_id""".stripMargin
 
+  /** d15: LSH containment as a QUANTITATIVE recall gate — the
+    * linear-scale containment path
+    * ([[graft.dedup.Dedup.minhashContainmentPairs]]: band-bucket
+    * candidates + exact directed verify, the d03 construction aimed
+    * at d13's relation) counted against the exact inverted-index
+    * directed pair set (d13) computed in the same query: one row
+    * (n_exact, n_hit, n_lsh), hash-matched when LSH found exactly
+    * the exact pairs. Precision is structural (candidates are
+    * exact-containment-verified before emission), so n_lsh > n_hit
+    * is impossible and a mismatch in any count is a real recall
+    * regression. This is d13's shipped 100 TB path: the exact Σ df²
+    * index is retained as the oracle construction (same pattern as
+    * d02 ↔ d03). */
+  def d15ContainmentLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exact = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8).select("src_id", "dst_id")
+    val lsh = Dedup.minhashContainmentPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 32, threshold = 0.8)
+      .select("src_id", "dst_id")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(exact.join(lsh, Seq("src_id", "dst_id"))
+        .agg(count(lit(1)).as("n_hit"))))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+  }
+
+  val d15Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |ne AS (SELECT doc_id, sh FROM tok WHERE len(sh) > 0),
+      |cnt AS (SELECT doc_id, len(sh) AS n FROM ne),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM ne) a
+      |  JOIN (SELECT doc_id, unnest(sh) AS s FROM ne) b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT a_id AS src_id, b_id AS dst_id, inter / ca.n AS containment
+      |  FROM p JOIN cnt ca ON ca.doc_id = a_id
+      |  UNION ALL
+      |  SELECT b_id, a_id, inter / cb.n
+      |  FROM p JOIN cnt cb ON cb.doc_id = b_id),
+      |e AS (SELECT src_id, dst_id FROM d WHERE containment >= 0.8)
+      |SELECT COUNT(*) AS n_exact, COUNT(*) AS n_hit, COUNT(*) AS n_lsh
+      |FROM e""".stripMargin
+
   /** d14: overlapping duplicated-n-gram span removal — every 5-token
     * window shared by ≥ 2 distinct documents is scrubbed from all of
     * them ([[graft.dedup.Dedup.substringDedup]]); the cleaned text is
@@ -2555,6 +2605,7 @@ object TrainingQueries {
     ("d10_span_dedup", d10SpanDedup _, Some(d10Sql)),
     ("d11_edit_distance", d11EditDistance _, Some(d11Sql)),
     ("d13_containment", d13Containment _, Some(d13Sql)),
+    ("d15_containment_lsh", d15ContainmentLsh _, Some(d15Sql)),
     ("d14_substring_dedup", d14SubstringDedup _, Some(d14Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
     ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),

@@ -202,12 +202,21 @@ object Scale10Probe {
       graft.dedup.Dedup.minhashLshPairs(
         graft.core.Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.5).count()
+    // d13's shipped linear path (round 10): LSH band-bucket candidates
+    // + exact directed containment verify — the mitigation cell the
+    // exact inverted-index d13 (factor ~10 at 10×) lacked
+    def containLsh(dir: String): Long =
+      graft.dedup.Dedup.minhashContainmentPairs(
+        graft.core.Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.8).count()
     val mitig = Seq(
       timeF("lsh_band_bucket", src)(lshPairs(src)),
-      timeF("d02_capped_df500", src)(cappedJaccard(src))
+      timeF("d02_capped_df500", src)(cappedJaccard(src)),
+      timeF("d13_containment_lsh", src)(containLsh(src))
     ).map { case (l, b) =>
       val x = (l match {
         case "lsh_band_bucket" => timeF(l, out)(lshPairs(out))
+        case "d13_containment_lsh" => timeF(l, out)(containLsh(out))
         case _ => timeF(l, out)(cappedJaccard(out))
       })._2
       println(f"[x10] mitigation $l%-20s base $b%7.2f s   10x $x%7.2f s   factor ${x / b}%5.2f")

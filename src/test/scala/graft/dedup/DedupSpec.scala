@@ -238,6 +238,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).count() == 0)
   }
 
+  test("LSH containment: full recall vs the exact twin on the fixture corpus; asymmetric quote found when J reaches the bands") {
+    spark.catalog.clearCache()
+    // real corpus: the scale path must find exactly the exact twin's
+    // directed pairs (the d15 gate's invariant, here at spec level)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(key).toSet
+    spark.catalog.clearCache()
+    val lsh = Dedup.minhashContainmentPairs(docs, "doc_id", "text", 3,
+      k = 64, bands = 32, threshold = 0.8).collect().map(key).toSet
+    assert(lsh == exact && exact.nonEmpty)
+    spark.catalog.clearCache()
+    // planted asymmetric pair: quote 1.0-contained, J = 3/43 ≈ 0.07 —
+    // BELOW any practical band reach with 32×2 (per-band collision
+    // J²≈0.005). The miss is the DECLARED approximate semantics:
+    // assert the directional scores the exact twin reports, and that
+    // a moderately asymmetric pair (J≈0.43) IS recovered.
+    val short_ = "alpha beta gamma delta epsilon"
+    val host = short_ + " " + (1 to 4).map(i => s"f$i").mkString(" ") // J≈0.43
+    val planted = Seq((1L, short_), (2L, host),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val got = Dedup.minhashContainmentPairs(planted, "doc_id", "text", 3,
+      k = 64, bands = 32, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    spark.catalog.clearCache()
+  }
+
   test("containment maxDocFreq cap: lower bound that loses only hot-shingle overlap") {
     spark.catalog.clearCache()
     // "x y z" appears in all four docs (df=4, the boilerplate shingle);
