@@ -79,9 +79,15 @@ import scala.collection.JavaConverters._
   * Live auth without a pre-acquired token: the OAuth2
   * client-credentials grant ([[ClientCredentialsTokenProvider]]) —
   * `.option("tokenUrl", ...).option("clientId", ...)
-  * .option("clientSecret", ...)` (+ optional `scope`); tokens are
-  * acquired with the reference's bounded-retry envelope, cached per
-  * executor JVM, and refreshed once on HTTP 401.
+  * .option("clientSecret", ...)` (+ optional `scope`) — or the
+  * SECRETLESS managed-identity flow the reference actually ships
+  * ([[ManagedIdentityTokenProvider]], `Connect-AzAccount -Identity`):
+  * `.option("identityResource", "https://graph.microsoft.com/")`
+  * (+ optional `identityClientId` for a user-assigned identity;
+  * `identityEndpoint` overrides the IMDS well-known address in
+  * tests). Either way tokens are acquired with the reference's
+  * bounded-retry envelope, cached per executor JVM, and refreshed
+  * once on HTTP 401.
   * Delta (incremental) mode: point the source at a delta page chain —
   * `endpoint = .../entity/delta` for the first sync or `firstPage =
   * <persisted deltaLink>` for later rounds — with `delta=true` and a
@@ -136,7 +142,10 @@ class ODataSource extends TableProvider
         // injectable so specs with stub STS failures run in ms
         Option(opts.get("tokenRetries")).map(_.toInt).getOrElse(5),
         Option(opts.get("tokenRetrySleepMs")).map(_.toLong)
-          .getOrElse(10000L)))
+          .getOrElse(10000L),
+        Option(opts.get("identityResource")),
+        Option(opts.get("identityClientId")),
+        Option(opts.get("identityEndpoint"))))
     if (conf.delta)
       require(schema.fields.exists(f =>
           f.name == "removed" && f.dataType == BooleanType),
@@ -301,6 +310,69 @@ class ClientCredentialsTokenProvider(tokenUrl: String, clientId: String,
   }
 }
 
+/** O8 LIVE acquisition, managed-identity mode — the reference's ACTUAL
+  * auth flow (`Connect-AzAccount -Identity`, MD-PS:95-117): no secret
+  * at all. The workload's platform exposes an instance-metadata token
+  * endpoint (public Azure IMDS semantics, documented at
+  * learn.microsoft.com "How to use managed identities": GET
+  * `<endpoint>?api-version=2018-02-01&resource=<audience>` with the
+  * header `Metadata: true` — the header defeats confused-deputy
+  * forwarding through proxies, which strip unknown headers — and the
+  * response JSON carries `access_token`). `clientId` selects a
+  * user-assigned identity; absent means the system-assigned one.
+  * Acquisition failures throw and ride the base class's bounded
+  * fixed-sleep retry (the reference's ≤5-try / 10 s login loop); an
+  * expired token at the resource (HTTP 401) invalidates the JVM cache
+  * and [[HttpPageFetcher]] retries once with a fresh acquisition.
+  * The endpoint is constructor-injectable so specs run against a
+  * local stub; production omits it and gets the IMDS well-known
+  * address. No secret exists, so the cache key is plain
+  * endpoint + resource + identity. */
+class ManagedIdentityTokenProvider(resource: String,
+    identityClientId: Option[String] = None,
+    endpoint: String = ManagedIdentityTokenProvider.ImdsEndpoint,
+    retries: Int = 5, sleepMs: Long = 10000L) extends TokenProvider {
+  override protected def acquireRetries: Int = retries
+  override protected def acquireSleepMs: Long = sleepMs
+
+  override protected def acquire(): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val url = endpoint + (if (endpoint.contains("?")) "&" else "?") +
+      s"api-version=2018-02-01&resource=${enc(resource)}" +
+      identityClientId.map(c => s"&client_id=${enc(c)}").getOrElse("")
+    val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("Metadata", "true")
+      val code = conn.getResponseCode
+      if (code != 200)
+        throw new java.io.IOException(s"identity endpoint HTTP $code")
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).get("access_token")
+      if (node == null || node.asText.isEmpty)
+        throw new java.io.IOException(
+          "identity endpoint response carries no access_token")
+      node.asText
+    } finally conn.disconnect()
+  }
+
+  override protected def cacheKey: String =
+    s"${getClass.getName}#$endpoint#$resource#" +
+      identityClientId.getOrElse("")
+}
+
+object ManagedIdentityTokenProvider {
+  /** The platform-defined instance-metadata address (link-local,
+    * non-routable — reachable only from inside the workload). */
+  val ImdsEndpoint =
+    "http://169.254.169.254/metadata/identity/oauth2/token"
+}
+
 object TokenProvider {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -314,8 +386,11 @@ object TokenProvider {
     * subclass instantiated reflectively (the DSv2 string-options analog
     * of a credential-provider registry); `tokenUrl` + `clientId` +
     * `clientSecret` (+ `scope`) wire the live client-credentials grant
-    * ([[ClientCredentialsTokenProvider]]). The three mechanisms are
-    * mutually exclusive. */
+    * ([[ClientCredentialsTokenProvider]]); `identityResource`
+    * (+ optional `identityClientId`, `identityEndpoint`) wires the
+    * secretless managed-identity flow
+    * ([[ManagedIdentityTokenProvider]] — the reference's actual auth
+    * mode). The four mechanisms are mutually exclusive. */
   def fromOptions(authToken: Option[String],
       providerClass: Option[String],
       tokenUrl: Option[String] = None,
@@ -323,22 +398,34 @@ object TokenProvider {
       clientSecret: Option[String] = None,
       scope: Option[String] = None,
       tokenRetries: Int = 5,
-      tokenRetrySleepMs: Long = 10000L): Option[TokenProvider] = {
-    require(Seq(authToken, providerClass, tokenUrl).count(_.isDefined) <= 1,
-      "at most one of 'authToken', 'tokenProviderClass' and 'tokenUrl' " +
-        "may be set")
+      tokenRetrySleepMs: Long = 10000L,
+      identityResource: Option[String] = None,
+      identityClientId: Option[String] = None,
+      identityEndpoint: Option[String] = None): Option[TokenProvider] = {
+    require(Seq(authToken, providerClass, tokenUrl, identityResource)
+        .count(_.isDefined) <= 1,
+      "at most one of 'authToken', 'tokenProviderClass', 'tokenUrl' and " +
+        "'identityResource' may be set")
     require(tokenUrl.isDefined || (clientId.isEmpty && clientSecret.isEmpty
         && scope.isEmpty),
       "'clientId'/'clientSecret'/'scope' require 'tokenUrl'")
-    (authToken, providerClass, tokenUrl) match {
-      case (Some(t), None, None) => Some(new StaticTokenProvider(t))
-      case (None, Some(c), None) => Some(Class.forName(c)
+    require(identityResource.isDefined || (identityClientId.isEmpty &&
+        identityEndpoint.isEmpty),
+      "'identityClientId'/'identityEndpoint' require 'identityResource'")
+    (authToken, providerClass, tokenUrl, identityResource) match {
+      case (Some(t), None, None, None) => Some(new StaticTokenProvider(t))
+      case (None, Some(c), None, None) => Some(Class.forName(c)
         .getDeclaredConstructor().newInstance().asInstanceOf[TokenProvider])
-      case (None, None, Some(u)) =>
+      case (None, None, Some(u), None) =>
         require(clientId.isDefined && clientSecret.isDefined,
           "'tokenUrl' requires 'clientId' and 'clientSecret'")
         Some(new ClientCredentialsTokenProvider(u, clientId.get,
           clientSecret.get, scope, tokenRetries, tokenRetrySleepMs))
+      case (None, None, None, Some(r)) =>
+        Some(new ManagedIdentityTokenProvider(r, identityClientId,
+          identityEndpoint.getOrElse(
+            ManagedIdentityTokenProvider.ImdsEndpoint),
+          tokenRetries, tokenRetrySleepMs))
       case _ => None
     }
   }

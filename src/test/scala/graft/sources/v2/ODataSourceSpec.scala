@@ -310,6 +310,115 @@ class ODataSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("O8 live: managed identity against a stub IMDS — Metadata header, no secret, retry, cache, 401 refresh") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentLinkedQueue
+
+    val issued = new AtomicInteger(0)
+    case class Req(uri: String, metadataHeader: String, body: String)
+    val tokenReqs = new ConcurrentLinkedQueue[Req]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metadata/identity/oauth2/token",
+      (ex: HttpExchange) => {
+        tokenReqs.add(Req(ex.getRequestURI.toString,
+          Option(ex.getRequestHeaders.getFirst("Metadata")).getOrElse(""),
+          new String(ex.getRequestBody.readAllBytes(), "UTF-8")))
+        val n = issued.incrementAndGet()
+        if (n == 1) ex.sendResponseHeaders(500, -1) // transient IMDS failure
+        else {
+          val b = s"""{"token_type":"Bearer","expires_in":86399,
+                     |"resource":"https://resource.example/",
+                     |"access_token":"mi-tok-$n"}""".stripMargin
+            .getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+        }
+        ex.close()
+      })
+    val pageHits = new ConcurrentLinkedQueue[String]()
+    server.createContext("/v1.0/devices", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse("")
+      pageHits.add(auth)
+      if (auth == "Bearer mi-tok-3") { // mi-tok-2 is expired at the resource
+        val b = """{"value":[{"id":"a","os":"linux"},{"id":"b","os":"mac"}]}"""
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      } else ex.sendResponseHeaders(401, -1)
+      ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("os",
+          org.apache.spark.sql.types.StringType)))
+      def reader = spark.read.format("graft-odata").schema(schema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/devices")
+        .option("identityResource", "https://resource.example/")
+        .option("identityClientId", "uami-42")
+        .option("identityEndpoint",
+          s"http://127.0.0.1:$port/metadata/identity/oauth2/token")
+        .option("retrySleepMs", "0")
+        .option("tokenRetrySleepMs", "0")
+      // acquisition (one 500 retried inside the provider's envelope),
+      // a 401-expired first token, one refresh, then the page parse
+      val rows = reader.load().collect()
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+      // every identity request: GET (empty body — no secret exists in
+      // this flow), the anti-SSRF Metadata:true header, the public
+      // api-version and the url-encoded resource + user-assigned id
+      val reqs = tokenReqs.asScala.toSeq
+      assert(reqs.nonEmpty)
+      reqs.foreach { r =>
+        assert(r.metadataHeader == "true", r)
+        assert(r.body.isEmpty, s"identity request must carry no body: $r")
+        assert(r.uri.contains("api-version=2018-02-01"), r)
+        assert(r.uri.contains("resource=https%3A%2F%2Fresource.example%2F"), r)
+        assert(r.uri.contains("client_id=uami-42"), r)
+      }
+      // 500 then mi-tok-2 (rejected 401) then mi-tok-3 (accepted)
+      assert(issued.get() == 3)
+      val auths = pageHits.asScala.toSeq
+      assert(auths.head == "Bearer mi-tok-2")
+      assert(auths.tail.nonEmpty &&
+        auths.tail.forall(_ == "Bearer mi-tok-3"))
+      // accepted token is JVM-cached: a second scan issues nothing new
+      assert(reader.load().count() == 2)
+      assert(issued.get() == 3)
+    } finally server.stop(0)
+  }
+
+  test("managed-identity options validate as a group") {
+    // identityClientId/identityEndpoint without identityResource, and
+    // mixing identity with the other auth mechanisms, are config
+    // errors, not silent unauthenticated scans
+    assertThrows[IllegalArgumentException] {
+      TokenProvider.fromOptions(None, None,
+        identityClientId = Some("uami-42"))
+    }
+    assertThrows[IllegalArgumentException] {
+      TokenProvider.fromOptions(None, None,
+        identityEndpoint = Some("http://stub"))
+    }
+    assertThrows[IllegalArgumentException] {
+      TokenProvider.fromOptions(Some("tok"), None,
+        identityResource = Some("https://r/"))
+    }
+    assertThrows[IllegalArgumentException] {
+      TokenProvider.fromOptions(None, None, Some("http://sts"), Some("id"),
+        Some("sec"), None, identityResource = Some("https://r/"))
+    }
+    // the production default: no endpoint option → the IMDS well-known
+    // link-local address
+    assert(ManagedIdentityTokenProvider.ImdsEndpoint
+      .startsWith("http://169.254.169.254/"))
+  }
+
   test("client-credentials options validate as a group") {
     // clientId without tokenUrl, and tokenUrl missing the secret, are
     // config errors, not silent unauthenticated scans
