@@ -520,6 +520,74 @@ object ParityQueries {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
+  /** p14: GROUPED aggregate pushdown — `groupBy(os).agg(sum, max,
+    * count)` over a live connector read translates to the OData v4
+    * aggregation extension (`$apply=groupby((os),aggregate(...))`)
+    * and the scan reads GROUP rows, never entity rows. The query runs
+    * against a local stub that answers ONLY the exact expected
+    * `$apply` translation (any other request 404s and the query
+    * fails loudly — a drifted translation can't silently pass) with a
+    * paged aggregated response; the oracle recomputes the same
+    * aggregation relationally from the RAW fixture pages, so the
+    * hash-match proves the pushed path equals a true re-aggregation
+    * of the entity data. Spark's plan is a Project over the scan —
+    * complete pushdown, no engine-side HashAggregate (spec-pinned in
+    * ODataSourceSpec). */
+  def p14(s: SparkSession, d: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val expectApply = "groupby((os),aggregate(ramGB with sum as agg0," +
+      "diskGB with max as agg1,$count as agg2))"
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    def respond(ex: HttpExchange, body: String, code: Int = 200): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/v1.0/deviceMetrics", (ex: HttpExchange) => {
+      val q = java.net.URLDecoder.decode(
+        Option(ex.getRequestURI.getRawQuery).getOrElse(""), "UTF-8")
+      if (q.contains("page=2"))
+        respond(ex, """{"value":[{"os":"macOS","agg0":16,"agg1":512,"agg2":1}]}""")
+      else if (q == s"$$apply=$expectApply")
+        respond(ex,
+          s"""{"value":[{"os":"Linux","agg0":96,"agg1":2048,"agg2":2},
+             |{"os":"Windows","agg0":56,"agg1":1024,"agg2":3}],
+             |"@odata.nextLink":"http://127.0.0.1:$port/v1.0/deviceMetrics?page=2"}"""
+            .stripMargin)
+      else respond(ex, "", 404)
+    })
+    server.start()
+    try {
+      val schema = StructType(Seq(StructField("id", StringType),
+        StructField("os", StringType), StructField("ramGB", LongType),
+        StructField("diskGB", LongType)))
+      val df = s.read.format("graft-odata").schema(schema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/deviceMetrics")
+        .option("authToken", "t").option("retrySleepMs", "0")
+        .load()
+        .groupBy("os")
+        .agg(sum("ramGB").as("total_ram"), max("diskGB").as("max_disk"),
+          count(lit(1)).as("n"))
+      // materialize while the stub lives; the lazy plan is pinned by
+      // the spec, the oracle needs only the rows
+      val rows = df.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        .orderBy("os")
+    } finally server.stop(0)
+  }
+
+  private val p14Oracle: String =
+    s"""SELECT CAST(v.os AS VARCHAR) AS os,
+       |  CAST(SUM(CAST(v.ramGB AS BIGINT)) AS BIGINT) AS total_ram,
+       |  CAST(MAX(CAST(v.diskGB AS BIGINT)) AS BIGINT) AS max_disk,
+       |  COUNT(*) AS n
+       |FROM (SELECT unnest(value) AS v
+       |      FROM read_json(${pages("deviceMetrics", 2)}))
+       |GROUP BY 1 ORDER BY os""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("p01_managed_devices", p01 _, Some(mdOracle("2024-11-08 00:00:00"))),
     ("p02_cloud_pcs", p02 _, Some(cpcOracle("2024-11-08 00:00:00"))),
@@ -534,5 +602,6 @@ object ParityQueries {
     ("p11_zorder_roundtrip", p11 _, Some(p11Oracle)),
     ("p12_bucketed_merge", p12 _, Some(deltaOracle)),
     ("p13_stream_delta_sync", p13 _, Some(deltaOracle)),
+    ("p14_aggregate_pushdown", p14 _, Some(p14Oracle)),
   )
 }

@@ -554,13 +554,92 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
       inlineCount.isDefined
 
+  /** Grouped SUM/MIN/MAX/COUNT(*) → the OData v4 aggregation extension
+    * (`$apply=groupby((k),aggregate(x with sum as a0,...,$count as
+    * aN))`, OASIS "OData Extension for Data Aggregation" §3.1) — the
+    * server aggregates and the scan reads GROUPS, so a fleet-wide
+    * rollup over a 10M-row entity moves one page of group rows, not
+    * the entity. COMPLETE pushdown only (the server's groups are
+    * final — Spark plans a Project, no re-aggregation), accepted only
+    * for the airtight shape: live endpoint, no delta/filters/limit/
+    * orderBy, every group key a top-level schema column, every
+    * aggregate a non-distinct SUM/MIN/MAX over a top-level NUMERIC /
+    * temporal column (SUM over int/long surfaces as Spark's LongType,
+    * over float/double as DoubleType; MIN/MAX keep the input type;
+    * strings are declined — MIN/MAX of text is server-collation-
+    * dependent, the pushTopN argument) or COUNT(*). Result columns
+    * are aliased agg0..aggN and the scan's readSchema lists group
+    * keys first then aggregates, the arity/order contract of Spark's
+    * V2ScanRelationPushDown. Anything else returns false and Spark
+    * aggregates the normal scan. */
+  private case class PushedApply(expr: String, schema: StructType)
+  private var applied: Option[PushedApply] = None
+
+  private def translateApply(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[PushedApply] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (conf.delta || conf.endpoint.isEmpty || pushed.nonEmpty ||
+        limit.isDefined || orderBy.isDefined) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          fullSchema.fieldNames.contains(r.fieldNames.head) =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    val groups = agg.groupByExpressions.toSeq.map(colOf)
+    if (groups.isEmpty || groups.exists(_.isEmpty)) return None
+    val gcols = groups.flatten
+    def minMax(c: String, op: String, alias: String) =
+      fullSchema(c).dataType match {
+        case t @ (IntegerType | LongType | FloatType | DoubleType |
+                  DateType | TimestampType) =>
+          Some((s"$c with $op as $alias", StructField(alias, t)))
+        case _ => None // strings: collation-sensitive; rest: untyped here
+      }
+    val aggs = agg.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (f, i) =>
+        val alias = s"agg$i"
+        f match {
+          case su: Sum if !su.isDistinct =>
+            colOf(su.column).flatMap { c =>
+              fullSchema(c).dataType match {
+                case IntegerType | LongType =>
+                  Some((s"$c with sum as $alias",
+                    StructField(alias, LongType)))
+                case FloatType | DoubleType =>
+                  Some((s"$c with sum as $alias",
+                    StructField(alias, DoubleType)))
+                case _ => None
+              }
+            }
+          case m: Min => colOf(m.column).flatMap(minMax(_, "min", alias))
+          case m: Max => colOf(m.column).flatMap(minMax(_, "max", alias))
+          case _: CountStar =>
+            Some(("$count as " + alias,
+              StructField(alias, LongType, nullable = false)))
+          case _ => None
+        }
+    }
+    if (aggs.isEmpty || aggs.exists(_.isEmpty)) return None
+    val (items, fields) = aggs.flatten.unzip
+    Some(PushedApply(
+      s"groupby((${gcols.mkString(",")}),aggregate(${items.mkString(",")}))",
+      StructType(gcols.map(fullSchema(_)) ++ fields)))
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countPushable(agg)
+    countPushable(agg) || translateApply(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (countPushable(agg)) { countPushed = true; true } else false
+    if (countPushable(agg)) { countPushed = true; true }
+    else translateApply(agg) match {
+      case pa @ Some(_) => applied = pa; true
+      case None => false
+    }
   }
 
   /** Accept only what OData's $filter can express in the reference:
@@ -580,7 +659,15 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
 
   override def build(): Scan =
     if (countPushed) new ODataCountScan(inlineCount.get)
-    else new ODataScan(required, pushed, conf, limit, orderBy)
+    else applied match {
+      // the $apply scan reads GROUP rows: its schema is the pushed
+      // aggregation's output, filters/limit/orderBy are empty by
+      // translateApply's guard
+      case Some(pa) =>
+        new ODataScan(pa.schema, Array.empty, conf, None, None,
+          Some(pa.expr))
+      case None => new ODataScan(required, pushed, conf, limit, orderBy)
+    }
 }
 
 /** The scan a completely-pushed COUNT(*) builds: one synthetic
@@ -811,7 +898,8 @@ class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
 }
 
 class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
-    limit: Option[Int] = None, orderBy: Option[String] = None)
+    limit: Option[Int] = None, orderBy: Option[String] = None,
+    applyExpr: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -843,6 +931,10 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
   }
 
   private def startPage: String = conf.endpoint match {
+    // pushed aggregation: $apply REPLACES projection — the response
+    // rows are groups, not entity rows, so no $select rides along
+    case Some(ep) if applyExpr.isDefined =>
+      ODataUrl.build(ep, Nil, Array.empty, None, None, None, applyExpr)
     case Some(ep) =>
       val sel = (required.fieldNames.toSeq ++ filterOnlyCols)
         .filterNot(c => conf.delta && c == "removed")
@@ -858,7 +950,8 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
       effectiveTop.map(n => s", $$top=$n").getOrElse("") +
       conf.expand.map(e => s", $$expand=$e").getOrElse("") +
       orderBy.map(o => s", $$orderby=$o").getOrElse("") +
-      limit.map(l => s", limit=$l").getOrElse("") + ")"
+      limit.map(l => s", limit=$l").getOrElse("") +
+      applyExpr.map(a => s", $$apply=$a").getOrElse("") + ")"
   }
 
   /** Driver-side cursor walk, one partition per page. Cursor chains
@@ -1142,14 +1235,16 @@ object ODataUrl {
 
   def build(endpoint: String, select: Seq[String], pushed: Array[Filter],
       top: Option[Int], expand: Option[String],
-      orderBy: Option[String] = None): String = {
+      orderBy: Option[String] = None,
+      apply: Option[String] = None): String = {
     val filter = renderFilter(pushed)
     val params = Seq(
       if (select.nonEmpty) Some("$select=" + select.mkString(",")) else None,
       if (filter.nonEmpty) Some("$filter=" + enc(filter)) else None,
       expand.map(e => "$expand=" + enc(e)),
       orderBy.map(o => "$orderby=" + enc(o)),
-      top.map(n => "$top=" + n)).flatten
+      top.map(n => "$top=" + n),
+      apply.map(a => "$apply=" + enc(a))).flatten
     if (params.isEmpty) endpoint
     else endpoint + (if (endpoint.contains("?")) "&" else "?") +
       params.mkString("&")

@@ -773,6 +773,71 @@ class ODataSourceSpec extends SparkSpec {
     assert(fq.collect().length == 2)
   }
 
+  test("grouped aggregates push as $apply (complete) — plan shape, decline paths") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    server.createContext("/v1.0/metrics", (ex: HttpExchange) => {
+      val q = java.net.URLDecoder.decode(
+        Option(ex.getRequestURI.getRawQuery).getOrElse(""), "UTF-8")
+      val body =
+        if (q.startsWith("$apply="))
+          """{"value":[{"os":"linux","agg0":96,"agg1":2}]}"""
+        else """{"value":[{"id":"a","os":"linux","ramGB":96,"name":"x"}]}"""
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("os",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ramGB",
+          org.apache.spark.sql.types.LongType)))
+      def base = spark.read.format("graft-odata").schema(schema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/metrics")
+        .option("authToken", "t").option("retrySleepMs", "0")
+        .load()
+      val pushedDf = base.groupBy("os")
+        .agg(sum("ramGB").as("total"), count(lit(1)).as("n"))
+      val desc = scanOf(pushedDf).description()
+      assert(desc.contains(
+        "$apply=groupby((os),aggregate(ramGB with sum as agg0," +
+          "$count as agg1))"), desc)
+      // COMPLETE pushdown: the server's groups are final — Spark plans
+      // a Project over the scan, no engine-side re-aggregation
+      pushedDf.collect()
+      val plan = pushedDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate"), plan)
+      assert(pushedDf.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("linux", 96L, 2L)))
+      // decline: MIN/MAX over a string is server-collation-dependent
+      val strAgg = base.groupBy("os").agg(max("name").as("m"))
+      assert(!scanOf(strAgg).description().contains("$apply"))
+      // decline: a pushed filter composes $filter+$apply — not shipped
+      val filtered = base.filter(col("os") === "linux")
+        .groupBy("os").agg(sum("ramGB").as("t"))
+      assert(!scanOf(filtered).description().contains("$apply"))
+      // decline: distinct sum has no $apply rendering here
+      val dist = base.groupBy("os").agg(sum_distinct(col("ramGB")).as("t"))
+      assert(!scanOf(dist).description().contains("$apply"))
+    } finally server.stop(0)
+    // decline: file mode has no server to aggregate
+    val fileAgg = readMd.groupBy("operatingSystem")
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(fileAgg).description().contains("$apply"))
+    // and the engine-side aggregate still runs: 3 OS groups
+    assert(fileAgg.count() == 3)
+  }
+
   test("delta chain streams as micro-batches: cursor offsets, rounds, tombstones") {
     import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
     val dir = java.nio.file.Files.createTempDirectory("graft_delta_stream")
