@@ -231,11 +231,20 @@ object EventsStream {
     * SparkContext and shared state, private SQLConf): the caller's
     * session conf is never mutated, safe under concurrent harnesses.
     * The scratch checkpoint dir is deleted after stop. */
+  /** `extraConfs` land on the query's own child session (e.g. a
+    * state-store provider override — the newSession() does NOT inherit
+    * runtime conf from the caller's session); `inspect` runs after
+    * `processAllAvailable` while the query is still live, for specs
+    * that assert on `lastProgress` state metrics. */
   def runToCompletion(spark: SparkSession, build: SparkSession => DataFrame,
       name: String, outputMode: String = "complete",
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8,
+      extraConfs: Map[String, String] = Map.empty,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
     val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    extraConfs.foreach { case (k, v) => session.conf.set(k, v) }
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
     try {
       val q = build(session).writeStream
@@ -247,7 +256,7 @@ object EventsStream {
       // stop in finally: a throwing processAllAvailable must not leak a
       // live query (it would keep the memory-sink name registered and
       // fail any same-name retry) or race the checkpoint delete below
-      try q.processAllAvailable() finally q.stop()
+      try { q.processAllAvailable(); inspect(q) } finally q.stop()
     } finally deleteRecursively(ckpt.toFile)
     session.table(name)
   }
