@@ -57,6 +57,35 @@ object ThetaKernel {
     Math.round(op.aNotB(Sketch.wrap(Memory.wrap(a)),
       Sketch.wrap(Memory.wrap(b))).getEstimate)
   }
+
+  /** SOUND membership test for data skipping: can `key` possibly be in
+    * the set the sketch summarizes? Theta sampling retains EVERY hash
+    * below the sketch's θ (the sketch IS the set {h : h < θ} of input
+    * hashes), so:
+    *  - probe hash < θ and absent from the retained set → the key was
+    *    provably never updated — `false`, the partition can be skipped;
+    *  - probe hash < θ and present → possibly present (hash collision
+    *    odds ~2⁻⁶⁴) — `true`;
+    *  - probe hash ≥ θ → outside the sampled region, absence is
+    *    unprovable — `true`.
+    * Below nominal entries θ = 1.0 and this is exact membership. The
+    * probe hash is produced by updating a singleton sketch, so it goes
+    * through exactly the hash pipeline the aggregates used. */
+  def mayContain(bytes: Array[Byte], key: Long): Boolean = {
+    val sk = Sketch.wrap(Memory.wrap(bytes))
+    val single = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    single.update(key)
+    val sit = single.iterator()
+    if (!sit.next()) return true // defensive: empty singleton
+    val h = sit.get()
+    if (h >= sk.getThetaLong) true
+    else {
+      val it = sk.iterator()
+      var found = false
+      while (!found && it.next()) found = it.get() == h
+      found
+    }
+  }
 }
 
 /** Base for the two theta aggregates: buffer is a heap [[Union]];

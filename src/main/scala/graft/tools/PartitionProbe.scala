@@ -66,16 +66,55 @@ object PartitionProbe {
         ((r.getLong(1), r.getDecimal(2)))).toMap
     val agree = keyed(flat) == keyed(prunedRows)
 
+    // ---- sketch-backed skipping BEYOND the date key (round 10):
+    // per-partition stats (exact min/max + KLL + theta,
+    // operators.DataSkipping) prune partitions for VALUE predicates.
+    val statsDir = s"${outDir}_stats"
+    graft.operators.DataSkipping.buildEventStats(spark, outDir, statsDir)
+    def filesOf(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    // value threshold: median of the per-partition maxes (data-driven,
+    // deterministic) — partitions below it are provably predicate-free
+    val maxes = spark.read.parquet(statsDir)
+      .select("value_max").collect().map(_.getDouble(0)).sorted
+    val vt = maxes(maxes.length / 2)
+    val vPruned = graft.operators.DataSkipping
+      .eventsWithValueAtLeast(spark, outDir, statsDir, vt)
+    val vFiles = filesOf(vPruned)
+    val vAgree = vPruned.count() ==
+      part.filter(col("value") >= vt).count()
+    // user probe: the user on the fewest distinct days (sparsest —
+    // the strongest membership-skip case this corpus offers)
+    val sparsest = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("nd"))
+      .orderBy(col("nd"), col("user_id")).limit(1)
+      .collect().head.getLong(0)
+    val uPruned = graft.operators.DataSkipping
+      .eventsForUser(spark, outDir, statsDir, sparsest)
+    val uFiles = filesOf(uPruned)
+    val uAgree = uPruned.count() ==
+      part.filter(col("user_id") === sparsest).count()
+
     println(s"""{"metric":"partition_prune","sf":"${new java.io.File(sfDir)
         .getName}","total_days":$totalDays,"total_files":$totalFiles,""" +
       s""""probe_day":"$day","files_read":$filesRead,""" +
       s""""partition_filters":$hasPartFilters,""" +
       s""""rows_flat":${flat.length},"rows_pruned":${prunedRows.length},""" +
-      s""""agree":$agree}""")
+      s""""agree":$agree,""" +
+      f""""skip_value_threshold":$vt%.2f,"skip_value_files":$vFiles,""" +
+      s""""skip_value_agree":$vAgree,"skip_user":$sparsest,""" +
+      s""""skip_user_files":$uFiles,"skip_user_agree":$uAgree}""")
     require(hasPartFilters, "scan planned no partition filters")
     require(filesRead < totalFiles,
       s"pruning did not reduce files read ($filesRead/$totalFiles)")
     require(agree, "pruned result disagrees with the flat-table filter")
+    require(vAgree && uAgree, "sketch-skip result disagrees with flat filter")
+    require(vFiles < totalFiles && uFiles < totalFiles,
+      s"sketch stats skipped nothing ($vFiles/$uFiles of $totalFiles)")
     spark.stop()
   }
 }
