@@ -92,19 +92,25 @@ object Selection {
     * invalidates the benchmark.
     *
     * Shape at 100 TB: the eval corpus (benchmarks) is tiny relative to
-    * training data, so its distinct-shingle set is broadcast and the
-    * train side never shuffles — the report is a map-side semi-join
-    * over the train scan plus one groupBy on the (rare) contaminated
-    * ids. Set `broadcastEval = false` if the eval side is genuinely
-    * large and a shuffle join is preferable. */
+    * training data, so its distinct-shingle set is broadcast — under
+    * the same estimated-size guard as [[fuzzyContaminationReport]]
+    * (one side-sized job; past `maxBroadcastBytes` the join shuffles
+    * on the shingle instead) — and the train side never shuffles
+    * while the broadcast is healthy. Set `broadcastEval = false` to
+    * force the shuffle join; [[bloomDecontaminate]] is the third
+    * posture (fixed-size filter regardless of eval volume). */
   def contaminationReport(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = true,
+      maxBroadcastBytes: Long = MaxEvalBroadcastBytes): DataFrame = {
     val trainSh = Dedup.withShingles(train, idCol, textCol, n)
       .select(col(idCol), explode(col("sh")).as("s"))
     val evalSh0 = Dedup.withShingles(eval, idCol, textCol, n)
       .select(explode(col("sh")).as("s")).distinct()
-    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    val evalSh =
+      if (!broadcastEval) evalSh0
+      else broadcastIfFits(evalSh0,
+        estimatedRowBytes(evalSh0, length(col("s"))), maxBroadcastBytes)
     trainSh.join(evalSh, "s")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc

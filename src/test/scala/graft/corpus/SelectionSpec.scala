@@ -569,6 +569,16 @@ class SelectionSpec extends SparkSpec {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(rows(guarded) == rows(healthy) && rows(healthy).nonEmpty)
+      // exact-match path: same guard, same invariance
+      val exHealthy = Selection.contaminationReport(tr, ev,
+        "doc_id", "text", n = 3)
+      assert(exHealthy.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val exGuarded = Selection.contaminationReport(tr, ev,
+        "doc_id", "text", n = 3, maxBroadcastBytes = 0L)
+      assert(!exGuarded.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(rows(exGuarded) == rows(exHealthy) && rows(exHealthy).nonEmpty)
       // semantic twin: same guard, same invariance
       val emb = Tables.embeddings(spark, sf)
         .select($"vec_id", $"embedding",
