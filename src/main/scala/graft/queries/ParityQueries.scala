@@ -588,6 +588,34 @@ object ParityQueries {
        |      FROM read_json(${pages("deviceMetrics", 2)}))
        |GROUP BY 1 ORDER BY os""".stripMargin
 
+  /** p15: sketch-backed partition skipping end-to-end — build the
+    * date-partitioned events layout + its per-partition stats
+    * ([[graft.operators.DataSkipping]]: exact value min/max, KLL,
+    * theta, one row per partition), then answer a `value >= 300`
+    * scan through the stats-pruned read (partitions whose exact max
+    * is below the bar are never listed — at this corpus roughly half
+    * skip). The oracle filters the flat events table relationally, so
+    * the hash-match proves skipping loses no row; DataSkippingSpec +
+    * PartitionProbe pin the files-read reduction and the membership
+    * rule's soundness. */
+  def p15(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_p15")
+    val layout = base.resolve("events_by_day").toString
+    val stats = base.resolve("stats").toString
+    graft.core.Tables.buildPartitionedEvents(s, d, layout)
+    graft.operators.DataSkipping.buildEventStats(s, layout, stats)
+    graft.operators.DataSkipping
+      .eventsWithValueAtLeast(s, layout, stats, threshold = 300.0)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast(DoubleType).as("value"))
+      .orderBy("event_id")
+  }
+
+  private val p15Oracle: String =
+    """SELECT event_id, user_id, CAST("value" AS DOUBLE) AS value
+      |FROM events WHERE "value" >= 300.0
+      |ORDER BY event_id""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("p01_managed_devices", p01 _, Some(mdOracle("2024-11-08 00:00:00"))),
     ("p02_cloud_pcs", p02 _, Some(cpcOracle("2024-11-08 00:00:00"))),
@@ -603,5 +631,6 @@ object ParityQueries {
     ("p12_bucketed_merge", p12 _, Some(deltaOracle)),
     ("p13_stream_delta_sync", p13 _, Some(deltaOracle)),
     ("p14_aggregate_pushdown", p14 _, Some(p14Oracle)),
+    ("p15_skipping_scan", p15 _, Some(p15Oracle)),
   )
 }

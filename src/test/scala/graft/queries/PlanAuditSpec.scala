@@ -16,7 +16,8 @@ class PlanAuditSpec extends SparkSpec {
     * their own specs instead of a dry plan build). */
   private val effectful = Set("p04_snapshot_overwrite", "p05_retention",
     "p09_format_roundtrip", "p10_sync_retention", "p11_zorder_roundtrip",
-    "p12_bucketed_merge", "p13_stream_delta_sync", "q20_stream_tumbling",
+    "p12_bucketed_merge", "p13_stream_delta_sync", "p15_skipping_scan",
+    "q20_stream_tumbling",
     "q31_stream_interval_join", "q37_stream_dedup", "q57_stream_session",
     "q59_countmin_topk", "q63_stream_sketch", "d06_dup_clusters",
     "s05_kmeans", "s07_pq_trained", "s12_ivfpq", "c10_bloom_decontaminate")
@@ -81,7 +82,8 @@ class PlanAuditSpec extends SparkSpec {
     * invariant as everything else. */
   private val unplannable = Set("p04_snapshot_overwrite", "p05_retention",
     "p09_format_roundtrip", "p10_sync_retention", "p11_zorder_roundtrip",
-    "p12_bucketed_merge", "p13_stream_delta_sync", "q20_stream_tumbling",
+    "p12_bucketed_merge", "p13_stream_delta_sync", "p15_skipping_scan",
+    "q20_stream_tumbling",
     "q31_stream_interval_join", "q37_stream_dedup", "q57_stream_session",
     "q63_stream_sketch")
 
