@@ -64,6 +64,12 @@ object SkewProbe {
     def lsh(dir: String, cap: Option[Int]) =
       Dedup.minhashLshPairs(docs(dir), "doc_id", "text",
         threshold = 0.5, maxBucketSize = cap).count()
+    // round 10: the containment LSH path (d15's operator) shares the
+    // banding + dropHotBuckets machinery — same clique exposure, same
+    // guard; these cells pin that the guard holds for it too
+    def containLsh(dir: String, cap: Option[Int]) =
+      Dedup.minhashContainmentPairs(docs(dir), "doc_id", "text",
+        threshold = 0.8, maxBucketSize = cap).count()
 
     // warm-up
     try { jacc("/root/testdata/sf0.001", None); lsh("/root/testdata/sf0.001", None) }
@@ -79,7 +85,11 @@ object SkewProbe {
       time("lsh_clean_uncapped")(lsh(src, None)),
       time("lsh_skew_uncapped")(lsh(out, None)),
       time("lsh_clean_bucket32")(lsh(src, Some(32))),
-      time("lsh_skew_bucket32")(lsh(out, Some(32))))
+      time("lsh_skew_bucket32")(lsh(out, Some(32))),
+      time("contain_lsh_clean_uncapped")(containLsh(src, None)),
+      time("contain_lsh_skew_uncapped")(containLsh(out, None)),
+      time("contain_lsh_clean_bucket32")(containLsh(src, Some(32))),
+      time("contain_lsh_skew_bucket32")(containLsh(out, Some(32))))
 
     val json = cells.map { case (l, t, n) =>
       f""""$l":{"sec":$t%.2f,"rows":$n}"""
