@@ -536,7 +536,8 @@ object ParityQueries {
   def p14(s: SparkSession, d: String): DataFrame = {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val expectApply = "groupby((os),aggregate(ramGB with sum as agg0," +
-      "diskGB with max as agg1,$count as agg2))"
+      "diskGB with max as agg1,$count as agg2," +
+      "ramGB with average as agg3,ramGB with countdistinct as agg4))"
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val port = server.getAddress.getPort
@@ -550,11 +551,15 @@ object ParityQueries {
       val q = java.net.URLDecoder.decode(
         Option(ex.getRequestURI.getRawQuery).getOrElse(""), "UTF-8")
       if (q.contains("page=2"))
-        respond(ex, """{"value":[{"os":"macOS","agg0":16,"agg1":512,"agg2":1}]}""")
+        respond(ex,
+          """{"value":[{"os":"macOS","agg0":16,"agg1":512,"agg2":1,
+            |"agg3":16.0,"agg4":1}]}""".stripMargin)
       else if (q == s"$$apply=$expectApply")
         respond(ex,
-          s"""{"value":[{"os":"Linux","agg0":96,"agg1":2048,"agg2":2},
-             |{"os":"Windows","agg0":56,"agg1":1024,"agg2":3}],
+          s"""{"value":[{"os":"Linux","agg0":96,"agg1":2048,"agg2":2,
+             |"agg3":48.0,"agg4":2},
+             |{"os":"Windows","agg0":56,"agg1":1024,"agg2":3,
+             |"agg3":18.666666666666668,"agg4":3}],
              |"@odata.nextLink":"http://127.0.0.1:$port/v1.0/deviceMetrics?page=2"}"""
             .stripMargin)
       else respond(ex, "", 404)
@@ -570,7 +575,8 @@ object ParityQueries {
         .load()
         .groupBy("os")
         .agg(sum("ramGB").as("total_ram"), max("diskGB").as("max_disk"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"), avg("ramGB").as("avg_ram"),
+          count_distinct(col("ramGB")).as("n_ram"))
       // materialize while the stub lives; the lazy plan is pinned by
       // the spec, the oracle needs only the rows
       val rows = df.collect()
@@ -583,7 +589,9 @@ object ParityQueries {
     s"""SELECT CAST(v.os AS VARCHAR) AS os,
        |  CAST(SUM(CAST(v.ramGB AS BIGINT)) AS BIGINT) AS total_ram,
        |  CAST(MAX(CAST(v.diskGB AS BIGINT)) AS BIGINT) AS max_disk,
-       |  COUNT(*) AS n
+       |  COUNT(*) AS n,
+       |  CAST(AVG(CAST(v.ramGB AS BIGINT)) AS DOUBLE) AS avg_ram,
+       |  COUNT(DISTINCT v.ramGB) AS n_ram
        |FROM (SELECT unnest(value) AS v
        |      FROM read_json(${pages("deviceMetrics", 2)}))
        |GROUP BY 1 ORDER BY os""".stripMargin

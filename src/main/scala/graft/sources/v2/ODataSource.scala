@@ -616,6 +616,29 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
             }
           case m: Min => colOf(m.column).flatMap(minMax(_, "min", alias))
           case m: Max => colOf(m.column).flatMap(minMax(_, "max", alias))
+          case a: Avg if !a.isDistinct =>
+            // Spark's Average over non-decimal numerics is DoubleType;
+            // the server's decimal JSON number parses to the same
+            colOf(a.column).flatMap { c =>
+              fullSchema(c).dataType match {
+                case IntegerType | LongType | FloatType | DoubleType =>
+                  Some((s"$c with average as $alias",
+                    StructField(alias, DoubleType)))
+                case _ => None
+              }
+            }
+          case cd: Count if cd.isDistinct =>
+            // `with countdistinct` — numeric/temporal only: a server's
+            // DISTINCT over text may fold case while Spark's is binary
+            colOf(cd.column).flatMap { c =>
+              fullSchema(c).dataType match {
+                case IntegerType | LongType | FloatType | DoubleType |
+                     DateType | TimestampType =>
+                  Some((s"$c with countdistinct as $alias",
+                    StructField(alias, LongType, nullable = false)))
+                case _ => None
+              }
+            }
           case _: CountStar =>
             Some(("$count as " + alias,
               StructField(alias, LongType, nullable = false)))

@@ -811,6 +811,22 @@ class ODataSourceSpec extends SparkSpec {
       assert(desc.contains(
         "$apply=groupby((os),aggregate(ramGB with sum as agg0," +
           "$count as agg1))"), desc)
+      // average renders `with average`; distinct count `with
+      // countdistinct` (numeric column)
+      val avgDf = base.groupBy("os").agg(avg("ramGB").as("a"))
+      assert(scanOf(avgDf).description()
+        .contains("aggregate(ramGB with average as agg0)"),
+        scanOf(avgDf).description())
+      val cdDf = base.groupBy("os")
+        .agg(count_distinct(col("ramGB")).as("nd"))
+      assert(scanOf(cdDf).description()
+        .contains("aggregate(ramGB with countdistinct as agg0)"),
+        scanOf(cdDf).description())
+      // distinct count over a STRING declines (server DISTINCT may
+      // fold case; Spark's is binary)
+      val cdStr = base.groupBy("os")
+        .agg(count_distinct(col("name")).as("nd"))
+      assert(!scanOf(cdStr).description().contains("$apply"))
       // COMPLETE pushdown: the server's groups are final — Spark plans
       // a Project over the scan, no engine-side re-aggregation
       pushedDf.collect()
