@@ -527,6 +527,53 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Incremental CONTAINMENT on two precomputed signature indexes
+    * (both shaped as [[minhashIndex]] output): directed containment
+    * pairs TOUCHING the new batch — (old, new) and (new, new), never
+    * (old, old) — with [[minhashLshPairsFromIndexes]]' candidate
+    * discipline (band-bucket join whose right side is the batch, so
+    * candidate generation scales with the batch) and
+    * [[minhashContainmentPairs]]' exact directed scoring and declared
+    * recall semantics. At 100 TB this is the ingest-time quote/
+    * inclusion check: does anything in today's batch contain, or sit
+    * inside, something already in the corpus — answered against
+    * stored signatures, without re-shingling the corpus. */
+  def minhashContainmentPairsFromIndexes(index: DataFrame,
+      newIdx: DataFrame, idCol: String, k: Int = 64, bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val rows = k / bands
+    val all = index.select(col(idCol), col("shh"), col("sig"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newIdx.select(col(idCol), col("shh"), col("sig"))
+        .withColumn("is_new", lit(true)))
+      .cache()
+    val bandedAll = bandedOf(all, idCol, bands, rows,
+      carryCols = Seq("is_new"))
+    val banded = maxBucketSize.fold(bandedAll)(dropHotBuckets(bandedAll, _))
+    val candidates = banded.as("a").join(
+        banded.filter(col("is_new")).as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          (!col("a.is_new") || col(s"a.$idCol") < col(s"b.$idCol")) &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("a_id"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("b_id"))
+      .distinct()
+    val scored = candidates
+      .join(all.select(col(idCol).as("a_id"), col("shh").as("sha")), "a_id")
+      .join(all.select(col(idCol).as("b_id"), col("shh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .cache()
+    scored.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        (col("inter") / col("na")).as("containment"))
+      .unionByName(scored.select(col("b_id").as("src_id"),
+        col("a_id").as("dst_id"),
+        (col("inter") / col("nb")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Per-document signature index for INCREMENTAL dedup: hashed
     * shingle set + MinHash signature, materialized once and stored
     * (parquet) so later batches dedup against signatures instead of

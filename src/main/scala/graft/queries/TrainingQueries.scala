@@ -475,6 +475,51 @@ object TrainingQueries {
       |SELECT COUNT(*) AS n_exact, COUNT(*) AS n_hit, COUNT(*) AS n_lsh
       |FROM e""".stripMargin
 
+  /** d16: INCREMENTAL containment — the ingest-time quote/inclusion
+    * check: the corpus (doc_id % 10 ≠ 0) is a stored signature index,
+    * the "new batch" (doc_id % 10 = 0) is scored against it without
+    * re-shingling the corpus
+    * ([[graft.dedup.Dedup.minhashContainmentPairsFromIndexes]]).
+    * Oracle: the exact directed containment pairs TOUCHING the batch
+    * (old–old correctly absent — the index's prior run owns those), so
+    * a hash match proves the incremental path finds exactly the pairs
+    * a full recompute would, with bit-identical containment values
+    * (d07's hashed-shingle-exactness argument). */
+  def d16IncrementalContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val index = Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
+    val newIdx = Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+    Dedup.minhashContainmentPairsFromIndexes(index, newIdx, "doc_id",
+        k = 64, bands = 32, threshold = 0.8)
+      .orderBy("src_id", "dst_id")
+  }
+
+  val d16Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents)),
+      |ne AS (SELECT doc_id, sh FROM tok WHERE len(sh) > 0),
+      |cnt AS (SELECT doc_id, len(sh) AS n FROM ne),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM ne) a
+      |  JOIN (SELECT doc_id, unnest(sh) AS s FROM ne) b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT a_id AS src_id, b_id AS dst_id, inter / ca.n AS containment
+      |  FROM p JOIN cnt ca ON ca.doc_id = a_id
+      |  UNION ALL
+      |  SELECT b_id, a_id, inter / cb.n
+      |  FROM p JOIN cnt cb ON cb.doc_id = b_id)
+      |SELECT src_id, dst_id, containment FROM d
+      |WHERE containment >= 0.8 ORDER BY src_id, dst_id""".stripMargin
+
   /** d14: overlapping duplicated-n-gram span removal — every 5-token
     * window shared by ≥ 2 distinct documents is scrubbed from all of
     * them ([[graft.dedup.Dedup.substringDedup]]); the cleaned text is
@@ -2606,6 +2651,7 @@ object TrainingQueries {
     ("d11_edit_distance", d11EditDistance _, Some(d11Sql)),
     ("d13_containment", d13Containment _, Some(d13Sql)),
     ("d15_containment_lsh", d15ContainmentLsh _, Some(d15Sql)),
+    ("d16_incremental_containment", d16IncrementalContainment _, Some(d16Sql)),
     ("d14_substring_dedup", d14SubstringDedup _, Some(d14Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
     ("d06_dup_clusters", d06DupClusters _, Some(d06Sql)),

@@ -169,7 +169,7 @@ class PlanAuditSpec extends SparkSpec {
     * must leave the cache manager empty. */
   private val documentedCaching = Set("d02_ngram_jaccard", "d03_minhash_lsh",
     "d04_simhash", "d07_lsh_vs_exact", "d09_incremental_dedup",
-    "d13_containment", "d15_containment_lsh",
+    "d13_containment", "d15_containment_lsh", "d16_incremental_containment",
     "c13_pretrain_pipeline", "c14_funnel_report",
     // c24 composes c13's cached prep/dedup frames + LSH's cached
     // signature frame (same contract, one clearCache per corpus)
