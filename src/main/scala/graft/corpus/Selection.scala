@@ -664,7 +664,13 @@ object Selection {
     * aggregation job — rows × fixed row overhead plus the variable
     * payload mass (characters / vector elements). Deliberately an
     * overestimate of the serialized form: the guard should trip
-    * before the build does. */
+    * before the build does. Costs: this job runs at REPORT-
+    * CONSTRUCTION time (building the DataFrame runs a small eval-side
+    * job, like the trainer-style queries), and the eval lineage is
+    * computed again when the join executes — 2 × O(eval) total, which
+    * the eval-is-small-relative-to-train premise makes negligible;
+    * cache-pinning the frame to save the second pass would violate
+    * the corpus operators' no-pinned-storage contract. */
   private def estimatedRowBytes(df: DataFrame, payload: Column): Long = {
     val r = df.agg(count(lit(1)).as("n"),
       coalesce(sum(payload.cast(LongType)), lit(0L)).as("p")).head()

@@ -499,12 +499,9 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val rows = k / bands
-    val tok = withShingles(docs, idCol, textCol, n)
-      .filter(size(col("sh")) > 0)
-      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
-      .drop("sh")
-      .withColumn("sig", minhashSignature(col("shh"), k))
-      .cache()
+    // ONE signature construction ([[minhashIndex]]) serves the batch
+    // and incremental paths — d16's bit-identity claim depends on it
+    val tok = minhashIndex(docs, idCol, textCol, n, k).cache()
     val bandedAll = bandedOf(tok, idCol, bands, rows)
     val banded = maxBucketSize.fold(bandedAll)(dropHotBuckets(bandedAll, _))
     val candidates = banded.as("a").join(banded.as("b"),
@@ -537,7 +534,11 @@ object Dedup {
     * recall semantics. At 100 TB this is the ingest-time quote/
     * inclusion check: does anything in today's batch contain, or sit
     * inside, something already in the corpus — answered against
-    * stored signatures, without re-shingling the corpus. */
+    * stored signatures, without re-shingling the corpus.
+    * New-batch ids must be disjoint from index ids (the same contract
+    * as [[minhashLshPairsFromIndexes]]): a doc_id present on both
+    * sides joins its stale and fresh shingle sets interchangeably —
+    * re-ingest by retiring the old index row first. */
   def minhashContainmentPairsFromIndexes(index: DataFrame,
       newIdx: DataFrame, idCol: String, k: Int = 64, bands: Int = 32,
       threshold: Double = 0.8,

@@ -65,11 +65,19 @@ object DataSkipping {
       .filter(col("dt").isInCollection(keep))
 
   /** Events with `value >= threshold`, reading only partitions whose
-    * exact max clears the bar. */
+    * exact max clears the bar. NaN discipline: Spark orders NaN above
+    * every double, so a partition holding a NaN row has
+    * `value_max = NaN` AND its NaN rows satisfy `value >= t` under
+    * Spark's comparison — while Java's `NaN >= t` is false. The keep
+    * predicate therefore treats a NaN max as "cannot prove empty"
+    * (kept), preserving the provably-empty skip contract. */
   def eventsWithValueAtLeast(s: SparkSession, layoutDir: String,
       statsDir: String, threshold: Double): DataFrame = {
     val keep = stats(s, statsDir)
-      .filter(_.getAs[Double]("value_max") >= threshold)
+      .filter { r =>
+        val m = r.getAs[Double]("value_max")
+        m.isNaN || m >= threshold
+      }
       .map(_.getAs[java.sql.Date]("dt")).toSeq
     prunedRead(s, layoutDir, keep).filter(col("value") >= threshold)
   }

@@ -467,7 +467,10 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     * would make it stop before `limit` SURVIVING rows exist). Declining
     * just leaves Spark's own limit in the plan. */
   override def pushLimit(l: Int): Boolean = {
-    if (conf.delta || pushed.nonEmpty) false
+    // `applied` guard: after a complete $apply pushdown the scan reads
+    // group rows and build() takes the applied branch — accepting a
+    // limit here would CLAIM a push the scan never renders
+    if (conf.delta || pushed.nonEmpty || applied.isDefined) false
     else { limit = Some(l); true }
   }
 
@@ -497,7 +500,11 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
-    if (conf.delta || pushed.nonEmpty || conf.endpoint.isEmpty) return false
+    // `applied` guard: same reasoning as pushLimit — post-aggregation
+    // sorts stay in Spark (isPartiallyPushed keeps them correct anyway,
+    // but a pushed-and-ignored TopN would misreport the plan)
+    if (conf.delta || pushed.nonEmpty || conf.endpoint.isEmpty ||
+        applied.isDefined) return false
     def sortableType(name: String): Boolean = fullSchema(name).dataType match {
       case _: org.apache.spark.sql.types.NumericType | _: BooleanType |
            _: DateType | _: TimestampType => true

@@ -230,10 +230,12 @@ object EventsStream {
     * plan is BUILT in an isolated `newSession()` child (same
     * SparkContext and shared state, private SQLConf): the caller's
     * session conf is never mutated, safe under concurrent harnesses.
-    * The scratch checkpoint dir is deleted after stop. */
-  /** `extraConfs` land on the query's own child session (e.g. a
-    * state-store provider override — the newSession() does NOT inherit
-    * runtime conf from the caller's session); `inspect` runs after
+    * The scratch checkpoint dir is deleted after stop; a throwing
+    * `processAllAvailable` cannot leak a live query.
+    *
+    * `extraConfs` land on that child session (e.g. a state-store
+    * provider override — the newSession() does NOT inherit runtime
+    * conf from the caller's session); `inspect` runs after
     * `processAllAvailable` while the query is still live, for specs
     * that assert on `lastProgress` state metrics. */
   def runToCompletion(spark: SparkSession, build: SparkSession => DataFrame,
