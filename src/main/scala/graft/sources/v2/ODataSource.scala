@@ -451,6 +451,7 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var advisory: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var orderBy: Option[String] = None
   private var countPushed = false
@@ -470,7 +471,8 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     // `applied` guard: after a complete $apply pushdown the scan reads
     // group rows and build() takes the applied branch — accepting a
     // limit here would CLAIM a push the scan never renders
-    if (conf.delta || pushed.nonEmpty || applied.isDefined) false
+    if (conf.delta || pushed.nonEmpty || advisory.nonEmpty ||
+        applied.isDefined) false
     else { limit = Some(l); true }
   }
 
@@ -503,8 +505,8 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     // `applied` guard: same reasoning as pushLimit — post-aggregation
     // sorts stay in Spark (isPartiallyPushed keeps them correct anyway,
     // but a pushed-and-ignored TopN would misreport the plan)
-    if (conf.delta || pushed.nonEmpty || conf.endpoint.isEmpty ||
-        applied.isDefined) return false
+    if (conf.delta || pushed.nonEmpty || advisory.nonEmpty ||
+        conf.endpoint.isEmpty || applied.isDefined) return false
     def sortableType(name: String): Boolean = fullSchema(name).dataType match {
       case _: org.apache.spark.sql.types.NumericType | _: BooleanType |
            _: DateType | _: TimestampType => true
@@ -554,7 +556,7 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     } catch { case _: Exception => None }
 
   private def countPushable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !conf.delta && pushed.isEmpty && limit.isEmpty &&
+    !conf.delta && pushed.isEmpty && advisory.isEmpty && limit.isEmpty &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head
@@ -587,7 +589,8 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (conf.delta || conf.endpoint.isEmpty || pushed.nonEmpty ||
-        limit.isDefined || orderBy.isDefined) return None
+        advisory.nonEmpty || limit.isDefined || orderBy.isDefined)
+      return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 &&
@@ -672,20 +675,55 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     }
   }
 
-  /** Accept only what OData's $filter can express in the reference:
-    * top-level string equality. Everything else stays in Spark. */
+  /** Two pushdown tiers:
+    *
+    *  - COMPLETE (the reference's surface, O3): top-level string
+    *    equality. Removed from the Spark plan; the reader re-evaluates
+    *    it at the source (fixture mode has no server).
+    *  - ADVISORY (round 10): numeric/boolean comparisons
+    *    (=, <, <=, >, >=) on top-level columns. Rendered into the live
+    *    `$filter` so the SERVER drops non-matching rows before they
+    *    cross the wire, but returned to Spark as residual — the engine
+    *    keeps its own Filter, so correctness never depends on the
+    *    server's comparison semantics (and fixture mode, where no
+    *    server applies the URL, just filters engine-side as before).
+    *    IEEE numeric comparison is collation-free, which is why this
+    *    tier exists for numbers and not strings. Declined in delta
+    *    mode (delta chains don't compose `$filter`).
+    *
+    * Advisory filters change the live chain's raw row counts, so the
+    * raw-row-based early stops (pushLimit/pushTopN) and the inline
+    * count/aggregation pushdowns all decline when any are present —
+    * in FILE mode the fixture is pre-filter and raw rows ≠ surviving
+    * rows, the same hazard as complete pushdown. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
+    import org.apache.spark.sql.sources._
+    val (complete, rest) = filters.partition {
       case EqualTo(attr, _: String) =>
         fullSchema.fieldNames.contains(attr) &&
           fullSchema(attr).dataType == StringType
       case _ => false
     }
-    pushed = accepted
-    rejected
+    def advisable(attr: String, v: Any): Boolean =
+      !conf.delta && fullSchema.fieldNames.contains(attr) &&
+        (fullSchema(attr).dataType match {
+          case IntegerType | LongType | FloatType | DoubleType |
+               BooleanType => v != null
+          case _ => false
+        })
+    advisory = rest.filter {
+      case EqualTo(a, v) => advisable(a, v)
+      case GreaterThan(a, v) => advisable(a, v)
+      case GreaterThanOrEqual(a, v) => advisable(a, v)
+      case LessThan(a, v) => advisable(a, v)
+      case LessThanOrEqual(a, v) => advisable(a, v)
+      case _ => false
+    }
+    pushed = complete
+    rest // advisory filters stay in the plan as Spark's residual
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = pushed ++ advisory
 
   override def build(): Scan =
     if (countPushed) new ODataCountScan(inlineCount.get)
@@ -696,7 +734,9 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
       case Some(pa) =>
         new ODataScan(pa.schema, Array.empty, conf, None, None,
           Some(pa.expr))
-      case None => new ODataScan(required, pushed, conf, limit, orderBy)
+      case None =>
+        new ODataScan(required, pushed, conf, limit, orderBy,
+          advisory = advisory)
     }
 }
 
@@ -929,7 +969,8 @@ class ODataMicroBatchStream(required: StructType, pushed: Array[Filter],
 
 class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
     limit: Option[Int] = None, orderBy: Option[String] = None,
-    applyExpr: Option[String] = None)
+    applyExpr: Option[String] = None,
+    advisory: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -968,13 +1009,16 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
     case Some(ep) =>
       val sel = (required.fieldNames.toSeq ++ filterOnlyCols)
         .filterNot(c => conf.delta && c == "removed")
-      ODataUrl.build(ep, sel, pushed, effectiveTop, conf.expand, orderBy)
+      // advisory filters ride in the URL (server-side transfer
+      // reduction); Spark's retained residual owns correctness
+      ODataUrl.build(ep, sel, pushed ++ advisory, effectiveTop,
+        conf.expand, orderBy)
     case None => conf.firstPage.get
   }
 
   override def description(): String = {
     val sel = required.fieldNames.mkString(",")
-    val fil = ODataUrl.renderFilter(pushed)
+    val fil = ODataUrl.renderFilter(pushed ++ advisory)
     s"ODataScan($$select=$sel" +
       (if (fil.nonEmpty) s", $$filter=$fil" else "") +
       effectiveTop.map(n => s", $$top=$n").getOrElse("") +
@@ -1253,12 +1297,23 @@ class RetryingPageFetcher(inner: PageFetcher, maxRetries: Int,
   * (`?$filter=...&$select=...`, MD-PS:53-85). */
 object ODataUrl {
 
-  /** `field eq 'value' and ...`; single quotes in values are doubled
-    * per the OData literal-escaping rule. */
-  def renderFilter(pushed: Array[Filter]): String =
-    pushed.collect { case EqualTo(a, v) =>
-      s"$a eq '${v.toString.replace("'", "''")}'"
+  /** `field eq 'value' and field ge 5 and ...` — string literals
+    * single-quoted with quote doubling per the OData escaping rule;
+    * numeric/boolean literals bare. */
+  def renderFilter(filters: Array[Filter]): String = {
+    import org.apache.spark.sql.sources._
+    def l(v: Any): String = v match {
+      case s: String => s"'${s.replace("'", "''")}'"
+      case other => String.valueOf(other)
+    }
+    filters.collect {
+      case EqualTo(a, v) => s"$a eq ${l(v)}"
+      case GreaterThan(a, v) => s"$a gt ${l(v)}"
+      case GreaterThanOrEqual(a, v) => s"$a ge ${l(v)}"
+      case LessThan(a, v) => s"$a lt ${l(v)}"
+      case LessThanOrEqual(a, v) => s"$a le ${l(v)}"
     }.mkString(" and ")
+  }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")

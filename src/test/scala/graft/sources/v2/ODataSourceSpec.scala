@@ -56,14 +56,24 @@ class ODataSourceSpec extends SparkSpec {
     assert(q.collect().length == 6)
   }
 
-  test("non-translatable predicates stay in Spark (numeric, non-equality)") {
+  test("non-translatable predicates stay in Spark; advisory ones keep their residual") {
+    def descOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString
+    // boolean equality is ADVISORY since round 10: rendered into the
+    // URL for live transfer reduction, but the Filter stays in Spark
+    // (file mode has no server, so the residual does all the work)
     val q = readMd.filter(col("azureADRegistered") === true)
-    assert(q.count() == 5) // still correct, evaluated post-scan
-    val desc = q.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-        r.scan.description()
-    }.mkString
-    assert(!desc.contains("azureADRegistered eq"))
+    assert(q.count() == 5) // correct, evaluated post-scan
+    assert(descOf(q).contains("azureADRegistered eq true"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("Filter"))
+    // string INEQUALITY is genuinely untranslatable (collation): no
+    // rendering at all, evaluated post-scan
+    val s = readMd.filter(col("deviceName") > "DESKTOP")
+    assert(!descOf(s).contains("deviceName gt"))
+    assert(s.count() > 0)
   }
 
   test("nested struct and array fields parse with null semantics intact") {
@@ -771,6 +781,65 @@ class ODataSourceSpec extends SparkSpec {
     val fq = readMd.orderBy(col("deviceName").desc).limit(2)
     assert(!scanOf(fq).description().contains("$orderby"))
     assert(fq.collect().length == 2)
+  }
+
+  test("advisory numeric filters ride the live $filter; Spark's residual owns correctness") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    def rows(ns: Int*) = ns.map(n => s"""{"id":"r$n","n":$n}""")
+      .mkString("""{"value":[""", ",", "]}")
+    // an HONORING server: applies the numeric predicate itself
+    server.createContext("/v1.0/honor", (ex: HttpExchange) => {
+      val q = java.net.URLDecoder.decode(
+        Option(ex.getRequestURI.getRawQuery).getOrElse(""), "UTF-8")
+      val body = if (q.contains("$filter=n ge 3")) rows(3, 4)
+        else rows(1, 2, 3, 4)
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b)
+      ex.close()
+    })
+    // an IGNORING server: returns everything regardless of $filter —
+    // the residual must still produce the right answer
+    server.createContext("/v1.0/ignore", (ex: HttpExchange) => {
+      val b = rows(1, 2, 3, 4).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      def read(path: String) = spark.read.format("graft-odata")
+        .schema(schema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/$path")
+        .option("authToken", "t").option("retrySleepMs", "0")
+        .load()
+      val honored = read("honor").filter(col("n") >= 3)
+      assert(scanOf(honored).description().contains("$filter=n ge 3"),
+        scanOf(honored).description())
+      // the residual Filter stays in Spark's plan (advisory ≠ complete)
+      assert(honored.queryExecution.optimizedPlan.toString
+        .contains("Filter"), honored.queryExecution.optimizedPlan)
+      assert(honored.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 4L))
+      val ignored = read("ignore").filter(col("n") >= 3)
+      assert(ignored.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 4L))
+      // raw-row hazard guards: with an advisory filter present, LIMIT
+      // and COUNT(*) pushdowns decline (raw page rows ≠ surviving rows
+      // when no server applies the URL)
+      val lim = read("honor").filter(col("n") >= 3).limit(1)
+      assert(!scanOf(lim).description().contains("limit="),
+        scanOf(lim).description())
+      assert(lim.collect().map(_.getLong(1)).toSeq == Seq(3L))
+      // boolean equality is advisory-eligible; strings stay complete
+      val mixed = read("honor").filter(col("id") === "r3" && col("n") < 4)
+      val d = scanOf(mixed).description()
+      assert(d.contains("id eq 'r3'") && d.contains("n lt 4"), d)
+    } finally server.stop(0)
   }
 
   test("grouped aggregates push as $apply (complete) — plan shape, decline paths") {
