@@ -702,6 +702,14 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
       case EqualTo(attr, _: String) =>
         fullSchema.fieldNames.contains(attr) &&
           fullSchema(attr).dataType == StringType
+      // IN over string literals: repeated equality — same complete-
+      // pushdown safety argument as `eq` (exact match, re-evaluated
+      // at the source in fixture mode), rendered as the OData v4.01
+      // `in` operator
+      case In(attr, values) =>
+        values.nonEmpty && values.forall(_.isInstanceOf[String]) &&
+          fullSchema.fieldNames.contains(attr) &&
+          fullSchema(attr).dataType == StringType
       case _ => false
     }
     def advisable(attr: String, v: Any): Boolean =
@@ -985,6 +993,8 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
     * projects them back out. */
   private def filterOnlyCols: Seq[String] = pushed.collect {
     case EqualTo(attr, _) if !required.fieldNames.contains(attr) => attr
+    case org.apache.spark.sql.sources.In(attr, _)
+      if !required.fieldNames.contains(attr) => attr
   }.toSeq.distinct
 
   /** Live-mode first-page URL: the pushed-down scan state composed
@@ -1109,10 +1119,13 @@ class ODataPartitionReader(partition: ODataInputPartition,
   /** Parse with required + any pushed-filter columns Spark pruned away
     * (a fully-pushed equality's column needn't survive in `required`),
     * then project back down. Keeps correctness independent of which
-    * columns the optimizer decides to retain. Pushed filters are
-    * string equalities by construction, so missing attrs are Strings. */
+    * columns the optimizer decides to retain. Completely-pushed
+    * filters are string equalities / IN-lists by construction, so
+    * missing attrs are Strings. */
   private val filterOnly: Array[String] = pushed.collect {
     case EqualTo(attr, _) if !required.fieldNames.contains(attr) => attr
+    case org.apache.spark.sql.sources.In(attr, _)
+      if !required.fieldNames.contains(attr) => attr
   }
 
   /** Delta mode (O5+): the synthetic `removed` column is not a JSON
@@ -1184,6 +1197,12 @@ class ODataPartitionReader(partition: ODataInputPartition,
       case EqualTo(attr, v: String) =>
         val ord = parseSchema.fieldIndex(attr)
         !row.isNullAt(ord) && row.getUTF8String(ord).toString == v
+      case org.apache.spark.sql.sources.In(attr, values) =>
+        val ord = parseSchema.fieldIndex(attr)
+        !row.isNullAt(ord) && {
+          val s = row.getUTF8String(ord).toString
+          values.exists(_ == s)
+        }
       case _ => true
     }
 
@@ -1308,6 +1327,7 @@ object ODataUrl {
     }
     filters.collect {
       case EqualTo(a, v) => s"$a eq ${l(v)}"
+      case In(a, vs) => s"$a in (${vs.map(l).mkString(",")})"
       case GreaterThan(a, v) => s"$a gt ${l(v)}"
       case GreaterThanOrEqual(a, v) => s"$a ge ${l(v)}"
       case LessThan(a, v) => s"$a lt ${l(v)}"

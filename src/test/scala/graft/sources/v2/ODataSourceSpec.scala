@@ -76,6 +76,21 @@ class ODataSourceSpec extends SparkSpec {
     assert(s.count() > 0)
   }
 
+  test("string IN-list pushes completely: v4.01 `in` rendering, source re-eval, pruned-column survival") {
+    val q = readMd.filter(col("operatingSystem").isin("Windows", "macOS"))
+    assert(q.count() == 5)
+    val desc = scanOf(q).description()
+    assert(desc.contains("operatingSystem in ('Windows','macOS')"), desc)
+    // complete push: no residual Filter remains in the plan
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Filter"),
+      q.queryExecution.optimizedPlan.toString)
+    // filter column pruned from the projection: the reader must still
+    // parse it, evaluate, and project it back out
+    val pruned = readMd.filter(col("operatingSystem").isin("Linux"))
+      .select("id")
+    assert(pruned.collect().map(_.getString(0).take(1)).toSeq == Seq("6"))
+  }
+
   test("nested struct and array fields parse with null semantics intact") {
     val rows = readMd.select("id", "configurationManagerClientHealthState.state",
         "usersLoggedOn")
