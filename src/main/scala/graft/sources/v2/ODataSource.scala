@@ -680,16 +680,22 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     *  - COMPLETE (the reference's surface, O3): top-level string
     *    equality. Removed from the Spark plan; the reader re-evaluates
     *    it at the source (fixture mode has no server).
-    *  - ADVISORY (round 10): numeric/boolean comparisons
-    *    (=, <, <=, >, >=) on top-level columns. Rendered into the live
-    *    `$filter` so the SERVER drops non-matching rows before they
-    *    cross the wire, but returned to Spark as residual — the engine
-    *    keeps its own Filter, so correctness never depends on the
-    *    server's comparison semantics (and fixture mode, where no
-    *    server applies the URL, just filters engine-side as before).
-    *    IEEE numeric comparison is collation-free, which is why this
-    *    tier exists for numbers and not strings. Declined in delta
-    *    mode (delta chains don't compose `$filter`).
+    *  - ADVISORY (round 10): integral/boolean comparisons
+    *    (=, <, <=, >, >=) on top-level columns, LIVE mode only (a
+    *    fixture read applies no URL, so advertising a push there
+    *    would misreport the plan). Rendered into the live `$filter`
+    *    so the SERVER drops non-matching rows before they cross the
+    *    wire, but returned to Spark as residual — the engine keeps
+    *    its own Filter, so a server that ignores the predicate can
+    *    only cost bytes. Int/long/boolean ONLY: their orderings are
+    *    universal, so an HONORING server returns a superset of
+    *    Spark's answer. Float/double are declined — Spark's NaN
+    *    semantics (NaN = NaN; NaN above every value) and float
+    *    narrowing diverge from a server's IEEE evaluation, and a
+    *    server honoring `d gt 100` would DROP a NaN row Spark's
+    *    residual wants, losing rows the residual cannot restore.
+    *    Declined in delta mode (delta chains don't compose
+    *    `$filter`).
     *
     * Advisory filters change the live chain's raw row counts, so the
     * raw-row-based early stops (pushLimit/pushTopN) and the inline
@@ -713,11 +719,11 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
       case _ => false
     }
     def advisable(attr: String, v: Any): Boolean =
-      !conf.delta && fullSchema.fieldNames.contains(attr) &&
+      !conf.delta && conf.endpoint.isDefined &&
+        fullSchema.fieldNames.contains(attr) &&
         (fullSchema(attr).dataType match {
-          case IntegerType | LongType | FloatType | DoubleType |
-               BooleanType => v != null
-          case _ => false
+          case IntegerType | LongType | BooleanType => v != null
+          case _ => false // float/double: NaN/narrowing divergence
         })
     advisory = rest.filter {
       case EqualTo(a, v) => advisable(a, v)
@@ -991,11 +997,8 @@ class ODataScan(required: StructType, pushed: Array[Filter], conf: ODataConf,
     * belt-and-braces re-evaluation of the pushed filter would then
     * null-match every row (empty scan). The reader parses them and
     * projects them back out. */
-  private def filterOnlyCols: Seq[String] = pushed.collect {
-    case EqualTo(attr, _) if !required.fieldNames.contains(attr) => attr
-    case org.apache.spark.sql.sources.In(attr, _)
-      if !required.fieldNames.contains(attr) => attr
-  }.toSeq.distinct
+  private def filterOnlyCols: Seq[String] =
+    ODataUrl.filterColumns(pushed, required.fieldNames)
 
   /** Live-mode first-page URL: the pushed-down scan state composed
     * onto the endpoint. Fixture mode starts from the given page
@@ -1121,12 +1124,11 @@ class ODataPartitionReader(partition: ODataInputPartition,
     * then project back down. Keeps correctness independent of which
     * columns the optimizer decides to retain. Completely-pushed
     * filters are string equalities / IN-lists by construction, so
-    * missing attrs are Strings. */
-  private val filterOnly: Array[String] = pushed.collect {
-    case EqualTo(attr, _) if !required.fieldNames.contains(attr) => attr
-    case org.apache.spark.sql.sources.In(attr, _)
-      if !required.fieldNames.contains(attr) => attr
-  }
+    * missing attrs are Strings. Shares [[ODataUrl.filterColumns]]
+    * with the scan's `$select` composition — one definition, no
+    * drift. */
+  private val filterOnly: Array[String] =
+    ODataUrl.filterColumns(pushed, required.fieldNames).toArray
 
   /** Delta mode (O5+): the synthetic `removed` column is not a JSON
     * field — tombstones carry an `@removed` marker object instead. The
@@ -1191,20 +1193,27 @@ class ODataPartitionReader(partition: ODataInputPartition,
 
   /** Source-side evaluation of the pushed OData $filter (the "server"
     * in fixture mode; a live server has already applied it — re-
-    * applying an equality is idempotent). */
-  private def sourceFilter(row: InternalRow): Boolean =
-    pushed.forall {
+    * applying an equality is idempotent). Predicates are COMPILED once
+    * per partition — field ordinals resolved and IN-lists hashed
+    * outside the per-row loop. */
+  private val compiledFilters: Array[InternalRow => Boolean] =
+    pushed.flatMap {
       case EqualTo(attr, v: String) =>
         val ord = parseSchema.fieldIndex(attr)
-        !row.isNullAt(ord) && row.getUTF8String(ord).toString == v
+        val u = UTF8String.fromString(v)
+        Some((row: InternalRow) =>
+          !row.isNullAt(ord) && row.getUTF8String(ord) == u)
       case org.apache.spark.sql.sources.In(attr, values) =>
         val ord = parseSchema.fieldIndex(attr)
-        !row.isNullAt(ord) && {
-          val s = row.getUTF8String(ord).toString
-          values.exists(_ == s)
-        }
-      case _ => true
+        val set = values.collect { case s: String =>
+          UTF8String.fromString(s) }.toSet
+        Some((row: InternalRow) =>
+          !row.isNullAt(ord) && set.contains(row.getUTF8String(ord)))
+      case _ => None
     }
+
+  private def sourceFilter(row: InternalRow): Boolean =
+    compiledFilters.forall(_(row))
 
   private var current: InternalRow = _
   override def next(): Boolean =
@@ -1316,6 +1325,20 @@ class RetryingPageFetcher(inner: PageFetcher, maxRetries: Int,
   * (`?$filter=...&$select=...`, MD-PS:53-85). */
 object ODataUrl {
 
+  /** Columns referenced by completely-pushed filters but absent from
+    * the required projection — the ONE definition shared by the
+    * scan's `$select` composition and the reader's parse schema, so
+    * the two can never diverge (and a column referenced by several
+    * pushed filters appears once). */
+  def filterColumns(pushed: Array[Filter],
+      requiredNames: Array[String]): Seq[String] = {
+    import org.apache.spark.sql.sources.In
+    pushed.collect {
+      case EqualTo(attr, _) if !requiredNames.contains(attr) => attr
+      case In(attr, _) if !requiredNames.contains(attr) => attr
+    }.toSeq.distinct
+  }
+
   /** `field eq 'value' and field ge 5 and ...` — string literals
     * single-quoted with quote doubling per the OData escaping rule;
     * numeric/boolean literals bare. */
@@ -1327,7 +1350,11 @@ object ODataUrl {
     }
     filters.collect {
       case EqualTo(a, v) => s"$a eq ${l(v)}"
-      case In(a, vs) => s"$a in (${vs.map(l).mkString(",")})"
+      // an or-chain of eq, not the v4.01 `in` operator: v4.0 services
+      // reject `in` with HTTP 400, and a rejected URL is a failed
+      // scan, not a byte cost
+      case In(a, vs) =>
+        vs.map(v => s"$a eq ${l(v)}").mkString("(", " or ", ")")
       case GreaterThan(a, v) => s"$a gt ${l(v)}"
       case GreaterThanOrEqual(a, v) => s"$a ge ${l(v)}"
       case LessThan(a, v) => s"$a lt ${l(v)}"

@@ -56,31 +56,29 @@ class ODataSourceSpec extends SparkSpec {
     assert(q.collect().length == 6)
   }
 
-  test("non-translatable predicates stay in Spark; advisory ones keep their residual") {
-    def descOf(q: org.apache.spark.sql.DataFrame) =
-      q.queryExecution.optimizedPlan.collect {
-        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          r.scan.description()
-      }.mkString
-    // boolean equality is ADVISORY since round 10: rendered into the
-    // URL for live transfer reduction, but the Filter stays in Spark
-    // (file mode has no server, so the residual does all the work)
+  test("non-translatable predicates stay in Spark; file mode advertises no advisory push") {
+    // boolean equality is advisory-eligible in LIVE mode only: a
+    // fixture read applies no URL, so advertising a push here would
+    // misreport the plan — nothing rendered, evaluated post-scan
     val q = readMd.filter(col("azureADRegistered") === true)
     assert(q.count() == 5) // correct, evaluated post-scan
-    assert(descOf(q).contains("azureADRegistered eq true"))
+    assert(!scanOf(q).description().contains("azureADRegistered eq"))
     assert(q.queryExecution.optimizedPlan.toString.contains("Filter"))
     // string INEQUALITY is genuinely untranslatable (collation): no
     // rendering at all, evaluated post-scan
     val s = readMd.filter(col("deviceName") > "DESKTOP")
-    assert(!descOf(s).contains("deviceName gt"))
+    assert(!scanOf(s).description().contains("deviceName gt"))
     assert(s.count() > 0)
   }
 
-  test("string IN-list pushes completely: v4.01 `in` rendering, source re-eval, pruned-column survival") {
+  test("string IN-list pushes completely: v4.0-safe or-chain rendering, source re-eval, pruned-column survival") {
     val q = readMd.filter(col("operatingSystem").isin("Windows", "macOS"))
     assert(q.count() == 5)
     val desc = scanOf(q).description()
-    assert(desc.contains("operatingSystem in ('Windows','macOS')"), desc)
+    // an or-chain of eq, not the v4.01 `in` operator — v4.0 services
+    // reject `in` with HTTP 400 and a rejected URL fails the scan
+    assert(desc.contains(
+      "(operatingSystem eq 'Windows' or operatingSystem eq 'macOS')"), desc)
     // complete push: no residual Filter remains in the plan
     assert(!q.queryExecution.optimizedPlan.toString.contains("Filter"),
       q.queryExecution.optimizedPlan.toString)
