@@ -571,6 +571,57 @@ object Multimodal {
     }
   }
 
+  /** Per-partition perceptual image hash (aHash, the classic
+    * average-hash fingerprint): decode the REAL image, resize to
+    * side×side by the same nearest-neighbor index math as
+    * [[resizedImageStats]], grayscale each sample as (r+g+b)/3
+    * (integer), threshold against the integer mean of the side² grays,
+    * and pack the bits row-major (bit y·side+x set iff gray > mean).
+    * THE image-dedup fingerprint: near-duplicate images
+    * (recompression, small edits, minor crops) land within a few bits
+    * of hamming, so the SimHash chunk-collision pair machinery (d04)
+    * applies to images unchanged. side ≤ 8 keeps the hash in one
+    * 64-bit word, emitted as two unsigned 32-bit halves
+    * (`ahash_lo`/`ahash_hi`) so an oracle can rebuild it without
+    * signed-overflow gymnastics, plus the set-bit count. Integer-exact
+    * end to end; map-only over the payload scan, no shuffle. */
+  def imageAHash(media: Dataset[MediaRecord], side: Int = 8): DataFrame = {
+    require(side > 0 && side <= 8, s"side must be in [1,8], got $side")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeImageRgb(r.media).map { case (w, h, rgb) =>
+          val n = side * side
+          val gray = new Array[Int](n)
+          var sum = 0L
+          var y = 0
+          while (y < side) {
+            val sy = y * h / side
+            var x = 0
+            while (x < side) {
+              val p = rgb(sy * w + x * w / side)
+              val g = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) +
+                (p & 0xFF)) / 3
+              gray(y * side + x) = g
+              sum += g
+              x += 1
+            }
+            y += 1
+          }
+          val mean = sum / n
+          var bits = 0L
+          var nSet = 0L
+          var i = 0
+          while (i < n) {
+            if (gray(i) > mean) { bits |= 1L << i; nSet += 1 }
+            i += 1
+          }
+          (r.media_id, bits & 0xFFFFFFFFL, bits >>> 32, nSet)
+        }
+      }
+    }.toDF("media_id", "ahash_lo", "ahash_hi", "n_set")
+  }
+
   /** Per-partition REAL audio feature extraction: decode the WAV and
     * reduce it to an 8-band energy profile — Σ|sample| per contiguous
     * eighth of the stream (band b covers samples

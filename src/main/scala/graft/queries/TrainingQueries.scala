@@ -2019,6 +2019,49 @@ object TrainingQueries {
 
   val m10Sql: String = m04Sql
 
+  /** m11: perceptual image fingerprint — the aHash every cheap image
+    * dedup runs ([[graft.multimodal.Multimodal.imageAHash]]: real PNG
+    * decode → 8×8 nearest-neighbor downsample → integer grayscale →
+    * mean-threshold bits), emitted as two unsigned 32-bit halves +
+    * the set-bit count. The oracle rebuilds every BIT from the pixel
+    * closed form (m04/m06's pattern: the same resize index math, the
+    * same integer grayscale and mean), so a hash match pins the
+    * entire codec → resize → threshold → pack path. Near-dup pairing
+    * over these hashes is d04's chunk-collision machinery unchanged
+    * (spec plants a one-pixel edit and checks its hamming). */
+  def m11ImageAHash(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.imageAHash(Multimodal.pngFromDocuments(s, d), side = 8)
+      .orderBy("media_id")
+  }
+
+  val m11Sql: String =
+    """WITH xs AS (
+      |  SELECT doc_id, unnest(range(0, 8)) AS x FROM documents),
+      |ps AS (
+      |  SELECT doc_id, x, unnest(range(0, 8)) AS y FROM xs),
+      |g AS (
+      |  SELECT doc_id, x, y,
+      |    (((doc_id * 31 + sx * 7 + sy * 13) % 256)
+      |     + ((doc_id * 17 + sx * 11 + sy * 3) % 256)
+      |     + ((doc_id * 23 + sx * 5 + sy * 19) % 256)) // 3 AS gray
+      |  FROM (SELECT doc_id, x, y,
+      |          (x * (4 + doc_id % 5)) // 8 AS sx,
+      |          (y * (4 + doc_id % 3)) // 8 AS sy
+      |        FROM ps)),
+      |m AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM g GROUP BY doc_id),
+      |b AS (
+      |  SELECT g.doc_id, y * 8 + x AS i,
+      |    CASE WHEN gray > mean THEN 1 ELSE 0 END AS bit
+      |  FROM g JOIN m ON g.doc_id = m.doc_id)
+      |SELECT doc_id AS media_id,
+      |  CAST(SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << i)
+      |       ELSE 0 END) AS BIGINT) AS ahash_lo,
+      |  CAST(SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+      |       ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |  CAST(SUM(bit) AS BIGINT) AS n_set
+      |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -2689,6 +2732,7 @@ object TrainingQueries {
     ("m08_gif_frames", m08GifFrames _, Some(m08Sql)),
     ("m09_image_histogram", m09ImageHistogram _, Some(m09Sql)),
     ("m10_binaryfile_ingest", m10BinaryFileIngest _, Some(m10Sql)),
+    ("m11_image_ahash", m11ImageAHash _, Some(m11Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),

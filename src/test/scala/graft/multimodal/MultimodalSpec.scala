@@ -126,6 +126,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash: a one-pixel edit lands within a few bits; an unrelated image sits far; bit packing matches a hand recompute") {
+    import spark.implicits._
+    // 16x16 source with a smooth-ish deterministic pattern
+    def base(x: Int, y: Int): Int = {
+      val v = (x * 13 + y * 29) % 256
+      (v << 16) | (v << 8) | v
+    }
+    val orig = Multimodal.MediaCodec.encodePng(16, 16, base)
+    // near-dup: ONE source pixel blown out (a small edit/recompression
+    // artifact) — at most a couple of 8x8 samples can flip
+    val edited = Multimodal.MediaCodec.encodePng(16, 16,
+      (x, y) => if (x == 5 && y == 5) 0xFFFFFF else base(x, y))
+    // unrelated: an inverted checker — wildly different bit pattern
+    val other = Multimodal.MediaCodec.encodePng(16, 16,
+      (x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, orig, "image/png", "mem://a", None, None, None),
+      Multimodal.MediaRecord(2L, edited, "image/png", "mem://b", None, None, None),
+      Multimodal.MediaRecord(3L, other, "image/png", "mem://c", None, None, None)
+    ).toDS()
+    val h = Multimodal.imageAHash(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(1) | (r.getLong(2) << 32))))
+      .toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dNear = hamming(h(1L)._2, h(2L)._2)
+    val dFar = hamming(h(1L)._2, h(3L)._2)
+    assert(dNear <= 4, s"one-pixel edit moved $dNear bits")
+    assert(dFar >= 16, s"unrelated image only $dFar bits away")
+    // n_set consistency: the packed word's popcount IS n_set
+    h.values.foreach { case (nSet, bits) =>
+      assert(java.lang.Long.bitCount(bits).toLong == nSet)
+    }
+    // hand recompute for the original: identity 16->8 resize picks
+    // even source pixels (x*16/8 = 2x), gray == v by construction
+    val grays = for (y <- 0 until 8; x <- 0 until 8)
+      yield ((2 * x) * 13 + (2 * y) * 29) % 256
+    val mean = grays.map(_.toLong).sum / 64
+    val expected = grays.zipWithIndex
+      .filter { case (g, _) => g > mean }
+      .foldLeft(0L) { case (acc, (_, i)) => acc | (1L << i) }
+    assert(h(1L)._2 == expected)
+  }
+
   test("audio energy profile: bands partition the stream (sum of bands == total |s| energy)") {
     val media = Multimodal.wavFromDocuments(spark, sf)
     val profiles = Multimodal.audioEnergyProfile(media)
