@@ -722,12 +722,25 @@ object Dedup {
     * full pair set engine-portable (the d04 oracle gate). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      tokenHash: Column => Column = w => xxhash64(w)): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol, tokenHash)
-      .cache()
-    val chunked = sigs.select(col(idCol), col("sig"), posexplode(array(
-        (0 until 4).map(c =>
-          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      tokenHash: Column => Column = w => xxhash64(w)): DataFrame =
+    hammingPairsFromSignatures(
+      simhashSignatures(docs, idCol, textCol, tokenHash).cache(),
+      idCol, "sig", maxHamming)
+
+  /** The chunk-collision hamming join over ANY 64-bit signature column
+    * — the one rendering shared by text SimHash ([[simhashPairs]]) and
+    * perceptual image hashes
+    * ([[graft.multimodal.Multimodal.imageAHash]], m12): explode four
+    * 16-bit chunks, bucket-join on (chunk, value) — pigeonhole: ≤3
+    * differing bits guarantee a shared chunk; beyond that collision is
+    * probabilistic and DECLARED (an oracle models the same rule) —
+    * then exact `bit_count(xor)` verify. Never N². */
+  def hammingPairsFromSignatures(sigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunked = sigs.select(col(idCol), col(sigCol).as("sig"),
+        posexplode(array(
+          (0 until 4).map(c =>
+            shiftright(col(sigCol), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .toDF(idCol, "sig", "chunk", "chash")
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chash") === col("b.chash") &&

@@ -464,6 +464,39 @@ object Multimodal {
       }
   }
 
+  /** NEAR-DUPLICATE copies of a slice of [[pngFromDocuments]]: every
+    * doc_id % 10 == 0 image re-rendered from the SAME closed-form
+    * pixel function with its (0,0) source pixel blown out to white —
+    * the minimal "small edit" (a watermark stamp, a recompression
+    * artifact) image dedup exists to catch. Copy ids are offset by
+    * `idOffset` so the two sets coexist in one table; an oracle
+    * reproduces the edited pixels with one CASE over the closed
+    * form. */
+  def pngEditedCopies(spark: SparkSession, sfDir: String,
+      idOffset: Long = 10000000L): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .filter(_ % 10 == 0)
+      .transform(spreadForCodec)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (4 + id % 3).toInt
+          val bytes = MediaCodec.encodePng(w, h, (x, y) =>
+            if (x == 0 && y == 0) 0xFFFFFF
+            else {
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+              val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+              (r << 16) | (g << 8) | b
+            })
+          MediaRecord(id + idOffset, bytes, "image/png",
+            s"mem://png-edit/$id", Some(w), Some(h), None)
+        }
+      }
+  }
+
   /** Deterministic WAV fixture table: each document id becomes a REAL
     * mono-PCM16 WAV whose samples are a closed-form function of
     * (id, i) — the audio analog of [[pngFromDocuments]]: the engine

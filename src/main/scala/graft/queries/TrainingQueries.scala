@@ -2062,6 +2062,92 @@ object TrainingQueries {
       |  CAST(SUM(bit) AS BIGINT) AS n_set
       |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** m12: IMAGE near-dup detection as a COUNT GATE — the m11
+    * fingerprints run through the SimHash chunk-collision machinery
+    * ([[graft.dedup.Dedup.hammingPairsFromSignatures]]): the corpus
+    * images plus a planted near-dup slice (every doc_id % 10 == 0
+    * image re-rendered with its (0,0) pixel blown out —
+    * [[graft.multimodal.Multimodal.pngEditedCopies]]) are hashed,
+    * 16-bit-chunk bucketed, and exact-hamming verified at ≤ 16. The
+    * synthetic gradients are LOW-ENTROPY for any perceptual hash
+    * (smooth images collide — the reason pHash variants exist), so
+    * the full pair list is collision-dominated and corpus-quadratic;
+    * the query therefore emits the d03-style one-row gate instead:
+    * (n_pairs, n_planted_found, n_planted_total), with the oracle
+    * rebuilding BOTH hash sets from the pixel closed form (the edit
+    * is one CASE), applying the SAME chunk-collision candidate rule,
+    * and recomputing every hamming — so all three counts are
+    * bit-reproduced. */
+  def m12ImageNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val all = Multimodal.pngFromDocuments(s, d)
+      .unionByName(Multimodal.pngEditedCopies(s, d))
+    val sigs = Multimodal.imageAHash(all, side = 8)
+      .select(col("media_id"),
+        (col("ahash_lo").bitwiseOR(shiftleft(col("ahash_hi"), 32)))
+          .as("sig"))
+    val pairs = Dedup.hammingPairsFromSignatures(sigs, "media_id", "sig",
+      maxHamming = 16)
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .agg(count(lit(1)).as("n_planted_total"))
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("b_id") === col("a_id") + 10000000L).cast(LongType))
+          .as("n_planted_found"))
+      .crossJoin(broadcast(planted))
+      .select(col("n_pairs"), col("n_planted_found"),
+        col("n_planted_total"))
+  }
+
+  val m12Sql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS media_id, doc_id AS id, 0 AS is_edit FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
+      |xs AS (SELECT media_id, id, is_edit, unnest(range(0, 8)) AS x FROM ids),
+      |ps AS (SELECT media_id, id, is_edit, x, unnest(range(0, 8)) AS y FROM xs),
+      |mm AS (SELECT media_id, id, is_edit, x, y,
+      |    (x * (4 + id % 5)) // 8 AS sx, (y * (4 + id % 3)) // 8 AS sy
+      |  FROM ps),
+      |g AS (SELECT media_id, x, y,
+      |    CASE WHEN is_edit = 1 AND sx = 0 AND sy = 0 THEN 255
+      |         ELSE (((id * 31 + sx * 7 + sy * 13) % 256)
+      |               + ((id * 17 + sx * 11 + sy * 3) % 256)
+      |               + ((id * 23 + sx * 5 + sy * 19) % 256)) // 3 END AS gray
+      |  FROM mm),
+      |m AS (SELECT media_id, SUM(gray) // 64 AS mean FROM g GROUP BY media_id),
+      |b AS (SELECT g.media_id, y * 8 + x AS i,
+      |        CASE WHEN gray > mean THEN 1 ELSE 0 END AS bit
+      |      FROM g JOIN m ON g.media_id = m.media_id),
+      |sig AS (SELECT media_id,
+      |    SUM(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << i)
+      |        ELSE 0 END) AS lo,
+      |    SUM(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+      |        ELSE 0 END) AS hi
+      |  FROM b GROUP BY media_id),
+      |ch AS (SELECT media_id, lo, hi,
+      |    unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS chash,
+      |    unnest([0, 1, 2, 3]) AS chunk
+      |  FROM sig),
+      |cand AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+      |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+      |  FROM ch a JOIN ch b
+      |    ON a.chunk = b.chunk AND a.chash = b.chash
+      |   AND a.media_id < b.media_id),
+      |p AS (SELECT a_id, b_id, hamming FROM (
+      |  SELECT a_id, b_id,
+      |    CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT)
+      |      AS hamming
+      |  FROM cand)
+      |  WHERE hamming <= 16)
+      |SELECT COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN b_id = a_id + 10000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_planted_found,
+      |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+      |    AS n_planted_total
+      |FROM p""".stripMargin
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -2733,6 +2819,7 @@ object TrainingQueries {
     ("m09_image_histogram", m09ImageHistogram _, Some(m09Sql)),
     ("m10_binaryfile_ingest", m10BinaryFileIngest _, Some(m10Sql)),
     ("m11_image_ahash", m11ImageAHash _, Some(m11Sql)),
+    ("m12_image_neardup", m12ImageNearDup _, Some(m12Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),

@@ -41,10 +41,11 @@ class PlanAuditSpec extends SparkSpec {
     // d15 is d03's construction for the containment relation: the same
     // three ONE-ROW count aggregates via crossJoin(broadcast(...))
     "d15_containment_lsh",
-    // q58/q61/q64 attach ONE-ROW aggregates (exact counts, or the one
-    // merged sketch) via crossJoin(broadcast(...)) — scalar joins,
+    // q58/q61/q64/m12 attach ONE-ROW aggregates (exact counts, or the
+    // one merged sketch) via crossJoin(broadcast(...)) — scalar joins,
     // O(1) broadcast bytes
-    "q58_hll_shard_merge", "q61_theta_overlap", "q64_freq_topk")
+    "q58_hll_shard_merge", "q61_theta_overlap", "q64_freq_topk",
+    "m12_image_neardup")
 
   test("no query plans a CartesianProduct; nested-loop only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
