@@ -443,24 +443,32 @@ object Multimodal {
     * SQL oracle reproduces the decoded-pixel statistics from the
     * closed form without needing a codec — the pattern for verifying
     * any media stage whose decoder the oracle lacks. */
+  /** The ONE closed-form pixel function behind every PNG fixture
+    * (base images, edited near-dup copies, file fixtures) — the m04/
+    * m06/m09/m11/m12 oracles all re-derive exactly this formula, so it
+    * must never fork. */
+  private[multimodal] def pngPixel(id: Long)(x: Int, y: Int): Int = {
+    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+    val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  private def pngRecord(id: Long, mediaId: Long, uri: String,
+      px: (Int, Int) => Int): MediaRecord = {
+    val w = (4 + id % 5).toInt
+    val h = (4 + id % 3).toInt
+    MediaRecord(mediaId, MediaCodec.encodePng(w, h, px), "image/png",
+      uri, Some(w), Some(h), None)
+  }
+
   def pngFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.core.Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
       .transform(spreadForCodec)
       .mapPartitions { ids =>
-        ids.map { id =>
-          val w = (4 + id % 5).toInt
-          val h = (4 + id % 3).toInt
-          val bytes = MediaCodec.encodePng(w, h, (x, y) => {
-            val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
-            val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
-            val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
-            (r << 16) | (g << 8) | b
-          })
-          MediaRecord(id, bytes, "image/png", s"mem://png/$id",
-            Some(w), Some(h), None)
-        }
+        ids.map(id => pngRecord(id, id, s"mem://png/$id", pngPixel(id)))
       }
   }
 
@@ -473,7 +481,7 @@ object Multimodal {
     * reproduces the edited pixels with one CASE over the closed
     * form. */
   def pngEditedCopies(spark: SparkSession, sfDir: String,
-      idOffset: Long = 10000000L): Dataset[MediaRecord] = {
+      idOffset: Long = EditedIdOffset): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.core.Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
@@ -481,21 +489,20 @@ object Multimodal {
       .transform(spreadForCodec)
       .mapPartitions { ids =>
         ids.map { id =>
-          val w = (4 + id % 5).toInt
-          val h = (4 + id % 3).toInt
-          val bytes = MediaCodec.encodePng(w, h, (x, y) =>
-            if (x == 0 && y == 0) 0xFFFFFF
-            else {
-              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
-              val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
-              val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
-              (r << 16) | (g << 8) | b
-            })
-          MediaRecord(id + idOffset, bytes, "image/png",
-            s"mem://png-edit/$id", Some(w), Some(h), None)
+          // an id at/above the offset would collide with a copy id and
+          // silently corrupt the planted-pair accounting downstream
+          require(id >= 0 && id < idOffset,
+            s"doc_id $id outside [0, $idOffset) — raise idOffset")
+          pngRecord(id, id + idOffset, s"mem://png-edit/$id",
+            (x, y) => if (x == 0 && y == 0) 0xFFFFFF else pngPixel(id)(x, y))
         }
       }
   }
+
+  /** Copy-id offset for [[pngEditedCopies]] — the single definition
+    * the m12 planted-pair predicate references (the m12 SQL oracle
+    * embeds the same literal, as oracles do). */
+  val EditedIdOffset: Long = 10000000L
 
   /** Deterministic WAV fixture table: each document id becomes a REAL
     * mono-PCM16 WAV whose samples are a closed-form function of

@@ -2082,10 +2082,14 @@ object TrainingQueries {
     import graft.multimodal.Multimodal
     val all = Multimodal.pngFromDocuments(s, d)
       .unionByName(Multimodal.pngEditedCopies(s, d))
+    // cache: the chunk self-join reads the signature frame from both
+    // sides — without this the PNG encode/decode/hash pipeline (the
+    // expensive stage) can run twice (the simhashPairs contract)
     val sigs = Multimodal.imageAHash(all, side = 8)
       .select(col("media_id"),
         (col("ahash_lo").bitwiseOR(shiftleft(col("ahash_hi"), 32)))
           .as("sig"))
+      .cache()
     val pairs = Dedup.hammingPairsFromSignatures(sigs, "media_id", "sig",
       maxHamming = 16)
     val planted = Tables.documents(s, d)
@@ -2093,7 +2097,8 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n_planted_total"))
     pairs
       .agg(count(lit(1)).as("n_pairs"),
-        sum((col("b_id") === col("a_id") + 10000000L).cast(LongType))
+        sum((col("b_id") === col("a_id") + Multimodal.EditedIdOffset)
+          .cast(LongType))
           .as("n_planted_found"))
       .crossJoin(broadcast(planted))
       .select(col("n_pairs"), col("n_planted_found"),

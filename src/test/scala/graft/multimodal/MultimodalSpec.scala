@@ -134,10 +134,13 @@ class MultimodalSpec extends SparkSpec {
       (v << 16) | (v << 8) | v
     }
     val orig = Multimodal.MediaCodec.encodePng(16, 16, base)
-    // near-dup: ONE source pixel blown out (a small edit/recompression
-    // artifact) — at most a couple of 8x8 samples can flip
+    // near-dup: ONE source pixel blacked out at a SAMPLED coordinate —
+    // the 16→8 downsample reads only even source coords (sx = 2x), so
+    // the edit must land on one to move any bit at all; (4,4) is
+    // sample (2,2). At most that bit plus a few mean-shift borderline
+    // bits can flip
     val edited = Multimodal.MediaCodec.encodePng(16, 16,
-      (x, y) => if (x == 5 && y == 5) 0xFFFFFF else base(x, y))
+      (x, y) => if (x == 4 && y == 4) 0x000000 else base(x, y))
     // unrelated: an inverted checker — wildly different bit pattern
     val other = Multimodal.MediaCodec.encodePng(16, 16,
       (x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
@@ -152,7 +155,9 @@ class MultimodalSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val dNear = hamming(h(1L)._2, h(2L)._2)
     val dFar = hamming(h(1L)._2, h(3L)._2)
-    assert(dNear <= 4, s"one-pixel edit moved $dNear bits")
+    // >= 1: the edit demonstrably moved a bit (a vacuous identical-
+    // hash comparison would not exercise the tolerance at all)
+    assert(dNear >= 1 && dNear <= 6, s"one-pixel edit moved $dNear bits")
     assert(dFar >= 16, s"unrelated image only $dFar bits away")
     // n_set consistency: the packed word's popcount IS n_set
     h.values.foreach { case (nSet, bits) =>

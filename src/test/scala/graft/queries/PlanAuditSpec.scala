@@ -175,6 +175,9 @@ class PlanAuditSpec extends SparkSpec {
     // c24 composes c13's cached prep/dedup frames + LSH's cached
     // signature frame (same contract, one clearCache per corpus)
     "c24_corpus_build",
+    // m12 caches its aHash signature frame for the chunk self-join
+    // (the simhashPairs contract applied to images)
+    "m12_image_neardup",
     // distributedNtile pins its range layout (offsets must describe the
     // exact partitioning the output pass reads — Selection Scaladoc)
     "c15_curriculum", "q55_quantile_buckets")
