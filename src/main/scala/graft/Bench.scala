@@ -28,6 +28,34 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-work I/O calibration (round-11 advice): a constant-size
+    * parquet write + read-back + count through Spark's normal write
+    * path, timed and emitted as `calib_io`. The residual drift the CPU
+    * calibration could not attribute in rounds 9-10 was non-CPU
+    * (disk/page-cache contention on a shared box); this pins it the
+    * same way — if query totals swing while BOTH calibrations hold,
+    * the code changed; if calib_io swings, the box's I/O did. */
+  def calibrateIo(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_calib_io")
+    val path = dir.resolve("t").toString
+    try {
+      val t0 = System.nanoTime()
+      spark.range(2000000L)
+        .select(col("id"), (col("id") * 2654435761L).as("v"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(path)
+      val n = spark.read.parquet(path).count()
+      blackhole ^= n
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val c = f.listFiles(); if (c != null) c.foreach(rm); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,14 +84,40 @@ object Bench {
     // one unrecorded calibration first so the loop itself is JIT-warm
     calibrate()
     val calibBefore = calibrate()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    calibrateIo(spark) // unrecorded: write-path JIT warm-up
+    val calibIo = calibrateIo(spark)
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query caches so later queries aren't taxed by
       // accumulated executor memory pressure
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+    val fns = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = fns.map { case (name, fn) => name -> timeQuery(fn) }
+    // MIN-OF-2 (round-11 advice): a contended-box spike inflates a
+    // single pass; re-running and taking the per-query MIN makes the
+    // official artifact outlier-resistant (rounds 9 and 10 both
+    // recorded environmental outliers that needed a judge re-run to
+    // adjudicate against the 2× gate). The second pass visits queries
+    // SLOWEST-FIRST — transient contention adds the most absolute
+    // seconds to the slowest rows — and stops at a wall budget so the
+    // bench always fits the driver's window even on a slow box.
+    val p2Budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_P2_BUDGET", "240").toDouble
+    val fnOf = fns.toMap
+    var p2Spent = 0.0
+    val pass2 = scala.collection.mutable.Map[String, Double]()
+    pass1.sortBy(-_._2).foreach { case (name, _) =>
+      if (p2Spent < p2Budget) {
+        val dt = timeQuery(fnOf(name))
+        p2Spent += dt
+        pass2(name) = dt
+      }
+    }
+    val results = pass1.map { case (name, t1) =>
+      name -> math.min(t1, pass2.getOrElse(name, t1))
     }
     val calibAfter = calibrate()
     // The harness keeps only the last ~2000 chars of stdout and parses the
@@ -88,7 +142,10 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + num(v, dp) }
         .mkString("{", ",", "}")
       val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)}}"""
+      // timing:"min2" documents the per-query semantics: each value is
+      // the MIN over two passes (second pass slowest-first under a
+      // wall budget; p2 = how many queries got a second pass)
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","timing":"min2","p2":${pass2.size},"calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}"""
     }
     // harness tail is 2000 chars; the sbt "[success] Total time: ..."
     // trailer plus newlines takes ~75, leaving ~1925 for this line
@@ -110,7 +167,17 @@ object Bench {
       }
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(render(results, 6)) finally w.close()
+      // full-precision record for the repo: the min-of-2 map the line
+      // reports, plus both raw passes so an outlier is visible in the
+      // artifact itself (pass1 spike + pass2 normal = contention)
+      def fullMap(entries: Seq[(String, Double)]): String = entries
+        .map { case (k, v) => "\"" + k + "\":" + num(v, 6) }
+        .mkString("{", ",", "}")
+      try w.println(
+        s"""{"total":${num(total, 6)},"queries":${fullMap(results)},""" +
+        s""""pass1":${fullMap(pass1)},"pass2":${fullMap(pass2.toSeq.sortBy(_._1))},""" +
+        s""""calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}""")
+      finally w.close()
     } catch { case _: Throwable => () }
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()

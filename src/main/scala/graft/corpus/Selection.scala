@@ -102,7 +102,8 @@ object Selection {
   def contaminationReport(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       broadcastEval: Boolean = true,
-      maxBroadcastBytes: Long = MaxEvalBroadcastBytes): DataFrame = {
+      maxBroadcastBytes: Long = MaxEvalBroadcastBytes,
+      evalSizeBytes: Option[Long] = None): DataFrame = {
     val trainSh = Dedup.withShingles(train, idCol, textCol, n)
       .select(col(idCol), explode(col("sh")).as("s"))
     val evalSh0 = Dedup.withShingles(eval, idCol, textCol, n)
@@ -110,7 +111,8 @@ object Selection {
     val evalSh =
       if (!broadcastEval) evalSh0
       else broadcastIfFits(evalSh0,
-        estimatedRowBytes(evalSh0, length(col("s"))), maxBroadcastBytes)
+        evalSizeBytes.getOrElse(
+          estimatedRowBytes(evalSh0, length(col("s")))), maxBroadcastBytes)
     trainSh.join(evalSh, "s")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
@@ -670,7 +672,11 @@ object Selection {
     * computed again when the join executes — 2 × O(eval) total, which
     * the eval-is-small-relative-to-train premise makes negligible;
     * cache-pinning the frame to save the second pass would violate
-    * the corpus operators' no-pinned-storage contract. */
+    * the corpus operators' no-pinned-storage contract. Callers in
+    * tight loops (or building plans they may never execute) can skip
+    * this job entirely by passing a precomputed `evalSizeBytes` to
+    * the report constructors — the estimate is only a broadcast-guard
+    * input, so any honest upper bound works. */
   private def estimatedRowBytes(df: DataFrame, payload: Column): Long = {
     val r = df.agg(count(lit(1)).as("n"),
       coalesce(sum(payload.cast(LongType)), lit(0L)).as("p")).head()
@@ -728,21 +734,23 @@ object Selection {
   def fuzzyContaminationReport(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       maxDist: Int = 1,
-      maxBroadcastBytes: Long = MaxEvalBroadcastBytes): DataFrame = {
+      maxBroadcastBytes: Long = MaxEvalBroadcastBytes,
+      evalSizeBytes: Option[Long] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val trainSh = Dedup.withShingles(train, idCol, textCol, n)
       .select(col(idCol), explode(col("sh")).as("s"))
     val evalSh = Dedup.withShingles(eval, idCol, textCol, n)
       .select(explode(col("sh")).as("es")).distinct()
+    def estOr(f: => Long): Long = evalSizeBytes.getOrElse(f)
     val matched = maxDist match {
       case 0 =>
-        val est = estimatedRowBytes(evalSh, length(col("es")))
+        val est = estOr(estimatedRowBytes(evalSh, length(col("es"))))
         trainSh.join(broadcastIfFits(evalSh, est, maxBroadcastBytes),
           col("s") === col("es"))
       case 1 =>
         val evalKeys = evalSh.withColumn("k", explode(editOneKeys(col("es"))))
-        val est = estimatedRowBytes(evalKeys,
-          length(col("es")) + length(col("k.seg")))
+        val est = estOr(estimatedRowBytes(evalKeys,
+          length(col("es")) + length(col("k.seg"))))
         trainSh.withColumn("k", explode(editOneKeys(col("s"))))
           .join(broadcastIfFits(evalKeys, est, maxBroadcastBytes), "k")
           .filter(levenshtein(col("s"), col("es")) <= 1)
@@ -751,7 +759,7 @@ object Selection {
         val evalBands = evalSh.select(col("es"), explode(sequence(
           greatest(length(col("es")) - maxDist, lit(0)),
           length(col("es")) + maxDist)).as("band"))
-        val est = estimatedRowBytes(evalBands, length(col("es")))
+        val est = estOr(estimatedRowBytes(evalBands, length(col("es"))))
         trainSh.withColumn("band", length(col("s")))
           .join(broadcastIfFits(evalBands, est, maxBroadcastBytes), "band")
           .filter(levenshtein(col("s"), col("es")) <= maxDist)
@@ -792,14 +800,16 @@ object Selection {
   def semanticContaminationReport(train: DataFrame, eval: DataFrame,
       idCol: String, vecCol: String, blockCol: String,
       threshold: Double, broadcastEval: Boolean = true,
-      maxBroadcastBytes: Long = MaxEvalBroadcastBytes): DataFrame = {
+      maxBroadcastBytes: Long = MaxEvalBroadcastBytes,
+      evalSizeBytes: Option[Long] = None): DataFrame = {
     import graft.functions.VectorFunctions
     val ev = eval.select(col(blockCol).as("_eval_block"),
       col(vecCol).as("_eval_vec"))
     val evs =
       if (!broadcastEval) ev
       else broadcastIfFits(ev,
-        estimatedRowBytes(ev, size(col("_eval_vec")) * lit(8)),
+        evalSizeBytes.getOrElse(
+          estimatedRowBytes(ev, size(col("_eval_vec")) * lit(8))),
         maxBroadcastBytes)
     train.join(evs, col(blockCol) === col("_eval_block"))
       .filter(VectorFunctions.cosineSim(col(vecCol), col("_eval_vec"))

@@ -497,7 +497,8 @@ object Dedup {
   def minhashContainmentPairs(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, k: Int = 64, bands: Int = 32,
       threshold: Double = 0.8,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      withSizes: Boolean = false): DataFrame = {
     val rows = k / bands
     // ONE signature construction ([[minhashIndex]]) serves the batch
     // and incremental paths — d16's bit-identity claim depends on it
@@ -516,12 +517,40 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .cache()
-    scored.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
-        (col("inter") / col("na")).as("containment"))
+    // withSizes: append the directed pair's shingle-set sizes
+    // (n_src, n_dst) — consumers implementing a survivor rule (drop
+    // the contained-smaller side, c24's quote-removal stage) need
+    // them, and they are already on the scored frame for free
+    val directed = scored.select(col("a_id").as("src_id"),
+        col("b_id").as("dst_id"),
+        (col("inter") / col("na")).as("containment"),
+        col("na").as("n_src"), col("nb").as("n_dst"))
       .unionByName(scored.select(col("b_id").as("src_id"),
         col("a_id").as("dst_id"),
-        (col("inter") / col("nb")).as("containment")))
+        (col("inter") / col("nb")).as("containment"),
+        col("nb").as("n_src"), col("na").as("n_dst")))
       .filter(col("containment") >= threshold)
+    if (withSizes) directed else directed.drop("n_src", "n_dst")
+  }
+
+  /** Quote/inclusion removal — the containment relation applied as a
+    * dedup SURVIVOR RULE: a document whose shingle set is ≥ `threshold`
+    * contained in a LARGER surviving document is dropped (its content
+    * lives inside the container); ties on size break by id (larger id
+    * drops), so mutual containment keeps exactly one side and the rule
+    * is deterministic and order-free. Candidates come from the shipped
+    * LSH containment path ([[minhashContainmentPairs]] — band-bucket
+    * blocking + exact directed verify, declared recall semantics). */
+  def containmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val pairs = minhashContainmentPairs(docs, idCol, textCol, n, k,
+      bands, threshold, maxBucketSize, withSizes = true)
+    val drops = pairs.filter(col("n_src") < col("n_dst") ||
+        (col("n_src") === col("n_dst") && col("src_id") > col("dst_id")))
+      .select(col("src_id").as(idCol)).distinct()
+    docs.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Incremental CONTAINMENT on two precomputed signature indexes

@@ -70,22 +70,55 @@ object ThetaKernel {
     *    unprovable — `true`.
     * Below nominal entries θ = 1.0 and this is exact membership. The
     * probe hash is produced by updating a singleton sketch, so it goes
-    * through exactly the hash pipeline the aggregates used. */
-  def mayContain(bytes: Array[Byte], key: Long): Boolean = {
-    val sk = Sketch.wrap(Memory.wrap(bytes))
-    val single = org.apache.datasketches.theta.UpdateSketch.builder().build()
-    single.update(key)
-    val sit = single.iterator()
-    if (!sit.next()) return true // defensive: empty singleton
-    val h = sit.get()
-    if (h >= sk.getThetaLong) true
-    else {
-      val it = sk.iterator()
-      var found = false
-      while (!found && it.next()) found = it.get() == h
-      found
-    }
+    * through exactly the hash pipeline the aggregates used.
+    *
+    * TYPED: this overload probes via `update(Long)` and is therefore
+    * sound ONLY against sketches built from integral updates
+    * ([[ThetaSketchAgg]] over int/long columns). Probing a sketch
+    * built from STRING updates with it would hash a different byte
+    * stream and return false negatives — an unsound skip. Use the
+    * String overload for string-keyed sketches; it reproduces
+    * [[ThetaSketchAgg]]'s marker-byte encoding exactly. */
+  def mayContain(bytes: Array[Byte], key: Long): Boolean =
+    mayContainHash(bytes, singletonHash(_.update(key)))
+
+  /** String-keyed membership probe: reproduces [[ThetaSketchAgg]]'s
+    * StringType update encoding (UTF-8 bytes + constant 0x00 marker
+    * byte — injective, and makes "" a 1-byte update) so the probe hash
+    * matches what the aggregate fed the sketch. Sound only against
+    * sketches built from string updates, the dual of the Long
+    * overload's contract. */
+  def mayContain(bytes: Array[Byte], key: String): Boolean = {
+    val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val marked = java.util.Arrays.copyOf(b, b.length + 1)
+    mayContainHash(bytes, singletonHash(_.update(marked)))
   }
+
+  /** The probe key's retained hash, obtained by updating a singleton
+    * sketch — the probe goes through exactly the hash pipeline the
+    * aggregates used. None if the update was silently ignored
+    * (defensive; cannot happen for the encodings above). */
+  private def singletonHash(
+      update: org.apache.datasketches.theta.UpdateSketch => Unit): Option[Long] = {
+    val single = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    update(single)
+    val sit = single.iterator()
+    if (sit.next()) Some(sit.get()) else None
+  }
+
+  private def mayContainHash(bytes: Array[Byte], probe: Option[Long]): Boolean =
+    probe match {
+      case None => true // unprovable absence: keep the partition
+      case Some(h) =>
+        val sk = Sketch.wrap(Memory.wrap(bytes))
+        if (h >= sk.getThetaLong) true
+        else {
+          val it = sk.iterator()
+          var found = false
+          while (!found && it.next()) found = it.get() == h
+          found
+        }
+    }
 }
 
 /** Base for the two theta aggregates: buffer is a heap [[Union]];

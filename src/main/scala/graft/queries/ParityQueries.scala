@@ -499,8 +499,19 @@ object ParityQueries {
     * ZorderSpec measures the pruning on real files), and the oracle
     * pins that the layout pass is content-neutral: every row survives
     * the quantile/interleave/range-shuffle/sort byte-for-byte. */
+  /** Temp layouts built by p11/p15 must outlive the call (the returned
+    * DataFrame reads them lazily), so cleanup is a JVM shutdown hook —
+    * repeated bench/correctness runs in one JVM would otherwise
+    * accumulate full event/lineitem layouts under /tmp (round-11
+    * advice; the streaming checkpoint helper uses the same pattern). */
+  private def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook(deleteRecursively(p.toFile))
+    p
+  }
+
   def p11(s: SparkSession, d: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_p11")
+    val path = tempDirCleanedOnExit("graft_p11")
       .resolve("lineitem_z").toString
     graft.operators.Scale.zorderWrite(
       graft.core.Tables.lineitem(s, d)
@@ -607,7 +618,7 @@ object ParityQueries {
     * PartitionProbe pin the files-read reduction and the membership
     * rule's soundness. */
   def p15(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_p15")
+    val base = tempDirCleanedOnExit("graft_p15")
     val layout = base.resolve("events_by_day").toString
     val stats = base.resolve("stats").toString
     graft.core.Tables.buildPartitionedEvents(s, d, layout)

@@ -425,20 +425,36 @@ object TrainingQueries {
       |SELECT src_id, dst_id, containment FROM d
       |WHERE containment >= 0.8 ORDER BY src_id, dst_id""".stripMargin
 
-  /** d15: LSH containment as a QUANTITATIVE recall gate — the
-    * linear-scale containment path
-    * ([[graft.dedup.Dedup.minhashContainmentPairs]]: band-bucket
-    * candidates + exact directed verify, the d03 construction aimed
-    * at d13's relation) counted against the exact inverted-index
-    * directed pair set (d13) computed in the same query: one row
-    * (n_exact, n_hit, n_lsh), hash-matched when LSH found exactly
-    * the exact pairs. Precision is structural (candidates are
-    * exact-containment-verified before emission), so n_lsh > n_hit
-    * is impossible and a mismatch in any count is a real recall
-    * regression. This is d13's shipped 100 TB path: the exact Σ df²
-    * index is retained as the oracle construction (same pattern as
-    * d02 ↔ d03). */
-  def d15ContainmentLsh(s: SparkSession, d: String): DataFrame = {
+  /** d15: the SHIPPED containment path, benched and oracle-checked
+    * alone (round-11 advice — the bench should price what ships):
+    * [[graft.dedup.Dedup.minhashContainmentPairs]] — band-bucket LSH
+    * candidates + exact directed verify, d13's linear-scale 100 TB
+    * path — emitting the directed pair set directly. The oracle is
+    * the EXACT inverted-index answer (d13's SQL), so a hash match
+    * proves (a) recall 1.0 on this corpus — every exact pair found —
+    * and (b) bit-identical containment values (the hashed-shingle
+    * distinct counts equal the raw-shingle counts, d07/d16's
+    * injectivity argument). The count-form recall gate survives as
+    * [[d15bContainmentRecallGate]] — its cost is the gate's (it embeds
+    * the Σ df² twin), this row's cost is the operator's. */
+  def d15ContainmentLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashContainmentPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, k = 64, bands = 32, threshold = 0.8)
+      .orderBy("src_id", "dst_id")
+
+  // oracle: the exact directed containment pairs (d13's construction)
+  val d15Sql: String = d13Sql
+
+  /** d15b: the QUANTITATIVE recall gate — LSH pair counts against the
+    * exact inverted-index pair set computed in the same query: one row
+    * (n_exact, n_hit, n_lsh), hash-matched when LSH found exactly the
+    * exact pairs. Precision is structural (candidates are
+    * exact-containment-verified before emission), so n_lsh > n_hit is
+    * impossible and a mismatch in any count is a real recall
+    * regression. Deliberately embeds the exact Σ df² twin, so its
+    * bench cost is the ORACLE CONSTRUCTION's, not the shipped path's —
+    * d15 is the row that prices the operator. */
+  def d15bContainmentRecallGate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val exact = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.8).select("src_id", "dst_id")
@@ -451,7 +467,7 @@ object TrainingQueries {
       .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
   }
 
-  val d15Sql: String =
+  val d15bSql: String =
     """WITH tok AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
@@ -2212,11 +2228,12 @@ object TrainingQueries {
     * → PII redact → clean (lower, digits→`<num>`, whitespace collapse)
     * → quality gate (token count + distinct ratio) → exact dedup (min
     * id per text) → benchmark decontamination (3-gram overlap with the
-    * held-out eval slice) → sliding-window chunking → split
-    * assignment. Every stage is an operator this engine ships
-    * individually (t09 t07 t05 t02 d01 c03 c11 c01); this query pins
-    * their COMPOSITION, oracle-checked end to end. Redaction runs
-    * before cleaning (digit scrubbing would destroy the PII patterns).
+    * held-out eval slice) → quote/inclusion removal (LSH containment,
+    * round 11) → sliding-window chunking → split assignment. Every
+    * stage is an operator this engine ships individually (t09 t07 t05
+    * t02 d01 c03 d15 c11 c01); this query pins their COMPOSITION,
+    * oracle-checked end to end. Redaction runs before cleaning (digit
+    * scrubbing would destroy the PII patterns).
     *
     * Plan shape: one map-only projection chain over the scan, a hash
     * agg for dedup, a broadcast semi-join for decontamination, a
@@ -2249,10 +2266,21 @@ object TrainingQueries {
     val cleanTrain = Selection.decontaminate(
       deduped.filter(col("doc_id") % 97 =!= 0),
       deduped.filter(col("doc_id") % 97 === 0), "doc_id", "t", n = 3)
-    val chunks = Selection.chunkSliding(cleanTrain, "doc_id", "t",
+    // quote/inclusion removal (round 11): a surviving doc ≥ 0.8
+    // shingle-contained in a LARGER survivor is redundant — its
+    // content lives inside the container. The shipped LSH containment
+    // path (d15's operator) finds the pairs; the size/id survivor rule
+    // is deterministic ([[graft.dedup.Dedup.containmentDedup]]). The
+    // oracle re-derives the stage from the EXACT directed pair set —
+    // the d15/d16 equivalence (recall 1.0 on this corpus, verified by
+    // the d15b gate; hashed-shingle counts injective).
+    val quoteRemoved = Dedup.containmentDedup(cleanTrain, "doc_id", "t",
+      n = 3, k = 64, bands = 32, threshold = 0.8)
+    val chunks = Selection.chunkSliding(quoteRemoved, "doc_id", "t",
       chunkSize = 32, stride = 24)
     Seq("1_prepped" -> prepped, "2_gated" -> gated, "3_deduped" -> deduped,
-      "4_decontaminated" -> cleanTrain, "5_chunks" -> chunks)
+      "4_decontaminated" -> cleanTrain, "5_quote_removed" -> quoteRemoved,
+      "6_chunks" -> chunks)
   }
 
   def c13PretrainPipeline(s: SparkSession, d: String): DataFrame = {
@@ -2298,10 +2326,36 @@ object TrainingQueries {
        |  SELECT doc_id, w FROM sh
        |  WHERE doc_id % 97 <> 0
        |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
+       |qn AS (SELECT doc_id, len(sh) AS nsh FROM sh
+       |       WHERE doc_id IN (SELECT doc_id FROM train)),
+       |qpair AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh
+       |        WHERE doc_id IN (SELECT doc_id FROM train)) a
+       |  JOIN (SELECT doc_id, unnest(sh) AS s FROM sh
+       |        WHERE doc_id IN (SELECT doc_id FROM train)) b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |qdir AS (
+       |  SELECT a_id AS src_id, b_id AS dst_id, inter / na.nsh AS containment,
+       |         na.nsh AS n_src, nb.nsh AS n_dst
+       |  FROM qpair JOIN qn na ON na.doc_id = a_id
+       |             JOIN qn nb ON nb.doc_id = b_id
+       |  UNION ALL
+       |  SELECT b_id, a_id, inter / nb.nsh, nb.nsh, na.nsh
+       |  FROM qpair JOIN qn na ON na.doc_id = a_id
+       |             JOIN qn nb ON nb.doc_id = b_id),
+       |qdrop AS (
+       |  SELECT DISTINCT src_id AS doc_id FROM qdir
+       |  WHERE containment >= 0.8
+       |    AND (n_src < n_dst OR (n_src = n_dst AND src_id > dst_id))),
+       |quote_removed AS (
+       |  SELECT doc_id, w FROM train
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM qdrop)),
        |st AS (
        |  SELECT doc_id, w,
        |    unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS chunk_start
-       |  FROM train)""".stripMargin
+       |  FROM quote_removed)""".stripMargin
 
   val c13Sql: String = {
     val b = duckBucket("'graft:' || CAST(doc_id AS VARCHAR)", 100)
@@ -2338,7 +2392,8 @@ object TrainingQueries {
       |UNION ALL SELECT '2_gated', COUNT(*) FROM gated
       |UNION ALL SELECT '3_deduped', COUNT(*) FROM dedup
       |UNION ALL SELECT '4_decontaminated', COUNT(*) FROM train
-      |UNION ALL SELECT '5_chunks', COUNT(*) FROM st
+      |UNION ALL SELECT '5_quote_removed', COUNT(*) FROM quote_removed
+      |UNION ALL SELECT '6_chunks', COUNT(*) FROM st
       |ORDER BY stage""".stripMargin
 
   /** c15: curriculum ordering — the corpus cut into 3 equal-depth
@@ -2662,10 +2717,12 @@ object TrainingQueries {
     * LLM-data operators composed into ONE pipeline, checked by ONE
     * oracle (the capstone the per-operator queries build toward):
     *
-    *   1–4. c13's pretraining stages: PII-redact + normalize prep,
+    *   1–5. c13's pretraining stages: PII-redact + normalize prep,
     *        length/diversity gate, exact dedup (min-id survivor),
-    *        3-gram eval decontamination ([[pretrainStages]]);
-    *   5.   near-dup removal AT SCALE: MinHash+LSH pairs over the
+    *        3-gram eval decontamination, quote/inclusion removal via
+    *        LSH containment — d15's operator with the size/id survivor
+    *        rule ([[pretrainStages]], round 11);
+    *   6.   near-dup removal AT SCALE: MinHash+LSH pairs over the
     *        prepped text ([[Dedup.minhashLshPairs]] — band-bucket
     *        join, never N²); a doc with a smaller-id near-dup partner
     *        is dropped (deterministic, order-free survivor rule).
@@ -2682,12 +2739,12 @@ object TrainingQueries {
     *        probability is ≤1e-13 — end-to-end flake odds ≲ a few in
     *        10⁵ per regeneration, and a miss localizes to this stage
     *        by construction (the d03 count gate fails with it);
-    *   6.   semantic decontamination: doc embeddings within cosine
+    *   7.   semantic decontamination: doc embeddings within cosine
     *        0.3 of a held-out eval vector in the same LSH bucket
     *        ([[Selection.semanticContaminationReport]], c22's shape);
-    *   7.   curriculum phases by quality score over the surviving
+    *   8.   curriculum phases by quality score over the surviving
     *        docs ([[Selection.curriculumPhases]], c15's shape);
-    *   8.   deterministic shuffle into 8 shards with in-shard
+    *   9.   deterministic shuffle into 8 shards with in-shard
     *        positions ([[Selection.shuffleShards]], c08's shape) —
     *        the layout a data loader streams.
     *
@@ -2702,8 +2759,11 @@ object TrainingQueries {
     * documented caching contract. */
   def c24CorpusBuild(s: SparkSession, d: String): DataFrame = {
     import graft.dedup.Dedup
+    // round 11: the capstone now builds from the QUOTE-REMOVED stage —
+    // the containment operator (d15's path) runs inside the capstone
+    // composition, and its funnel row shows in c14
     val cleanTrain = pretrainStages(s, d)
-      .collectFirst { case ("4_decontaminated", df) => df }.get
+      .collectFirst { case ("5_quote_removed", df) => df }.get
     val pairs = Dedup.minhashLshPairs(cleanTrain, "doc_id", "t",
       n = 3, k = 64, bands = 32, threshold = 0.5)
     val nearDeduped = cleanTrain.join(
@@ -2735,9 +2795,9 @@ object TrainingQueries {
     val qualityBody = duckQualityCtes.stripPrefix("WITH ")
     s"""$pretrainCtesSql,
        |inv AS (SELECT doc_id, unnest(sh) AS s3 FROM sh
-       |        WHERE doc_id IN (SELECT doc_id FROM train)),
+       |        WHERE doc_id IN (SELECT doc_id FROM quote_removed)),
        |nsz AS (SELECT doc_id, len(sh) AS nsh FROM sh
-       |        WHERE doc_id IN (SELECT doc_id FROM train)),
+       |        WHERE doc_id IN (SELECT doc_id FROM quote_removed)),
        |cand AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
        |  FROM inv a JOIN inv b ON a.s3 = b.s3 AND a.doc_id < b.doc_id
@@ -2747,7 +2807,7 @@ object TrainingQueries {
        |  FROM cand c JOIN nsz sa ON c.a_id = sa.doc_id
        |              JOIN nsz sb ON c.b_id = sb.doc_id
        |  WHERE c.inter / (sa.nsh + sb.nsh - c.inter) >= 0.5),
-       |surv1 AS (SELECT doc_id FROM train
+       |surv1 AS (SELECT doc_id FROM quote_removed
        |          WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)),
        |eb AS (
        |  SELECT vec_id,
@@ -2785,6 +2845,7 @@ object TrainingQueries {
     ("d11_edit_distance", d11EditDistance _, Some(d11Sql)),
     ("d13_containment", d13Containment _, Some(d13Sql)),
     ("d15_containment_lsh", d15ContainmentLsh _, Some(d15Sql)),
+    ("d15b_containment_recall_gate", d15bContainmentRecallGate _, Some(d15bSql)),
     ("d16_incremental_containment", d16IncrementalContainment _, Some(d16Sql)),
     ("d14_substring_dedup", d14SubstringDedup _, Some(d14Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),

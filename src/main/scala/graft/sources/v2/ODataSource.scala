@@ -570,13 +570,16 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     * rollup over a 10M-row entity moves one page of group rows, not
     * the entity. COMPLETE pushdown only (the server's groups are
     * final — Spark plans a Project, no re-aggregation), accepted only
-    * for the airtight shape: live endpoint, no delta/filters/limit/
-    * orderBy, every group key a top-level schema column, every
-    * aggregate a non-distinct SUM/MIN/MAX over a top-level NUMERIC /
-    * temporal column (SUM over int/long surfaces as Spark's LongType,
-    * over float/double as DoubleType; MIN/MAX keep the input type;
-    * strings are declined — MIN/MAX of text is server-collation-
-    * dependent, the pushTopN argument) or COUNT(*). Result columns
+    * for the airtight shape: live endpoint, no delta/advisory-filters/
+    * limit/orderBy, every group key a top-level schema column, every
+    * aggregate a non-distinct SUM/MIN/MAX/AVG over a top-level
+    * INTEGRAL / temporal column (float/double declined — NaN/INF
+    * IEEE divergence with no residual; strings declined — MIN/MAX of
+    * text is server-collation-dependent, the pushTopN argument) or
+    * COUNT(*). COMPLETE-tier pushed filters (string eq / IN) compose
+    * as a `filter(...)/` stage ahead of the groupby — the OASIS §3.2
+    * transformation sequence — so a filtered fleet-wide rollup still
+    * moves one page of group rows. Result columns
     * are aliased agg0..aggN and the scan's readSchema lists group
     * keys first then aggregates, the arity/order contract of Spark's
     * V2ScanRelationPushDown. Anything else returns false and Spark
@@ -588,7 +591,17 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[PushedApply] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (conf.delta || conf.endpoint.isEmpty || pushed.nonEmpty ||
+    // Complete-tier pushed filters COMPOSE: OData v4 aggregation
+    // evaluates `$apply=filter(...)/groupby(...)` as a transformation
+    // sequence (OASIS Data Aggregation §3.2) — the filter runs over
+    // entity rows BEFORE grouping, exactly Spark's Filter-under-
+    // Aggregate shape, and string-eq/IN are the tier whose server
+    // evaluation provably matches Spark's (exact match, no collation
+    // ordering, no IEEE divergence). Advisory-tier filters still
+    // decline: they are residual-backed by design, and a completely-
+    // pushed aggregation leaves no residual to correct a divergent
+    // server evaluation.
+    if (conf.delta || conf.endpoint.isEmpty ||
         advisory.nonEmpty || limit.isDefined || orderBy.isDefined)
       return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -601,27 +614,35 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     val groups = agg.groupByExpressions.toSeq.map(colOf)
     if (groups.isEmpty || groups.exists(_.isEmpty)) return None
     val gcols = groups.flatten
+    // Float/double aggregates are DECLINED across the board (round-11
+    // advice): OData Edm.Double can carry NaN/INF, and a server's IEEE
+    // evaluation of MIN/MAX/AVG/SUM/DISTINCT over a NaN-bearing column
+    // diverges from Spark's semantics (NaN greatest, NaN = NaN) —
+    // complete pushdown leaves no residual to correct it. Same type
+    // gate as the advisory $filter tier, for the same reason.
     def minMax(c: String, op: String, alias: String) =
       fullSchema(c).dataType match {
-        case t @ (IntegerType | LongType | FloatType | DoubleType |
-                  DateType | TimestampType) =>
+        case t @ (IntegerType | LongType | DateType | TimestampType) =>
           Some((s"$c with $op as $alias", StructField(alias, t)))
-        case _ => None // strings: collation-sensitive; rest: untyped here
+        case _ => None // strings: collation; float/double: NaN ordering
       }
     val aggs = agg.aggregateExpressions.toSeq.zipWithIndex.map {
       case (f, i) =>
         val alias = s"agg$i"
         f match {
           case su: Sum if !su.isDistinct =>
+            // Overflow contract: the pushed result parses as LongType.
+            // A server-side sum exceeding Long.MaxValue comes back as
+            // a wider decimal whose long parse fails LOUDLY (the reader
+            // rejects out-of-range), while Spark's own non-ANSI sum
+            // would wrap silently — divergent only past 2^63, where
+            // both answers are garbage; the loud failure is preferred.
             colOf(su.column).flatMap { c =>
               fullSchema(c).dataType match {
                 case IntegerType | LongType =>
                   Some((s"$c with sum as $alias",
                     StructField(alias, LongType)))
-                case FloatType | DoubleType =>
-                  Some((s"$c with sum as $alias",
-                    StructField(alias, DoubleType)))
-                case _ => None
+                case _ => None // float/double: NaN/INF divergence
               }
             }
           case m: Min => colOf(m.column).flatMap(minMax(_, "min", alias))
@@ -631,19 +652,19 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
             // the server's decimal JSON number parses to the same
             colOf(a.column).flatMap { c =>
               fullSchema(c).dataType match {
-                case IntegerType | LongType | FloatType | DoubleType =>
+                case IntegerType | LongType =>
                   Some((s"$c with average as $alias",
                     StructField(alias, DoubleType)))
-                case _ => None
+                case _ => None // float/double: NaN/INF divergence
               }
             }
           case cd: Count if cd.isDistinct =>
-            // `with countdistinct` — numeric/temporal only: a server's
-            // DISTINCT over text may fold case while Spark's is binary
+            // `with countdistinct` — integral/temporal only: a server's
+            // DISTINCT over text may fold case while Spark's is binary,
+            // and float NaN distinctness diverges (Spark: NaN = NaN)
             colOf(cd.column).flatMap { c =>
               fullSchema(c).dataType match {
-                case IntegerType | LongType | FloatType | DoubleType |
-                     DateType | TimestampType =>
+                case IntegerType | LongType | DateType | TimestampType =>
                   Some((s"$c with countdistinct as $alias",
                     StructField(alias, LongType, nullable = false)))
                 case _ => None
@@ -657,8 +678,12 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     }
     if (aggs.isEmpty || aggs.exists(_.isEmpty)) return None
     val (items, fields) = aggs.flatten.unzip
+    val filterStage =
+      if (pushed.isEmpty) ""
+      else s"filter(${ODataUrl.renderFilter(pushed)})/"
     Some(PushedApply(
-      s"groupby((${gcols.mkString(",")}),aggregate(${items.mkString(",")}))",
+      filterStage +
+        s"groupby((${gcols.mkString(",")}),aggregate(${items.mkString(",")}))",
       StructType(gcols.map(fullSchema(_)) ++ fields)))
   }
 

@@ -920,13 +920,51 @@ class ODataSourceSpec extends SparkSpec {
       // decline: MIN/MAX over a string is server-collation-dependent
       val strAgg = base.groupBy("os").agg(max("name").as("m"))
       assert(!scanOf(strAgg).description().contains("$apply"))
-      // decline: a pushed filter composes $filter+$apply — not shipped
+      // COMPLETE-tier pushed filter COMPOSES as a filter(...) stage
+      // ahead of the groupby (OASIS Data Aggregation §3.2) — the
+      // server filters entity rows, then groups; one page of groups
       val filtered = base.filter(col("os") === "linux")
         .groupBy("os").agg(sum("ramGB").as("t"))
-      assert(!scanOf(filtered).description().contains("$apply"))
+      val fdesc = scanOf(filtered).description()
+      assert(fdesc.contains("$apply=filter(os eq 'linux')/" +
+        "groupby((os),aggregate(ramGB with sum as agg0))"), fdesc)
+      // complete pushdown holds under the composed shape too: no
+      // engine-side re-aggregation and no residual Filter
+      filtered.collect()
+      val fplan = filtered.queryExecution.executedPlan.toString
+      assert(!fplan.contains("HashAggregate"), fplan)
+      // an IN-list filter (still complete tier) composes as well
+      val inFiltered = base.filter(col("os").isin("linux", "windows"))
+        .groupBy("os").agg(sum("ramGB").as("t"))
+      assert(scanOf(inFiltered).description().contains(
+        "$apply=filter((os eq 'linux' or os eq 'windows'))/groupby"),
+        scanOf(inFiltered).description())
+      // but an ADVISORY-tier filter still declines $apply: it is
+      // residual-backed by design and complete aggregation would leave
+      // no residual to correct a divergent server evaluation
+      val advFiltered = base.filter(col("ramGB") >= 8)
+        .groupBy("os").agg(sum("ramGB").as("t"))
+      assert(!scanOf(advFiltered).description().contains("$apply"),
+        scanOf(advFiltered).description())
       // decline: distinct sum has no $apply rendering here
       val dist = base.groupBy("os").agg(sum_distinct(col("ramGB")).as("t"))
       assert(!scanOf(dist).description().contains("$apply"))
+      // decline: float/double aggregates — OData Edm.Double can carry
+      // NaN/INF and the server's IEEE evaluation diverges from Spark's
+      // (NaN greatest, NaN = NaN) with no residual to correct it
+      val dblSchema = schema.add("load", org.apache.spark.sql.types.DoubleType)
+      def dblBase = spark.read.format("graft-odata").schema(dblSchema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/metrics")
+        .option("authToken", "t").option("retrySleepMs", "0")
+        .load()
+      for (aggDf <- Seq(
+          dblBase.groupBy("os").agg(sum("load").as("x")),
+          dblBase.groupBy("os").agg(min("load").as("x")),
+          dblBase.groupBy("os").agg(max("load").as("x")),
+          dblBase.groupBy("os").agg(avg("load").as("x")),
+          dblBase.groupBy("os").agg(count_distinct(col("load")).as("x"))))
+        assert(!scanOf(aggDf).description().contains("$apply"),
+          scanOf(aggDf).description())
     } finally server.stop(0)
     // decline: file mode has no server to aggregate
     val fileAgg = readMd.groupBy("operatingSystem")
