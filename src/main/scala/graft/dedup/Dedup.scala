@@ -765,12 +765,28 @@ object Dedup {
     * probabilistic and DECLARED (an oracle models the same rule) —
     * then exact `bit_count(xor)` verify. Never N². */
   def hammingPairsFromSignatures(sigs: DataFrame, idCol: String,
-      sigCol: String, maxHamming: Int = 3): DataFrame = {
-    val chunked = sigs.select(col(idCol), col(sigCol).as("sig"),
+      sigCol: String, maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    // maxBucketSize: the same bounded-join escape hatch as the LSH
+    // paths' — a (chunk, value) bucket larger than the cap is a
+    // mass-duplicate clique (thousands of byte-identical images hash
+    // to ONE signature and meet in every chunk bucket); its Σ b²
+    // candidates carry no per-pair information, so the hot bucket is
+    // dropped before the self-join. Recall loss is confined to pairs
+    // whose every shared chunk is hot — for an exact-duplicate clique,
+    // the clique's own pairs, which exact dedup (d01 on the payload
+    // digest) owns anyway.
+    val chunkedAll = sigs.select(col(idCol), col(sigCol).as("sig"),
         posexplode(array(
           (0 until 4).map(c =>
             shiftright(col(sigCol), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .toDF(idCol, "sig", "chunk", "chash")
+    val chunked = maxBucketSize.fold(chunkedAll) { cap =>
+      val hot = chunkedAll.groupBy("chunk", "chash")
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > cap).select("chunk", "chash")
+      chunkedAll.join(broadcast(hot), Seq("chunk", "chash"), "left_anti")
+    }
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chash") === col("b.chash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -40,6 +40,15 @@ object KllKernel {
     val sk = KllDoublesSketch.wrap(Memory.wrap(bytes))
     if (sk.isEmpty) null else Double.box(sk.getRank(value))
   }
+
+  /** Driver-side merge of two serialized sketches — the metadata-sized
+    * combine the write-path stats maintenance uses (merging one batch
+    * row into one stored partition row; never row data). */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(a))
+    sk.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+    sk.toByteArray
+  }
 }
 
 abstract class KllAggBase extends TypedImperativeAggregate[KllDoublesSketch]

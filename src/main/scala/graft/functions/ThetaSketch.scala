@@ -58,6 +58,18 @@ object ThetaKernel {
       Sketch.wrap(Memory.wrap(b))).getEstimate)
   }
 
+  /** Driver-side union of two serialized sketches (the write-path
+    * stats maintenance combine — one batch row into one stored
+    * partition row). `lgK` should match the sketches' build parameter
+    * (a smaller union would down-sample the inputs). */
+  def unionBytes(a: Array[Byte], b: Array[Byte],
+      lgK: Int = 14): Array[Byte] = {
+    val u = newUnion(lgK)
+    u.union(Memory.wrap(a))
+    u.union(Memory.wrap(b))
+    u.getResult.toByteArray
+  }
+
   /** SOUND membership test for data skipping: can `key` possibly be in
     * the set the sketch summarizes? Theta sampling retains EVERY hash
     * below the sketch's θ (the sketch IS the set {h : h < θ} of input

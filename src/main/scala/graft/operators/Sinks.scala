@@ -47,11 +47,32 @@ object Sinks {
     * definition. Readers prune on `load_date` for free
     * (PartitionFilters). */
   def retentionAppend(spark: SparkSession, df: DataFrame, path: String,
-      loadTime: Timestamp, maxAgeDays: Int = 40): Unit = {
+      loadTime: Timestamp, maxAgeDays: Int = 40,
+      stats: Option[DataSkipping.SkipStatsSpec] = None): Unit = {
     df.withColumn("timeGenerated", lit(loadTime))
       .withColumn("load_date", lit(loadTime).cast("date"))
       .write.mode(SaveMode.Append).partitionBy("load_date").parquet(path)
+    // write-path stats (round 11): MERGE the batch's summary row into
+    // the partition's stored row (append may land several batches on
+    // one load_date) — mergeable-sketch combine, O(batch), the
+    // partition is never read back. Stats partitions age out with
+    // their data partitions below.
+    stats.foreach(sp => DataSkipping.upsertPartitionStats(spark, sp,
+      loadDateOf(spark, loadTime), df, mergeExisting = true))
     dropExpired(spark, path, loadTime, maxAgeDays)
+    stats.foreach(sp =>
+      dropExpired(spark, sp.statsDir, loadTime, maxAgeDays))
+  }
+
+  /** The `load_date` partition value this load writes — derived in the
+    * SESSION timezone exactly as `lit(loadTime).cast("date")`
+    * evaluates, so the stats row and the age-out cutoff can never
+    * disagree with the partition directory name. */
+  private def loadDateOf(spark: SparkSession,
+      loadTime: Timestamp): java.sql.Date = {
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    java.sql.Date.valueOf(loadTime.toInstant.atZone(zone).toLocalDate)
   }
 
   /** Age-out: drop `load_date=` partition directories older than the
@@ -89,13 +110,21 @@ object Sinks {
     * plain append matches the reference's insert-only retention sink.
     * Age-out is the same partition drop. */
   def retentionReplace(spark: SparkSession, df: DataFrame, path: String,
-      loadTime: Timestamp, maxAgeDays: Int = 40): Unit = {
+      loadTime: Timestamp, maxAgeDays: Int = 40,
+      stats: Option[DataSkipping.SkipStatsSpec] = None): Unit = {
     df.withColumn("timeGenerated", lit(loadTime))
       .withColumn("load_date", lit(loadTime).cast("date"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("load_date").parquet(path)
+    // write-path stats: the batch REPLACES its partition, so its stats
+    // row replaces too — a replayed round rewrites both identically
+    // (the sink's replay-idempotence extends to the stats table)
+    stats.foreach(sp => DataSkipping.upsertPartitionStats(spark, sp,
+      loadDateOf(spark, loadTime), df, mergeExisting = false))
     dropExpired(spark, path, loadTime, maxAgeDays)
+    stats.foreach(sp =>
+      dropExpired(spark, sp.statsDir, loadTime, maxAgeDays))
   }
 
   /** Apply an OData delta change set (`ODataPageReader.readDeltaPages`

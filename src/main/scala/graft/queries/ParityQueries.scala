@@ -635,6 +635,73 @@ object ParityQueries {
       |FROM events WHERE "value" >= 300.0
       |ORDER BY event_id""".stripMargin
 
+  /** p16: FILTERED grouped-aggregate pushdown (round 11) — a complete-
+    * tier IN-list filter composes with the aggregation as the OData v4
+    * `$apply=filter(...)/groupby(...)` transformation SEQUENCE (OASIS
+    * Data Aggregation §3.2): the server filters entity rows, then
+    * groups, and the scan reads final group rows — a filtered
+    * fleet-wide rollup (the reference's natural dashboard query,
+    * MD-PS:24 + aggregation) moves one page of groups. Same stub
+    * discipline as p14: ONLY the exact expected composed translation
+    * is answered (drift → 404 → loud failure), response is PAGED; the
+    * oracle recomputes the filter + aggregation relationally from the
+    * RAW fixture pages. */
+  def p16(s: SparkSession, d: String): DataFrame = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val expectApply = "filter((os eq 'Windows' or os eq 'Linux'))/" +
+      "groupby((os),aggregate(ramGB with sum as agg0," +
+      "diskGB with max as agg1,$count as agg2))"
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    def respond(ex: HttpExchange, body: String, code: Int = 200): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/v1.0/deviceMetrics", (ex: HttpExchange) => {
+      val q = java.net.URLDecoder.decode(
+        Option(ex.getRequestURI.getRawQuery).getOrElse(""), "UTF-8")
+      if (q.contains("page=2"))
+        respond(ex,
+          """{"value":[{"os":"Windows","agg0":56,"agg1":1024,"agg2":3}]}""")
+      else if (q == s"$$apply=$expectApply")
+        respond(ex,
+          s"""{"value":[{"os":"Linux","agg0":96,"agg1":2048,"agg2":2}],
+             |"@odata.nextLink":"http://127.0.0.1:$port/v1.0/deviceMetrics?page=2"}"""
+            .stripMargin)
+      else respond(ex, "", 404)
+    })
+    server.start()
+    try {
+      val schema = StructType(Seq(StructField("id", StringType),
+        StructField("os", StringType), StructField("ramGB", LongType),
+        StructField("diskGB", LongType)))
+      val df = s.read.format("graft-odata").schema(schema)
+        .option("endpoint", s"http://127.0.0.1:$port/v1.0/deviceMetrics")
+        .option("authToken", "t").option("retrySleepMs", "0")
+        .load()
+        .filter(col("os").isin("Windows", "Linux"))
+        .groupBy("os")
+        .agg(sum("ramGB").as("total_ram"), max("diskGB").as("max_disk"),
+          count(lit(1)).as("n"))
+      val rows = df.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        .orderBy("os")
+    } finally server.stop(0)
+  }
+
+  private val p16Oracle: String =
+    s"""SELECT CAST(v.os AS VARCHAR) AS os,
+       |  CAST(SUM(CAST(v.ramGB AS BIGINT)) AS BIGINT) AS total_ram,
+       |  CAST(MAX(CAST(v.diskGB AS BIGINT)) AS BIGINT) AS max_disk,
+       |  COUNT(*) AS n
+       |FROM (SELECT unnest(value) AS v
+       |      FROM read_json(${pages("deviceMetrics", 2)}))
+       |WHERE v.os IN ('Windows', 'Linux')
+       |GROUP BY 1 ORDER BY os""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("p01_managed_devices", p01 _, Some(mdOracle("2024-11-08 00:00:00"))),
     ("p02_cloud_pcs", p02 _, Some(cpcOracle("2024-11-08 00:00:00"))),
@@ -651,5 +718,6 @@ object ParityQueries {
     ("p13_stream_delta_sync", p13 _, Some(deltaOracle)),
     ("p14_aggregate_pushdown", p14 _, Some(p14Oracle)),
     ("p15_skipping_scan", p15 _, Some(p15Oracle)),
+    ("p16_filtered_aggregate_pushdown", p16 _, Some(p16Oracle)),
   )
 }

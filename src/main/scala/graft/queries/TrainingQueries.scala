@@ -2250,17 +2250,28 @@ object TrainingQueries {
     * prep chain over the whole corpus (measured 5.7 s → 2.4 s at
     * sf0.1). Callers run `spark.catalog.clearCache()` between corpora
     * (the Verify/Bench harness contract, as Dedup's pair producers). */
+  /** The ONE rendering of the pipeline's prep projection and quality
+    * gate — shared by the batch chain ([[pretrainStages]]) and its
+    * streaming twin (c25), so the two cannot drift. */
+  private def prepCol(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import graft.functions.UnicodeFunctions
+    lower(regexp_replace(regexp_replace(trim(
+        TextOps.redactPii(UnicodeFunctions.nfcNormalize(text))),
+      "[0-9]+", "<num>"), "\\s+", " "))
+  }
+
+  private def gateCond(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    TextOps.tokenCount(t).between(20, 1000) &&
+      TextOps.distinctRatio(t) >= 0.3
+
   private def pretrainStages(s: SparkSession, d: String)
       : Seq[(String, DataFrame)] = {
-    import graft.functions.UnicodeFunctions
     val prepped = Tables.documents(s, d).select(col("doc_id"),
-      lower(regexp_replace(regexp_replace(trim(
-          TextOps.redactPii(UnicodeFunctions.nfcNormalize(col("text")))),
-        "[0-9]+", "<num>"), "\\s+", " ")).as("t"))
+      prepCol(col("text")).as("t"))
       .cache()
-    val gated = prepped.filter(
-      TextOps.tokenCount(col("t")).between(20, 1000) &&
-        TextOps.distinctRatio(col("t")) >= 0.3)
+    val gated = prepped.filter(gateCond(col("t")))
     val deduped = gated.groupBy("t").agg(min(col("doc_id")).as("doc_id"))
       .cache()
     val cleanTrain = Selection.decontaminate(
@@ -2294,15 +2305,19 @@ object TrainingQueries {
     * of [[pretrainStages]] — duckHash discipline: both the pipeline
     * oracle and the funnel oracle interpolate this constant, so a
     * one-sided edit cannot desynchronize them). */
-  private val pretrainCtesSql: String =
-    s"""WITH prepped AS (
-       |  SELECT doc_id,
-       |    lower(regexp_replace(regexp_replace(trim(
+  /** The ONE SQL rendering of [[prepCol]] — interpolated by the batch
+    * chain's CTEs AND the streaming twin's oracle (c25). */
+  private val prepSqlExpr: String =
+    s"""lower(regexp_replace(regexp_replace(trim(
        |      regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
        |        '${TextOps.EmailRe}', '<email>', 'g'),
        |        '${TextOps.Ipv4Re}', '<ip>', 'g'),
        |        '${TextOps.PhoneRe}', '<phone>', 'g')),
-       |      '[0-9]+', '<num>', 'g'), '\\s+', ' ', 'g')) AS t
+       |      '[0-9]+', '<num>', 'g'), '\\s+', ' ', 'g'))""".stripMargin
+
+  private val pretrainCtesSql: String =
+    s"""WITH prepped AS (
+       |  SELECT doc_id, $prepSqlExpr AS t
        |  FROM documents),
        |gated AS (
        |  SELECT doc_id, t FROM (
@@ -2833,6 +2848,108 @@ object TrainingQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** c25: the STREAMING curation twin (round 11) — ingest-time corpus
+    * curation run END TO END under the streaming engine: prep → gate →
+    * watermark-bounded exact dedup → eval decontamination → chunking,
+    * hash-matched against a one-statement batch oracle. At 100 TB this
+    * is how a corpus is actually built: documents arrive as a stream
+    * and every curation decision is made as they land, not in a later
+    * batch sweep.
+    *
+    * Stage mapping (ONE rendering with the batch chain where shared):
+    *  - prep/gate: [[prepCol]]/[[gateCond]] — stateless projections,
+    *    identical to c13's stages 1-2;
+    *  - dedup: `dropDuplicatesWithinWatermark` on the prepped-text
+    *    digest (q37's operator) over a synthetic ingest time; the
+    *    horizon exceeds the corpus span, so streaming dedup ≡ global
+    *    DISTINCT for any micro-batch split (q37's equivalence);
+    *  - decontamination: the eval benchmark's shingle-hash set is
+    *    STATIC (known upfront), probed map-side by the exact
+    *    set-membership kernel ([[graft.functions.SetFunctions
+    *    .arrayAnyInLongSet]]) — c03's broadcast semantics in the form
+    *    the streaming engine composes freely (a stream-static anti
+    *    join cannot express the doc-level ANY-shingle predicate
+    *    without a stream-stream recombination);
+    *  - chunking: [[Selection.chunkSliding]], map-only.
+    *
+    * The output is keyed by the CONTENT digest, not doc_id, so it is
+    * independent of which duplicate row the engine happens to keep —
+    * what makes a streaming dedup twin deterministic at all. Oracle:
+    * DISTINCT prepped texts, gated, train-side, `list_has_any`-free of
+    * eval shingles, chunked — every stage re-derived relationally. */
+  def c25StreamCuration(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SetFunctions
+    import graft.streaming.EventsStream
+    // static eval shingle-hash set (benchmarks known upfront): the
+    // driver holds ~10^4 longs — metadata-sized, same posture as the
+    // trained-model reference objects
+    val evalHashes: Array[Long] = Tables.documents(s, d)
+      .filter(col("doc_id") % 97 === 0)
+      .select(prepCol(col("text")).as("t"))
+      .select(explode(TextOps.shingles(col("t"), 3)).as("sh"))
+      .select(xxhash64(col("sh")).as("h")).distinct()
+      .collect().map(_.getLong(0))
+    EventsStream.runToCompletion(s, session => {
+      val docs = EventsStream.readDocuments(session, d)
+      // synthetic ingest time from the id: span ≪ the 1-hour horizon,
+      // so the dedup state never evicts mid-corpus (q37's argument)
+      val prepped = docs
+        .withColumn("ing_ts", timestamp_micros(col("doc_id")))
+        .select(col("doc_id"), col("ing_ts"), prepCol(col("text")).as("t"))
+      val train = prepped.filter(gateCond(col("t")))
+        .filter(col("doc_id") % 97 =!= 0)
+      val deduped = train
+        .withColumn("digest", md5(col("t")))
+        .withWatermark("ing_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("digest")
+      val clean = deduped.filter(!SetFunctions.arrayAnyInLongSet(
+        transform(TextOps.shingles(col("t"), 3), sh => xxhash64(sh)),
+        evalHashes))
+      Selection.chunkSliding(clean.select("digest", "t"), "digest", "t",
+        chunkSize = 32, stride = 24)
+    }, "c25_stream_curation_mem", outputMode = "append")
+      .orderBy("digest", "chunk_start")
+  }
+
+  val c25Sql: String =
+    s"""WITH prepped AS (
+       |  SELECT doc_id, $prepSqlExpr AS t FROM documents),
+       |gw AS (SELECT doc_id, t,
+       |         list_filter(string_split(t, ' '), x -> x <> '') AS w
+       |       FROM prepped),
+       |train AS (
+       |  SELECT t FROM gw
+       |  WHERE len(w) BETWEEN 20 AND 1000
+       |    AND len(list_distinct(w)) / len(w) >= 0.3
+       |    AND doc_id % 97 <> 0),
+       |dd AS (SELECT DISTINCT t FROM train),
+       |ddsh AS (
+       |  SELECT t, w, list_distinct(list_transform(range(1, len(w)-1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT t, list_filter(string_split(t, ' '), x -> x <> '') AS w
+       |        FROM dd)),
+       |evsh AS (
+       |  SELECT list(DISTINCT s) AS ev FROM (
+       |    SELECT unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+       |    FROM (SELECT list_filter(string_split(t, ' '), x -> x <> '') AS w
+       |          FROM (SELECT $prepSqlExpr AS t FROM documents
+       |                WHERE doc_id % 97 = 0)))),
+       |clean AS (
+       |  SELECT d.t, d.w FROM ddsh d CROSS JOIN evsh e
+       |  WHERE NOT list_has_any(d.sh, e.ev)),
+       |st AS (
+       |  SELECT t, w,
+       |    unnest(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS chunk_start
+       |  FROM clean)
+       |SELECT md5(t) AS digest,
+       |  CAST(chunk_start AS BIGINT) AS chunk_start,
+       |  CAST(len(list_slice(w, chunk_start, chunk_start + 31)) AS BIGINT)
+       |    AS n_tokens,
+       |  array_to_string(list_slice(w, chunk_start, chunk_start + 31), ' ')
+       |    AS chunk_text
+       |FROM st ORDER BY digest, chunk_start""".stripMargin
+
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("d01_exact_dedup", d01Exact _, Some(d01Sql)),
     ("d02_ngram_jaccard", d02NgramJaccard _, Some(d02Sql)),
@@ -2909,6 +3026,7 @@ object TrainingQueries {
     ("c22_semantic_decontaminate", c22SemanticDecontaminate _, Some(c22Sql)),
     ("c23_lm_score", c23LmScore _, Some(c23Sql)),
     ("c24_corpus_build", c24CorpusBuild _, Some(c24Sql)),
+    ("c25_stream_curation", c25StreamCuration _, Some(c25Sql)),
     ("d12_semantic_dedup", d12SemanticDedup _, Some(d12Sql)),
   )
 }

@@ -3,7 +3,7 @@ package graft.sources.v2
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.catalyst.InternalRow
@@ -703,8 +703,14 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
   /** Two pushdown tiers:
     *
     *  - COMPLETE (the reference's surface, O3): top-level string
-    *    equality. Removed from the Spark plan; the reader re-evaluates
-    *    it at the source (fixture mode has no server).
+    *    equality, string IN-lists, and IS NOT NULL on any top-level
+    *    column (null checks have no collation/IEEE hazard, and the
+    *    optimizer infers IsNotNull from every pushed equality —
+    *    declining it would strand a residual Filter that blocks the
+    *    filters-must-be-empty pushdowns). Removed from the Spark
+    *    plan; the reader re-evaluates it at the source (fixture mode
+    *    has no server). IsNotNull implied by another pushed filter on
+    *    the same column is dropped before rendering.
     *  - ADVISORY (round 10): integral/boolean comparisons
     *    (=, <, <=, >, >=) on top-level columns, LIVE mode only (a
     *    fixture read applies no URL, so advertising a push there
@@ -729,7 +735,7 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
     * rows, the same hazard as complete pushdown. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     import org.apache.spark.sql.sources._
-    val (complete, rest) = filters.partition {
+    val (completeRaw, rest) = filters.partition {
       case EqualTo(attr, _: String) =>
         fullSchema.fieldNames.contains(attr) &&
           fullSchema(attr).dataType == StringType
@@ -741,7 +747,27 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
         values.nonEmpty && values.forall(_.isInstanceOf[String]) &&
           fullSchema.fieldNames.contains(attr) &&
           fullSchema(attr).dataType == StringType
+      // IS NOT NULL is complete-tier for ANY top-level column: null
+      // checks carry none of the hazards that gate the other tiers
+      // (no collation ordering, no IEEE NaN divergence — OData
+      // `ne null` and Spark's IsNotNull agree exactly), and the
+      // optimizer INFERS IsNotNull from every equality it pushes
+      // (InferFiltersFromConstraints), so declining it would strand a
+      // residual Filter in the plan and block the filters-must-be-
+      // empty pushdowns ($apply, inline count, limit/TopN).
+      case IsNotNull(attr) => fullSchema.fieldNames.contains(attr)
       case _ => false
+    }
+    // Drop IsNotNull filters implied by another completely-pushed
+    // filter on the same column (eq / IN never match null), so the
+    // rendered $filter and $apply stages stay minimal.
+    val impliedNotNull: Set[String] = completeRaw.collect {
+      case EqualTo(a, _) => a
+      case In(a, _) => a
+    }.toSet
+    val complete = completeRaw.filter {
+      case IsNotNull(a) => !impliedNotNull(a)
+      case _ => true
     }
     def advisable(attr: String, v: Any): Boolean =
       !conf.delta && conf.endpoint.isDefined &&
@@ -1234,6 +1260,9 @@ class ODataPartitionReader(partition: ODataInputPartition,
           UTF8String.fromString(s) }.toSet
         Some((row: InternalRow) =>
           !row.isNullAt(ord) && set.contains(row.getUTF8String(ord)))
+      case IsNotNull(attr) =>
+        val ord = parseSchema.fieldIndex(attr)
+        Some((row: InternalRow) => !row.isNullAt(ord))
       case _ => None
     }
 
@@ -1361,6 +1390,7 @@ object ODataUrl {
     pushed.collect {
       case EqualTo(attr, _) if !requiredNames.contains(attr) => attr
       case In(attr, _) if !requiredNames.contains(attr) => attr
+      case IsNotNull(attr) if !requiredNames.contains(attr) => attr
     }.toSeq.distinct
   }
 
@@ -1380,6 +1410,8 @@ object ODataUrl {
       // scan, not a byte cost
       case In(a, vs) =>
         vs.map(v => s"$a eq ${l(v)}").mkString("(", " or ", ")")
+      // OData v4 compares against the null literal directly (§5.1.1.15)
+      case IsNotNull(a) => s"$a ne null"
       case GreaterThan(a, v) => s"$a gt ${l(v)}"
       case GreaterThanOrEqual(a, v) => s"$a ge ${l(v)}"
       case LessThan(a, v) => s"$a lt ${l(v)}"

@@ -177,12 +177,12 @@ object Scale10Probe {
     // blow-up) and (b) the stop-shingle cap (maxDocFreq: shingles in
     // > cap docs carry no dedup signal and are dropped before the
     // join). Time both at both sizes to pin that they stay ~linear.
-    def timeF(label: String, dir: String)(f: => Long): (String, Double) = {
+    def timeF(label: String, dir: String)(f: => Long): (String, Double, Long) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = f
       require(n >= 0, label)
-      (label, (System.nanoTime() - t0) / 1e9)
+      (label, (System.nanoTime() - t0) / 1e9, n)
     }
     // cap=500: ABOVE the corpus's background shingle df (the permuted
     // 10x corpus's common-vocabulary trigrams reach df 148 — measured
@@ -209,18 +209,45 @@ object Scale10Probe {
       graft.dedup.Dedup.minhashContainmentPairs(
         graft.core.Tables.documents(spark, dir), "doc_id", "text",
         threshold = 0.8).count()
+    // round-11 image-dedup cells: the m11/m12 path at 10x. The 10x
+    // corpus's shifted doc ids render DISTINCT images (the pixel
+    // closed form is keyed on the id), so this replicates the PNG
+    // corpus with distinct contents. m11 = the full codec->resize->
+    // threshold->pack hash; m12 pairs = the chunk-collision hamming
+    // join over those hashes, UNCAPPED and bucket-capped (the
+    // synthetic gradients are low-entropy for any perceptual hash, so
+    // the uncapped pair mass is collision-dominated — the capped cell
+    // is the shipped posture, same d02<->d03 pattern).
+    import graft.multimodal.Multimodal
+    def ahash(dir: String): Long =
+      Multimodal.imageAHash(Multimodal.pngFromDocuments(spark, dir)).count()
+    def imgPairs(dir: String, cap: Option[Int]): Long = {
+      val sigs = Multimodal.imageAHash(Multimodal.pngFromDocuments(spark, dir))
+        .select(col("media_id"),
+          col("ahash_lo").bitwiseOR(shiftleft(col("ahash_hi"), 32)).as("sig"))
+        .cache()
+      try graft.dedup.Dedup.hammingPairsFromSignatures(
+        sigs, "media_id", "sig", maxHamming = 16, maxBucketSize = cap).count()
+      finally sigs.unpersist()
+    }
     val mitig = Seq(
       timeF("lsh_band_bucket", src)(lshPairs(src)),
       timeF("d02_capped_df500", src)(cappedJaccard(src)),
-      timeF("d13_containment_lsh", src)(containLsh(src))
-    ).map { case (l, b) =>
-      val x = (l match {
+      timeF("d13_containment_lsh", src)(containLsh(src)),
+      timeF("m11_ahash", src)(ahash(src)),
+      timeF("m12_pairs_uncapped", src)(imgPairs(src, None)),
+      timeF("m12_pairs_bucket256", src)(imgPairs(src, Some(256)))
+    ).map { case (l, b, bn) =>
+      val (_, x, xn) = l match {
         case "lsh_band_bucket" => timeF(l, out)(lshPairs(out))
         case "d13_containment_lsh" => timeF(l, out)(containLsh(out))
+        case "m11_ahash" => timeF(l, out)(ahash(out))
+        case "m12_pairs_uncapped" => timeF(l, out)(imgPairs(out, None))
+        case "m12_pairs_bucket256" => timeF(l, out)(imgPairs(out, Some(256)))
         case _ => timeF(l, out)(cappedJaccard(out))
-      })._2
-      println(f"[x10] mitigation $l%-20s base $b%7.2f s   10x $x%7.2f s   factor ${x / b}%5.2f")
-      f""""$l":{"base_sec":$b%.2f,"x10_sec":$x%.2f,"factor":${x / b}%.2f}"""
+      }
+      println(f"[x10] mitigation $l%-20s base $b%7.2f s ($bn rows)   10x $x%7.2f s ($xn rows)   factor ${x / b}%5.2f")
+      f""""$l":{"base_sec":$b%.2f,"x10_sec":$x%.2f,"factor":${x / b}%.2f,"base_rows":$bn,"x10_rows":$xn}"""
     }
     val json = rows.map { case (q, b, bn, x, xn) =>
       f""""$q":{"base_sec":$b%.2f,"x10_sec":$x%.2f,"factor":${x / b}%.2f,""" +

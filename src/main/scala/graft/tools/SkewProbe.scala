@@ -75,6 +75,26 @@ object SkewProbe {
     try { jacc("/root/testdata/sf0.001", None); lsh("/root/testdata/sf0.001", None) }
     catch { case _: Throwable => () }
 
+    // round-11 image cells: the mass-duplicate IMAGE clique (every
+    // doc_id % 10 == 0 image replaced by ONE byte-identical image —
+    // re-hosted thumbnails / default avatars). Identical signatures
+    // meet in EVERY chunk bucket of the hamming join; maxBucketSize
+    // drops those hot (chunk, value) buckets before the self-join.
+    // The hash stage (codec -> resize -> threshold) is included in
+    // every cell, as the text cells include shingling.
+    import graft.multimodal.Multimodal
+    def imgPairs(clique: Boolean, cap: Option[Int]): Long = {
+      val media = if (clique) Multimodal.pngWithClique(spark, src)
+        else Multimodal.pngFromDocuments(spark, src)
+      val sigs = Multimodal.imageAHash(media)
+        .select(col("media_id"),
+          col("ahash_lo").bitwiseOR(shiftleft(col("ahash_hi"), 32)).as("sig"))
+        .cache()
+      try Dedup.hammingPairsFromSignatures(sigs, "media_id", "sig",
+        maxHamming = 16, maxBucketSize = cap).count()
+      finally sigs.unpersist()
+    }
+
     // cap=500: above the background shingle df (148 at 10x — DfDiag),
     // below the planted clique's df (5000): drops ONLY the boilerplate
     val cells = Seq(
@@ -89,7 +109,11 @@ object SkewProbe {
       time("contain_lsh_clean_uncapped")(containLsh(src, None)),
       time("contain_lsh_skew_uncapped")(containLsh(out, None)),
       time("contain_lsh_clean_bucket32")(containLsh(src, Some(32))),
-      time("contain_lsh_skew_bucket32")(containLsh(out, Some(32))))
+      time("contain_lsh_skew_bucket32")(containLsh(out, Some(32))),
+      time("img_clean_uncapped")(imgPairs(clique = false, None)),
+      time("img_clique_uncapped")(imgPairs(clique = true, None)),
+      time("img_clean_bucket256")(imgPairs(clique = false, Some(256))),
+      time("img_clique_bucket256")(imgPairs(clique = true, Some(256))))
 
     val json = cells.map { case (l, t, n) =>
       f""""$l":{"sec":$t%.2f,"rows":$n}"""

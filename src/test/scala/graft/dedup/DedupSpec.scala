@@ -267,6 +267,52 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("containmentDedup survivor rule: quoted-smaller drops, container survives, mutual pair keeps exactly one, tie breaks by id") {
+    spark.catalog.clearCache()
+    val quote = "alpha beta gamma delta epsilon"                 // 3 shingles
+    val host = quote + " " + (1 to 4).map(i => s"f$i").mkString(" ")
+    // mutual containment, equal shingle counts: two orderings of the
+    // same 7 tokens sharing all shingles is impossible — use identical
+    // shingle SETS via duplicated text with one extra repeated shingle
+    val twinA = "uno dos tres quattro cinco uno dos tres"
+    val twinB = "uno dos tres quattro cinco uno dos tres"
+    val docs = Seq((1L, quote), (2L, host),
+      (5L, twinA), (6L, twinB),
+      (9L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val out = Dedup.containmentDedup(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 (the quote) drops into 2 (the container); of the identical
+    // twins 5/6 the LARGER id drops; the unrelated 9 survives
+    assert(out == Set(2L, 5L, 9L), out.toString)
+    spark.catalog.clearCache()
+  }
+
+  test("hamming-join maxBucketSize: drops a planted identical-signature clique and ONLY it") {
+    spark.catalog.clearCache()
+    // 40 byte-identical signatures (the mass-dup image clique) + one
+    // genuine near-dup pair (hamming 2) + spread singletons
+    val clique = (1L to 40L).map(id => (id, 0x0123456789ABCDEFL))
+    val nearDup = Seq((100L, 0x00FF00FF00FF00FFL),
+      (101L, 0x00FF00FF00FF00FCL)) // differs in 2 low bits
+    val singles = (200L to 210L).map(id => (id, id * 0x9E3779B97F4A7C15L))
+    val sigs = (clique ++ nearDup ++ singles).toDF("media_id", "sig")
+    def pairs(cap: Option[Int]) =
+      Dedup.hammingPairsFromSignatures(sigs, "media_id", "sig",
+        maxHamming = 3, maxBucketSize = cap)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val un = pairs(None)
+    assert(un.size == 40 * 39 / 2 + 1, s"${un.size}") // clique + near-dup
+    assert(un.contains((100L, 101L)))
+    val capped = pairs(Some(8))
+    // the guard drops exactly the clique's pairs: the near-dup pair's
+    // buckets have 2 members and survive
+    assert(capped == Set((100L, 101L)), capped.toString)
+    // a loose cap is a no-op
+    assert(pairs(Some(1000)) == un)
+  }
+
   test("containment maxDocFreq cap: lower bound that loses only hot-shingle overlap") {
     spark.catalog.clearCache()
     // "x y z" appears in all four docs (df=4, the boilerplate shingle);

@@ -38,6 +38,20 @@ class KllSketchSpec extends SparkSpec {
     assert(math.abs(r - 0.9) <= 0.05, s"merged p90 rank $r")
   }
 
+  test("driver-side mergeBytes answers like a direct sketch (within the bound)") {
+    // the write-path stats combine: merging a batch sketch into a
+    // stored partition row must keep the rank-error guarantee
+    def bytesOf(pred: org.apache.spark.sql.Column) = li.filter(pred)
+      .agg(kllSketch(col("l_extendedprice")).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    val merged = KllKernel.mergeBytes(
+      bytesOf(col("l_extendedprice") <= 30000),
+      bytesOf(col("l_extendedprice") > 30000))
+    val v = KllKernel.quantile(merged, 0.5).doubleValue
+    val r = exactRank(v)
+    assert(math.abs(r - 0.5) <= 0.05, s"merged median rank $r")
+  }
+
   test("graft_kll_rank inverts graft_kll_quantile to within the bound") {
     val row = li.agg(kllSketch(col("l_extendedprice")).as("sk"))
       .select(kllRank(col("sk"), kllQuantile(col("sk"), lit(0.25)))

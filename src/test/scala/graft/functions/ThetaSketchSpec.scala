@@ -32,6 +32,19 @@ class ThetaSketchSpec extends SparkSpec {
     assert(viaShards == global)
   }
 
+  test("driver-side unionBytes equals a sketch built over the union (exact mode)") {
+    // the write-path stats combine: merging one batch's sketch into a
+    // stored partition row must answer like sketching the union
+    def bytesOf(pred: org.apache.spark.sql.Column) = ev.filter(pred)
+      .agg(thetaSketch(col("user_id")).as("sk"))
+      .collect().head.getAs[Array[Byte]]("sk")
+    val a = bytesOf(col("event_id") % 2 === 0)
+    val b = bytesOf(col("event_id") % 2 =!= 0)
+    val merged = ThetaKernel.estimate(ThetaKernel.unionBytes(a, b))
+    val direct = ev.agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(merged == direct)
+  }
+
   test("intersection and A-not-B match exact set ops in exact mode") {
     def users(t: String) = ev.filter(col("event_type") === t).select("user_id")
     def sk(t: String) = ev.filter(col("event_type") === t)

@@ -38,9 +38,10 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed = Set("q22_cross_join", "s01_ann_bruteforce",
     "t10_classifier", "t11_tfidf",
     "s11_ann_recall", "c23_lm_score", "d03_minhash_lsh",
-    // d15 is d03's construction for the containment relation: the same
-    // three ONE-ROW count aggregates via crossJoin(broadcast(...))
-    "d15_containment_lsh",
+    // d15 is d03's construction for the containment relation; d15b is
+    // its count-form recall gate — the same three ONE-ROW count
+    // aggregates via crossJoin(broadcast(...))
+    "d15_containment_lsh", "d15b_containment_recall_gate",
     // q58/q61/q64/m12 attach ONE-ROW aggregates (exact counts, or the
     // one merged sketch) via crossJoin(broadcast(...)) — scalar joins,
     // O(1) broadcast bytes
@@ -170,7 +171,10 @@ class PlanAuditSpec extends SparkSpec {
     * must leave the cache manager empty. */
   private val documentedCaching = Set("d02_ngram_jaccard", "d03_minhash_lsh",
     "d04_simhash", "d07_lsh_vs_exact", "d09_incremental_dedup",
-    "d13_containment", "d15_containment_lsh", "d16_incremental_containment",
+    "d13_containment", "d15_containment_lsh",
+    // d15b embeds BOTH the exact and LSH constructions (the recall
+    // gate), so it inherits both sides' documented caching
+    "d15b_containment_recall_gate", "d16_incremental_containment",
     "c13_pretrain_pipeline", "c14_funnel_report",
     // c24 composes c13's cached prep/dedup frames + LSH's cached
     // signature frame (same contract, one clearCache per corpus)
