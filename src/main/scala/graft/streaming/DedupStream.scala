@@ -138,4 +138,71 @@ object DedupStream {
           idCol, textCol, n, k, bands, threshold)
       }
       .start()
+
+  /** One micro-batch of the CONTAINMENT ingest — the quote/inclusion
+    * REPORT run at ingest time: the batch is scored against the
+    * committed signature index with
+    * [[Dedup.minhashContainmentPairsFromIndexes]] (directed pairs
+    * touching the batch, exact-verified after band blocking), the
+    * pairs land in a per-batch partition, and the batch's signatures
+    * join the index UNFILTERED — containment is a report, not a
+    * survivor rule, so every document stays probe-able by later
+    * arrivals (a future doc can contain, or sit inside, any prior
+    * one).
+    *
+    * The accumulated pair set is BATCH-SPLIT-INVARIANT: an unordered
+    * pair is emitted exactly once — in the batch where its later
+    * member arrives (same-batch pairs once, by the candidate join's
+    * id ordering) — and the band collisions that gate candidacy are
+    * computed from per-document signatures that do not depend on
+    * batching. So the union over any micro-batch partitioning of the
+    * corpus equals [[Dedup.minhashContainmentPairs]] run once over
+    * the whole corpus, which is what lets a driver query verify the
+    * streamed ingest against the BATCH oracle.
+    *
+    * Crash safety as [[processBatch]]: every write is a per-batch
+    * overwrite of a deterministic function of the committed prefix. */
+  def processContainmentBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, pairsPath: String, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 64, bands: Int = 32,
+      threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): Unit = {
+    val spark = batch.sparkSession
+    val index =
+      loadIndex(spark, indexPath, idCol, batch.schema(idCol).dataType, batchId)
+        .cache()
+    // ingest contract: batch ids are new; docs re-sent under an
+    // already-indexed id are not a new document
+    val fresh = batch
+      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+      .cache()
+    val newIdx = Dedup.minhashIndex(fresh, idCol, textCol, n, k).cache()
+    val pairs = Dedup.minhashContainmentPairsFromIndexes(index, newIdx,
+      idCol, k, bands, threshold, maxBucketSize)
+    pairs.write.mode(SaveMode.Overwrite)
+      .parquet(s"$pairsPath/batch_id=$batchId")
+    newIdx.write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexPath/batch_id=$batchId")
+    Seq(index, fresh, newIdx).foreach(_.unpersist())
+  }
+
+  /** Run the containment report as a stream over parquet document
+    * files landing in `docsDir`. Returns the running query (caller
+    * stops). */
+  def containmentIngest(spark: SparkSession, docsDir: String,
+      schema: StructType, indexPath: String, pairsPath: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 64, bands: Int = 32,
+      threshold: Double = 0.8, maxFilesPerTrigger: Int = 1,
+      maxBucketSize: Option[Int] = None): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processContainmentBatch(batch, batchId, indexPath, pairsPath,
+          idCol, textCol, n, k, bands, threshold, maxBucketSize)
+      }
+      .start()
 }

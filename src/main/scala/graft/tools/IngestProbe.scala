@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Ingest-time cost evidence for the streaming containment monitor
+  * (d17, [[graft.streaming.DedupStream.processContainmentBatch]]):
+  * the corpus arrives in `slices` equal batches, each scored against
+  * the signature index committed by the prior batches. The 100 TB
+  * claim this probe pins is O(BATCH) WORK PER ROUND: candidate
+  * generation's band join keeps the BATCH on its right side, so
+  * per-batch wall must stay ~flat while the index grows `slices`×
+  * behind it — the index contributes one scan of precomputed
+  * signatures, never a re-shingle. A superlinear drift across
+  * batches would mean ingest cost grows with corpus age, the failure
+  * mode that makes ingest-time dedup impossible at scale.
+  *
+  * Prints one JSON line:
+  *   {"metric":"ingest_containment","slices":N,"cells":[
+  *     {"batch":i,"sec":s,"batch_docs":n,"index_docs":m,"pairs":p},...]}
+  * Usage: runMain graft.tools.IngestProbe [sfDir] [slices]
+  */
+object IngestProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val slices = args.lift(1).map(_.toInt).getOrElse(10)
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_probe")
+    val indexPath = base.resolve("index").toString
+    val pairsPath = base.resolve("pairs").toString
+    val docs = graft.core.Tables.documents(spark, src)
+      .select("doc_id", "text").cache()
+    docs.count() // materialize the source outside the timed region
+
+    // warm-up: JIT + codegen for the whole batch path on a small slice
+    graft.streaming.DedupStream.processContainmentBatch(
+      docs.filter(col("doc_id") % 100 === 0), 0L,
+      base.resolve("warm_idx").toString, base.resolve("warm_pairs").toString,
+      "doc_id", "text")
+    spark.catalog.clearCache()
+
+    val cells = (0 until slices).map { i =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(slices)) === i)
+      val batchDocs = batch.count()
+      val indexDocs =
+        if (i == 0) 0L
+        else spark.read.parquet(indexPath).count()
+      val t0 = System.nanoTime()
+      graft.streaming.DedupStream.processContainmentBatch(batch, i.toLong,
+        indexPath, pairsPath, "doc_id", "text")
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // per-batch caches must not pay forward
+      val pairs = spark.read.parquet(s"$pairsPath/batch_id=$i").count()
+      println(f"[ingest] batch $i%2d  $dt%6.2f s  batch=$batchDocs%6d  " +
+        f"index=$indexDocs%7d  pairs=$pairs%6d")
+      (i, dt, batchDocs, indexDocs, pairs)
+    }
+
+    val json = cells.map { case (i, t, b, m, p) =>
+      f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"index_docs":$m,"pairs":$p}"""
+    }.mkString(
+      s"""{"metric":"ingest_containment","slices":$slices,"cells":[""",
+      ",", "]}")
+    println(json)
+    spark.stop()
+
+    def rm(f: java.io.File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach(rm)
+      f.delete(); ()
+    }
+    rm(base.toFile)
+  }
+}

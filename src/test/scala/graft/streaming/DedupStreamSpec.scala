@@ -61,6 +61,69 @@ class DedupStreamSpec extends SparkSpec {
     assert(residual.isEmpty)
   }
 
+  test("containment ingest: accumulated pairs equal the batch answer for any split") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    // the whole-corpus batch answer the streamed ingest must reproduce
+    val expected = Dedup.minhashContainmentPairs(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.8)
+      .select("src_id", "dst_id", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(expected.nonEmpty) // the corpus plants containment pairs
+
+    val docsDir = tmp("dsc_docs"); val indexPath = tmp("dsc_idx") + "/index"
+    val pairsPath = tmp("dsc_pairs"); val checkpoint = tmp("dsc_ckpt")
+    val q = DedupStream.containmentIngest(spark, docsDir, docs.schema,
+      indexPath, pairsPath, checkpoint, maxFilesPerTrigger = 1)
+    try {
+      for (r <- 0 until 3) {
+        val stage = tmp(s"dsc_stage$r") + "/out"
+        docs.filter($"doc_id" % 3 === r).coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(docsDir, f"round_$r%03d.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$pairsPath/batch_id=*")
+      .select("src_id", "dst_id", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch-split invariance: exactly the batch pair set, each pair once
+    assert(streamed.length == streamed.toSet.size, "duplicate pairs")
+    assert(streamed.toSet == expected)
+    // the index kept EVERY document (containment is a report, not a
+    // survivor rule), so later arrivals probe the full corpus
+    val indexed = spark.read.parquet(indexPath)
+      .select("doc_id").as[Long].collect().toSet
+    val withShingles = Dedup.minhashIndex(docs, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == withShingles)
+    // and some recorded pair crosses batches (the index actually served)
+    assert(streamed.exists { case (s_, d_, _) => s_ % 3 != d_ % 3 })
+  }
+
+  test("replayed containment batch is a committed no-op") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 150)
+    val indexPath = tmp("dscr_idx") + "/index"
+    val pairsPath = tmp("dscr_pairs")
+    DedupStream.processContainmentBatch(docs, 0L, indexPath, pairsPath,
+      "doc_id", "text")
+    val pairsFirst = spark.read.parquet(s"$pairsPath/batch_id=0")
+      .select("src_id", "dst_id").as[(Long, Long)].collect().sorted.toSeq
+    val idxFirst = spark.read.parquet(indexPath)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    DedupStream.processContainmentBatch(docs, 0L, indexPath, pairsPath,
+      "doc_id", "text")
+    assert(spark.read.parquet(s"$pairsPath/batch_id=0")
+      .select("src_id", "dst_id").as[(Long, Long)].collect().sorted.toSeq
+      == pairsFirst)
+    assert(spark.read.parquet(indexPath)
+      .select("doc_id").as[Long].collect().sorted.toSeq == idxFirst)
+  }
+
   test("replayed batch is a committed no-op: outputs unchanged, index not double-appended") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 100)
