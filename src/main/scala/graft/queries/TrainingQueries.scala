@@ -536,6 +536,69 @@ object TrainingQueries {
       |SELECT src_id, dst_id, containment FROM d
       |WHERE containment >= 0.8 ORDER BY src_id, dst_id""".stripMargin
 
+  /** d17: the containment report run as a STREAMING INGEST — the
+    * corpus arrives as parquet files (four arrival slices, one
+    * micro-batch each), and every batch is scored against the
+    * signature index the prior batches committed
+    * ([[graft.streaming.DedupStream.containmentIngest]]: per-batch
+    * pair partitions + index growth, crash-safe overwrite
+    * discipline). The accumulated pair set is BATCH-SPLIT-INVARIANT
+    * (each unordered pair emits exactly once, in the batch where its
+    * later member arrives — DedupStream Scaladoc), so it equals the
+    * batch [[graft.dedup.Dedup.minhashContainmentPairs]] answer on
+    * the whole corpus, and the oracle is d15's: the EXACT directed
+    * pair set (recall 1.0 on this corpus per the d15 hash match;
+    * hashed-shingle counts injective, d07/d16's argument). At 100 TB
+    * this is the ingest-time quote/inclusion monitor: O(batch) work
+    * per round against stored signatures, never a corpus re-shingle. */
+  def d17StreamContainment(s: SparkSession, d: String): DataFrame = {
+    val base = tempDirCleanedOnExit("graft_d17")
+    val in = base.resolve("in").toString
+    val idx = base.resolve("index").toString
+    val pairsDir = base.resolve("pairs").toString
+    val ckpt = base.resolve("ckpt").toString
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    // four arrival slices, one file each → one micro-batch per slice
+    // under maxFilesPerTrigger=1 (file ordering is the source's; the
+    // answer is batch-split-invariant, so it does not matter)
+    (0 until 4).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val q = graft.streaming.DedupStream.containmentIngest(s, in,
+      docs.schema, idx, pairsDir, ckpt, "doc_id", "text",
+      n = 3, k = 64, bands = 32, threshold = 0.8)
+    try q.processAllAvailable() finally q.stop()
+    // explicit schema: a batch with no containment hits writes an
+    // empty partition dir, and an all-empty tree must still read
+    val pairSchema = StructType(Seq(
+      StructField("src_id", LongType), StructField("dst_id", LongType),
+      StructField("containment", DoubleType)))
+    s.read.schema(pairSchema).parquet(pairsDir)
+      .select("src_id", "dst_id", "containment")
+      .orderBy("src_id", "dst_id")
+  }
+
+  // oracle: the exact directed containment pairs (d13's construction —
+  // the same oracle as d15, by batch-split invariance)
+  val d17Sql: String = d13Sql
+
+  /** Temp trees built by streaming-ingest queries must outlive the
+    * call (the returned DataFrame reads them lazily), so cleanup is a
+    * JVM shutdown hook — the ParityQueries p11/p15 pattern. */
+  private def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
   /** d14: overlapping duplicated-n-gram span removal — every 5-token
     * window shared by ≥ 2 distinct documents is scrubbed from all of
     * them ([[graft.dedup.Dedup.substringDedup]]); the cleaned text is
@@ -1148,15 +1211,24 @@ object TrainingQueries {
     * ending in `a3(vec_id, q, cell)` — the final assignment WITH the
     * quantized vectors. Shared by s09's assignment oracle and s04's
     * trained-IVF search oracle. */
-  private def duckPkmeansCtes: String = {
+  private def duckPkmeansCtes: String = duckPkmeansCtesTrained("")
+
+  /** [[duckPkmeansCtes]] generalized to a TRAINING SUBSET: seeds and
+    * Lloyd's updates run over `t0 = q0 WHERE trainWhere` (empty = the
+    * whole corpus, reproducing [[duckPkmeansCtes]] exactly), while the
+    * final assignment `a3` covers all of `q0` under the subset-trained
+    * centroids — the oracle shape for a quantizer trained on a sample
+    * and FROZEN (s13's streamed index, [[Ann.portableKmeansCentroids]]
+    * on the first arrival slice). */
+  private def duckPkmeansCtesTrained(trainWhere: String): String = {
     val h = duckHash("'pkmeans:' || CAST(vec_id AS VARCHAR)")
-    def assignCte(name: String, cents: String): String =
+    def assignCte(name: String, src: String, cents: String): String =
       s"""$name AS (
          |  SELECT vec_id, q, cell FROM (
-         |    SELECT q0.vec_id, q0.q, $cents.cell,
-         |      row_number() OVER (PARTITION BY q0.vec_id
-         |        ORDER BY ${duckIntL2("q0.q", s"$cents.c")}, $cents.cell) AS rn
-         |    FROM q0 CROSS JOIN $cents)
+         |    SELECT $src.vec_id, $src.q, $cents.cell,
+         |      row_number() OVER (PARTITION BY $src.vec_id
+         |        ORDER BY ${duckIntL2(s"$src.q", s"$cents.c")}, $cents.cell) AS rn
+         |    FROM $src CROSS JOIN $cents)
          |  WHERE rn = 1)""".stripMargin
     def updateCtes(a: String, prev: String, next: String): String =
       // exact integer floor division at ANY magnitude: subtract the
@@ -1175,20 +1247,22 @@ object TrainingQueries {
          |  SELECT $prev.cell, COALESCE(u_$next.c, $prev.c) AS c
          |  FROM $prev LEFT JOIN u_$next ON u_$next.cell = $prev.cell)"""
         .stripMargin
+    val where = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     s"""q0 AS (
        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
        |  FROM embeddings),
+       |t0 AS (SELECT vec_id, q FROM q0$where),
        |c0 AS (
        |  SELECT rn - 1 AS cell, q AS c FROM (
        |    SELECT q, row_number() OVER (ORDER BY $h, vec_id) AS rn
-       |    FROM q0)
+       |    FROM t0)
        |  WHERE rn <= 8),
-       |${assignCte("a1", "c0")},
+       |${assignCte("a1", "t0", "c0")},
        |${updateCtes("a1", "c0", "c1")},
-       |${assignCte("a2", "c1")},
+       |${assignCte("a2", "t0", "c1")},
        |${updateCtes("a2", "c1", "c2")},
-       |${assignCte("a3", "c2")}""".stripMargin
+       |${assignCte("a3", "q0", "c2")}""".stripMargin
   }
 
   val s09Sql: String =
@@ -1197,6 +1271,66 @@ object TrainingQueries {
 
   val s04Sql: String =
     s"""WITH $duckPkmeansCtes,
+       |j AS (
+       |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |    ${duckIntL2("qq.q", "cc.q")} AS d2
+       |  FROM a3 qq JOIN a3 cc
+       |    ON qq.cell = cc.cell AND qq.vec_id <> cc.vec_id
+       |  WHERE qq.vec_id < 10),
+       |r AS (
+       |  SELECT query_id, neighbor_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS rank
+       |  FROM j)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** s13: the IVF serving index built by STREAMING INGEST — embedding
+    * files arrive in four slices, batch 0 trains and FREEZES the
+    * coarse quantizer (portable integer Lloyd's on the first slice:
+    * the train-on-a-sample-then-freeze practice for a corpus that
+    * cannot be rescanned), every later batch assigns its vectors
+    * under the frozen centroids into a CELL-PARTITIONED stored index
+    * ([[graft.streaming.AnnStream]]: O(batch) work per round, crash-
+    * safe per-batch overwrite), and the query is answered FROM THE
+    * STORE — [[graft.streaming.AnnStream.ivfServeTopK]] reads only
+    * the probed cells' partition directories, so query cost is
+    * proportional to the probed inverted lists, never the corpus.
+    * Oracle: the one-shot batch build (train on slice 0
+    * = `vec_id % 4 = 0`, assign everything, rank within the query's
+    * cell) — equal because a frozen quantizer makes assignment a pure
+    * per-row function once batch 0 commits, so the accumulated index
+    * is independent of how the remaining corpus was sliced. */
+  def s13StreamIvfIngest(s: SparkSession, d: String): DataFrame = {
+    val base = tempDirCleanedOnExit("graft_s13")
+    val in = base.resolve("in").toString
+    val idx = base.resolve("index").toString
+    val cen = base.resolve("centroids").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // slice 0 lands BEFORE the stream starts and drains before slice 1
+    // is written: slice i must BE batch i (batch 0 trains the quantizer)
+    emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .coalesce(1).write.mode("append").parquet(in)
+    val q = graft.streaming.AnnStream.ivfIngest(s, in, emb.schema, idx,
+      cen, ckpt, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    try {
+      q.processAllAvailable()
+      (1 until 4).foreach { i =>
+        emb.filter(pmod(col("vec_id"), lit(4)) === i)
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.streaming.AnnStream.ivfServeTopK(s, idx, cen,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  // oracle: s04's search over assignments whose trainer saw ONLY the
+  // first arrival slice (t0 = vec_id % 4 = 0), the frozen-quantizer twin
+  val s13Sql: String =
+    s"""WITH ${duckPkmeansCtesTrained("vec_id % 4 = 0")},
        |j AS (
        |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
        |    ${duckIntL2("qq.q", "cc.q")} AS d2
@@ -2446,8 +2580,7 @@ object TrainingQueries {
   def c16SortedExport(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"),
       TextOps.qualityScore(col("text")).as("q"))
-    val out = java.nio.file.Files.createTempDirectory("graft_c16")
-      .resolve("runs").toString
+    val out = tempDirCleanedOnExit("graft_c16").resolve("runs").toString
     Selection.writeSortedRuns(docs, Seq(col("q").desc, col("doc_id")),
       out, runs = 8)
     val back = s.read.parquet(out)
@@ -2963,6 +3096,7 @@ object TrainingQueries {
     ("d13_containment", d13Containment _, Some(d13Sql)),
     ("d15_containment_lsh", d15ContainmentLsh _, Some(d15Sql)),
     ("d15b_containment_recall_gate", d15bContainmentRecallGate _, Some(d15bSql)),
+    ("d17_stream_containment", d17StreamContainment _, Some(d17Sql)),
     ("d16_incremental_containment", d16IncrementalContainment _, Some(d16Sql)),
     ("d14_substring_dedup", d14SubstringDedup _, Some(d14Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
@@ -2991,6 +3125,7 @@ object TrainingQueries {
     ("s10_pq_rerank", s10PqRerank _, Some(s10Sql)),
     ("s11_ann_recall", s11AnnRecall _, Some(s11Sql)),
     ("s12_ivfpq", s12IvfPq _, Some(s12Sql)),
+    ("s13_stream_ivf", s13StreamIvfIngest _, Some(s13Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),

@@ -203,7 +203,7 @@ object Ann {
     * `(query_id, qv, key)` on `key`, exact integer squared L2 over the
     * quantized vectors, `row_number ≤ k` with ties to the lower id.
     * The corpus side never shuffles before ranking. */
-  private def integerTopK(corpus: DataFrame, queries: DataFrame,
+  private[graft] def integerTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, key: String, k: Int): DataFrame = {
     val scored = corpus.join(broadcast(queries), key)
       .filter(col("query_id") =!= col(idCol))
@@ -228,6 +228,19 @@ object Ann {
     }: _*)
     array_min(scored).getField("cell")
   }
+
+  /** Cell assignment under a FROZEN coarse quantizer: quantize and
+    * argmin-assign `df` against centroids trained elsewhere (a prior
+    * [[portableKmeansCentroids]] run — the 100 TB practice of training
+    * the quantizer once on a sample and freezing it for ingest).
+    * Returns `(idCol, q, cell)` — exactly the stored-index row shape
+    * [[graft.streaming.AnnStream]] persists and [[integerTopK]]
+    * consumes, so ingest-time assignment and serve-time query
+    * assignment share this ONE rendering of the quantize+argmin step. */
+  def portableAssignWithCentroids(df: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Array[Long]]): DataFrame =
+    quantizeVec(df, idCol, vecCol)
+      .withColumn("cell", portableCellOf(col("q"), cents))
 
   /** The trained centroids behind [[portableKmeansAssign]] (exposed so
     * composed indexes — IVF-PQ — can share one coarse model): k

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+import graft.similarity.Ann
+
+/** Streaming ingest for the ANN serving index: embedding files landing
+  * in a directory are assigned to coarse IVF cells per micro-batch and
+  * persisted as a CELL-PARTITIONED parquet index, so that
+  *  1. ingest work scales with the BATCH (quantize + k-way argmin per
+  *     row against broadcast-literal centroids — no shuffle, no
+  *     corpus rescan), and
+  *  2. a serve-time query reads ONLY the probed cells' files
+  *     (partition-directory pruning on `cell=`), i.e. query cost is
+  *     proportional to the probed inverted lists, never the corpus —
+  *     the property that makes an IVF index useful at 100 TB.
+  *
+  * The coarse quantizer is TRAINED ON THE FIRST ARRIVAL SLICE and then
+  * FROZEN ([[Ann.portableKmeansCentroids]] on batch 0, stored beside
+  * the index): the standard practice for a corpus that cannot be
+  * rescanned — train on a sample, freeze, assign everything after.
+  * Because later batches never move the centroids, cell assignment is
+  * a pure per-row function once batch 0 commits, and the accumulated
+  * index equals the batch build "train on slice 0, assign the whole
+  * corpus" for ANY arrival split of the remaining data — which is what
+  * lets a driver query verify the streamed index against a one-shot
+  * batch oracle (s13).
+  *
+  * Crash safety as [[DedupStream.processBatch]]: every write is a
+  * per-batch overwrite of a deterministic function of the committed
+  * prefix. A replay of batch 0 retrains on the identical batch (exact
+  * integer Lloyd's — bit-identical centroids) and overwrites; a replay
+  * of batch N > 0 reads the frozen centroids and overwrites its own
+  * `batch_id=N` directory.
+  */
+object AnnStream {
+
+  /** Persist trained centroids as `(cell, c)` rows — the model object
+    * (k·dim longs), one file. */
+  def writeCentroids(spark: SparkSession, cents: Seq[Array[Long]],
+      path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+      .toDF("cell", "c")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Load frozen centroids back as the literal model object. */
+  def readCentroids(spark: SparkSession, path: String): Seq[Array[Long]] =
+    spark.read.parquet(path)
+      .orderBy("cell")
+      .select("c")
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+      .toSeq
+
+  /** One micro-batch of the IVF index ingest — exposed for direct
+    * (batch-mode) use and testing. Batch 0 trains and freezes the
+    * coarse quantizer; every batch assigns its vectors under the
+    * frozen centroids and writes `(idCol, q, cell)` rows to
+    * `indexPath/batch_id=N/cell=M/`, cell-partitioned for serve-time
+    * directory pruning. */
+  def processIvfBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      centroidsPath: String, idCol: String, vecCol: String, dim: Int,
+      cells: Int, iters: Int, salt: String = "pkmeans"): Unit = {
+    val spark = batch.sparkSession
+    val cents =
+      if (batchId == 0L) {
+        val c = Ann.portableKmeansCentroids(batch, idCol, vecCol, dim,
+          cells, iters, salt)
+        writeCentroids(spark, c, centroidsPath)
+        c
+      } else readCentroids(spark, centroidsPath)
+    // ingest contract: batch ids are new; a vector re-sent under an
+    // already-indexed id is not a new vector (a duplicate index row
+    // would shift serve-time ranks). One column-pruned id scan of the
+    // committed index per batch, as the dedup ingests.
+    val committed = committedIds(spark, indexPath, idCol,
+      batch.schema(idCol).dataType, batchId)
+    val fresh = batch.join(committed, Seq(idCol), "left_anti")
+    Ann.portableAssignWithCentroids(fresh, idCol, vecCol, cents)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$indexPath/batch_id=$batchId")
+  }
+
+  /** Ids of all PRIOR batches' index rows (a partial `batch_id=batchId`
+    * dir from a crashed attempt is excluded — it is this attempt's
+    * output, about to be overwritten). Empty frame if no index yet. */
+  private def committedIds(spark: SparkSession, indexPath: String,
+      idCol: String, idType: DataType, batchId: Long): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath))
+      spark.read.parquet(indexPath)
+        .filter(col("batch_id") < batchId)
+        .select(col(idCol))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, idType))))
+  }
+
+  /** Run the IVF index build as a stream over parquet embedding files
+    * landing in `vecsDir`. Returns the running query (caller stops). */
+  def ivfIngest(spark: SparkSession, vecsDir: String, schema: StructType,
+      indexPath: String, centroidsPath: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, cells: Int = 8, iters: Int = 2,
+      salt: String = "pkmeans", maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(vecsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIvfBatch(batch, batchId, indexPath, centroidsPath,
+          idCol, vecCol, dim, cells, iters, salt)
+      }
+      .start()
+
+  /** Serve exact-integer top-k from the STORED index: assign the query
+    * set under the frozen centroids, then scan ONLY the probed cells'
+    * partition directories (`cell IN (...)` is a literal predicate on
+    * the partition column — the file index prunes every other cell
+    * before a byte is read) and rank by exact integer squared L2
+    * ([[Ann.integerTopK]]: index side never shuffles before ranking,
+    * queries broadcast). The driver holds the probed cell ids — at
+    * most one per query, model-sized. */
+  def ivfServeTopK(spark: SparkSession, indexPath: String,
+      centroidsPath: String, queries: DataFrame, idCol: String,
+      vecCol: String, topK: Int): DataFrame = {
+    val cents = readCentroids(spark, centroidsPath)
+    val q = Ann.portableAssignWithCentroids(queries, idCol, vecCol, cents)
+      .select(col(idCol).as("query_id"), col("q").as("qv"), col("cell"))
+    val probed = q.select("cell").distinct()
+      .collect().map(_.getLong(0)) // ≤ one cell per query
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol), col("q"), col("cell").cast(LongType).as("cell"))
+    Ann.integerTopK(index, q, idCol, "cell", topK)
+  }
+}

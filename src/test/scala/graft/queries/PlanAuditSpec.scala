@@ -20,7 +20,10 @@ class PlanAuditSpec extends SparkSpec {
     "q20_stream_tumbling",
     "q31_stream_interval_join", "q37_stream_dedup", "q57_stream_session",
     "q59_countmin_topk", "q63_stream_sketch", "d06_dup_clusters",
-    "s05_kmeans", "s07_pq_trained", "s12_ivfpq", "c10_bloom_decontaminate")
+    "s05_kmeans", "s07_pq_trained", "s12_ivfpq", "c10_bloom_decontaminate",
+    // d17/s13 run foreachBatch ingests that write per-batch index
+    // partitions (p13's physical-write discipline, DedupStream/AnnStream)
+    "d17_stream_containment", "s13_stream_ivf")
 
   /** Intentional nested-loop/cross plans:
     * q22 is a cross join by definition; s01 brute-force ANN scores

@@ -1,0 +1,159 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.similarity.Ann
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+class AnnStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+
+  private def emb = Tables.embeddings(spark, sf)
+    .select("vec_id", "embedding")
+
+  /** Run the ingest with slice i landing as batch i. */
+  private def ingest(slices: Int): (String, String) = {
+    val vecsDir = tmp("as_vecs"); val indexPath = tmp("as_idx") + "/index"
+    val centroidsPath = tmp("as_cen") + "/centroids"
+    val ckpt = tmp("as_ckpt")
+    val e = emb
+    val write = (i: Int) => e.filter(pmod($"vec_id", lit(slices)) === i)
+      .coalesce(1).write.mode("append").parquet(vecsDir)
+    write(0)
+    val q = AnnStream.ivfIngest(spark, vecsDir, e.schema, indexPath,
+      centroidsPath, ckpt, dim = 64, cells = 8, iters = 2)
+    try {
+      q.processAllAvailable()
+      (1 until slices).foreach { i => write(i); q.processAllAvailable() }
+    } finally q.stop()
+    (indexPath, centroidsPath)
+  }
+
+  test("streamed index + frozen quantizer equals the batch twin") {
+    val e = emb.cache()
+    val (indexPath, centroidsPath) = ingest(3)
+
+    // batch twin: train on slice 0, freeze, assign everything
+    val cents = Ann.portableKmeansCentroids(
+      e.filter(pmod($"vec_id", lit(3)) === 0), "vec_id", "embedding",
+      dim = 64, k = 8, iters = 2)
+    assert(AnnStream.readCentroids(spark, centroidsPath)
+      .map(_.toSeq) == cents.map(_.toSeq))
+
+    val expected = Ann
+      .portableAssignWithCentroids(e, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val stored = spark.read.parquet(indexPath)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(stored == expected)
+    // the index is genuinely multi-cell (the pruning claim is non-vacuous)
+    assert(expected.values.toSet.size > 1)
+
+    // served top-k equals the batch-composed search over the same cells
+    val served = AnnStream.ivfServeTopK(spark, indexPath, centroidsPath,
+        e.filter($"vec_id" < 10), "vec_id", "embedding", topK = 3)
+      .select("query_id", "neighbor_id", "rank", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batchAssigned = Ann
+      .portableAssignWithCentroids(e, "vec_id", "embedding", cents)
+    val batchServed = Ann.integerTopK(batchAssigned,
+        batchAssigned.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"q".as("qv"), $"cell"),
+        "vec_id", "cell", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(served == batchServed && served.nonEmpty)
+  }
+
+  test("serve reads only the probed cells' partition directories") {
+    val (indexPath, centroidsPath) = ingest(3)
+    val cents = AnnStream.readCentroids(spark, centroidsPath)
+    val queries = emb.filter($"vec_id" < 10)
+    val probed = Ann
+      .portableAssignWithCentroids(queries, "vec_id", "embedding", cents)
+      .select("cell").distinct().as[Long].collect().toSet
+    val allCells = spark.read.parquet(indexPath)
+      .select($"cell".cast("long")).distinct().as[Long].collect().toSet
+    assert(probed.size < allCells.size,
+      s"pruning test vacuous: queries probe all $allCells")
+
+    val served = AnnStream.ivfServeTopK(spark, indexPath, centroidsPath,
+      queries, "vec_id", "embedding", topK = 3)
+    served.collect()
+    // the executed index scan's partition count covers only probed
+    // cells: numFiles ≤ batches × |probed| (one writer file per
+    // cell dir per batch), strictly under the full layout's file count
+    // the serve plan has exchanges, so under AQE the scans sit inside
+    // QueryStageExec boundaries that TreeNode.collect does not cross
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allScans(r.child)
+    }.flatten
+    val scans = allScans(served.queryExecution.executedPlan)
+    val indexScan = scans.find(
+      _.relation.location.rootPaths.exists(_.toString.contains("as_idx")))
+    assert(indexScan.isDefined, s"no index scan among ${scans.size} scans")
+    val filesRead = indexScan.get.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(indexPath).inputFiles.length
+    assert(filesRead < totalFiles,
+      s"no pruning: read $filesRead of $totalFiles")
+    assert(filesRead <= 3L * probed.size)
+  }
+
+  test("replayed ingest batch is a committed no-op") {
+    val e = emb.filter($"vec_id" < 200)
+    val indexPath = tmp("asr_idx") + "/index"
+    val centroidsPath = tmp("asr_cen") + "/centroids"
+    val b0 = e.filter($"vec_id" % 2 === 0)
+    val b1 = e.filter($"vec_id" % 2 === 1)
+    AnnStream.processIvfBatch(b0, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    AnnStream.processIvfBatch(b1, 1L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    def snapshot() = spark.read.parquet(indexPath)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    val first = snapshot()
+    val cenFirst = AnnStream.readCentroids(spark, centroidsPath).map(_.toSeq)
+    // replay batch 1 (the crash-recovery path): same rows, no growth
+    AnnStream.processIvfBatch(b1, 1L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    assert(snapshot() == first)
+    // replay batch 0: retrains on the identical batch — bit-identical
+    // centroids (exact integer Lloyd's), index unchanged
+    AnnStream.processIvfBatch(b0, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    assert(snapshot() == first)
+    assert(AnnStream.readCentroids(spark, centroidsPath).map(_.toSeq)
+      == cenFirst)
+  }
+
+  test("re-sent ids do not duplicate index rows") {
+    val e = emb.filter($"vec_id" < 100)
+    val indexPath = tmp("asd_idx") + "/index"
+    val centroidsPath = tmp("asd_cen") + "/centroids"
+    AnnStream.processIvfBatch(e, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    // batch 1 re-sends half of batch 0 plus nothing new → no new rows
+    AnnStream.processIvfBatch(e.filter($"vec_id" < 50), 1L, indexPath,
+      centroidsPath, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val ids = spark.read.parquet(indexPath).select("vec_id").as[Long]
+      .collect().toSeq
+    assert(ids.length == ids.distinct.length)
+    assert(ids.length == e.count())
+  }
+}
