@@ -57,11 +57,38 @@ object IngestProbe {
       (i, dt, batchDocs, indexDocs, pairs)
     }
 
-    val json = cells.map { case (i, t, b, m, p) =>
-      f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"index_docs":$m,"pairs":$p}"""
-    }.mkString(
-      s"""{"metric":"ingest_containment","slices":$slices,"cells":[""",
-      ",", "]}")
+    // ANN ingest (s13's AnnStream): batch 0 trains + freezes the coarse
+    // quantizer, later batches are assign-only — per-batch wall must
+    // stay flat as the index grows behind the batch (the only
+    // index-sized touch is the column-pruned committed-id anti-join)
+    val annIdx = base.resolve("ann_index").toString
+    val annCen = base.resolve("ann_cen").toString
+    val vecs = graft.core.Tables.embeddings(spark, src)
+      .select("vec_id", "embedding").cache()
+    vecs.count()
+    val annCells = (0 until slices).map { i =>
+      val batch = vecs.filter(pmod(col("vec_id"), lit(slices)) === i)
+      val batchVecs = batch.count()
+      val t0 = System.nanoTime()
+      graft.streaming.AnnStream.processIvfBatch(batch, i.toLong, annIdx,
+        annCen, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[ingest] ann batch $i%2d  $dt%6.2f s  batch=$batchVecs%6d")
+      (i, dt, batchVecs)
+    }
+
+    def block(name: String, rows: Seq[String]) =
+      rows.mkString(s""""$name":[""", ",", "]")
+    val json = Seq(
+      block("cells", cells.map { case (i, t, b, m, p) =>
+        f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"index_docs":$m,"pairs":$p}"""
+      }),
+      block("ann_cells", annCells.map { case (i, t, b) =>
+        f"""{"batch":$i,"sec":$t%.2f,"batch_vecs":$b}"""
+      })
+    ).mkString(s"""{"metric":"ingest_containment","slices":$slices,""",
+      ",", "}")
     println(json)
     spark.stop()
 
