@@ -152,12 +152,14 @@ object Sinks {
     * disk at every instant. Recover an interrupted swap with
     * [[recoverSwap]] before reading. */
   def overwriteViaSwap(spark: SparkSession, df: DataFrame,
-      path: String): Unit = {
+      path: String, partitionCols: Seq[String] = Nil): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = new org.apache.hadoop.fs.Path(path + "_next")
     val old = new org.apache.hadoop.fs.Path(path + "_old")
-    df.write.mode(SaveMode.Overwrite).parquet(next.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(next.toString)
     if (fs.exists(old) && !fs.delete(old, true))
       throw new java.io.IOException(s"swap: cannot clear $old")
     if (fs.exists(hPath) && !fs.rename(hPath, old))

@@ -1302,14 +1302,22 @@ object TrainingQueries {
     * per-row function once batch 0 commits, so the accumulated index
     * is independent of how the remaining corpus was sliced. */
   def s13StreamIvfIngest(s: SparkSession, d: String): DataFrame = {
-    val base = tempDirCleanedOnExit("graft_s13")
+    val (idx, cen) = ivfIngestSlices(s, d, tempDirCleanedOnExit("graft_s13"))
+    serveIvfTop3(s, d, idx, cen)
+  }
+
+  /** The s13/s14 shared ingest: the embeddings table arrives in four
+    * slices. Slice 0 lands BEFORE the stream starts and each slice
+    * drains before the next is written: slice i must BE batch i
+    * (batch 0 trains the quantizer). Returns (indexPath,
+    * centroidsPath). */
+  private def ivfIngestSlices(s: SparkSession, d: String,
+      base: java.nio.file.Path): (String, String) = {
     val in = base.resolve("in").toString
     val idx = base.resolve("index").toString
     val cen = base.resolve("centroids").toString
     val ckpt = base.resolve("ckpt").toString
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    // slice 0 lands BEFORE the stream starts and drains before slice 1
-    // is written: slice i must BE batch i (batch 0 trains the quantizer)
     emb.filter(pmod(col("vec_id"), lit(4)) === 0)
       .coalesce(1).write.mode("append").parquet(in)
     val q = graft.streaming.AnnStream.ivfIngest(s, in, emb.schema, idx,
@@ -1322,10 +1330,37 @@ object TrainingQueries {
         q.processAllAvailable()
       }
     } finally q.stop()
-    graft.streaming.AnnStream.ivfServeTopK(s, idx, cen,
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding", topK = 3)
-      .orderBy("query_id", "rank")
+    (idx, cen)
   }
+
+  private def serveIvfTop3(s: SparkSession, d: String, idx: String,
+      cen: String): DataFrame =
+    graft.streaming.AnnStream.ivfServeTopK(s, idx, cen,
+        Tables.embeddings(s, d).select("vec_id", "embedding")
+          .filter(col("vec_id") < 10),
+        "vec_id", "embedding", topK = 3)
+      .orderBy("query_id", "rank")
+
+  /** s14: the PUBLISH step of the streamed-index lifecycle — the
+    * crash-safe `batch_id=N/cell=M` ingest tree is folded into the
+    * read-optimized `cell=M` serving layout (one shuffle by cell,
+    * ONE file per inverted list instead of one per batch × cell —
+    * the small-files lifecycle for an ingest-built index at 100 TB),
+    * and the query is served from the PUBLISHED tree. Oracle: s13's
+    * — publish is a pure relayout, so the served answer must be
+    * bit-identical to serving from the raw ingest tree. */
+  def s14PublishedServe(s: SparkSession, d: String): DataFrame = {
+    val base = tempDirCleanedOnExit("graft_s14")
+    val (idx, cen) = ivfIngestSlices(s, d, base)
+    val pub = base.resolve("serving").toString
+    graft.streaming.AnnStream.publishIndex(s, idx, pub)
+    serveIvfTop3(s, d, pub, cen)
+  }
+
+  // oracle: s13's — the publish relayout must not change the answer
+  // (def: s13Sql is declared later in the file; a val here would
+  // capture null during object init)
+  def s14Sql: String = s13Sql
 
   // oracle: s04's search over assignments whose trainer saw ONLY the
   // first arrival slice (t0 = vec_id % 4 = 0), the frozen-quantizer twin
@@ -3126,6 +3161,7 @@ object TrainingQueries {
     ("s11_ann_recall", s11AnnRecall _, Some(s11Sql)),
     ("s12_ivfpq", s12IvfPq _, Some(s12Sql)),
     ("s13_stream_ivf", s13StreamIvfIngest _, Some(s13Sql)),
+    ("s14_published_serve", s14PublishedServe _, Some(s14Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),

@@ -121,6 +121,30 @@ object AnnStream {
       }
       .start()
 
+  /** Publish the streamed per-batch index as the SERVING layout: the
+    * crash-safe `batch_id=N/cell=M` ingest tree is folded into
+    * `cell=M` alone — one shuffle by cell co-locates whole inverted
+    * lists, so a serve-time probe reads ONE file per probed cell
+    * instead of one per (batch × cell). This is the small-files
+    * lifecycle for an ingest-built index at 100 TB: per-batch dirs
+    * give crash safety during ingest, a periodic publish folds them
+    * into the read-optimized tree (idempotent overwrite — republish
+    * after more batches lands the same way). Row set is identical to
+    * the raw tree, so [[ivfServeTopK]] answers match bit-for-bit
+    * from either layout (AnnStreamSpec pins both the equality and
+    * the per-cell file count). Republish goes through the crash-safe
+    * rename-aside swap ([[graft.operators.Sinks.overwriteViaSwap]])
+    * so a complete serving tree exists on disk at every instant. */
+  def publishIndex(spark: SparkSession, indexPath: String,
+      servingPath: String): Unit = {
+    graft.operators.Sinks.recoverSwap(spark, servingPath)
+    graft.operators.Sinks.overwriteViaSwap(spark,
+      spark.read.parquet(indexPath)
+        .drop("batch_id")
+        .repartition(col("cell")), // whole cells co-locate → 1 file/cell
+      servingPath, Seq("cell"))
+  }
+
   /** Serve exact-integer top-k from the STORED index: assign the query
     * set under the frozen centroids, then scan ONLY the probed cells'
     * partition directories (`cell IN (...)` is a literal predicate on

@@ -114,6 +114,39 @@ class AnnStreamSpec extends SparkSpec {
     assert(filesRead <= 3L * probed.size)
   }
 
+  test("publish folds the batch tree into one file per cell, answers unchanged") {
+    val (indexPath, centroidsPath) = ingest(3)
+    val servingPath = tmp("as_pub") + "/serving"
+    AnnStream.publishIndex(spark, indexPath, servingPath)
+
+    // pure relayout: identical row set, batch_id gone
+    def rows(path: String) = spark.read.parquet(path)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)]
+      .collect().toSet
+    assert(rows(servingPath) == rows(indexPath))
+    assert(!spark.read.parquet(servingPath).columns.contains("batch_id"))
+
+    // one file per inverted list vs one per (batch × cell)
+    val pubFiles = spark.read.parquet(servingPath).inputFiles.length
+    val rawFiles = spark.read.parquet(indexPath).inputFiles.length
+    val nCells = rows(indexPath).map(_._2).size
+    assert(pubFiles == nCells, s"$pubFiles files for $nCells cells")
+    assert(pubFiles < rawFiles)
+
+    // served answers are bit-identical from either layout
+    val queries = emb.filter($"vec_id" < 10)
+    def serve(path: String) = AnnStream.ivfServeTopK(spark, path,
+        centroidsPath, queries, "vec_id", "embedding", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(serve(servingPath) == serve(indexPath))
+
+    // republish (the periodic-fold lifecycle) is an idempotent swap
+    AnnStream.publishIndex(spark, indexPath, servingPath)
+    assert(rows(servingPath) == rows(indexPath))
+    assert(spark.read.parquet(servingPath).inputFiles.length == pubFiles)
+  }
+
   test("replayed ingest batch is a committed no-op") {
     val e = emb.filter($"vec_id" < 200)
     val indexPath = tmp("asr_idx") + "/index"
