@@ -1362,6 +1362,48 @@ object TrainingQueries {
   // capture null during object init)
   def s14Sql: String = s13Sql
 
+  /** s15: nprobe serving on the streamed index — the recall/read-cost
+    * knob a real IVF deployment turns: each query probes its TWO
+    * nearest cells ([[graft.similarity.Ann.portableQueryCells]]:
+    * integer cell ranking, ties to the lower cell, exploded per
+    * probed cell), the scan reads those cells' partition directories
+    * only, and candidates from both lists rank together (no
+    * duplicates — a corpus row lives in exactly one cell). Oracle
+    * ranks cells against the frozen centroids (`c2`) and searches
+    * the union of the top-2 inverted lists — every cell choice,
+    * candidate and distance BIGINT-reproducible. */
+  def s15NprobeServe(s: SparkSession, d: String): DataFrame = {
+    val (idx, cen) = ivfIngestSlices(s, d, tempDirCleanedOnExit("graft_s15"))
+    graft.streaming.AnnStream.ivfServeTopK(s, idx, cen,
+        Tables.embeddings(s, d).select("vec_id", "embedding")
+          .filter(col("vec_id") < 10),
+        "vec_id", "embedding", topK = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val s15Sql: String =
+    s"""WITH ${duckPkmeansCtesTrained("vec_id % 4 = 0")},
+       |qc AS (
+       |  SELECT vec_id AS query_id, q AS qv, cell FROM (
+       |    SELECT q0.vec_id, q0.q, c2.cell,
+       |      row_number() OVER (PARTITION BY q0.vec_id
+       |        ORDER BY ${duckIntL2("q0.q", "c2.c")}, c2.cell) AS rn
+       |    FROM q0 CROSS JOIN c2
+       |    WHERE q0.vec_id < 10)
+       |  WHERE rn <= 2),
+       |j AS (
+       |  SELECT qc.query_id, cc.vec_id AS neighbor_id,
+       |    ${duckIntL2("qc.qv", "cc.q")} AS d2
+       |  FROM qc JOIN a3 cc
+       |    ON qc.cell = cc.cell AND qc.query_id <> cc.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS rank
+       |  FROM j)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // oracle: s04's search over assignments whose trainer saw ONLY the
   // first arrival slice (t0 = vec_id % 4 = 0), the frozen-quantizer twin
   val s13Sql: String =
@@ -3162,6 +3204,7 @@ object TrainingQueries {
     ("s12_ivfpq", s12IvfPq _, Some(s12Sql)),
     ("s13_stream_ivf", s13StreamIvfIngest _, Some(s13Sql)),
     ("s14_published_serve", s14PublishedServe _, Some(s14Sql)),
+    ("s15_nprobe_serve", s15NprobeServe _, Some(s15Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),

@@ -217,16 +217,45 @@ object Ann {
         col("d2"))
   }
 
-  /** Exact integer squared-L2 argmin cell id for a quantized vector
-    * against literal centroids (ties → lower cell id). */
-  private def portableCellOf(q: Column, cents: Seq[Array[Long]]): Column = {
-    val scored = array(cents.zipWithIndex.map { case (cv, j) =>
+  /** Per-cell exact integer squared-L2 scores for a quantized vector
+    * against literal centroids, as `(d, cell)` structs — the ONE
+    * scoring body behind argmin assignment and nprobe cell ranking
+    * (struct ordering = (distance, cell), so ties go to the lower
+    * cell id under both array_min and array_sort). */
+  private def portableCellScores(q: Column,
+      cents: Seq[Array[Long]]): Column =
+    array(cents.zipWithIndex.map { case (cv, j) =>
       val dist = aggregate(
         zip_with(q, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
       struct(dist.as("d"), lit(j.toLong).as("cell"))
     }: _*)
-    array_min(scored).getField("cell")
+
+  /** Exact integer squared-L2 argmin cell id for a quantized vector
+    * against literal centroids (ties → lower cell id). */
+  private def portableCellOf(q: Column, cents: Seq[Array[Long]]): Column =
+    array_min(portableCellScores(q, cents)).getField("cell")
+
+  /** The top-`nprobe` cells for a quantized vector, ranked by
+    * (distance, cell) — the head is exactly [[portableCellOf]]'s
+    * argmin, so nprobe = 1 reproduces single-cell assignment. */
+  private[graft] def portableTopCellsOf(q: Column, cents: Seq[Array[Long]],
+      nprobe: Int): Column =
+    transform(slice(array_sort(portableCellScores(q, cents)), 1, nprobe),
+      s => s.getField("cell"))
+
+  /** Serve-time query frame under a FROZEN quantizer: quantize, rank
+    * cells by exact integer distance, explode the top `nprobe` — one
+    * row per (query, probed cell), the `(query_id, qv, cell)` shape
+    * [[integerTopK]] broadcasts. nprobe is the served index's
+    * recall/read-cost knob: each extra probed cell adds one more
+    * inverted list to the scan and can only improve the candidates. */
+  def portableQueryCells(queries: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Array[Long]], nprobe: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    quantizeVec(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("q").as("qv"),
+        explode(portableTopCellsOf(col("q"), cents, nprobe)).as("cell"))
   }
 
   /** Cell assignment under a FROZEN coarse quantizer: quantize and

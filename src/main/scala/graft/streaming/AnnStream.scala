@@ -152,15 +152,18 @@ object AnnStream {
     * before a byte is read) and rank by exact integer squared L2
     * ([[Ann.integerTopK]]: index side never shuffles before ranking,
     * queries broadcast). The driver holds the probed cell ids — at
-    * most one per query, model-sized. */
+    * most `nprobe` per query, model-sized. `nprobe` is the
+    * recall/read-cost knob: each extra probed cell adds one inverted
+    * list to the scan and can only improve the candidate set
+    * (a corpus row lives in exactly one cell, so probing more cells
+    * never duplicates a candidate). */
   def ivfServeTopK(spark: SparkSession, indexPath: String,
       centroidsPath: String, queries: DataFrame, idCol: String,
-      vecCol: String, topK: Int): DataFrame = {
+      vecCol: String, topK: Int, nprobe: Int = 1): DataFrame = {
     val cents = readCentroids(spark, centroidsPath)
-    val q = Ann.portableAssignWithCentroids(queries, idCol, vecCol, cents)
-      .select(col(idCol).as("query_id"), col("q").as("qv"), col("cell"))
+    val q = Ann.portableQueryCells(queries, idCol, vecCol, cents, nprobe)
     val probed = q.select("cell").distinct()
-      .collect().map(_.getLong(0)) // ≤ one cell per query
+      .collect().map(_.getLong(0)) // ≤ nprobe per query
     val index = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol), col("q"), col("cell").cast(LongType).as("cell"))

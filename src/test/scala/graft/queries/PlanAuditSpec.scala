@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     "s05_kmeans", "s07_pq_trained", "s12_ivfpq", "c10_bloom_decontaminate",
     // d17/s13 run foreachBatch ingests that write per-batch index
     // partitions (p13's physical-write discipline, DedupStream/AnnStream)
-    "d17_stream_containment", "s13_stream_ivf", "s14_published_serve")
+    "d17_stream_containment", "s13_stream_ivf", "s14_published_serve",
+    "s15_nprobe_serve")
 
   /** Intentional nested-loop/cross plans:
     * q22 is a cross join by definition; s01 brute-force ANN scores

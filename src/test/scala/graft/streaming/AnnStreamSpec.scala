@@ -114,6 +114,39 @@ class AnnStreamSpec extends SparkSpec {
     assert(filesRead <= 3L * probed.size)
   }
 
+  test("nprobe widens the candidate set and never worsens the best hit") {
+    val (indexPath, centroidsPath) = ingest(3)
+    val queries = emb.filter($"vec_id" < 10)
+    def serve(nprobe: Int) = AnnStream.ivfServeTopK(spark, indexPath,
+        centroidsPath, queries, "vec_id", "embedding", topK = 3,
+        nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val one = serve(1); val two = serve(2)
+    // nprobe=1 through the exploded path == the original single-cell
+    // serve (the head of the cell ranking IS the argmin)
+    val cents = AnnStream.readCentroids(spark, centroidsPath)
+    val assigned = Ann.portableAssignWithCentroids(emb, "vec_id",
+      "embedding", cents)
+    val single = Ann.integerTopK(assigned,
+        Ann.portableQueryCells(queries, "vec_id", "embedding", cents, 1),
+        "vec_id", "cell", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(one.toSet == single.toSet)
+    // per query: the rank-1 distance can only improve with more cells
+    val best1 = one.filter(_._3 == 1L).map(t => t._1 -> t._4).toMap
+    val best2 = two.filter(_._3 == 1L).map(t => t._1 -> t._4).toMap
+    assert(best1.keySet == best2.keySet)
+    best2.foreach { case (qid, d2) => assert(d2 <= best1(qid)) }
+    // and for SOME query the second cell actually changed the answer
+    // (non-vacuous on this corpus) or at least widened candidates:
+    // two cells per query were probed
+    val probedTwo = Ann.portableQueryCells(queries, "vec_id", "embedding",
+      cents, 2).select("query_id", "cell").distinct().count()
+    assert(probedTwo == 2 * queries.count())
+  }
+
   test("publish folds the batch tree into one file per cell, answers unchanged") {
     val (indexPath, centroidsPath) = ingest(3)
     val servingPath = tmp("as_pub") + "/serving"
