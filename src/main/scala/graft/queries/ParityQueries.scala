@@ -504,11 +504,8 @@ object ParityQueries {
     * repeated bench/correctness runs in one JVM would otherwise
     * accumulate full event/lineitem layouts under /tmp (round-11
     * advice; the streaming checkpoint helper uses the same pattern). */
-  private def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    sys.addShutdownHook(deleteRecursively(p.toFile))
-    p
-  }
+  private def tempDirCleanedOnExit(prefix: String): java.nio.file.Path =
+    graft.core.TempDirs.cleanedOnExit(prefix)
 
   def p11(s: SparkSession, d: String): DataFrame = {
     val path = tempDirCleanedOnExit("graft_p11")

@@ -617,18 +617,8 @@ object TrainingQueries {
   /** Temp trees built by streaming-ingest queries must outlive the
     * call (the returned DataFrame reads them lazily), so cleanup is a
     * JVM shutdown hook — the ParityQueries p11/p15 pattern. */
-  private def tempDirCleanedOnExit(prefix: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        val children = f.listFiles()
-        if (children != null) children.foreach(rm)
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }
-    p
-  }
+  private def tempDirCleanedOnExit(prefix: String): java.nio.file.Path =
+    graft.core.TempDirs.cleanedOnExit(prefix)
 
   /** d14: overlapping duplicated-n-gram span removal — every 5-token
     * window shared by ≥ 2 distinct documents is scrubbed from all of

@@ -9,9 +9,12 @@ import graft.similarity.Ann
 /** Streaming ingest for the ANN serving index: embedding files landing
   * in a directory are assigned to coarse IVF cells per micro-batch and
   * persisted as a CELL-PARTITIONED parquet index, so that
-  *  1. ingest work scales with the BATCH (quantize + k-way argmin per
-  *     row against broadcast-literal centroids — no shuffle, no
-  *     corpus rescan), and
+  *  1. ingest COMPUTE scales with the BATCH (quantize + k-way argmin
+  *     per row against broadcast-literal centroids — no shuffle of
+  *     the corpus, no re-quantization of committed vectors; the one
+  *     index-sized touch per batch is the column-pruned id scan that
+  *     guards against re-sent ids, measured flat-in-practice by
+  *     tools.IngestProbe), and
   *  2. a serve-time query reads ONLY the probed cells' files
   *     (partition-directory pruning on `cell=`), i.e. query cost is
   *     proportional to the probed inverted lists, never the corpus —
@@ -38,24 +41,33 @@ import graft.similarity.Ann
 object AnnStream {
 
   /** Persist trained centroids as `(cell, c)` rows — the model object
-    * (k·dim longs), one file. */
+    * (k·dim longs), one file — through the rename-aside swap, so a
+    * serve or batch-N replay reading concurrently with a batch-0
+    * replay's rewrite always sees a complete model on disk (the same
+    * discipline [[publishIndex]] applies to the index tree). */
   def writeCentroids(spark: SparkSession, cents: Seq[Array[Long]],
       path: String): Unit = {
     import spark.implicits._
-    cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
-      .toDF("cell", "c")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    graft.operators.Sinks.recoverSwap(spark, path)
+    graft.operators.Sinks.overwriteViaSwap(spark,
+      cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+        .toDF("cell", "c")
+        .coalesce(1),
+      path)
   }
 
-  /** Load frozen centroids back as the literal model object. */
-  def readCentroids(spark: SparkSession, path: String): Seq[Array[Long]] =
+  /** Load frozen centroids back as the literal model object (repairing
+    * a crashed swap first — recoverable state, the bucketedUpsert
+    * read-path pattern). */
+  def readCentroids(spark: SparkSession, path: String): Seq[Array[Long]] = {
+    graft.operators.Sinks.recoverSwap(spark, path)
     spark.read.parquet(path)
       .orderBy("cell")
       .select("c")
       .collect()
       .map(_.getSeq[Long](0).toArray)
       .toSeq
+  }
 
   /** One micro-batch of the IVF index ingest — exposed for direct
     * (batch-mode) use and testing. Batch 0 trains and freezes the
@@ -74,13 +86,16 @@ object AnnStream {
         writeCentroids(spark, c, centroidsPath)
         c
       } else readCentroids(spark, centroidsPath)
-    // ingest contract: batch ids are new; a vector re-sent under an
-    // already-indexed id is not a new vector (a duplicate index row
-    // would shift serve-time ranks). One column-pruned id scan of the
-    // committed index per batch, as the dedup ingests.
+    // ingest contract: ids identify vectors — a row re-sent under an
+    // already-indexed id (across OR within a batch) is the same
+    // vector, not a new one, and a duplicate index row would shift
+    // serve-time ranks. Cross-batch protection is one column-pruned
+    // id scan of the committed index; within-batch, dropDuplicates
+    // (deterministic under the same-id-same-payload contract).
     val committed = committedIds(spark, indexPath, idCol,
       batch.schema(idCol).dataType, batchId)
-    val fresh = batch.join(committed, Seq(idCol), "left_anti")
+    val fresh = batch.dropDuplicates(idCol)
+      .join(committed, Seq(idCol), "left_anti")
     Ann.portableAssignWithCentroids(fresh, idCol, vecCol, cents)
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$indexPath/batch_id=$batchId")
@@ -88,13 +103,22 @@ object AnnStream {
 
   /** Ids of all PRIOR batches' index rows (a partial `batch_id=batchId`
     * dir from a crashed attempt is excluded — it is this attempt's
-    * output, about to be overwritten). Empty frame if no index yet. */
+    * output, about to be overwritten). Empty frame if no index yet.
+    * The schema is EXPLICIT: a crashed batch-0 attempt can leave the
+    * index dir existing with zero committed data files, and schema
+    * inference would throw on every replay — with the schema given,
+    * an empty tree reads as an empty frame and the replay proceeds. */
   private def committedIds(spark: SparkSession, indexPath: String,
       idCol: String, idType: DataType, batchId: Long): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("q", ArrayType(LongType)),
+      StructField("cell", LongType),
+      StructField("batch_id", LongType)))
     if (fs.exists(hPath))
-      spark.read.parquet(indexPath)
+      spark.read.schema(schema).parquet(indexPath)
         .filter(col("batch_id") < batchId)
         .select(col(idCol))
     else

@@ -54,13 +54,23 @@ object DedupStream {
   /** The committed index as seen by batch `batchId`: signature
     * partitions of all PRIOR batches. A partial `batch_id=batchId`
     * dir left by a crashed attempt is excluded — it is this attempt's
-    * output, about to be overwritten. */
+    * output, about to be overwritten. The schema is EXPLICIT: a
+    * crashed batch-0 attempt can leave the index dir existing with
+    * zero committed data files, and schema inference would throw on
+    * every replay — with the schema given, an empty tree reads as an
+    * empty frame and the replay proceeds. */
   private def loadIndex(spark: SparkSession, path: String, idCol: String,
       idType: org.apache.spark.sql.types.DataType, batchId: Long): DataFrame = {
+    import org.apache.spark.sql.types._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("shh", ArrayType(LongType)),
+      StructField("sig", ArrayType(LongType)),
+      StructField("batch_id", LongType)))
     if (fs.exists(hPath))
-      spark.read.parquet(path)
+      spark.read.schema(schema).parquet(path)
         .filter(col("batch_id") < batchId)
         .select(col(idCol), col("shh"), col("sig"))
     else emptyIndex(spark, idCol, idType)
@@ -76,9 +86,11 @@ object DedupStream {
     val index =
       loadIndex(spark, indexPath, idCol, batch.schema(idCol).dataType, batchId)
         .cache()
-    // ingest contract: batch ids are new; docs re-sent under an
-    // already-indexed id are not a new document
-    val fresh = batch
+    // ingest contract: ids identify documents — a doc re-sent under an
+    // already-indexed id (across OR within a batch) is the same
+    // document, not a new one (within-batch dropDuplicates is
+    // deterministic under the same-id-same-payload contract)
+    val fresh = batch.dropDuplicates(idCol)
       .join(index.select(col(idCol)), Seq(idCol), "left_anti")
       .cache()
     val newIdx = Dedup.minhashIndex(fresh, idCol, textCol, n, k).cache()
@@ -171,9 +183,11 @@ object DedupStream {
     val index =
       loadIndex(spark, indexPath, idCol, batch.schema(idCol).dataType, batchId)
         .cache()
-    // ingest contract: batch ids are new; docs re-sent under an
-    // already-indexed id are not a new document
-    val fresh = batch
+    // ingest contract: ids identify documents — a doc re-sent under an
+    // already-indexed id (across OR within a batch) is the same
+    // document, not a new one (within-batch dropDuplicates is
+    // deterministic under the same-id-same-payload contract)
+    val fresh = batch.dropDuplicates(idCol)
       .join(index.select(col(idCol)), Seq(idCol), "left_anti")
       .cache()
     val newIdx = Dedup.minhashIndex(fresh, idCol, textCol, n, k).cache()

@@ -14,9 +14,19 @@ import org.apache.spark.sql.functions._
   * batches would mean ingest cost grows with corpus age, the failure
   * mode that makes ingest-time dedup impossible at scale.
   *
+  * A second section measures the ANN ingest the same way
+  * ([[graft.streaming.AnnStream.processIvfBatch]]: batch 0 pays the
+  * one-time quantizer training, later batches are assign-only).
+  *
+  * Every batch reads its slice from the SOURCE parquet (no Spark
+  * cache): a cached batch 0 vs uncached batch N would make the
+  * flat-wall comparison apples-to-oranges.
+  *
   * Prints one JSON line:
-  *   {"metric":"ingest_containment","slices":N,"cells":[
-  *     {"batch":i,"sec":s,"batch_docs":n,"index_docs":m,"pairs":p},...]}
+  *   {"metric":"ingest_containment","slices":N,
+  *    "cells":[{"batch":i,"sec":s,"batch_docs":n,"index_docs":m,
+  *              "pairs":p},...],
+  *    "ann_cells":[{"batch":i,"sec":s,"batch_vecs":n},...]}
   * Usage: runMain graft.tools.IngestProbe [sfDir] [slices]
   */
 object IngestProbe {
@@ -30,8 +40,8 @@ object IngestProbe {
     val indexPath = base.resolve("index").toString
     val pairsPath = base.resolve("pairs").toString
     val docs = graft.core.Tables.documents(spark, src)
-      .select("doc_id", "text").cache()
-    docs.count() // materialize the source outside the timed region
+      .select("doc_id", "text")
+    docs.count() // warm the page cache; every batch then reads uncached
 
     // warm-up: JIT + codegen for the whole batch path on a small slice
     graft.streaming.DedupStream.processContainmentBatch(
@@ -64,8 +74,8 @@ object IngestProbe {
     val annIdx = base.resolve("ann_index").toString
     val annCen = base.resolve("ann_cen").toString
     val vecs = graft.core.Tables.embeddings(spark, src)
-      .select("vec_id", "embedding").cache()
-    vecs.count()
+      .select("vec_id", "embedding")
+    vecs.count() // warm the page cache; every batch then reads uncached
     val annCells = (0 until slices).map { i =>
       val batch = vecs.filter(pmod(col("vec_id"), lit(slices)) === i)
       val batchVecs = batch.count()
@@ -91,12 +101,6 @@ object IngestProbe {
       ",", "}")
     println(json)
     spark.stop()
-
-    def rm(f: java.io.File): Unit = {
-      val children = f.listFiles()
-      if (children != null) children.foreach(rm)
-      f.delete(); ()
-    }
-    rm(base.toFile)
+    graft.core.TempDirs.deleteRecursively(base.toFile)
   }
 }

@@ -208,6 +208,30 @@ class AnnStreamSpec extends SparkSpec {
       == cenFirst)
   }
 
+  test("a crashed first attempt (index dir exists, no data files) does not wedge the replay") {
+    val e = emb.filter($"vec_id" < 100)
+    val indexPath = tmp("asc_idx") + "/index"
+    val centroidsPath = tmp("asc_cen") + "/centroids"
+    // simulate the crash debris: the output tree was created but no
+    // parquet file ever committed
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(indexPath, "batch_id=0", "_temporary"))
+    AnnStream.processIvfBatch(e, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    assert(spark.read.parquet(indexPath).count() == e.count())
+  }
+
+  test("duplicate ids inside one batch index once") {
+    val e = emb.filter($"vec_id" < 100)
+    val indexPath = tmp("asw_idx") + "/index"
+    val centroidsPath = tmp("asw_cen") + "/centroids"
+    AnnStream.processIvfBatch(e.unionAll(e), 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val ids = spark.read.parquet(indexPath).select("vec_id").as[Long]
+      .collect().toSeq
+    assert(ids.length == ids.distinct.length && ids.length == e.count())
+  }
+
   test("re-sent ids do not duplicate index rows") {
     val e = emb.filter($"vec_id" < 100)
     val indexPath = tmp("asd_idx") + "/index"

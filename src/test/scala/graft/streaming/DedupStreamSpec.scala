@@ -104,6 +104,22 @@ class DedupStreamSpec extends SparkSpec {
     assert(streamed.exists { case (s_, d_, _) => s_ % 3 != d_ % 3 })
   }
 
+  test("containment batch: within-batch duplicate ids index once; empty crash debris readable") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 150)
+    val indexPath = tmp("dscw_idx") + "/index"
+    val pairsPath = tmp("dscw_pairs")
+    // crash debris: index tree created, nothing committed — the replay
+    // must read it as empty, not throw on schema inference
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(indexPath, "batch_id=0", "_temporary"))
+    DedupStream.processContainmentBatch(docs.unionAll(docs), 0L,
+      indexPath, pairsPath, "doc_id", "text")
+    val ids = spark.read.parquet(indexPath).select("doc_id").as[Long]
+      .collect().toSeq
+    assert(ids.length == ids.distinct.length && ids.length == docs.count())
+  }
+
   test("replayed containment batch is a committed no-op") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 150)
