@@ -767,30 +767,72 @@ object Dedup {
   def hammingPairsFromSignatures(sigs: DataFrame, idCol: String,
       sigCol: String, maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    // maxBucketSize: the same bounded-join escape hatch as the LSH
-    // paths' — a (chunk, value) bucket larger than the cap is a
-    // mass-duplicate clique (thousands of byte-identical images hash
-    // to ONE signature and meet in every chunk bucket); its Σ b²
-    // candidates carry no per-pair information, so the hot bucket is
-    // dropped before the self-join. Recall loss is confined to pairs
-    // whose every shared chunk is hot — for an exact-duplicate clique,
-    // the clique's own pairs, which exact dedup (d01 on the payload
-    // digest) owns anyway.
-    val chunkedAll = sigs.select(col(idCol), col(sigCol).as("sig"),
-        posexplode(array(
-          (0 until 4).map(c =>
-            shiftright(col(sigCol), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .toDF(idCol, "sig", "chunk", "chash")
-    val chunked = maxBucketSize.fold(chunkedAll) { cap =>
+    val chunked = chunkedSigs(
+      sigs.select(col(idCol), col(sigCol).as("sig")), idCol, Nil,
+      maxBucketSize)
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chash") === col("b.chash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 16-bit chunk explosion of a 64-bit signature frame (column "sig")
+    * with the hot-bucket escape hatch — the ONE rendering shared by
+    * the self-join ([[hammingPairsFromSignatures]]) and the
+    * index-vs-batch join ([[hammingPairsFromIndexes]]).
+    *
+    * maxBucketSize: the same bounded-join escape hatch as the LSH
+    * paths' — a (chunk, value) bucket larger than the cap is a
+    * mass-duplicate clique (thousands of byte-identical images hash
+    * to ONE signature and meet in every chunk bucket); its Σ b²
+    * candidates carry no per-pair information, so the hot bucket is
+    * dropped before the join. Recall loss is confined to pairs whose
+    * every shared chunk is hot — for an exact-duplicate clique, the
+    * clique's own pairs, which exact dedup (d01 on the payload
+    * digest) owns anyway. */
+  private def chunkedSigs(sigs: DataFrame, idCol: String,
+      carryCols: Seq[String], maxBucketSize: Option[Int]): DataFrame = {
+    val chunkedAll = sigs.select(
+        (Seq(col(idCol), col("sig")) ++ carryCols.map(col) :+
+          posexplode(array((0 until 4).map(c =>
+            shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))): _*)
+      .toDF((Seq(idCol, "sig") ++ carryCols ++ Seq("chunk", "chash")): _*)
+    maxBucketSize.fold(chunkedAll) { cap =>
       val hot = chunkedAll.groupBy("chunk", "chash")
         .agg(count(lit(1)).as("bn"))
         .filter(col("bn") > cap).select("chunk", "chash")
       chunkedAll.join(broadcast(hot), Seq("chunk", "chash"), "left_anti")
     }
-    chunked.as("a").join(chunked.as("b"),
+  }
+
+  /** [[hammingPairsFromSignatures]] against a STORED signature index:
+    * pairs touching the NEW batch only — old-old pairs were emitted in
+    * their own batches, both-new pairs emit once (a < b), old-new
+    * pairs normalize to (least, greatest). Chunk values are per-row
+    * functions of the signature, so the union over ANY micro-batch
+    * split of a corpus equals the one-shot self-join pair set — the
+    * batch-split invariance that lets the streamed image/SimHash
+    * ingest (m13) verify against the batch oracle. */
+  def hammingPairsFromIndexes(index: DataFrame, newSigs: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val all = index.select(col(idCol), col(sigCol).as("sig"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newSigs.select(col(idCol), col(sigCol).as("sig"))
+        .withColumn("is_new", lit(true)))
+    // the cap sees index + batch together, as the LSH ingest does
+    val chunked = chunkedSigs(all, idCol, Seq("is_new"), maxBucketSize)
+    chunked.as("a").join(chunked.filter(col("is_new")).as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chash") === col("b.chash") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+          // both-new pairs once; old side always qualifies (the right
+          // side being new-only already excludes old-old)
+          (!col("a.is_new") || col(s"a.$idCol") < col(s"b.$idCol")) &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("a_id"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("b_id"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

@@ -2408,6 +2408,60 @@ object TrainingQueries {
       |    AS n_planted_total
       |FROM p""".stripMargin
 
+  /** m13: image near-dup detection at INGEST TIME — each arrival
+    * batch is decoded and aHash-fingerprinted ONCE
+    * ([[graft.multimodal.Multimodal.imageAHash]] inside the ingest's
+    * signature stage), scored against the committed 16-byte/row
+    * signature index
+    * ([[graft.streaming.DedupStream.processSignatureBatch]]:
+    * chunk-collision candidates + exact hamming verify, per-batch
+    * overwrite crash safety), and the accumulated pair set —
+    * batch-split invariant ([[graft.dedup.Dedup.hammingPairsFromIndexes]]
+    * Scaladoc) — reproduces m12's one-shot answer, so the oracle is
+    * m12's count gate unchanged. At 100 TB this is how an image
+    * corpus is actually deduplicated: every image decoded exactly
+    * once on arrival, the rolling index holding signatures, never
+    * pixels. */
+  def m13StreamImageNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val base = tempDirCleanedOnExit("graft_m13")
+    val idx = base.resolve("index").toString
+    val pairsDir = base.resolve("pairs").toString
+    val ckpt = base.resolve("ckpt").toString
+    val media = Multimodal.pngFromDocuments(s, d)
+      .unionByName(Multimodal.pngEditedCopies(s, d)).toDF()
+    val in = sharedArrivalSlices(s, d, "media", media, "media_id", 3)
+    val q = graft.streaming.DedupStream.signatureIngest(s, in,
+        media.schema, idx, pairsDir, ckpt, "media_id", "sig",
+        maxHamming = 16) { batch =>
+      import s.implicits._
+      Multimodal.imageAHash(batch.as[Multimodal.MediaRecord], side = 8)
+        .select(col("media_id"),
+          col("ahash_lo").bitwiseOR(shiftleft(col("ahash_hi"), 32))
+            .as("sig"))
+    }
+    try q.processAllAvailable() finally q.stop()
+    // explicit schema: a batch with no pairs writes an empty partition
+    val pairSchema = StructType(Seq(
+      StructField("a_id", LongType), StructField("b_id", LongType),
+      StructField("hamming", IntegerType)))
+    val pairs = s.read.schema(pairSchema).parquet(pairsDir)
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .agg(count(lit(1)).as("n_planted_total"))
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("b_id") === col("a_id") + Multimodal.EditedIdOffset)
+          .cast(LongType)).as("n_planted_found"))
+      .crossJoin(broadcast(planted))
+      .select(col("n_pairs"), col("n_planted_found"),
+        col("n_planted_total"))
+  }
+
+  // oracle: m12's — batch-split invariance makes the streamed ingest's
+  // accumulated pair set equal the one-shot chunk-join's
+  val m13Sql: String = m12Sql
+
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
     * shingles prunes the train side before the exact join, so the
@@ -3245,6 +3299,7 @@ object TrainingQueries {
     ("m10_binaryfile_ingest", m10BinaryFileIngest _, Some(m10Sql)),
     ("m11_image_ahash", m11ImageAHash _, Some(m11Sql)),
     ("m12_image_neardup", m12ImageNearDup _, Some(m12Sql)),
+    ("m13_stream_image_neardup", m13StreamImageNearDup _, Some(m13Sql)),
     ("c01_split_assign", c01SplitAssign _, Some(c01Sql)),
     ("c02_stratified_sample", c02StratifiedSample _, Some(c02Sql)),
     ("c03_decontaminate", c03Decontaminate _, Some(c03Sql)),

@@ -200,6 +200,86 @@ object DedupStream {
     Seq(index, fresh, newIdx).foreach(_.unpersist())
   }
 
+  /** One micro-batch of the 64-bit-SIGNATURE ingest — the generic
+    * chunk-collision near-dup monitor (SimHash text signatures,
+    * perceptual image hashes — any 64-bit fingerprint) run at ingest
+    * time: the batch's signatures are scored against the committed
+    * signature index with [[Dedup.hammingPairsFromIndexes]] (pairs
+    * touching the batch, exact `bit_count(xor)` verify after chunk
+    * blocking), the pairs land in a per-batch partition, and the
+    * batch's signatures join the index. The expensive part of an
+    * image corpus — decode + hash — runs ONCE, in the arrival batch
+    * (the caller's `toSignatures` stage); the stored index is 16
+    * bytes a row. Batch-split invariance and crash safety exactly as
+    * [[processContainmentBatch]]. */
+  def processSignatureBatch(sigs: DataFrame, batchId: Long,
+      indexPath: String, pairsPath: String, idCol: String,
+      sigCol: String, maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None): Unit = {
+    val spark = sigs.sparkSession
+    val index =
+      loadSigIndex(spark, indexPath, idCol, sigs.schema(idCol).dataType,
+        batchId).cache()
+    // ingest contract: ids identify media — re-sent ids (across or
+    // within a batch) are not new items
+    val fresh = sigs.dropDuplicates(idCol)
+      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(sigCol).as("sig"))
+      .cache()
+    val pairs = Dedup.hammingPairsFromIndexes(index, fresh, idCol, "sig",
+      maxHamming, maxBucketSize)
+    pairs.write.mode(SaveMode.Overwrite)
+      .parquet(s"$pairsPath/batch_id=$batchId")
+    fresh.write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexPath/batch_id=$batchId")
+    Seq(index, fresh).foreach(_.unpersist())
+  }
+
+  /** The committed signature index for batch `batchId` (prior batches
+    * only; explicit schema — the [[loadIndex]] crash-debris rule). */
+  private def loadSigIndex(spark: SparkSession, path: String,
+      idCol: String, idType: org.apache.spark.sql.types.DataType,
+      batchId: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("sig", LongType),
+      StructField("batch_id", LongType)))
+    if (fs.exists(hPath))
+      spark.read.schema(schema).parquet(path)
+        .filter(col("batch_id") < batchId)
+        .select(col(idCol), col("sig"))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, idType),
+          StructField("sig", LongType))))
+  }
+
+  /** Run the signature near-dup monitor as a stream over parquet
+    * files landing in `srcDir`: each micro-batch goes through the
+    * caller's `toSignatures` stage (e.g. decode + perceptual hash for
+    * images, SimHash for text) and then [[processSignatureBatch]].
+    * Returns the running query (caller stops). */
+  def signatureIngest(spark: SparkSession, srcDir: String,
+      schema: StructType, indexPath: String, pairsPath: String,
+      checkpointDir: String, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxFilesPerTrigger: Int = 1,
+      maxBucketSize: Option[Int] = None)
+      (toSignatures: DataFrame => DataFrame): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSignatureBatch(toSignatures(batch), batchId, indexPath,
+          pairsPath, idCol, sigCol, maxHamming, maxBucketSize)
+      }
+      .start()
+
   /** Run the containment report as a stream over parquet document
     * files landing in `docsDir`. Returns the running query (caller
     * stops). */

@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     // d17/s13 run foreachBatch ingests that write per-batch index
     // partitions (p13's physical-write discipline, DedupStream/AnnStream)
     "d17_stream_containment", "s13_stream_ivf", "s14_published_serve",
-    "s15_nprobe_serve")
+    "s15_nprobe_serve", "m13_stream_image_neardup")
 
   /** Intentional nested-loop/cross plans:
     * q22 is a cross join by definition; s01 brute-force ANN scores

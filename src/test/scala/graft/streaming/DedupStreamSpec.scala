@@ -104,6 +104,36 @@ class DedupStreamSpec extends SparkSpec {
     assert(streamed.exists { case (s_, d_, _) => s_ % 3 != d_ % 3 })
   }
 
+  test("signature ingest: accumulated hamming pairs equal the one-shot self-join") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val sigs = docs.select($"doc_id",
+      Dedup.simhash64($"text").as("sig")).cache()
+    val expected = Dedup
+      .hammingPairsFromSignatures(sigs, "doc_id", "sig", maxHamming = 3)
+      .select("a_id", "b_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.nonEmpty)
+
+    val indexPath = tmp("dss_idx") + "/index"
+    val pairsPath = tmp("dss_pairs")
+    // drive the batch API directly over a 3-way split of the corpus
+    (0 until 3).foreach { r =>
+      DedupStream.processSignatureBatch(
+        sigs.filter($"doc_id" % 3 === r), r.toLong,
+        indexPath, pairsPath, "doc_id", "sig", maxHamming = 3)
+    }
+    val streamed = spark.read.parquet(s"$pairsPath/batch_id=*")
+      .select("a_id", "b_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(streamed.length == streamed.toSet.size, "duplicate pairs")
+    assert(streamed.toSet == expected)
+    // cross-batch pairs exist (the index actually served)
+    assert(streamed.exists { case (a, b, _) => a % 3 != b % 3 })
+    // the index keeps every signature (near-dup monitoring is a
+    // report here; survivor rules are the LSH ingest's job)
+    assert(spark.read.parquet(indexPath).count() == docs.count())
+  }
+
   test("containment batch: within-batch duplicate ids index once; empty crash debris readable") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 150)
