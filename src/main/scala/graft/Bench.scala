@@ -86,14 +86,19 @@ object Bench {
     val calibBefore = calibrate()
     calibrateIo(spark) // unrecorded: write-path JIT warm-up
     val calibIo = calibrateIo(spark)
-    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns (elapsed, succeeded). A failed pass must NOT contribute
+    // to the min-of-2: a query that dies fast in pass 2 (transient
+    // OOM, temp-dir collision) would otherwise record an artificially
+    // LOW official time with no failure marker (round-12 advice).
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query caches so later queries aren't taxed by
       // accumulated executor memory pressure
       spark.catalog.clearCache()
-      dt
+      (dt, ok)
     }
     val fns = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = fns.map { case (name, fn) => name -> timeQuery(fn) }
@@ -108,16 +113,24 @@ object Bench {
     val p2Budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_P2_BUDGET", "240").toDouble
     val fnOf = fns.toMap
     var p2Spent = 0.0
-    val pass2 = scala.collection.mutable.Map[String, Double]()
-    pass1.sortBy(-_._2).foreach { case (name, _) =>
+    val pass2 = scala.collection.mutable.Map[String, (Double, Boolean)]()
+    pass1.sortBy(-_._2._1).foreach { case (name, _) =>
       if (p2Spent < p2Budget) {
-        val dt = timeQuery(fnOf(name))
-        p2Spent += dt
-        pass2(name) = dt
+        val r = timeQuery(fnOf(name))
+        p2Spent += r._1
+        pass2(name) = r
       }
     }
-    val results = pass1.map { case (name, t1) =>
-      name -> math.min(t1, pass2.getOrElse(name, t1))
+    // Per-query official time = min over SUCCESSFUL passes only; a
+    // query with no successful pass keeps its pass-1 wall time and is
+    // listed in "failed" so the artifact surfaces it.
+    val results = pass1.map { case (name, (t1, ok1)) =>
+      val cands = Seq((t1, ok1)) ++ pass2.get(name)
+      val good = cands.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else t1)
+    }
+    val failed = pass1.collect {
+      case (name, (_, ok1)) if !ok1 && !pass2.get(name).exists(_._2) => name
     }
     val calibAfter = calibrate()
     // The harness keeps only the last ~2000 chars of stdout and parses the
@@ -145,7 +158,10 @@ object Bench {
       // timing:"min2" documents the per-query semantics: each value is
       // the MIN over two passes (second pass slowest-first under a
       // wall budget; p2 = how many queries got a second pass)
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","timing":"min2","p2":${pass2.size},"calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}"""
+      val failedJson =
+        if (failed.isEmpty) ""
+        else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","timing":"min2","p2":${pass2.size}$failedJson,"calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}"""
     }
     // harness tail is 2000 chars; the sbt "[success] Total time: ..."
     // trailer plus newlines takes ~75, leaving ~1925 for this line
@@ -173,9 +189,12 @@ object Bench {
       def fullMap(entries: Seq[(String, Double)]): String = entries
         .map { case (k, v) => "\"" + k + "\":" + num(v, 6) }
         .mkString("{", ",", "}")
+      val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       try w.println(
         s"""{"total":${num(total, 6)},"queries":${fullMap(results)},""" +
-        s""""pass1":${fullMap(pass1)},"pass2":${fullMap(pass2.toSeq.sortBy(_._1))},""" +
+        s""""pass1":${fullMap(pass1.map { case (k, (t, _)) => k -> t })},""" +
+        s""""pass2":${fullMap(pass2.toSeq.sortBy(_._1).map { case (k, (t, _)) => k -> t })},""" +
+        s""""failed":$failedFull,""" +
         s""""calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}""")
       finally w.close()
     } catch { case _: Throwable => () }

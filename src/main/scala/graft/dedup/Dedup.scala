@@ -535,12 +535,19 @@ object Dedup {
 
   /** Quote/inclusion removal — the containment relation applied as a
     * dedup SURVIVOR RULE: a document whose shingle set is ≥ `threshold`
-    * contained in a LARGER surviving document is dropped (its content
-    * lives inside the container); ties on size break by id (larger id
-    * drops), so mutual containment keeps exactly one side and the rule
-    * is deterministic and order-free. Candidates come from the shipped
-    * LSH containment path ([[minhashContainmentPairs]] — band-bucket
-    * blocking + exact directed verify, declared recall semantics). */
+    * contained in ANY larger document is dropped; ties on size break
+    * by id (larger id drops), so mutual containment keeps exactly one
+    * side and the rule is deterministic and order-free. The rule is
+    * NON-RECURSIVE — the container itself may also be dropped (by its
+    * own larger container), and since thresholded containment is not
+    * transitive a dropped doc's content is not guaranteed to survive
+    * in some kept container. That single-pass semantics is the
+    * intended one (one blocking join, no fixpoint iteration at 100 TB)
+    * and is exactly what the c13/c24 oracle SQL implements; callers
+    * needing a survivor-closed set would iterate to fixpoint.
+    * Candidates come from the shipped LSH containment path
+    * ([[minhashContainmentPairs]] — band-bucket blocking + exact
+    * directed verify, declared recall semantics). */
   def containmentDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 32,
       threshold: Double = 0.8,
@@ -812,10 +819,17 @@ object Dedup {
     * pairs touching the NEW batch only — old-old pairs were emitted in
     * their own batches, both-new pairs emit once (a < b), old-new
     * pairs normalize to (least, greatest). Chunk values are per-row
-    * functions of the signature, so the union over ANY micro-batch
-    * split of a corpus equals the one-shot self-join pair set — the
-    * batch-split invariance that lets the streamed image/SimHash
-    * ingest (m13) verify against the batch oracle. */
+    * functions of the signature, so with `maxBucketSize = None` the
+    * union over ANY micro-batch split of a corpus equals the one-shot
+    * self-join pair set — the batch-split invariance that lets the
+    * streamed image/SimHash ingest (m13) verify against the batch
+    * oracle. With a cap set the invariance does NOT hold: the
+    * hot-bucket test sees committed-prefix + batch, so a bucket under
+    * the cap at batch k but over it in the final corpus emits pairs
+    * the one-shot capped run suppresses — capped recall is
+    * prefix-dependent under streaming (strictly ≥ the one-shot capped
+    * run's, still ≤ the uncapped exact set, and every emitted pair is
+    * Hamming-verified, so precision is unaffected). */
   def hammingPairsFromIndexes(index: DataFrame, newSigs: DataFrame,
       idCol: String, sigCol: String, maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {

@@ -754,8 +754,19 @@ class ODataScanBuilder(fullSchema: StructType, conf: ODataConf)
       // optimizer INFERS IsNotNull from every equality it pushes
       // (InferFiltersFromConstraints), so declining it would strand a
       // residual Filter in the plan and block the filters-must-be-
-      // empty pushdowns ($apply, inline count, limit/TopN).
-      case IsNotNull(attr) => fullSchema.fieldNames.contains(attr)
+      // empty pushdowns ($apply, inline count, limit/TopN). EXCEPT
+      // the delta-synthetic `removed` column: it is DERIVED from the
+      // @removed tombstone marker, never parsed (parseSchema drops
+      // it), so the reader cannot evaluate a pushed predicate on it —
+      // accepting one either throws at reader init (fieldIndex miss)
+      // or, if `removed` was column-pruned, re-parses it as a JSON
+      // string field that never exists and silently drops every row.
+      // It stays a Spark residual, which is trivially true anyway
+      // (the derived boolean is never null). Delta mode already
+      // declines $apply/count/limit, so no pushdown is stranded.
+      case IsNotNull(attr) =>
+        fullSchema.fieldNames.contains(attr) &&
+          !(conf.delta && attr == "removed")
       case _ => false
     }
     // Drop IsNotNull filters implied by another completely-pushed

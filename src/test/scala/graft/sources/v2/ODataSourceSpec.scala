@@ -487,6 +487,36 @@ class ODataSourceSpec extends SparkSpec {
     }
   }
 
+  test("delta mode: filtering on the synthetic removed column is not pushed") {
+    import graft.queries.ParityQueries.fixtureRoot
+    import org.apache.spark.sql.types.{BooleanType, StructField}
+    import org.apache.spark.sql.functions.col
+    val schema = EntitySchemas.managedDeviceSource
+      .add(StructField("removed", BooleanType))
+    val df = spark.read.format("graft-odata").schema(schema)
+      .option("firstPage", s"$fixtureRoot/managedDevicesDelta/page1.json")
+      .option("delta", "true")
+      .load()
+    // The canonical tombstone-apply query. The optimizer infers
+    // IsNotNull(removed) from the predicate; `removed` is DERIVED
+    // from the @removed marker (never parsed), so pushing it would
+    // either throw at reader init or silently drop every row. It must
+    // stay a Spark residual.
+    val live = df.filter(!col("removed"))
+    val scanDesc = live.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan.description()
+    }.getOrElse("")
+    // `removed` may (and must) appear in $select; the bug would show
+    // as a rendered $filter clause on it
+    assert(!scanDesc.contains("$filter"),
+      s"pushed filter on synthetic column leaked into the scan: $scanDesc")
+    val ids = live.select("id").collect().map(_.getString(0).take(8)).toSet
+    assert(ids == Set("11111111", "77777777")) // tombstone 33333333 dropped
+    // and with removed pruned out entirely after the filter
+    assert(live.select("deviceName").count() == 2)
+  }
+
   // ------------------------------------------------ live HTTP transport
 
   test("live transport: composed URL, bearer auth, 429 retry, page chain") {
