@@ -581,6 +581,111 @@ object TrainingQueries {
   // the same oracle as d15, by batch-split invariance)
   val d17Sql: String = d13Sql
 
+  /** d18: the streamed SURVIVOR dedup oracle-gated end to end — the
+    * corpus arrives in four micro-batches
+    * ([[graft.streaming.DedupStream.dedupIngest]]) and each batch
+    * resolves to survivors against the index the PRIOR batches'
+    * survivors committed: a batch doc whose near-dup cluster touches
+    * an indexed doc drops (the indexed representative is kept), a
+    * cluster of only-new docs keeps its minimum id. Unlike d17's pair
+    * report this is NOT batch-split-invariant (similarity is not
+    * transitive: with A~B, B~C, A≁C arriving in three batches, B
+    * drops against A and C then SURVIVES — the one-shot cluster keeps
+    * A alone), so the oracle SIMULATES the sequential rule over the
+    * same deterministic batch assignment (doc_id % 4, the arrival
+    * slices' split): per batch, a recursive-CTE reach closure over
+    * the exact-Jaccard pairs restricted to edges touching that batch
+    * (new-new, or new against a prior survivor), then the identical
+    * keep-indexed-representative / min-new-id rule, unrolled for the
+    * four batches. Exact pairs stand in for the shipped LSH pairs by
+    * d07's hash-matched recall-1.0 equivalence (16×4 banding,
+    * threshold 0.5 — the same configuration this ingest runs). At
+    * 100 TB this is the arrival-time form of corpus dedup: O(batch)
+    * signature hashing plus one band-bucket join against stored
+    * signatures per round, never a corpus re-shingle. */
+  def d18StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val base = tempDirCleanedOnExit("graft_d18")
+    val idx = base.resolve("index").toString
+    val pairsDir = base.resolve("pairs").toString
+    val survDir = base.resolve("survivors").toString
+    val ckpt = base.resolve("ckpt").toString
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val in = sharedArrivalSlices(s, d, "docs", docs, "doc_id", 4)
+    val q = graft.streaming.DedupStream.dedupIngest(s, in, docs.schema,
+      idx, pairsDir, survDir, ckpt, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5, maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    // explicit schema: a batch where every doc dropped writes an empty
+    // partition dir, and the tree must still read (d17's discipline)
+    val survSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    s.read.schema(survSchema).parquet(survDir)
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** The d18 oracle: sequential survivor simulation, one CTE block per
+    * batch (edges touching the batch → reach closure → has-old +
+    * min-new-id rule), chained through the accumulated survivor set.
+    * Every non-recursive CTE is MATERIALIZED: s3 references s2 four
+    * times, s2 references s1 four times, … — inlined, the Σdf²
+    * shingle-pair join re-evaluates O(4⁴) times and the sf0.1 oracle
+    * runs for >9 min; materialized it runs once per CTE (2.5 s). */
+  val d18Sql: String = {
+    def batchCtes(k: Int): String = {
+      val prev = if (k == 0) "s_init" else s"s${k - 1}"
+      s"""e$k AS MATERIALIZED (
+         |  SELECT a, bb FROM (
+         |    SELECT a_id AS a, b_id AS bb FROM pe
+         |    UNION ALL SELECT b_id, a_id FROM pe) u
+         |  WHERE (u.a % 4 = $k AND u.bb % 4 = $k)
+         |     OR (u.a % 4 = $k AND u.bb IN (SELECT doc_id FROM $prev))
+         |     OR (u.bb % 4 = $k AND u.a IN (SELECT doc_id FROM $prev))),
+         |r$k AS (
+         |  SELECT a, bb FROM e$k
+         |  UNION
+         |  SELECT r.a, e.bb FROM r$k r JOIN e$k e ON r.bb = e.a
+         |  WHERE e.bb <> r.a),
+         |m$k AS MATERIALIZED (
+         |  SELECT d.doc_id AS id,
+         |    least(d.doc_id, coalesce(min(CASE WHEN r.bb % 4 = $k
+         |      THEN r.bb END), d.doc_id)) AS minnew,
+         |    max(CASE WHEN r.bb IN (SELECT doc_id FROM $prev)
+         |      THEN 1 ELSE 0 END) AS hasold
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = $k) d
+         |  LEFT JOIN r$k r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id),
+         |s$k AS MATERIALIZED (
+         |  SELECT doc_id FROM $prev
+         |  UNION ALL
+         |  SELECT id AS doc_id FROM m$k
+         |  WHERE id = minnew AND coalesce(hasold, 0) = 0)""".stripMargin
+    }
+    s"""WITH RECURSIVE tok AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |        FROM documents)),
+       |cnt AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM tok),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM tok) a
+       |  JOIN (SELECT doc_id, unnest(sh) AS s FROM tok) b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pe AS MATERIALIZED (
+       |  SELECT a_id, b_id
+       |  FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+       |  WHERE inter/(ca.n + cb.n - inter) >= 0.5),
+       |s_init AS MATERIALIZED (SELECT doc_id FROM documents WHERE 1=0),
+       |${batchCtes(0)},
+       |${batchCtes(1)},
+       |${batchCtes(2)},
+       |${batchCtes(3)}
+       |SELECT d.doc_id, d.text FROM documents d JOIN s3 ON d.doc_id = s3.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Arrival-slice scaffolding shared per fixture: the parquet files
     * that SIMULATE corpus arrival for the streaming-ingest queries
     * (d17, s13). Writing them is corpus ARRIVAL, not operator work
@@ -2332,7 +2437,17 @@ object TrainingQueries {
     * rebuilding BOTH hash sets from the pixel closed form (the edit
     * is one CASE), applying the SAME chunk-collision candidate rule,
     * and recomputing every hamming — so all three counts are
-    * bit-reproduced. */
+    * bit-reproduced.
+    *
+    * The shipped path runs with the hot-bucket cap ON
+    * (`maxBucketSize = 256`, the SKEW_PROBE-selected setting: at the
+    * 10× corpus the uncapped join emits 178M collision pairs in
+    * 37.7 s vs 1.4M in 3.2 s capped — the 100 TB default must be the
+    * capped one), and the oracle applies the IDENTICAL rule: a
+    * (chunk, value) bucket with more than 256 members contributes no
+    * candidates. A planted pair whose EVERY shared chunk is hot is
+    * dropped by both sides alike — n_planted_found gates the capped
+    * rule's recall, bit-reproduced, not recall 1.0. */
   def m12ImageNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.Multimodal
     val all = Multimodal.pngFromDocuments(s, d)
@@ -2346,7 +2461,7 @@ object TrainingQueries {
           .as("sig"))
       .cache()
     val pairs = Dedup.hammingPairsFromSignatures(sigs, "media_id", "sig",
-      maxHamming = 16)
+      maxHamming = 16, maxBucketSize = Some(256))
     val planted = Tables.documents(s, d)
       .filter(col("doc_id") % 10 === 0)
       .agg(count(lit(1)).as("n_planted_total"))
@@ -2360,8 +2475,11 @@ object TrainingQueries {
         col("n_planted_total"))
   }
 
-  val m12Sql: String =
-    """WITH ids AS (
+  /** CTE prefix shared by the m12 (one-shot) and m13 (streamed)
+    * oracles: rebuild both aHash sets — corpus + planted edits — from
+    * the pixel closed form, down to the 16-bit chunk explosion `ch`. */
+  private val mImageHashCtes: String =
+    """ids AS (
       |  SELECT doc_id AS media_id, doc_id AS id, 0 AS is_edit FROM documents
       |  UNION ALL
       |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
@@ -2389,12 +2507,19 @@ object TrainingQueries {
       |ch AS (SELECT media_id, lo, hi,
       |    unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS chash,
       |    unnest([0, 1, 2, 3]) AS chunk
-      |  FROM sig),
+      |  FROM sig)""".stripMargin
+
+  val m12Sql: String =
+    s"""WITH $mImageHashCtes,
+      |bsz AS (SELECT chunk, chash, COUNT(*) AS bn
+      |  FROM ch GROUP BY chunk, chash),
       |cand AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
       |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
       |  FROM ch a JOIN ch b
       |    ON a.chunk = b.chunk AND a.chash = b.chash
-      |   AND a.media_id < b.media_id),
+      |   AND a.media_id < b.media_id
+      |  JOIN bsz s ON s.chunk = a.chunk AND s.chash = a.chash
+      |  WHERE s.bn <= 256),
       |p AS (SELECT a_id, b_id, hamming FROM (
       |  SELECT a_id, b_id,
       |    CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT)
@@ -2415,13 +2540,22 @@ object TrainingQueries {
     * signature index
     * ([[graft.streaming.DedupStream.processSignatureBatch]]:
     * chunk-collision candidates + exact hamming verify, per-batch
-    * overwrite crash safety), and the accumulated pair set —
-    * batch-split invariant ([[graft.dedup.Dedup.hammingPairsFromIndexes]]
-    * Scaladoc) — reproduces m12's one-shot answer, so the oracle is
-    * m12's count gate unchanged. At 100 TB this is how an image
-    * corpus is actually deduplicated: every image decoded exactly
-    * once on arrival, the rolling index holding signatures, never
-    * pixels. */
+    * overwrite crash safety). Like m12, the shipped path runs the
+    * hot-bucket cap (`maxBucketSize = 256`) — and under streaming the
+    * cap is PREFIX-DEPENDENT ([[graft.dedup.Dedup.hammingPairsFromIndexes]]
+    * Scaladoc): each batch's hot-bucket test sees committed-index +
+    * batch, so a pair emits iff SOME shared chunk bucket is within
+    * the cap at the LATER member's arrival. Because signatures are
+    * static (a pair report, no survivor feedback), that rule is still
+    * a closed-form function of the arrival split (media_id % 3): the
+    * oracle computes per-bucket CUMULATIVE member counts by arrival
+    * slice and admits a candidate when the count at
+    * greatest(arr_a, arr_b) is ≤ 256 — bit-reproducing the streamed
+    * capped set rather than pretending batch-split invariance the cap
+    * breaks. At 100 TB this is how an image corpus is actually
+    * deduplicated: every image decoded exactly once on arrival, the
+    * rolling index holding signatures, never pixels, hot buckets
+    * bounded at every join. */
   def m13StreamImageNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.Multimodal
     val base = tempDirCleanedOnExit("graft_m13")
@@ -2433,7 +2567,7 @@ object TrainingQueries {
     val in = sharedArrivalSlices(s, d, "media", media, "media_id", 3)
     val q = graft.streaming.DedupStream.signatureIngest(s, in,
         media.schema, idx, pairsDir, ckpt, "media_id", "sig",
-        maxHamming = 16) { batch =>
+        maxHamming = 16, maxBucketSize = Some(256)) { batch =>
       import s.implicits._
       Multimodal.imageAHash(batch.as[Multimodal.MediaRecord], side = 8)
         .select(col("media_id"),
@@ -2458,9 +2592,40 @@ object TrainingQueries {
         col("n_planted_total"))
   }
 
-  // oracle: m12's — batch-split invariance makes the streamed ingest's
-  // accumulated pair set equal the one-shot chunk-join's
-  val m13Sql: String = m12Sql
+  /** The m13 oracle: the shared hash CTEs, then the PREFIX-capped
+    * candidate rule — `cum` is each bucket's cumulative member count
+    * by arrival slice, and a candidate pair is admitted through a
+    * bucket only if that bucket's count at the later member's slice
+    * is within the cap (the exact test the streamed per-batch join
+    * performs; see m13's Scaladoc). */
+  val m13Sql: String =
+    s"""WITH $mImageHashCtes,
+      |chb AS (SELECT media_id, lo, hi, chunk, chash,
+      |    media_id % 3 AS arr FROM ch),
+      |cum AS (SELECT chunk, chash, arr,
+      |    SUM(COUNT(*)) OVER (PARTITION BY chunk, chash ORDER BY arr)
+      |      AS cn
+      |  FROM chb GROUP BY chunk, chash, arr),
+      |cand AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+      |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+      |  FROM chb a JOIN chb b
+      |    ON a.chunk = b.chunk AND a.chash = b.chash
+      |   AND a.media_id < b.media_id
+      |  JOIN cum c ON c.chunk = a.chunk AND c.chash = a.chash
+      |   AND c.arr = greatest(a.arr, b.arr)
+      |  WHERE c.cn <= 256),
+      |p AS (SELECT a_id, b_id, hamming FROM (
+      |  SELECT a_id, b_id,
+      |    CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT)
+      |      AS hamming
+      |  FROM cand)
+      |  WHERE hamming <= 16)
+      |SELECT COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN b_id = a_id + 10000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_planted_found,
+      |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+      |    AS n_planted_total
+      |FROM p""".stripMargin
 
   /** c10: Bloom-gated decontamination — same contamination semantics
     * as c03 but the scale path: a fixed-size Bloom filter of the eval
@@ -3296,6 +3461,7 @@ object TrainingQueries {
     ("d15_containment_lsh", d15ContainmentLsh _, Some(d15Sql)),
     ("d15b_containment_recall_gate", d15bContainmentRecallGate _, Some(d15bSql)),
     ("d17_stream_containment", d17StreamContainment _, Some(d17Sql)),
+    ("d18_stream_dedup", d18StreamDedup _, Some(d18Sql)),
     ("d16_incremental_containment", d16IncrementalContainment _, Some(d16Sql)),
     ("d14_substring_dedup", d14SubstringDedup _, Some(d14Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
