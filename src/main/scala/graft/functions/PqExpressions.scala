@@ -109,6 +109,22 @@ object PqKernels {
     Array.tabulate(m, k, sub)((j, c, i) =>
       ((j * 37L + c * 8191L + i * 127L + 11L) % 2000001L) - 1000000L)
 
+  /** [[portableCodebook]] with the affine term spread by a large prime
+    * before the mod. The original formula never wraps at small (m, k,
+    * sub) — every component lands in [−10⁶, −0.94·10⁶], all k code
+    * centroids nearly coincide, and near-centered RESIDUALS all encode
+    * to the same argmin code (an information-free codebook; harmless
+    * for the oracle twins s08/s10/s12, which only pin arithmetic, but
+    * useless as a SERVING index). ×104729 wraps the term many times
+    * over, spreading components across the full ±10⁶ range, so codes
+    * actually partition residual space — while staying just as
+    * deterministic and engine-reproducible (s17's oracle embeds the
+    * same literals). */
+  def portableCodebookSpread(m: Int, k: Int, sub: Int): Array[Array[Array[Long]]] =
+    Array.tabulate(m, k, sub)((j, c, i) =>
+      (((j * 37L + c * 8191L + i * 127L + 11L) * 104729L) % 2000001L)
+        - 1000000L)
+
   /** Integer-exact portable PQ encode: floor(x·10⁶) quantization,
     * int64 squared-L2 per subspace, strict < argmin (ties → lowest
     * code) — the kernel twin of the declarative

@@ -1514,6 +1514,153 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s16: INCREMENTAL publish — the routine republish cadence of a
+    * streamed index at 100 TB. A full [[graft.streaming.AnnStream
+    * .publishIndex]] re-shuffles the whole raw tree every time;
+    * [[graft.streaming.AnnStream.publishIndexDelta]] folds only the
+    * batches newer than the published watermark into their AFFECTED
+    * cells (read delta partitions + affected published cells, both
+    * partition-pruned; rewrite exactly those cell dirs through the
+    * per-cell rename-aside protocol; bump the watermark sidecar
+    * last). Here: batches 0–1 publish in full, then the delta fold
+    * brings in batches 2–3 — and the served answer must be
+    * bit-identical to serving the raw tree (s13's oracle), because
+    * a publish, full or incremental, is a pure relayout.
+    * tools.IngestProbe's publish cell pins the cost claim: delta
+    * fold wall scales with the delta, not the corpus. */
+  def s16IncrementalPublish(s: SparkSession, d: String): DataFrame = {
+    val (idx, cen) = sharedIvfIngest(s, d)
+    val pub = tempDirCleanedOnExit("graft_s16").resolve("serving").toString
+    graft.streaming.AnnStream.publishIndex(s, idx, pub, upToBatch = Some(1L))
+    graft.streaming.AnnStream.publishIndexDelta(s, idx, pub)
+    serveIvfTop3(s, d, pub, cen)
+  }
+
+  // oracle: s13's — a publish (full or incremental) is a pure
+  // relayout of the same row set
+  def s16Sql: String = s13Sql
+
+  /** s17: the PQ-CODED serving form of the streamed index — the shape
+    * a 100 TB deployment actually serves from. The raw ingest tree's
+    * dim-long quantized vectors publish as m-byte RESIDUAL codes per
+    * row ([[graft.streaming.AnnStream.publishPqIndex]]: residual vs
+    * the frozen batch-0 centroid, encoded against the deterministic
+    * portable codebook stored beside the centroids — both models
+    * frozen, so the coded tree is a pure function of the raw tree),
+    * and a query ADC-shortlists against ONLY its probed cells' code
+    * rows, then re-ranks the shortlist by exact integer L2 against
+    * the raw vector source ([[graft.streaming.AnnStream.pqServeTopK]]
+    * — s10's two-stage architecture composed with s13's frozen
+    * quantizer and s14's published layout). Integer-exact end to
+    * end: DuckDB re-derives the frozen centroids, every residual
+    * code, the probe order, the ADC sums, the shortlist and the
+    * final ranks bit-for-bit. */
+  def s17PqCodedServe(s: SparkSession, d: String): DataFrame = {
+    val (idx, cen) = sharedIvfIngest(s, d)
+    val coded = tempDirCleanedOnExit("graft_s17").resolve("coded").toString
+    graft.streaming.AnnStream.publishPqIndex(s, idx, cen, coded, "vec_id",
+      m = 8, k = 8)
+    graft.streaming.AnnStream.pqServeTopK(s, coded, cen,
+        vectors = Tables.embeddings(s, d).select("vec_id", "embedding"),
+        queries = Tables.embeddings(s, d).select("vec_id", "embedding")
+          .filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 8, k = 8, nprobe = 2,
+        shortlist = 20, topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The s17 oracle: the frozen-quantizer CTEs (train on slice 0),
+    * then s12's residual-code + distance-table machinery against the
+    * FROZEN centroids `c2` and full assignment `a3`, then s10's exact
+    * rerank over the shortlist. */
+  val s17Sql: String = {
+    val dim = 64; val m = 8; val k = 8; val sub = 8
+    val nprobe = 2; val shortlist = 20; val topK = 5
+    // the SPREAD serving codebook (codes must partition residual
+    // space, not just pin arithmetic) — embedded as literals, so the
+    // oracle follows whichever deterministic table the engine uses
+    val cb = Ann.portablePqCodebookSpread(m, k, sub)
+    val cbAll = cb.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    def dist(qRef: String, cRef: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, ${dim + 1}),
+         |              i -> ($qRef[i] - $cRef[i]) * ($qRef[i] - $cRef[i]))),
+         |            (acc, x) -> acc + x)""".stripMargin
+    def distsR(j: Int) = {
+      val lits = cb(j).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""list_transform(range(0, $k), c ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, ${sub + 1}), i ->
+         |      (r[${j * sub} + i] - ($lits)[c + 1][i])
+         |      * (r[${j * sub} + i] - ($lits)[c + 1][i]))),
+         |    (acc, x) -> acc + x))""".stripMargin
+    }
+    val dCols = (0 until m).map(j => s"(${distsR(j)}) AS d$j").mkString(",\n  ")
+    val codesArr = (0 until m)
+      .map(j => s"CAST(list_position(d$j, list_min(d$j)) - 1 AS INTEGER)")
+      .mkString("[", ", ", "]")
+    s"""WITH ${duckPkmeansCtesTrained("vec_id % 4 = 0")},
+       |resid AS (
+       |  SELECT a3.vec_id, a3.cell,
+       |    list_transform(range(1, ${dim + 1}), i -> a3.q[i] - c2.c[i]) AS r
+       |  FROM a3 JOIN c2 ON a3.cell = c2.cell),
+       |codes AS (
+       |  SELECT vec_id, cell, unnest(range(0, $m)) AS j,
+       |    unnest($codesArr) AS code
+       |  FROM (SELECT vec_id, cell, $dCols FROM resid)),
+       |qs AS (SELECT vec_id AS query_id, q FROM q0 WHERE vec_id < 10),
+       |probe AS (
+       |  SELECT query_id, cell,
+       |    list_transform(range(1, ${dim + 1}), i -> q[i] - c[i]) AS qr
+       |  FROM (
+       |    SELECT qs.query_id, c2.cell, qs.q, c2.c,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY ${dist("qs.q", "c2.c")}, c2.cell) AS rn
+       |    FROM qs CROSS JOIN c2)
+       |  WHERE rn <= $nprobe),
+       |dtab AS (
+       |  SELECT query_id, cell, jc.j AS j, jc.c AS code,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${sub + 1}), i ->
+       |        (qr[jc.j * $sub + i] - ($cbAll)[jc.j + 1][jc.c + 1][i])
+       |        * (qr[jc.j * $sub + i] - ($cbAll)[jc.j + 1][jc.c + 1][i]))),
+       |      (acc, x) -> acc + x) AS dcell
+       |  FROM probe CROSS JOIN (
+       |    SELECT j, c FROM (SELECT unnest(range(0, $m)) AS j)
+       |    CROSS JOIN (SELECT unnest(range(0, $k)) AS c)) jc),
+       |adc AS (
+       |  SELECT query_id, vec_id, CAST(SUM(dcell) AS BIGINT) AS adc
+       |  FROM codes JOIN dtab ON codes.cell = dtab.cell
+       |    AND codes.j = dtab.j AND codes.code = dtab.code
+       |  WHERE query_id <> vec_id
+       |  GROUP BY query_id, vec_id),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc, vec_id) AS rn
+       |    FROM adc)
+       |  WHERE rn <= $shortlist),
+       |exact AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${dim + 1}),
+       |        i -> (qq.q[i] - cv.q[i]) * (qq.q[i] - cv.q[i]))),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM short s JOIN q0 cv ON cv.vec_id = s.vec_id
+       |  JOIN qs qq ON qq.query_id = s.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS neighbor_id, d2
+       |FROM (
+       |  SELECT query_id, vec_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, vec_id) AS rank
+       |  FROM exact)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val s15Sql: String =
     s"""WITH ${duckPkmeansCtesTrained("vec_id % 4 = 0")},
        |qc AS (
@@ -3493,6 +3640,8 @@ object TrainingQueries {
     ("s13_stream_ivf", s13StreamIvfIngest _, Some(s13Sql)),
     ("s14_published_serve", s14PublishedServe _, Some(s14Sql)),
     ("s15_nprobe_serve", s15NprobeServe _, Some(s15Sql)),
+    ("s16_incremental_publish", s16IncrementalPublish _, Some(s16Sql)),
+    ("s17_pq_coded_serve", s17PqCodedServe _, Some(s17Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),

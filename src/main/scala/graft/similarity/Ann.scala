@@ -552,6 +552,14 @@ object Ann {
     graft.functions.PqKernels.portableCodebook(m, k, sub)
       .map(_.map(_.toSeq).toSeq).toSeq
 
+  /** The SPREAD deterministic codebook
+    * ([[graft.functions.PqKernels.portableCodebookSpread]]) — the one
+    * to use when the codes must carry information (a serving index),
+    * not merely pin arithmetic (the oracle twins). */
+  def portablePqCodebookSpread(m: Int, k: Int, sub: Int): Seq[Seq[Seq[Long]]] =
+    graft.functions.PqKernels.portableCodebookSpread(m, k, sub)
+      .map(_.map(_.toSeq).toSeq).toSeq
+
   /** Portable PQ encode + reconstruction error — the oracle twin that
     * pins the quantize→slice→distance→argmin machinery with INTEGER-
     * exact arithmetic (floor(x·10⁶) quantization, int64 squared-L2,
@@ -598,8 +606,14 @@ object Ann {
     * would lose exactness). Declarative argmin per subspace, first-min
     * tie-break = lowest code. */
   private[graft] def portablePqEncodeIntCodes(qvec: Column, m: Int,
-      k: Int, sub: Int): Column = {
-    val cb = portablePqCodebook(m, k, sub)
+      k: Int, sub: Int): Column =
+    portablePqEncodeIntCodes(qvec, m, k, sub, portablePqCodebook(m, k, sub))
+
+  /** [[portablePqEncodeIntCodes]] against a caller-chosen codebook
+    * (the spread serving codebook, a trained one rendered to int —
+    * any deterministic `m × k × sub` table). */
+  private[graft] def portablePqEncodeIntCodes(qvec: Column, m: Int,
+      k: Int, sub: Int, cb: Seq[Seq[Seq[Long]]]): Column = {
     val best = (0 until m).map { j =>
       val qsub = slice(qvec, j * sub + 1, sub)
       val scored = array((0 until k).map { c =>

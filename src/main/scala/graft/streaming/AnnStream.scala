@@ -158,15 +158,155 @@ object AnnStream {
     * from either layout (AnnStreamSpec pins both the equality and
     * the per-cell file count). Republish goes through the crash-safe
     * rename-aside swap ([[graft.operators.Sinks.overwriteViaSwap]])
-    * so a complete serving tree exists on disk at every instant. */
+    * so a complete serving tree exists on disk at every instant.
+    *
+    * `upToBatch` bounds the fold to `batch_id <= upToBatch` (the
+    * publish-while-ingest-continues cadence); the published watermark
+    * sidecar records the highest folded batch either way, which is
+    * what lets [[publishIndexDelta]] later fold ONLY newer batches. */
   def publishIndex(spark: SparkSession, indexPath: String,
-      servingPath: String): Unit = {
+      servingPath: String, upToBatch: Option[Long] = None): Unit = {
     graft.operators.Sinks.recoverSwap(spark, servingPath)
+    val raw = spark.read.parquet(indexPath)
+    val bounded = upToBatch.fold(raw)(b => raw.filter(col("batch_id") <= b))
+    // partition-column inference may type batch_id/cell as int32 —
+    // pin long before driver-side getLong
+    val maxB = bounded.agg(max(col("batch_id")).cast(LongType))
+      .collect()(0).getLong(0)
     graft.operators.Sinks.overwriteViaSwap(spark,
-      spark.read.parquet(indexPath)
+      bounded
         .drop("batch_id")
         .repartition(col("cell")), // whole cells co-locate → 1 file/cell
       servingPath, Seq("cell"))
+    writePubWatermark(spark, servingPath, maxB)
+  }
+
+  /** INCREMENTAL publish: fold only the raw batches NEWER than the
+    * published watermark into their affected cells. A full
+    * [[publishIndex]] re-reads and re-shuffles the whole raw tree —
+    * O(corpus) at every publish cadence; at 100 TB the routine
+    * republish must instead cost O(delta + affected inverted lists):
+    * read the new `batch_id` partitions (partition-pruned), collect
+    * the affected cell ids (model-sized — ≤ the cell count), read
+    * ONLY those cells from the published tree (partition-pruned),
+    * merge, and rewrite exactly those cell directories. Cells the
+    * delta never touched are not read, not shuffled, not rewritten.
+    *
+    * Crash safety mirrors [[graft.operators.Sinks.bucketedUpsert]],
+    * scoped to cells with distinct `_dnext`/`_dold` suffixes (so
+    * debris is never confused with a full publish's `_next`/`_old`):
+    * merged cells materialize under `_dnext`, live cell dirs are set
+    * aside under `_dold`, staged dirs promote, `_dnext` drops first
+    * (the commit marker), the watermark bumps LAST. An interrupted
+    * call is repaired on the next call's entry, and a replay is
+    * idempotent: the merge anti-joins the published rows against the
+    * delta's ids, so delta rows already promoted by the crashed
+    * attempt are replaced, never duplicated. */
+  def publishIndexDelta(spark: SparkSession, indexPath: String,
+      servingPath: String, idCol: String = "vec_id"): Unit = {
+    val hServing = new org.apache.hadoop.fs.Path(servingPath)
+    val fs = hServing.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCellPublish(fs, servingPath)
+    graft.operators.Sinks.recoverSwap(spark, servingPath)
+    graft.operators.Sinks.recoverSwap(spark, servingPath + "_pubmeta")
+    // no tree, or a tree without its watermark (a full publish that
+    // crashed between swap and sidecar): the fold point is unknown —
+    // fall back to the full fold, which (re)writes both
+    if (!fs.exists(hServing) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(servingPath + "_pubmeta"))) {
+      publishIndex(spark, indexPath, servingPath); return
+    }
+    val wm = readPubWatermark(spark, servingPath)
+    val raw = spark.read.parquet(indexPath)
+    val delta = raw.filter(col("batch_id") > wm).drop("batch_id").cache()
+    try {
+      // model-sized driver state: ≤ cells ids + one max
+      val affected = delta.select(col("cell").cast(LongType)).distinct()
+        .collect().map(_.getLong(0).toString).sorted
+      if (affected.isEmpty) return
+      val maxB = raw.agg(max(col("batch_id")).cast(LongType))
+        .collect()(0).getLong(0)
+      val existing = spark.read.parquet(servingPath)
+        .filter(col("cell").isin(affected.map(_.toLong): _*)) // pruned scan
+      val merged = existing
+        .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
+        .unionByName(delta)
+      val next = new org.apache.hadoop.fs.Path(servingPath + "_dnext")
+      val old = new org.apache.hadoop.fs.Path(servingPath + "_dold")
+      merged.repartition(col("cell")).write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(next.toString)
+      if (fs.exists(old) && !fs.delete(old, true))
+        throw new java.io.IOException(s"delta publish: cannot clear $old")
+      if (!fs.mkdirs(old))
+        throw new java.io.IOException(s"delta publish: cannot stage $old")
+      affected.foreach { c =>
+        val live = new org.apache.hadoop.fs.Path(servingPath, s"cell=$c")
+        val staged = new org.apache.hadoop.fs.Path(next, s"cell=$c")
+        if (fs.exists(live) &&
+            !fs.rename(live, new org.apache.hadoop.fs.Path(old, s"cell=$c")))
+          throw new java.io.IOException(s"delta publish: cannot set aside $live")
+        if (fs.exists(staged) && !fs.rename(staged, live))
+          throw new java.io.IOException(s"delta publish: cannot promote $staged")
+      }
+      // `_dnext` is the commit marker: drops first, mandatorily — see
+      // repairCellPublish for why `_dold` without `_dnext` must only
+      // ever be deleted, never rolled back
+      if (!fs.delete(next, true))
+        throw new java.io.IOException(s"delta publish: cannot clear $next")
+      fs.delete(old, true) // best-effort; repair clears completed debris
+      writePubWatermark(spark, servingPath, maxB)
+    } finally delta.unpersist()
+  }
+
+  /** Repair an interrupted [[publishIndexDelta]]: `_dnext` still on
+    * disk means the crashed call never reached its commit point — any
+    * live cell dir it set aside but did not re-promote is restored
+    * (staged copy preferred; the set-aside original otherwise), then
+    * both staging dirs drop. `_dold` WITHOUT `_dnext` is debris of a
+    * COMPLETED publish whose best-effort cleanup failed — only
+    * deleted (the [[graft.operators.Sinks.bucketedUpsert]] rule). */
+  private def repairCellPublish(fs: org.apache.hadoop.fs.FileSystem,
+      servingPath: String): Unit = {
+    val next = new org.apache.hadoop.fs.Path(servingPath + "_dnext")
+    val old = new org.apache.hadoop.fs.Path(servingPath + "_dold")
+    val midSwap = fs.exists(next)
+    if (fs.exists(old)) {
+      if (midSwap) {
+        fs.listStatus(old).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("cell=")).foreach { s =>
+          val live = new org.apache.hadoop.fs.Path(servingPath, s.getPath.getName)
+          if (!fs.exists(live)) {
+            val staged = new org.apache.hadoop.fs.Path(next, s.getPath.getName)
+            val src = if (fs.exists(staged)) staged else s.getPath
+            if (!fs.rename(src, live))
+              throw new java.io.IOException(s"publish repair: cannot restore $live")
+          }
+        }
+      }
+      if (!fs.delete(old, true))
+        throw new java.io.IOException(s"publish repair: cannot clear $old")
+    }
+    if (midSwap && !fs.delete(next, true))
+      throw new java.io.IOException(s"publish repair: cannot clear $next")
+  }
+
+  /** The published tree's watermark — the highest raw `batch_id`
+    * folded in — as a one-row sidecar parquet beside the tree
+    * (`<servingPath>_pubmeta`, swap-maintained). O(1) to read at any
+    * index size; [[publishIndexDelta]]'s whole cost model hangs off
+    * knowing the fold point without scanning the index. */
+  private def writePubWatermark(spark: SparkSession, servingPath: String,
+      batchId: Long): Unit = {
+    import spark.implicits._
+    graft.operators.Sinks.overwriteViaSwap(spark,
+      Seq(batchId).toDF("last_batch").coalesce(1), servingPath + "_pubmeta")
+  }
+
+  private def readPubWatermark(spark: SparkSession,
+      servingPath: String): Long = {
+    graft.operators.Sinks.recoverSwap(spark, servingPath + "_pubmeta")
+    spark.read.parquet(servingPath + "_pubmeta")
+      .agg(max(col("last_batch"))).collect()(0).getLong(0)
   }
 
   /** Serve exact-integer top-k from the STORED index: assign the query
@@ -192,5 +332,127 @@ object AnnStream {
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol), col("q"), col("cell").cast(LongType).as("cell"))
     Ann.integerTopK(index, q, idCol, "cell", topK)
+  }
+
+  /** Publish the raw ingest tree as a PQ-CODED serving index — the
+    * 100 TB serving form: each stored row keeps only the `m` codes of
+    * its RESIDUAL (quantized vector − frozen cell centroid, the FAISS
+    * `IVFPQ` layout s12 pins in batch form) instead of the dim-long
+    * quantized vector — m bytes-scale vs dim·8, the ~32× compression
+    * that lets the probed inverted lists stay in page cache. The
+    * codebook is the deterministic SPREAD one
+    * ([[Ann.portablePqCodebookSpread]] — components cover the full
+    * ±10⁶ range, so codes genuinely partition residual space) — a
+    * frozen model by construction, like the batch-0 centroids it sits
+    * beside — so the coded tree is a pure function of the raw tree
+    * and DuckDB re-derives every code (s17's oracle). One shuffle by cell, one file per inverted list,
+    * republish through the rename-aside swap: exactly
+    * [[publishIndex]]'s lifecycle with an encode in the fold. */
+  def publishPqIndex(spark: SparkSession, indexPath: String,
+      centroidsPath: String, codedPath: String, idCol: String,
+      m: Int, k: Int): Unit = {
+    val cents = readCentroids(spark, centroidsPath)
+    val dim = cents.head.length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val cb = Ann.portablePqCodebookSpread(m, k, dim / m)
+    val centLit = typedLit(cents.map(_.toSeq))
+    graft.operators.Sinks.recoverSwap(spark, codedPath)
+    graft.operators.Sinks.overwriteViaSwap(spark,
+      spark.read.parquet(indexPath)
+        .drop("batch_id")
+        .withColumn("r", zip_with(col("q"),
+          element_at(centLit, (col("cell") + 1).cast(IntegerType)),
+          (a, b) => a - b))
+        .select(col(idCol),
+          Ann.portablePqEncodeIntCodes(col("r"), m, k, dim / m, cb)
+            .as("codes"),
+          col("cell"))
+        .repartition(col("cell")),
+      codedPath, Seq("cell"))
+  }
+
+  /** Serve top-k from the PQ-CODED tree: probe `nprobe` cells under
+    * the frozen centroids, ADC-shortlist against ONLY the probed
+    * cells' code rows, then re-rank the shortlist by exact integer
+    * squared L2 against the raw vector source (at 100 TB: a point
+    * lookup into the vector store — the shortlist is |queries|·
+    * `shortlist` ids, broadcast-sized). The per-(query, probed cell)
+    * distance table is driver-built over the query's OWN residual in
+    * that cell (|Q|·nprobe·m·k rows, broadcast) — the corpus side
+    * never ships anything but its code rows. Integer-exact end to
+    * end with ties to the lower id, so the full pipeline — probe
+    * order, codes, ADC sums, shortlist, final ranks — is
+    * bit-reproducible (s17's oracle re-derives it in DuckDB). */
+  def pqServeTopK(spark: SparkSession, codedPath: String,
+      centroidsPath: String, vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int, nprobe: Int,
+      shortlist: Int, topK: Int): DataFrame = {
+    require(shortlist >= topK, "shortlist must cover topK")
+    import spark.implicits._
+    val cents = readCentroids(spark, centroidsPath)
+    val dim = cents.head.length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val cb = Ann.portablePqCodebookSpread(m, k, sub)
+    // query-side model-sized driver work: quantize, rank cells under
+    // the frozen centroids, per probed cell the residual's distance
+    // to every code centroid
+    val qrows = queries
+      .select(col(idCol).cast(LongType),
+        transform(col(vecCol).cast(ArrayType(DoubleType)),
+          x => floor(x * 1000000d).cast(LongType)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dtab = qrows.flatMap { case (qid, qv) =>
+      val byDist = cents.zipWithIndex.map { case (cv, cell) =>
+        var d = 0L; var i = 0
+        while (i < dim) { val t = qv(i) - cv(i); d += t * t; i += 1 }
+        (d, cell)
+      }.sorted.take(nprobe)
+      byDist.flatMap { case (_, cell) =>
+        val qr = Array.tabulate(dim)(i => qv(i) - cents(cell)(i))
+        for (j <- 0 until m; c <- 0 until k) yield {
+          var d = 0L; var i = 0
+          while (i < sub) {
+            val t = qr(j * sub + i) - cb(j)(c)(i); d += t * t; i += 1
+          }
+          (qid, cell.toLong, j, c, d)
+        }
+      }
+    }.toSeq.toDF("query_id", "cell", "j", "code", "dcell")
+    val probed = dtab.select("cell").distinct()
+      .collect().map(_.getLong(0)) // ≤ |queries|·nprobe, model-sized
+    // probed cells only: partition-directory pruning on `cell=`
+    val codes = spark.read.parquet(codedPath)
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol).as("vec_id"), col("codes"),
+        col("cell").cast(LongType).as("cell"))
+      .select(col("vec_id"), col("cell"), posexplode(col("codes")))
+      .toDF("vec_id", "cell", "j", "code")
+    val adc = codes.join(broadcast(dtab), Seq("cell", "j", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dcell").as("adc"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "vec_id")
+    // exact second pass: the shortlist (broadcast-sized) joins the
+    // raw vector source by id — the PQ serving architecture's point-
+    // lookup rerank
+    val cq = vectors.select(col(idCol).as("vec_id"),
+      transform(col(vecCol).cast(ArrayType(DoubleType)),
+        x => floor(x * 1000000d).cast(LongType)).as("cv"))
+    val qdf = qrows.toSeq.toDF("query_id", "qv")
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    cq.join(broadcast(short), "vec_id").join(broadcast(qdf), "query_id")
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(wFinal).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("d2"))
   }
 }

@@ -246,4 +246,163 @@ class AnnStreamSpec extends SparkSpec {
     assert(ids.length == ids.distinct.length)
     assert(ids.length == e.count())
   }
+
+  private def servingRows(path: String) = spark.read.parquet(path)
+    .select($"vec_id", $"cell".cast("long")).as[(Long, Long)]
+    .collect().toSet
+
+  /** (fileName, mtime) per cell dir of a published tree — the probe
+    * that proves which inverted lists a publish physically touched. */
+  private def cellFileStamps(path: String): Map[String, Set[(String, Long)]] =
+    new java.io.File(path).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet)
+      .toMap
+
+  test("incremental publish rewrites only the delta's cells and matches the full fold") {
+    val e = emb.cache()
+    val indexPath = tmp("asi_idx") + "/index"
+    val centroidsPath = tmp("asi_cen") + "/centroids"
+    // batch 0: everything except two chosen vectors; trains + freezes
+    AnnStream.processIvfBatch(e.filter($"vec_id" >= 2), 0L, indexPath,
+      centroidsPath, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val servingPath = tmp("asi_pub") + "/serving"
+    AnnStream.publishIndex(spark, indexPath, servingPath)
+    val before = cellFileStamps(servingPath)
+    assert(before.size > 1, "need multiple cells for a non-vacuous test")
+
+    // batch 1 delivers the two held-out vectors → their cells only
+    AnnStream.processIvfBatch(e.filter($"vec_id" < 2), 1L, indexPath,
+      centroidsPath, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val deltaCells = spark.read.parquet(s"$indexPath/batch_id=1")
+      .inputFiles.map(_.split("/").reverse(1)).toSet // cell=N dir names
+    assert(deltaCells.size < before.size,
+      s"delta touches all cells — test vacuous: $deltaCells")
+    Thread.sleep(1100) // mtime granularity: untouched-file proof needs a gap
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+
+    // row set equals a from-scratch full fold
+    assert(servingRows(servingPath) == servingRows(indexPath))
+    // cells outside the delta kept their exact files (name AND mtime);
+    // delta cells were rewritten
+    val after = cellFileStamps(servingPath)
+    before.foreach { case (cell, stamps) =>
+      if (deltaCells.contains(cell)) assert(after(cell) != stamps,
+        s"$cell was in the delta but kept stale files")
+      else assert(after(cell) == stamps, s"$cell rewritten outside the delta")
+    }
+    // still one file per inverted list
+    after.values.foreach(s => assert(s.size == 1))
+
+    // a second delta fold with no new batches is a complete no-op
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+    assert(cellFileStamps(servingPath) == after)
+
+    // and serving from the incrementally-maintained tree matches raw
+    def serve(path: String) = AnnStream.ivfServeTopK(spark, path,
+        centroidsPath, e.filter($"vec_id" < 10), "vec_id", "embedding",
+        topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(serve(servingPath) == serve(indexPath))
+  }
+
+  test("a delta publish interrupted mid-promote repairs on the next call") {
+    val e = emb.filter($"vec_id" < 200).cache()
+    val indexPath = tmp("asx_idx") + "/index"
+    val centroidsPath = tmp("asx_cen") + "/centroids"
+    AnnStream.processIvfBatch(e.filter($"vec_id" >= 2), 0L, indexPath,
+      centroidsPath, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val servingPath = tmp("asx_pub") + "/serving"
+    AnnStream.publishIndex(spark, indexPath, servingPath)
+    AnnStream.processIvfBatch(e.filter($"vec_id" < 2), 1L, indexPath,
+      centroidsPath, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+
+    // simulate the worst crash window: a live cell was set aside under
+    // _dold, its staged replacement still sits in _dnext, the live dir
+    // is GONE, and the watermark never advanced
+    val someCell = new java.io.File(servingPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val dold = new java.io.File(servingPath + "_dold", someCell.getName)
+    val dnext = new java.io.File(servingPath + "_dnext", someCell.getName)
+    dold.getParentFile.mkdirs(); dnext.getParentFile.mkdirs()
+    java.nio.file.Files.move(someCell.toPath, dold.toPath)
+    java.nio.file.Files.createDirectories(dnext.toPath)
+    java.nio.file.Files.copy(dold.toPath.resolve(
+        dold.list().filter(_.endsWith(".parquet")).head),
+      dnext.toPath.resolve("part-repair.parquet"))
+
+    // next call's entry repair restores a complete tree, then the
+    // replayed delta (watermark still old) folds in idempotently
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+    assert(servingRows(servingPath) == servingRows(indexPath))
+    assert(!new java.io.File(servingPath + "_dold").exists())
+    assert(!new java.io.File(servingPath + "_dnext").exists())
+    val ids = spark.read.parquet(servingPath).select("vec_id").as[Long]
+      .collect().toSeq
+    assert(ids.length == ids.distinct.length, "replay duplicated rows")
+  }
+
+  test("PQ publish stores codes only; serve prunes, planted duplicate wins rank 1") {
+    val e = emb.cache()
+    // plant an exact duplicate of vec 3 under a fresh id
+    val dup = e.filter($"vec_id" === 3)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding")
+    val corpus = e.unionByName(dup)
+    val indexPath = tmp("asp_idx") + "/index"
+    val centroidsPath = tmp("asp_cen") + "/centroids"
+    AnnStream.processIvfBatch(corpus, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val codedPath = tmp("asp_pq") + "/coded"
+    AnnStream.publishPqIndex(spark, indexPath, centroidsPath, codedPath,
+      "vec_id", m = 8, k = 8)
+
+    // codes-only rows: the dim-long vector column is GONE (the ~32×
+    // compression is the point), one file per inverted list
+    val coded = spark.read.parquet(codedPath)
+    assert(coded.columns.sorted.toSeq == Seq("cell", "codes", "vec_id"))
+    assert(coded.count() == corpus.count())
+    val cellCount = coded.select("cell").distinct().count()
+    assert(coded.inputFiles.length == cellCount)
+    // the spread codebook makes codes informative: the corpus does NOT
+    // collapse onto one code word (the degenerate-codebook regression)
+    assert(coded.select("codes").distinct().count() > 10)
+
+    // nprobe = 1: within its OWN cell the duplicate's ADC is provably
+    // minimal (its codes are the per-subspace argmin for the query's
+    // residual), so it always survives the shortlist; across cells the
+    // untrained portable codebook's recon error makes ADC values
+    // incomparable enough that the guarantee would not hold
+    val queries = e.filter($"vec_id" === 3)
+    val served = AnnStream.pqServeTopK(spark, codedPath, centroidsPath,
+      vectors = corpus, queries = queries, "vec_id", "embedding",
+      m = 8, k = 8, nprobe = 1, shortlist = 20, topK = 5)
+    served.collect()
+    // scan pruning: the coded-tree scan reads ≤ probed cells' files
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allScans(r.child)
+    }.flatten
+    val scan = allScans(served.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("asp_pq")))
+    assert(scan.isDefined)
+    assert(scan.get.metrics("numFiles").value <= 1L,
+      "coded scan read more files than the probed cell")
+
+    // identical vector ⇒ identical residual ⇒ its codes attain the
+    // query's own ADC minimum ⇒ always shortlisted; the exact rerank
+    // then puts it at rank 1 with d2 = 0
+    val rows = served.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val top = rows.find(t => t._1 == 3L && t._2 == 1L).get
+    assert(top._3 == 9003L && top._4 == 0L,
+      s"planted duplicate did not win: $top")
+  }
 }
