@@ -67,6 +67,30 @@ object IngestProbe {
       (i, dt, batchDocs, indexDocs, pairs)
     }
 
+    // Survivor-rule dedup ingest (d18's DedupStream.processBatch): the
+    // MinHash survivor ingest — each batch resolves against the
+    // committed SURVIVOR index (band join right side = batch, windows
+    // over only the batch-touching pair graph), so per-batch wall must
+    // stay flat while the survivor index grows behind the batch, the
+    // same O(batch) shape as the containment cells above with the
+    // added cluster-resolution stage.
+    val dedupIdx = base.resolve("dedup_index").toString
+    val dedupPairs = base.resolve("dedup_pairs").toString
+    val dedupSurv = base.resolve("dedup_surv").toString
+    val dedupCells = (0 until slices).map { i =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(slices)) === i)
+      val batchDocs = batch.count()
+      val t0 = System.nanoTime()
+      graft.streaming.DedupStream.processBatch(batch, i.toLong, dedupIdx,
+        dedupPairs, dedupSurv, "doc_id", "text")
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val survivors = spark.read.parquet(s"$dedupSurv/batch_id=$i").count()
+      println(f"[ingest] dedup batch $i%2d  $dt%6.2f s  batch=$batchDocs%6d  " +
+        f"survivors=$survivors%6d")
+      (i, dt, batchDocs, survivors)
+    }
+
     // ANN ingest (s13's AnnStream): batch 0 trains + freezes the coarse
     // quantizer, later batches are assign-only — per-batch wall must
     // stay flat as the index grows behind the batch (the only
@@ -88,15 +112,80 @@ object IngestProbe {
       (i, dt, batchVecs)
     }
 
+    // Publish lifecycle: full fold (O(corpus) — reads and reshuffles
+    // the entire raw tree) vs incremental fold of a LOCALIZED delta
+    // ([[graft.streaming.AnnStream.publishIndexDelta]]: reads the new
+    // batch partitions plus ONLY the affected published cells,
+    // rewrites exactly those cell dirs). The honest cost claim is
+    // O(delta + affected inverted lists) — at a few-thousand-row
+    // index the delta path's fixed job count swamps the corpus scan,
+    // so this cell runs on a `pubScale`×-replicated embedding set
+    // (distinct ids, same frozen-model mechanics) where the corpus
+    // read genuinely dominates, and records ROWS alongside wall: the
+    // full fold touches every row, the delta fold touches
+    // delta + one inverted list, and that ratio is what holds at
+    // 100 TB. The delta is a small arrival landing in ONE cell
+    // (vectors drawn from a single existing cell, re-sent under
+    // fresh ids — the frozen quantizer assigns them back to the
+    // same cell).
+    val pubScale = args.lift(2).map(_.toInt).getOrElse(10)
+    // replica offset far above any source id (the 10× tree already
+    // uses +1e8-per-copy shifts — a smaller stride would collide and
+    // dropDuplicates would silently shrink the corpus)
+    val bigVecs = (0 until pubScale)
+      .map(c => vecs.select(
+        (col("vec_id") + lit(c * 10000000000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+    val pubIdx = base.resolve("pub_index").toString
+    val pubCen = base.resolve("pub_cen").toString
+    graft.streaming.AnnStream.processIvfBatch(bigVecs, 0L, pubIdx, pubCen,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    spark.catalog.clearCache()
+    val rowsTotal = spark.read.parquet(pubIdx).count()
+
+    val pubFull = base.resolve("pub_full").toString
+    val tFull0 = System.nanoTime()
+    graft.streaming.AnnStream.publishIndex(spark, pubIdx, pubFull)
+    val tFull = (System.nanoTime() - tFull0) / 1e9
+    spark.catalog.clearCache()
+
+    val oneCell = spark.read.parquet(pubIdx)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .filter(col("cell") === 0L).limit(50).select("vec_id")
+    val localized = bigVecs.join(oneCell, "vec_id")
+      .select((col("vec_id") + 7000000000000L).as("vec_id"),
+        col("embedding"))
+    val deltaRows = localized.count()
+    graft.streaming.AnnStream.processIvfBatch(localized, 1L, pubIdx,
+      pubCen, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val cellRows = spark.read.parquet(pubFull)
+      .filter(col("cell") === 0).count() // what the delta fold rereads
+    spark.catalog.clearCache()
+    val tDelta0 = System.nanoTime()
+    graft.streaming.AnnStream.publishIndexDelta(spark, pubIdx, pubFull)
+    val tDelta = (System.nanoTime() - tDelta0) / 1e9
+    val affected = 1 // by construction: the localized batch's one cell
+    println(f"[ingest] publish full $tFull%6.2f s ($rowsTotal rows)  " +
+      f"delta $tDelta%6.2f s (reads $deltaRows delta + $cellRows cell rows, " +
+      f"affected_cells=$affected/8)")
+
     def block(name: String, rows: Seq[String]) =
       rows.mkString(s""""$name":[""", ",", "]")
     val json = Seq(
       block("cells", cells.map { case (i, t, b, m, p) =>
         f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"index_docs":$m,"pairs":$p}"""
       }),
+      block("dedup_cells", dedupCells.map { case (i, t, b, sv) =>
+        f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"survivors":$sv}"""
+      }),
       block("ann_cells", annCells.map { case (i, t, b) =>
         f"""{"batch":$i,"sec":$t%.2f,"batch_vecs":$b}"""
-      })
+      }),
+      f""""publish":{"full_sec":$tFull%.2f,"delta_sec":$tDelta%.2f,""" +
+        f""""rows_total":$rowsTotal,"delta_rows":$deltaRows,""" +
+        f""""affected_cell_rows":$cellRows,"affected_cells":$affected,""" +
+        f""""cells":8,"pub_scale":$pubScale}"""
     ).mkString(s"""{"metric":"ingest_containment","slices":$slices,""",
       ",", "}")
     println(json)

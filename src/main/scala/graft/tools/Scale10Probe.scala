@@ -135,7 +135,15 @@ object Scale10Probe {
       // family's most plan-complex member; expected ~linear in the
       // two scans)
       "q58_hll_shard_merge", "q57_stream_session",
-      "q62_kll_quantile_merge")
+      "q62_kll_quantile_merge",
+      // round-12 addition: the streamed survivor-dedup ingest (a real
+      // 4-micro-batch run per invocation — the factor reads as "10×
+      // corpus through the same 4-batch arrival"). s16/s17 are NOT
+      // probed here: each would absorb the shared IVF ingest's cost
+      // depending on run order (the bench amortizes it across the
+      // family); their scale posture is pinned by IngestProbe's
+      // ann/publish cells instead.
+      "d18_stream_dedup")
 
     // rows recorded alongside seconds: a super-linear factor with a
     // matching output-row ratio is the output's cost, not the plan's
