@@ -18,12 +18,17 @@ import graft.functions.{TextOps, VectorFunctions}
   *    chunk-collision join (Hamming ≤ 3 ⇒ some 16-bit chunk equal);
   *  - embedding: cosine over pairs blocked on a coarse key.
   *
-  * Caching contract: the pair-producing operators cache their shingle/
-  * signature intermediates (each is referenced by several plan
-  * branches); because the returned DataFrame is lazy, the operator
-  * cannot know when to release them. Long-lived applications that
-  * sweep many corpora should `spark.catalog.clearCache()` between
-  * corpora (the Bench/Verify harnesses do).
+  * Caching contract: the BATCH pair producers (which compute their
+  * shingle/signature intermediates from corpus text) cache those
+  * intermediates — each is referenced by several plan branches, and
+  * because the returned DataFrame is lazy the operator cannot know
+  * when to release them. Long-lived applications that sweep many
+  * corpora should `spark.catalog.clearCache()` between corpora (the
+  * Bench/Verify harnesses do). The `…FromIndexes` INCREMENTAL
+  * producers cache NOTHING: their inputs are precomputed signature
+  * frames the caller owns, so the caller caches (and releases) them —
+  * which is what lets a streamed ingest ([[graft.streaming.DedupStream]])
+  * run indefinitely without accumulating pinned storage.
   */
 object Dedup {
 
@@ -279,10 +284,11 @@ object Dedup {
     * shingle, never N²); each undirected candidate yields both
     * directions, threshold-filtered.
     *
-    * Caching contract (as the other pair producers): the shingle and
-    * undirected-pair frames back both direction branches and are
-    * cached; callers run `spark.catalog.clearCache()` between
-    * corpora.
+    * Caching contract (as the other pair producers): the shingle
+    * frame backs the size and index branches and is cached; callers
+    * run `spark.catalog.clearCache()` between corpora. (The directed
+    * rows come from one inline pass — the pair frame itself is never
+    * re-scanned, so it is not cached.)
     *
     * `maxDocFreq` is the same bounded-join escape hatch as
     * [[ngramJaccardPairs]]' (Scale10Probe: this family's Σdf² term is
@@ -309,12 +315,13 @@ object Dedup {
         .withColumnRenamed("n_sh", "na"), "a_id")
       .join(sizes.withColumnRenamed(idCol, "b_id")
         .withColumnRenamed("n_sh", "nb"), "b_id")
-      .cache()
-    pairs.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
-        (col("inter") / col("na")).as("containment"))
-      .unionByName(pairs.select(col("b_id").as("src_id"),
-        col("a_id").as("dst_id"),
-        (col("inter") / col("nb")).as("containment")))
+    // both directions inline from one pass over the undirected pairs
+    // — the pair frame is NOT cached (nothing re-scans it)
+    pairs.select(inline(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          (col("inter") / col("na")).as("containment")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          (col("inter") / col("nb")).as("containment")))))
       .filter(col("containment") >= threshold)
   }
 
@@ -516,19 +523,19 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .select(col("a_id"), col("b_id"), col("inter"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
-      .cache()
-    // withSizes: append the directed pair's shingle-set sizes
-    // (n_src, n_dst) — consumers implementing a survivor rule (drop
-    // the contained-smaller side, c24's quote-removal stage) need
-    // them, and they are already on the scored frame for free
-    val directed = scored.select(col("a_id").as("src_id"),
-        col("b_id").as("dst_id"),
-        (col("inter") / col("na")).as("containment"),
-        col("na").as("n_src"), col("nb").as("n_dst"))
-      .unionByName(scored.select(col("b_id").as("src_id"),
-        col("a_id").as("dst_id"),
-        (col("inter") / col("nb")).as("containment"),
-        col("nb").as("n_src"), col("na").as("n_dst")))
+    // both directions come from ONE pass over the scored pairs
+    // (inline of a two-struct array) — no cached frame backing two
+    // union branches, so nothing here pins storage. withSizes: append
+    // the directed pair's shingle-set sizes (n_src, n_dst) —
+    // consumers implementing a survivor rule (drop the
+    // contained-smaller side, c24's quote-removal stage) need them.
+    val directed = scored.select(inline(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          (col("inter") / col("na")).as("containment"),
+          col("na").as("n_src"), col("nb").as("n_dst")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          (col("inter") / col("nb")).as("containment"),
+          col("nb").as("n_src"), col("na").as("n_dst")))))
       .filter(col("containment") >= threshold)
     if (withSizes) directed else directed.drop("n_src", "n_dst")
   }
@@ -580,11 +587,16 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val rows = k / bands
+    // NO internal caching: the combined frame backs three plan
+    // branches (band join + two verify joins), so callers that pass
+    // computed (non-parquet-backed) indexes should cache THEIR frames
+    // — caller-owned caches are releasable per batch, which is what
+    // lets the streamed ingests (DedupStream) run for months without
+    // accumulating pinned storage.
     val all = index.select(col(idCol), col("shh"), col("sig"))
       .withColumn("is_new", lit(false))
       .unionByName(newIdx.select(col(idCol), col("shh"), col("sig"))
         .withColumn("is_new", lit(true)))
-      .cache()
     val bandedAll = bandedOf(all, idCol, bands, rows,
       carryCols = Seq("is_new"))
     val banded = maxBucketSize.fold(bandedAll)(dropHotBuckets(bandedAll, _))
@@ -602,12 +614,13 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .select(col("a_id"), col("b_id"), col("inter"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
-      .cache()
-    scored.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
-        (col("inter") / col("na")).as("containment"))
-      .unionByName(scored.select(col("b_id").as("src_id"),
-        col("a_id").as("dst_id"),
-        (col("inter") / col("nb")).as("containment")))
+    // one pass: both directed rows inline per scored pair (the
+    // minhashContainmentPairs shape) — no cache, nothing pinned
+    scored.select(inline(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          (col("inter") / col("na")).as("containment")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          (col("inter") / col("nb")).as("containment")))))
       .filter(col("containment") >= threshold)
   }
 
@@ -634,9 +647,12 @@ object Dedup {
     * the exact hashed-shingle Jaccard, `threshold`-filtered — the
     * same verify contract as [[minhashLshPairs]].
     *
-    * Caching contract (as the other pair producers): the combined
-    * signature frame backs several plan branches and is cached;
-    * callers run `spark.catalog.clearCache()` between corpora. */
+    * Caching contract: NOTHING is cached internally (the
+    * [[minhashLshPairsFromIndexes]] rationale — caller-owned caches
+    * are the releasable kind). The new batch's signatures are
+    * computed here and scanned three times downstream; callers on a
+    * hot path should build the index with [[minhashIndex]], cache
+    * both sides, and call [[minhashLshPairsFromIndexes]] directly. */
   def minhashLshPairsIncremental(index: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.5): DataFrame =
@@ -652,11 +668,14 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val rows = k / bands
+    // NO internal caching (minhashContainmentPairsFromIndexes'
+    // rationale): the combined frame is scanned by three branches, and
+    // callers with computed inputs own — and can therefore RELEASE —
+    // the caches backing them.
     val all = index.select(col(idCol), col("shh"), col("sig"))
       .withColumn("is_new", lit(false))
       .unionByName(newIdx.select(col(idCol), col("shh"), col("sig"))
         .withColumn("is_new", lit(true)))
-      .cache()
     val bandedAll = bandedOf(all, idCol, bands, rows,
       carryCols = Seq("is_new"))
     // a hot bucket costs |bucket ∩ index| × |bucket ∩ batch| here —

@@ -214,11 +214,16 @@ object TrainingQueries {
     * index's prior dedup, correctly absent). */
   def d09IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // the pair producer scans both signature frames three times (band
+    // join + two verify joins) and caches nothing internally — the
+    // CALLER caches (d09's documented caching contract; a streamed
+    // ingest would instead unpersist per batch, DedupStream)
     val index = Dedup.minhashIndex(
-      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
-    Dedup.minhashLshPairsIncremental(index,
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.5)
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3).cache()
+    val newIdx = Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3).cache()
+    Dedup.minhashLshPairsFromIndexes(index, newIdx, "doc_id",
+        k = 64, bands = 16, threshold = 0.5)
       .orderBy("a_id", "b_id")
   }
 
@@ -503,10 +508,12 @@ object TrainingQueries {
     * (d07's hashed-shingle-exactness argument). */
   def d16IncrementalContainment(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // caller-owned caches (d09's rationale): the producer scans both
+    // signature frames three times and caches nothing internally
     val index = Dedup.minhashIndex(
-      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3)
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", n = 3).cache()
     val newIdx = Dedup.minhashIndex(
-      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3).cache()
     Dedup.minhashContainmentPairsFromIndexes(index, newIdx, "doc_id",
         k = 64, bands = 32, threshold = 0.8)
       .orderBy("src_id", "dst_id")
