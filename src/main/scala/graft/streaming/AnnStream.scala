@@ -161,24 +161,45 @@ object AnnStream {
     * so a complete serving tree exists on disk at every instant.
     *
     * `upToBatch` bounds the fold to `batch_id <= upToBatch` (the
-    * publish-while-ingest-continues cadence); the published watermark
-    * sidecar records the highest folded batch either way, which is
-    * what lets [[publishIndexDelta]] later fold ONLY newer batches. */
+    * publish-while-ingest-continues cadence: pass the last COMMITTED
+    * batch id so an in-flight batch's partially-written dir is never
+    * folded); the published watermark sidecar records the highest
+    * folded batch either way, which is what lets
+    * [[publishIndexDelta]] later fold ONLY newer batches. The fold
+    * point comes from the `batch_id=` partition-DIRECTORY listing —
+    * O(#batches) filesystem metadata — never from an aggregate over
+    * the raw tree, which would open every index file's footer at
+    * every publish. With nothing committed at or below the bound the
+    * call is a no-op (the live tree, if any, is left untouched). */
   def publishIndex(spark: SparkSession, indexPath: String,
       servingPath: String, upToBatch: Option[Long] = None): Unit = {
     graft.operators.Sinks.recoverSwap(spark, servingPath)
+    val ids = listBatchIds(spark, indexPath)
+    val folded = upToBatch.fold(ids)(b => ids.filter(_ <= b))
+    if (folded.isEmpty) return
     val raw = spark.read.parquet(indexPath)
     val bounded = upToBatch.fold(raw)(b => raw.filter(col("batch_id") <= b))
-    // partition-column inference may type batch_id/cell as int32 —
-    // pin long before driver-side getLong
-    val maxB = bounded.agg(max(col("batch_id")).cast(LongType))
-      .collect()(0).getLong(0)
     graft.operators.Sinks.overwriteViaSwap(spark,
       bounded
         .drop("batch_id")
         .repartition(col("cell")), // whole cells co-locate → 1 file/cell
       servingPath, Seq("cell"))
-    writePubWatermark(spark, servingPath, maxB)
+    writePubWatermark(spark, servingPath, folded.max)
+  }
+
+  /** Committed raw-tree batch ids from the `batch_id=` partition
+    * directory names — the metadata-scale source for every fold-point
+    * decision (the directory listing is already what partition
+    * pruning consults; re-deriving the same ids from file footers
+    * would be the slowest step of an otherwise O(delta) publish). */
+  private def listBatchIds(spark: SparkSession,
+      indexPath: String): Seq[Long] = {
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) Seq.empty
+    else fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
   }
 
   /** INCREMENTAL publish: fold only the raw batches NEWER than the
@@ -201,9 +222,20 @@ object AnnStream {
     * call is repaired on the next call's entry, and a replay is
     * idempotent: the merge anti-joins the published rows against the
     * delta's ids, so delta rows already promoted by the crashed
-    * attempt are replaced, never duplicated. */
+    * attempt are replaced, never duplicated.
+    *
+    * `upToBatch` is the publish-while-ingest-continues guard (the
+    * [[publishIndex]] contract): pass the last COMMITTED batch id so
+    * a trailing batch whose dir is still being written (foreachBatch
+    * overwrite is not atomic) is neither partially folded nor skipped
+    * forever by an advanced watermark. Without it, the fold and the
+    * new watermark both come from ONE snapshot of the `batch_id=`
+    * directory listing — the watermark can never advance past a batch
+    * the fold did not read — but a concurrent in-flight batch may
+    * still be folded partially; quiesce publishes or pass the bound. */
   def publishIndexDelta(spark: SparkSession, indexPath: String,
-      servingPath: String, idCol: String = "vec_id"): Unit = {
+      servingPath: String, idCol: String = "vec_id",
+      upToBatch: Option[Long] = None): Unit = {
     val hServing = new org.apache.hadoop.fs.Path(servingPath)
     val fs = hServing.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCellPublish(fs, servingPath)
@@ -214,18 +246,23 @@ object AnnStream {
     // fall back to the full fold, which (re)writes both
     if (!fs.exists(hServing) ||
         !fs.exists(new org.apache.hadoop.fs.Path(servingPath + "_pubmeta"))) {
-      publishIndex(spark, indexPath, servingPath); return
+      publishIndex(spark, indexPath, servingPath, upToBatch); return
     }
     val wm = readPubWatermark(spark, servingPath)
-    val raw = spark.read.parquet(indexPath)
-    val delta = raw.filter(col("batch_id") > wm).drop("batch_id").cache()
+    // fold set and watermark from ONE metadata-scale directory-listing
+    // snapshot — no full-tree aggregate, no fold/watermark divergence
+    val ids = listBatchIds(spark, indexPath)
+    val folded = upToBatch.fold(ids)(b => ids.filter(_ <= b)).filter(_ > wm)
+    if (folded.isEmpty) return
+    val maxB = folded.max
+    val delta = spark.read.parquet(indexPath)
+      .filter(col("batch_id") > wm && col("batch_id") <= maxB)
+      .drop("batch_id").cache()
     try {
-      // model-sized driver state: ≤ cells ids + one max
+      // model-sized driver state: ≤ cells ids
       val affected = delta.select(col("cell").cast(LongType)).distinct()
         .collect().map(_.getLong(0).toString).sorted
       if (affected.isEmpty) return
-      val maxB = raw.agg(max(col("batch_id")).cast(LongType))
-        .collect()(0).getLong(0)
       val existing = spark.read.parquet(servingPath)
         .filter(col("cell").isin(affected.map(_.toLong): _*)) // pruned scan
       val merged = existing
@@ -334,6 +371,57 @@ object AnnStream {
     Ann.integerTopK(index, q, idCol, "cell", topK)
   }
 
+  /** Train the PQ serving codebook ON BATCH-0 RESIDUALS — the trained
+    * counterpart of the deterministic spread table, following the
+    * frozen-quantizer discipline exactly: batch 0 is the training
+    * sample (the same slice the coarse centroids trained on), the
+    * residual distribution there stands in for the corpus', and the
+    * resulting table freezes ([[writePqCodebook]] beside the
+    * centroids) so later publishes and serves are pure functions of
+    * the raw tree plus two frozen models. Reads ONLY the `batch_id=0`
+    * partition (pruned — training never rescans the corpus);
+    * per-iteration work is one scan of that slice
+    * ([[graft.similarity.Ann.portablePqTrainCodebooks]]). */
+  def trainPqCodebook(spark: SparkSession, indexPath: String,
+      centroidsPath: String, m: Int, k: Int, iters: Int,
+      salt: String = "pqres"): Seq[Seq[Seq[Long]]] = {
+    val cents = readCentroids(spark, centroidsPath)
+    val dim = cents.head.length
+    val centLit = typedLit(cents.map(_.toSeq))
+    val resid = spark.read.parquet(s"$indexPath/batch_id=0")
+      .withColumn("r", zip_with(col("q"),
+        element_at(centLit, (col("cell") + 1).cast(IntegerType)),
+        (a, b) => a - b))
+    Ann.portablePqTrainCodebooks(resid, "vec_id", "r", dim, m, k, iters,
+      salt)
+  }
+
+  /** Persist a trained codebook as `(j, code, c)` rows beside the
+    * centroids (same rename-aside swap — a concurrent reader always
+    * sees a complete model). */
+  def writePqCodebook(spark: SparkSession, cb: Seq[Seq[Seq[Long]]],
+      path: String): Unit = {
+    import spark.implicits._
+    graft.operators.Sinks.recoverSwap(spark, path)
+    graft.operators.Sinks.overwriteViaSwap(spark,
+      cb.zipWithIndex.flatMap { case (codes, j) =>
+        codes.zipWithIndex.map { case (c, code) => (j, code, c) }
+      }.toDF("j", "code", "c").coalesce(1),
+      path)
+  }
+
+  /** Load the frozen codebook back as the nested literal model. */
+  def readPqCodebook(spark: SparkSession, path: String): Seq[Seq[Seq[Long]]] = {
+    graft.operators.Sinks.recoverSwap(spark, path)
+    val rows = spark.read.parquet(path)
+      .select("j", "code", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2))
+      .toMap
+    val m = rows.keys.map(_._1).max + 1
+    val k = rows.keys.map(_._2).max + 1
+    (0 until m).map(j => (0 until k).map(c => rows((j, c)).toSeq))
+  }
+
   /** Publish the raw ingest tree as a PQ-CODED serving index — the
     * 100 TB serving form: each stored row keeps only the `m` codes of
     * its RESIDUAL (quantized vector − frozen cell centroid, the FAISS
@@ -350,11 +438,32 @@ object AnnStream {
     * [[publishIndex]]'s lifecycle with an encode in the fold. */
   def publishPqIndex(spark: SparkSession, indexPath: String,
       centroidsPath: String, codedPath: String, idCol: String,
-      m: Int, k: Int): Unit = {
+      m: Int, k: Int): Unit =
+    publishPqIndexWith(spark, indexPath, centroidsPath, codedPath, idCol,
+      m, k, None)
+
+  /** [[publishPqIndex]] against a caller-supplied codebook — the
+    * TRAINED serving path ([[trainPqCodebook]] on batch-0 residuals,
+    * frozen and stored beside the centroids). The coded tree stays a
+    * pure function of (raw tree, frozen models), so the oracle story
+    * is unchanged: an external engine re-derives the training and
+    * every code (s18). */
+  def publishPqIndex(spark: SparkSession, indexPath: String,
+      centroidsPath: String, codedPath: String, idCol: String,
+      m: Int, k: Int, codebook: Seq[Seq[Seq[Long]]]): Unit =
+    publishPqIndexWith(spark, indexPath, centroidsPath, codedPath, idCol,
+      m, k, Some(codebook))
+
+  private def publishPqIndexWith(spark: SparkSession, indexPath: String,
+      centroidsPath: String, codedPath: String, idCol: String,
+      m: Int, k: Int, cbOpt: Option[Seq[Seq[Seq[Long]]]]): Unit = {
     val cents = readCentroids(spark, centroidsPath)
     val dim = cents.head.length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val cb = Ann.portablePqCodebookSpread(m, k, dim / m)
+    val cb = cbOpt.getOrElse(Ann.portablePqCodebookSpread(m, k, dim / m))
+    require(cb.length == m && cb.forall(_.length == k) &&
+      cb.forall(_.forall(_.length == dim / m)),
+      s"codebook must be m=$m × k=$k × sub=${dim / m}")
     val centLit = typedLit(cents.map(_.toSeq))
     graft.operators.Sinks.recoverSwap(spark, codedPath)
     graft.operators.Sinks.overwriteViaSwap(spark,
@@ -386,14 +495,32 @@ object AnnStream {
   def pqServeTopK(spark: SparkSession, codedPath: String,
       centroidsPath: String, vectors: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, k: Int, nprobe: Int,
-      shortlist: Int, topK: Int): DataFrame = {
+      shortlist: Int, topK: Int): DataFrame =
+    pqServeTopKWith(spark, codedPath, centroidsPath, vectors, queries,
+      idCol, vecCol, m, k, nprobe, shortlist, topK, None)
+
+  /** [[pqServeTopK]] against a caller-supplied codebook — MUST be the
+    * same frozen table the coded tree was published with
+    * ([[readPqCodebook]]), or the ADC sums are meaningless. */
+  def pqServeTopK(spark: SparkSession, codedPath: String,
+      centroidsPath: String, vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int, nprobe: Int,
+      shortlist: Int, topK: Int, codebook: Seq[Seq[Seq[Long]]]): DataFrame =
+    pqServeTopKWith(spark, codedPath, centroidsPath, vectors, queries,
+      idCol, vecCol, m, k, nprobe, shortlist, topK, Some(codebook))
+
+  private def pqServeTopKWith(spark: SparkSession, codedPath: String,
+      centroidsPath: String, vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int, nprobe: Int,
+      shortlist: Int, topK: Int,
+      cbOpt: Option[Seq[Seq[Seq[Long]]]]): DataFrame = {
     require(shortlist >= topK, "shortlist must cover topK")
     import spark.implicits._
     val cents = readCentroids(spark, centroidsPath)
     val dim = cents.head.length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    val cb = Ann.portablePqCodebookSpread(m, k, sub)
+    val cb = cbOpt.getOrElse(Ann.portablePqCodebookSpread(m, k, sub))
     // query-side model-sized driver work: quantize, rank cells under
     // the frozen centroids, per probed cell the residual's distance
     // to every code centroid

@@ -309,6 +309,41 @@ class AnnStreamSpec extends SparkSpec {
     assert(serve(servingPath) == serve(indexPath))
   }
 
+  test("publish bounds: empty/below-first-batch is a no-op; delta respects upToBatch") {
+    val e = emb.filter($"vec_id" < 200).cache()
+    val indexPath = tmp("asb_idx") + "/index"
+    val centroidsPath = tmp("asb_cen") + "/centroids"
+    val servingPath = tmp("asb_pub") + "/serving"
+
+    // no index tree at all: both publish forms are safe no-ops (the
+    // old full-tree aggregate NPE'd here — round-12 advice)
+    AnnStream.publishIndex(spark, indexPath, servingPath)
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+    assert(!new java.io.File(servingPath).exists())
+    assert(!new java.io.File(servingPath + "_pubmeta").exists())
+
+    AnnStream.processIvfBatch(e.filter($"vec_id" >= 2), 0L, indexPath,
+      centroidsPath, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    // bound below the first committed batch: still a no-op, live tree
+    // untouched
+    AnnStream.publishIndex(spark, indexPath, servingPath,
+      upToBatch = Some(-1L))
+    assert(!new java.io.File(servingPath).exists())
+
+    AnnStream.publishIndex(spark, indexPath, servingPath)
+    AnnStream.processIvfBatch(e.filter($"vec_id" < 2), 1L, indexPath,
+      centroidsPath, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    // delta bounded to the already-published batch 0: a no-op that
+    // must NOT advance the watermark past the unfolded batch 1
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath,
+      upToBatch = Some(0L))
+    assert(servingRows(servingPath) ==
+      servingRows(s"$indexPath/batch_id=0"))
+    // the unbounded fold then picks batch 1 up — nothing was skipped
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+    assert(servingRows(servingPath) == servingRows(indexPath))
+  }
+
   test("a delta publish interrupted mid-promote repairs on the next call") {
     val e = emb.filter($"vec_id" < 200).cache()
     val indexPath = tmp("asx_idx") + "/index"
@@ -404,5 +439,47 @@ class AnnStreamSpec extends SparkSpec {
     val top = rows.find(t => t._1 == 3L && t._2 == 1L).get
     assert(top._3 == 9003L && top._4 == 0L,
       s"planted duplicate did not win: $top")
+  }
+
+  test("trained PQ codebook: stores/round-trips, carries data, serve stays exact") {
+    val e = emb.cache()
+    val dup = e.filter($"vec_id" === 3)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding")
+    val corpus = e.unionByName(dup)
+    val indexPath = tmp("ast_idx") + "/index"
+    val centroidsPath = tmp("ast_cen") + "/centroids"
+    AnnStream.processIvfBatch(corpus, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+
+    val cb = AnnStream.trainPqCodebook(spark, indexPath, centroidsPath,
+      m = 8, k = 8, iters = 2)
+    // trained on THIS corpus's residuals: must differ from the
+    // data-independent spread table (a trainer that returns its input
+    // formula learned nothing)
+    assert(cb != graft.similarity.Ann.portablePqCodebookSpread(8, 8, 8))
+    // frozen-model round trip is exact
+    val cbPath = tmp("ast_cb") + "/codebook"
+    AnnStream.writePqCodebook(spark, cb, cbPath)
+    assert(AnnStream.readPqCodebook(spark, cbPath) == cb)
+
+    val codedPath = tmp("ast_pq") + "/coded"
+    AnnStream.publishPqIndex(spark, indexPath, centroidsPath, codedPath,
+      "vec_id", m = 8, k = 8, cb)
+    val coded = spark.read.parquet(codedPath)
+    assert(coded.count() == corpus.count())
+    assert(coded.select("codes").distinct().count() > 10)
+
+    // the s17 exactness argument is codebook-independent: an identical
+    // vector's residual codes attain the query's own ADC minimum in
+    // its cell, so it shortlists, and the exact rerank ranks it first
+    val served = AnnStream.pqServeTopK(spark, codedPath, centroidsPath,
+      vectors = corpus, queries = e.filter($"vec_id" === 3),
+      "vec_id", "embedding", m = 8, k = 8, nprobe = 1, shortlist = 20,
+      topK = 5, codebook = cb)
+    val rows = served.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val top = rows.find(t => t._1 == 3L && t._2 == 1L).get
+    assert(top._3 == 9003L && top._4 == 0L,
+      s"planted duplicate did not win under the trained codebook: $top")
   }
 }
