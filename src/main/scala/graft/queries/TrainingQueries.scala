@@ -1668,6 +1668,171 @@ object TrainingQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s18: PQ-coded serving with a codebook TRAINED ON BATCH-0
+    * RESIDUALS — s17's lifecycle with the data-independent spread
+    * table replaced by the real thing: after the shared ingest, the
+    * `batch_id=0` partition's residuals (vs the frozen coarse
+    * centroids) train an exact-integer per-subspace codebook
+    * ([[graft.streaming.AnnStream.trainPqCodebook]] — md5-hash-seeded,
+    * two Lloyd's iterations, floorDiv means, ties to the lowest code),
+    * which FREEZES beside the centroids
+    * ([[graft.streaming.AnnStream.writePqCodebook]]) — train on the
+    * sample, freeze, encode everything after: the same discipline as
+    * the coarse quantizer, so the coded tree stays a pure function of
+    * the raw tree plus two frozen models. Publish and serve are
+    * s17's, against the stored table. Oracle: the frozen-model CTE
+    * pattern extended through the TRAINER — DuckDB re-derives the
+    * coarse centroids, the batch-0 residuals, the seeds, both Lloyd's
+    * iterations (all m subspaces as one grouped k-means), every
+    * corpus code, the ADC shortlist, and the exact reranked top-k
+    * bit-for-bit. */
+  def s18PqTrainedServe(s: SparkSession, d: String): DataFrame = {
+    val (idx, cen) = sharedIvfIngest(s, d)
+    val base = tempDirCleanedOnExit("graft_s18")
+    val cbPath = base.resolve("codebook").toString
+    val coded = base.resolve("coded").toString
+    val cb = graft.streaming.AnnStream.trainPqCodebook(s, idx, cen,
+      m = 8, k = 8, iters = 2)
+    graft.streaming.AnnStream.writePqCodebook(s, cb, cbPath)
+    // serve from the STORED model — the round-trip is part of the path
+    val frozen = graft.streaming.AnnStream.readPqCodebook(s, cbPath)
+    graft.streaming.AnnStream.publishPqIndex(s, idx, cen, coded, "vec_id",
+      m = 8, k = 8, frozen)
+    graft.streaming.AnnStream.pqServeTopK(s, coded, cen,
+        vectors = Tables.embeddings(s, d).select("vec_id", "embedding"),
+        queries = Tables.embeddings(s, d).select("vec_id", "embedding")
+          .filter(col("vec_id") < 10),
+        "vec_id", "embedding", m = 8, k = 8, nprobe = 2,
+        shortlist = 20, topK = 5, frozen)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The s18 oracle: s17's serve pipeline with the codebook CTEs
+    * trained in SQL — all m subspaces as ONE grouped k-means over
+    * (vec_id, j, slice) rows (`pc0` seeds → assign `pa` → floorDiv
+    * update `pu`/`pc`, twice), then codes/dtab JOIN the trained
+    * `pc2` instead of embedding a literal table. */
+  val s18Sql: String = {
+    val dim = 64; val m = 8; val k = 8; val sub = 8
+    val nprobe = 2; val shortlist = 20; val topK = 5
+    val h = duckHash("'pqres:' || CAST(vec_id AS VARCHAR)")
+    // exact integer squared-L2 between two BIGINT[sub] refs
+    def subDist(aRef: String, bRef: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, ${sub + 1}),
+         |        i -> ($aRef[i] - $bRef[i]) * ($aRef[i] - $bRef[i]))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    def dist(qRef: String, cRef: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, ${dim + 1}),
+         |              i -> ($qRef[i] - $cRef[i]) * ($qRef[i] - $cRef[i]))),
+         |            (acc, x) -> acc + x)""".stripMargin
+    def assignCte(name: String, src: String, cents: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, j, code, s FROM (
+         |    SELECT $src.vec_id, $src.j, $cents.code, $src.s,
+         |      row_number() OVER (PARTITION BY $src.vec_id, $src.j
+         |        ORDER BY ${subDist(s"$src.s", s"$cents.c")}, $cents.code)
+         |        AS rn
+         |    FROM $src JOIN $cents ON $cents.j = $src.j)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCtes(a: String, prev: String, next: String): String =
+      s"""pu_$next AS (
+         |  SELECT j, code, list((sv - ((sv % n) + n) % n) // n
+         |                       ORDER BY pos) AS c
+         |  FROM (SELECT $a.j, $a.code, p.i AS pos, SUM($a.s[p.i]) AS sv,
+         |          COUNT(*) AS n
+         |        FROM $a CROSS JOIN (SELECT unnest(range(1, ${sub + 1}))
+         |          AS i) p
+         |        GROUP BY $a.j, $a.code, p.i)
+         |  GROUP BY j, code),
+         |$next AS MATERIALIZED (
+         |  SELECT $prev.j, $prev.code, COALESCE(pu_$next.c, $prev.c) AS c
+         |  FROM $prev LEFT JOIN pu_$next
+         |    ON pu_$next.j = $prev.j AND pu_$next.code = $prev.code)"""
+        .stripMargin
+    s"""WITH ${duckPkmeansCtesTrained("vec_id % 4 = 0")},
+       |resid AS MATERIALIZED (
+       |  SELECT a3.vec_id, a3.cell,
+       |    list_transform(range(1, ${dim + 1}), i -> a3.q[i] - c2.c[i]) AS r
+       |  FROM a3 JOIN c2 ON a3.cell = c2.cell),
+       |js AS (SELECT unnest(range(0, $m)) AS j),
+       |psl AS MATERIALIZED (
+       |  SELECT vec_id, j,
+       |    list_transform(range(1, ${sub + 1}), i -> r[j * $sub + i]) AS s
+       |  FROM resid CROSS JOIN js
+       |  WHERE vec_id % 4 = 0),
+       |pc0 AS MATERIALIZED (
+       |  SELECT j, rn - 1 AS code, s AS c FROM (
+       |    SELECT j, s, row_number() OVER (PARTITION BY j
+       |      ORDER BY $h, vec_id) AS rn
+       |    FROM psl)
+       |  WHERE rn <= $k),
+       |${assignCte("pa1", "psl", "pc0")},
+       |${updateCtes("pa1", "pc0", "pc1")},
+       |${assignCte("pa2", "psl", "pc1")},
+       |${updateCtes("pa2", "pc1", "pc2")},
+       |rsl AS MATERIALIZED (
+       |  SELECT vec_id, cell, j,
+       |    list_transform(range(1, ${sub + 1}), i -> r[j * $sub + i]) AS s
+       |  FROM resid CROSS JOIN js),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, cell, j, code FROM (
+       |    SELECT rsl.vec_id, rsl.cell, rsl.j, pc2.code,
+       |      row_number() OVER (PARTITION BY rsl.vec_id, rsl.j
+       |        ORDER BY ${subDist("rsl.s", "pc2.c")}, pc2.code) AS rn
+       |    FROM rsl JOIN pc2 ON pc2.j = rsl.j)
+       |  WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, q FROM q0 WHERE vec_id < 10),
+       |probe AS (
+       |  SELECT query_id, cell,
+       |    list_transform(range(1, ${dim + 1}), i -> q[i] - c[i]) AS qr
+       |  FROM (
+       |    SELECT qs.query_id, c2.cell, qs.q, c2.c,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY ${dist("qs.q", "c2.c")}, c2.cell) AS rn
+       |    FROM qs CROSS JOIN c2)
+       |  WHERE rn <= $nprobe),
+       |dtab AS (
+       |  SELECT query_id, cell, pc2.j AS j, pc2.code AS code,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${sub + 1}), i ->
+       |        (qr[pc2.j * $sub + i] - pc2.c[i])
+       |        * (qr[pc2.j * $sub + i] - pc2.c[i]))),
+       |      (acc, x) -> acc + x) AS dcell
+       |  FROM probe CROSS JOIN pc2),
+       |adc AS (
+       |  SELECT query_id, vec_id, CAST(SUM(dcell) AS BIGINT) AS adc
+       |  FROM codes JOIN dtab ON codes.cell = dtab.cell
+       |    AND codes.j = dtab.j AND codes.code = dtab.code
+       |  WHERE query_id <> vec_id
+       |  GROUP BY query_id, vec_id),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc, vec_id) AS rn
+       |    FROM adc)
+       |  WHERE rn <= $shortlist),
+       |exact AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${dim + 1}),
+       |        i -> (qq.q[i] - cv.q[i]) * (qq.q[i] - cv.q[i]))),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM short s JOIN q0 cv ON cv.vec_id = s.vec_id
+       |  JOIN qs qq ON qq.query_id = s.query_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS neighbor_id, d2
+       |FROM (
+       |  SELECT query_id, vec_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, vec_id) AS rank
+       |  FROM exact)
+       |WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val s15Sql: String =
     s"""WITH ${duckPkmeansCtesTrained("vec_id % 4 = 0")},
        |qc AS (
@@ -3649,6 +3814,7 @@ object TrainingQueries {
     ("s15_nprobe_serve", s15NprobeServe _, Some(s15Sql)),
     ("s16_incremental_publish", s16IncrementalPublish _, Some(s16Sql)),
     ("s17_pq_coded_serve", s17PqCodedServe _, Some(s17Sql)),
+    ("s18_pq_trained_serve", s18PqTrainedServe _, Some(s18Sql)),
     ("m01_media_meta", m01MediaMeta _, Some(m01Sql)),
     ("m02_media_features", m02MediaFeatures _, Some(m02Sql)),
     ("m03_frame_sample", m03FrameSample _, Some(m03Sql)),

@@ -627,6 +627,74 @@ object Ann {
     array(best: _*)
   }
 
+  /** Train an integer PQ codebook on RESIDUAL vectors — the serving-
+    * index answer to the spread codebook's data-INDEPENDENCE: a real
+    * deployment trains its code centroids on the residual
+    * distribution it will quantize ([[pqTrainCodebooks]] is the float
+    * production trainer; this is its exact-integer, SQL-reproducible
+    * twin for the portable streamed lifecycle). All m subspaces train
+    * SIMULTANEOUSLY — per Lloyd's iteration, ONE scan of the residual
+    * frame encodes every row against the current codebook (the native
+    * argmin kernel), explodes (subspace, code, slice) rows, and one
+    * shuffle aggregates all m·k sub-centroids. The model is m·k·(dim/m)
+    * longs on the driver — never the corpus.
+    *
+    * Every step is the portable discipline so an external engine
+    * re-derives the trained table bit-for-bit (s18's oracle): seeds
+    * are the k smallest md5-salted-hash rows (ties by id), sliced per
+    * subspace; assignment is exact int64 argmin with ties to the
+    * LOWEST code; updates are floorDiv means; a code nothing mapped
+    * to keeps its previous centroid ([[portableKmeansCentroids]]'
+    * degeneracy guard). */
+  private[graft] def portablePqTrainCodebooks(resid: DataFrame,
+      idCol: String, rCol: String, dim: Int, m: Int, k: Int, iters: Int,
+      salt: String = "pqres"): Seq[Seq[Seq[Long]]] = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    import graft.corpus.Selection
+    val sub = dim / m
+    val usable = resid.filter(col(rCol).isNotNull && size(col(rCol)) === dim)
+    val seeds = usable
+      .orderBy(Selection.hashValue(Selection.saltedKey(col(idCol), salt)),
+        col(idCol))
+      .limit(k).select(col(rCol)).collect().map(_.getSeq[Long](0).toArray)
+    require(seeds.length == k,
+      s"portablePqTrainCodebooks needs $k dim=$dim residuals to seed, " +
+        s"got ${seeds.length}")
+    var cbs: Seq[Seq[Seq[Long]]] = (0 until m).map { j =>
+      seeds.toSeq.map(_.slice(j * sub, (j + 1) * sub).toSeq)
+    }
+    for (_ <- 0 until iters) {
+      val perSub = array((0 until m).map { j =>
+        struct(lit(j).as("j"),
+          element_at(col("_pq_codes"), j + 1).cast(LongType).as("code"),
+          slice(col(rCol), j * sub + 1, sub).as("s"))
+      }: _*)
+      val updated = usable
+        .withColumn("_pq_codes",
+          portablePqEncodeIntCodes(col(rCol), m, k, sub, cbs))
+        .select(explode(perSub).as("e"))
+        .select(col("e.j"), col("e.code"), posexplode(col("e.s")))
+        .toDF("j", "code", "pos", "v")
+        .groupBy("j", "code", "pos")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)) ->
+          (r.getLong(3), r.getLong(4)))
+        .toMap // ≤ m·k·sub = k·dim entries — the model, never the corpus
+      cbs = (0 until m).map { j =>
+        (0 until k).map { c =>
+          if (!updated.contains((j, c.toLong, 0))) cbs(j)(c)
+          else Seq.tabulate(sub) { i =>
+            val (s, n) = updated((j, c.toLong, i))
+            Math.floorDiv(s, n)
+          }
+        }
+      }
+    }
+    cbs
+  }
+
   /** Composed IVF-PQ index, integer-exact — the FAISS `IVFPQ` serving
     * shape: a coarse quantizer partitions the corpus into cells, each
     * vector stores only the PQ CODES OF ITS RESIDUAL (vector − cell

@@ -170,6 +170,55 @@ object IngestProbe {
       f"delta $tDelta%6.2f s (reads $deltaRows delta + $cellRows cell rows, " +
       f"affected_cells=$affected/8)")
 
+    // PQ serving recall: does the batch-0-TRAINED residual codebook
+    // (AnnStream.trainPqCodebook) beat the data-independent spread
+    // table as a shortlist filter? recall@5 of the two-stage PQ serve
+    // (ADC shortlist → exact rerank) against the exhaustive exact
+    // top-5, plus the IVF ceiling (exact ranking within the same
+    // nprobe=2 probed cells — the recall the probe loss alone allows;
+    // the gap between a codebook's recall and the ceiling is CODING
+    // loss, the number training is supposed to shrink).
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val qn = 50
+    def qz(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      transform(col("embedding").cast(ArrayType(DoubleType)),
+        x => floor(x * 1000000d).cast(LongType)).as("q"))
+    val exact = graft.similarity.Ann.integerTopK(
+      qz(vecs).withColumn("k0", lit(0)),
+      qz(vecs.filter(col("vec_id") < qn))
+        .select(col("vec_id").as("query_id"), col("q").as("qv"))
+        .withColumn("k0", lit(0)),
+      "vec_id", "k0", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val pqQueries = vecs.filter(col("vec_id") < qn)
+    def servedRecall(cb: Seq[Seq[Seq[Long]]], tag: String): Double = {
+      val coded = base.resolve(s"pq_$tag").toString
+      graft.streaming.AnnStream.publishPqIndex(spark, annIdx, annCen,
+        coded, "vec_id", m = 8, k = 8, cb)
+      val r = recallOf(graft.streaming.AnnStream.pqServeTopK(spark, coded,
+        annCen, vectors = vecs, queries = pqQueries, "vec_id", "embedding",
+        m = 8, k = 8, nprobe = 2, shortlist = 20, topK = 5, cb))
+      spark.catalog.clearCache()
+      r
+    }
+    val recallSpread = servedRecall(
+      graft.similarity.Ann.portablePqCodebookSpread(8, 8, 8), "spread")
+    val recallTrained = servedRecall(
+      graft.streaming.AnnStream.trainPqCodebook(spark, annIdx, annCen,
+        m = 8, k = 8, iters = 2), "trained")
+    val recallCeiling = recallOf(graft.streaming.AnnStream.ivfServeTopK(
+      spark, annIdx, annCen, pqQueries, "vec_id", "embedding",
+      topK = 5, nprobe = 2))
+    println(f"[ingest] pq recall@5: spread $recallSpread%.3f  " +
+      f"trained $recallTrained%.3f  ivf_ceiling $recallCeiling%.3f")
+
     def block(name: String, rows: Seq[String]) =
       rows.mkString(s""""$name":[""", ",", "]")
     val json = Seq(
@@ -185,7 +234,11 @@ object IngestProbe {
       f""""publish":{"full_sec":$tFull%.2f,"delta_sec":$tDelta%.2f,""" +
         f""""rows_total":$rowsTotal,"delta_rows":$deltaRows,""" +
         f""""affected_cell_rows":$cellRows,"affected_cells":$affected,""" +
-        f""""cells":8,"pub_scale":$pubScale}"""
+        f""""cells":8,"pub_scale":$pubScale}""",
+      f""""pq_recall":{"spread":$recallSpread%.3f,""" +
+        f""""trained":$recallTrained%.3f,""" +
+        f""""ivf_ceiling":$recallCeiling%.3f,""" +
+        f""""queries":$qn,"topk":5,"nprobe":2,"shortlist":20}"""
     ).mkString(s"""{"metric":"ingest_containment","slices":$slices,""",
       ",", "}")
     println(json)
