@@ -110,6 +110,10 @@ object DedupStream {
       .unionByName(touchedOld.withColumn("is_new", lit(false)))
     val roots = Dedup.duplicateClusters(nodes, idCol, pairs)
       .join(nodes, col("id") === col(idCol)).select("id", "root", "is_new")
+    // cached: BOTH per-batch outputs (survivor docs, survivor
+    // signatures) semi-join against this frame — uncached, the whole
+    // cluster-resolution chain (distinct + anti-join + union-find +
+    // two windows) would run once per write
     val survivorIds = roots
       .withColumn("has_old",
         max(when(!col("is_new"), 1).otherwise(0))
@@ -119,6 +123,7 @@ object DedupStream {
           .over(org.apache.spark.sql.expressions.Window.partitionBy("root")))
       .filter(col("is_new") && col("has_old") === 0 && col("id") === col("min_new"))
       .select(col("id").as(idCol))
+      .cache()
 
     // per-batch output dirs: every write is an idempotent overwrite
     pairs.write.mode(SaveMode.Overwrite)
@@ -130,7 +135,7 @@ object DedupStream {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexPath/batch_id=$batchId")
 
-    Seq(index, fresh, newIdx, pairs).foreach(_.unpersist())
+    Seq(index, fresh, newIdx, pairs, survivorIds).foreach(_.unpersist())
   }
 
   /** Run the ingest as a stream over parquet document files landing in
