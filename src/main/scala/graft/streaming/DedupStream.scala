@@ -110,19 +110,20 @@ object DedupStream {
       .unionByName(touchedOld.withColumn("is_new", lit(false)))
     val roots = Dedup.duplicateClusters(nodes, idCol, pairs)
       .join(nodes, col("id") === col(idCol)).select("id", "root", "is_new")
-    // cached: BOTH per-batch outputs (survivor docs, survivor
-    // signatures) semi-join against this frame — uncached, the whole
-    // cluster-resolution chain (distinct + anti-join + union-find +
-    // two windows) would run once per write
+    // Survivor rule as ONE per-root aggregation (a cluster with any
+    // indexed member keeps the indexed representative — the whole
+    // batch side drops; an only-new cluster keeps its minimum id), so
+    // no window functions run over the node frame. Cached: BOTH
+    // per-batch outputs (survivor docs, survivor signatures) semi-join
+    // against this frame — uncached, the whole cluster-resolution
+    // chain (distinct + anti-join + union-find + this aggregation)
+    // would run once per write.
     val survivorIds = roots
-      .withColumn("has_old",
-        max(when(!col("is_new"), 1).otherwise(0))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("root")))
-      .withColumn("min_new",
-        min(when(col("is_new"), col("id")))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("root")))
-      .filter(col("is_new") && col("has_old") === 0 && col("id") === col("min_new"))
-      .select(col("id").as(idCol))
+      .groupBy("root")
+      .agg(max(when(!col("is_new"), 1).otherwise(0)).as("has_old"),
+        min(when(col("is_new"), col("id"))).as("min_new"))
+      .filter(col("has_old") === 0)
+      .select(col("min_new").as(idCol))
       .cache()
 
     // per-batch output dirs: every write is an idempotent overwrite

@@ -192,15 +192,17 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Storage-audit scope: `effectful` exempts queries from the DRY
     * plan builds above (their construction executes jobs/writes), but
-    * the streamed dedup ingests MUST pass the pinned-storage audit —
-    * a per-micro-batch ingest that leaks even one cached plan per
-    * batch accumulates O(batches × index) pinned storage at a real
-    * cadence. d17/d18/m13 are therefore audited here (their
-    * construction runs the full ingest at sf0.001, then every cache
-    * the batches took must be released). */
+    * the streamed ingests MUST pass the pinned-storage audit — a
+    * per-micro-batch ingest that leaks even one cached plan per batch
+    * accumulates O(batches × index) pinned storage at a real cadence.
+    * Every DedupStream ingest (d17/d18/m13) and the whole AnnStream
+    * lifecycle (s13–s15 here; s16–s18 were never exempt) are
+    * therefore audited: their construction runs the full ingest at
+    * sf0.001, then every cache the batches took must be released. */
   private val storageExempt =
     effectful -- Set("d17_stream_containment", "d18_stream_dedup",
-      "m13_stream_image_neardup")
+      "m13_stream_image_neardup",
+      "s13_stream_ivf", "s14_published_serve", "s15_nprobe_serve")
 
   test("no library query pins storage after materialization") {
     spark.catalog.clearCache() // drop registrations from earlier plan builds
