@@ -987,6 +987,40 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
 
+  /** Incremental [[embeddingNearDupPairs]] on a stored index — the
+    * embedding family's `…FromIndexes` entry point: cosine near-dup
+    * pairs TOUCHING the new batch — (old, new) and (new, new), never
+    * (old, old) — with the block join's right side restricted to the
+    * batch, so candidate generation scales with the batch, not the
+    * corpus. Both frames are `(idCol, vecCol, blockCol)` rows (the
+    * block key must be a PURE per-row function of the vector — an LSH
+    * bucket, a frozen-quantizer cell — so the accumulated pair set is
+    * batch-split-invariant: a row lives in exactly ONE block, a pair
+    * is emitted exactly once, in the batch where its later member
+    * arrives, and the union over any arrival split equals the
+    * one-shot self-join). No internal caching (the
+    * [[minhashLshPairsFromIndexes]] contract): callers own — and can
+    * release — the caches backing the three plan branches.
+    * New-batch ids must be disjoint from index ids. */
+  def embeddingNearDupPairsFromIndexes(index: DataFrame, newRows: DataFrame,
+      idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val all = index.select(col(idCol), col(vecCol), col(blockCol))
+      .withColumn("is_new", lit(false))
+      .unionByName(newRows.select(col(idCol), col(vecCol), col(blockCol))
+        .withColumn("is_new", lit(true)))
+    // one block per row ⇒ no duplicate candidates ⇒ no distinct()
+    all.as("a").join(all.filter(col("is_new")).as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          (!col("a.is_new") || col(s"a.$idCol") < col(s"b.$idCol")) &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .withColumn("cos",
+        VectorFunctions.cosineSim(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .filter(col("cos") >= threshold)
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("a_id"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("b_id"))
+  }
+
   /** SemDeDup-shaped semantic dedup: cluster first (`clusterCol` — an
     * LSH bucket, k-means cell, or domain label), score ONLY
     * intra-cluster pairs, keep the smallest-id representative of each

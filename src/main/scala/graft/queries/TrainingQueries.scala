@@ -693,6 +693,54 @@ object TrainingQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** d19: the EMBEDDING near-dup relation run as a STREAMING INGEST —
+    * the fourth and last dedup family's ingest-time path (minhash →
+    * d18, containment → d17, image/64-bit signatures → m13; this is
+    * d05/d12's cosine relation): embedding files arrive in four
+    * slices, each batch's vectors get their portable-LSH block key
+    * (d12's bucket — a pure per-row function of the vector, so the
+    * accumulated pair set is BATCH-SPLIT-INVARIANT: one block per
+    * row, each pair emitted exactly once, where its later member
+    * arrives), and near-dup pairs touching the batch come from one
+    * block join whose right side is the batch
+    * ([[graft.streaming.DedupStream.processEmbeddingBatch]]). At
+    * 100 TB this is the ingest-time semantic near-dup monitor:
+    * O(batch) hashing plus one block join against stored vectors per
+    * round. Oracle: the one-shot intra-bucket cosine self-join (d12's
+    * candidate construction emitting pairs — DuckDB reproduces every
+    * bucket bit-for-bit and the cosine prune numerically). */
+  def d19StreamEmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    val base = tempDirCleanedOnExit("graft_d19")
+    val idx = base.resolve("index").toString
+    val pairsDir = base.resolve("pairs").toString
+    val ckpt = base.resolve("ckpt").toString
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val in = sharedArrivalSlices(s, d, "emb", emb, "vec_id", 4)
+    val q = graft.streaming.DedupStream.embeddingIngest(s, in, emb.schema,
+      idx, pairsDir, ckpt, "vec_id", "embedding",
+      v => Ann.portableLshBucket(v, nBits = 6, dim = 64), threshold = 0.4)
+    try q.processAllAvailable() finally q.stop()
+    val pairSchema = StructType(Seq(
+      StructField("a_id", LongType), StructField("b_id", LongType)))
+    s.read.schema(pairSchema).parquet(pairsDir)
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  val d19Sql: String = {
+    val (q, bits) = duckLshBucket(nBits = 6, dim = 64)
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |  $bits AS bucket
+       |  FROM (SELECT vec_id, embedding, $q AS q FROM embeddings))
+       |SELECT a.vec_id AS a_id, b2.vec_id AS b_id
+       |FROM b a JOIN b b2
+       |  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |        CAST(b2.embedding AS DOUBLE[])) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Arrival-slice scaffolding shared per fixture: the parquet files
     * that SIMULATE corpus arrival for the streaming-ingest queries
     * (d17, s13). Writing them is corpus ARRIVAL, not operator work
@@ -3781,6 +3829,7 @@ object TrainingQueries {
     ("d15b_containment_recall_gate", d15bContainmentRecallGate _, Some(d15bSql)),
     ("d17_stream_containment", d17StreamContainment _, Some(d17Sql)),
     ("d18_stream_dedup", d18StreamDedup _, Some(d18Sql)),
+    ("d19_stream_embedding_neardup", d19StreamEmbeddingNeardup _, Some(d19Sql)),
     ("d16_incremental_containment", d16IncrementalContainment _, Some(d16Sql)),
     ("d14_substring_dedup", d14SubstringDedup _, Some(d14Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),

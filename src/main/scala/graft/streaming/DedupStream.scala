@@ -241,6 +241,91 @@ object DedupStream {
     Seq(index, fresh).foreach(_.unpersist())
   }
 
+  /** One micro-batch of the EMBEDDING near-dup ingest — the fourth
+    * dedup family's ingest-time path (MinHash → [[processBatch]],
+    * containment → [[processContainmentBatch]], 64-bit signatures →
+    * [[processSignatureBatch]]; this one is d05/d12's cosine relation
+    * over a block key): the batch's vectors get their block key from
+    * the caller's `blockOf` column function (which must be a PURE
+    * per-row function of the vector), near-dup pairs
+    * touching the batch come from
+    * [[Dedup.embeddingNearDupPairsFromIndexes]] against the committed
+    * `(id, vec, block)` index (block join's right side = the batch),
+    * pairs land in a per-batch partition, and the batch's rows join
+    * the index. Because the block key is a pure function of the
+    * vector, the accumulated pair set is BATCH-SPLIT-INVARIANT (a row
+    * lives in one block; a pair emits once, where its later member
+    * arrives) — the union over any arrival split equals the one-shot
+    * intra-block self-join, which is what the driver oracle checks.
+    * Crash safety exactly as [[processBatch]]: per-batch overwrites
+    * of deterministic functions of the committed prefix. */
+  def processEmbeddingBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, pairsPath: String, idCol: String, vecCol: String,
+      blockOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val index = loadEmbIndex(spark, indexPath, idCol,
+      batch.schema(idCol).dataType, batch.schema(vecCol).dataType, vecCol,
+      batchId).cache()
+    // ingest contract: ids identify vectors — re-sent ids (across or
+    // within a batch) are not new items
+    val fresh = batch.dropDuplicates(idCol)
+      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol), blockOf(col(vecCol)).as("block"))
+      .cache()
+    val pairs = Dedup.embeddingNearDupPairsFromIndexes(index, fresh,
+      idCol, vecCol, "block", threshold)
+    pairs.write.mode(SaveMode.Overwrite)
+      .parquet(s"$pairsPath/batch_id=$batchId")
+    fresh.write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexPath/batch_id=$batchId")
+    Seq(index, fresh).foreach(_.unpersist())
+  }
+
+  /** The committed embedding index for batch `batchId` (prior batches
+    * only; explicit schema — the [[loadIndex]] crash-debris rule). */
+  private def loadEmbIndex(spark: SparkSession, path: String,
+      idCol: String, idType: org.apache.spark.sql.types.DataType,
+      vecType: org.apache.spark.sql.types.DataType, vecCol: String,
+      batchId: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField(vecCol, vecType),
+      StructField("block", LongType),
+      StructField("batch_id", LongType)))
+    if (fs.exists(hPath))
+      spark.read.schema(schema).parquet(path)
+        .filter(col("batch_id") < batchId)
+        .select(col(idCol), col(vecCol), col("block"))
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, idType),
+          StructField(vecCol, vecType), StructField("block", LongType))))
+  }
+
+  /** Run the embedding near-dup monitor as a stream over parquet
+    * files landing in `srcDir`. Returns the running query (caller
+    * stops). */
+  def embeddingIngest(spark: SparkSession, srcDir: String,
+      schema: StructType, indexPath: String, pairsPath: String,
+      checkpointDir: String, idCol: String, vecCol: String,
+      blockOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      threshold: Double, maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processEmbeddingBatch(batch, batchId, indexPath, pairsPath,
+          idCol, vecCol, blockOf, threshold)
+      }
+      .start()
+
   /** The committed signature index for batch `batchId` (prior batches
     * only; explicit schema — the [[loadIndex]] crash-debris rule). */
   private def loadSigIndex(spark: SparkSession, path: String,

@@ -134,6 +134,47 @@ class DedupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(indexPath).count() == docs.count())
   }
 
+  test("embedding ingest: accumulated cosine pairs equal the one-shot self-join") {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .cache()
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      Ann.portableLshBucket(v, nBits = 6, dim = 64)
+    val expected = Dedup.embeddingNearDupPairs(
+        emb.withColumn("block", bucketOf($"embedding")),
+        "vec_id", "embedding", "block", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+
+    val indexPath = tmp("dse_idx") + "/index"
+    val pairsPath = tmp("dse_pairs")
+    // crash debris: index tree created, nothing committed — the replay
+    // must read it as empty, not throw on schema inference
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(indexPath, "batch_id=0", "_temporary"))
+    // 3-way arrival split, with batch 0 re-sending its own rows
+    // (within-batch duplicate ids must index once)
+    (0 until 3).foreach { r =>
+      val slice = emb.filter($"vec_id" % 3 === r)
+      DedupStream.processEmbeddingBatch(
+        if (r == 0) slice.unionAll(slice) else slice, r.toLong,
+        indexPath, pairsPath, "vec_id", "embedding", bucketOf,
+        threshold = 0.4)
+    }
+    val streamed = spark.read.parquet(s"$pairsPath/batch_id=*")
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.length == streamed.toSet.size, "duplicate pairs")
+    assert(streamed.toSet == expected)
+    // cross-batch pairs exist (the index actually served)
+    assert(streamed.exists { case (a, b) => a % 3 != b % 3 })
+    // the index keeps every vector exactly once (a report, like the
+    // containment/signature monitors)
+    val ids = spark.read.parquet(indexPath).select("vec_id").as[Long]
+      .collect().toSeq
+    assert(ids.length == ids.distinct.length && ids.length == emb.count())
+  }
+
   test("containment batch: within-batch duplicate ids index once; empty crash debris readable") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 150)
