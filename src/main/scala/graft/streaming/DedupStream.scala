@@ -51,6 +51,106 @@ object DedupStream {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Compact a committed per-batch index tree: fold every partition
+    * with `batch_id <= upToBatch` into ONE `batch_id=upToBatch`
+    * directory. This is the dedup-side small-files lifecycle (the
+    * counterpart of [[AnnStream.publishIndex]] for the serving tree):
+    * per-batch dirs give crash safety DURING ingest, but at a real
+    * cadence the committed prefix becomes thousands of tiny
+    * partitions that every batch's index scan must open — a periodic
+    * compaction folds the prefix into one partition while preserving
+    * the replay discipline exactly, because a replayed batch N >
+    * upToBatch still reads `batch_id < N`, which selects the folded
+    * dir's identical row set, and still overwrites only its own dir.
+    *
+    * `upToBatch` must be a COMMITTED bound and the call must not race
+    * an in-flight batch `<= upToBatch` (the [[AnnStream.publishIndex]]
+    * contract — in practice: compact from the foreachBatch body or a
+    * quiesced maintenance window). Works on any of the three index
+    * shapes (MinHash signatures, 64-bit signatures, embeddings) —
+    * the fold is shape-agnostic.
+    *
+    * Crash safety: the folded rows stage under `<path>_cnext`; a
+    * `_STAGED_<upToBatch>` marker commits the staging; source dirs
+    * drop only after the marker exists; the staged dir promotes to
+    * `batch_id=<upToBatch>` last. [[repairCompaction]] (run on entry
+    * here AND by every index load) rolls an interrupted compaction
+    * forward (marker present: the staged fold IS the committed
+    * prefix) or back (no marker: sources are intact, the partial
+    * stage drops). */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      upToBatch: Long): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCompaction(fs, indexPath)
+    if (!fs.exists(hPath)) return
+    val ids = fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .filter(_ <= upToBatch)
+    if (ids.length <= 1) return // nothing to fold
+    // all-empty prefix (every batch dropped everything): no rows to
+    // fold and nothing for schema inference to read — leave the
+    // (cheap, data-free) dirs alone
+    if (!ids.exists { n =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(hPath, s"batch_id=$n"))
+        .exists(_.getPath.getName.endsWith(".parquet"))
+    }) return
+    val tgt = ids.max
+    val next = new org.apache.hadoop.fs.Path(indexPath + "_cnext")
+    if (fs.exists(next) && !fs.delete(next, true))
+      throw new java.io.IOException(s"compact: cannot clear $next")
+    spark.read.parquet(indexPath)
+      .filter(col("batch_id") <= tgt)
+      .drop("batch_id")
+      .coalesce(math.max(1, ids.length / 8)) // fold ~8 batch dirs per file
+      .write.mode(SaveMode.Overwrite).parquet(next.toString)
+    fs.create(new org.apache.hadoop.fs.Path(next, s"_STAGED_$tgt")).close()
+    promoteCompaction(fs, indexPath, next, tgt)
+  }
+
+  /** The commit half of [[compactIndex]] — also the roll-forward of
+    * [[repairCompaction]]: drop every source dir the staged fold
+    * subsumes, then promote the stage to `batch_id=<tgt>`. */
+  private def promoteCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, next: org.apache.hadoop.fs.Path,
+      tgt: Long): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <= tgt)
+      .foreach { s =>
+        if (!fs.delete(s.getPath, true))
+          throw new java.io.IOException(s"compact: cannot drop ${s.getPath}")
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(next, s"_STAGED_$tgt"), false)
+    if (!fs.rename(next,
+        new org.apache.hadoop.fs.Path(hPath, s"batch_id=$tgt")))
+      throw new java.io.IOException(s"compact: cannot promote $next")
+  }
+
+  /** Repair an interrupted [[compactIndex]]: a `_cnext` stage with
+    * its `_STAGED_<tgt>` marker is a COMPLETE fold of the committed
+    * prefix — roll forward (the crashed call may already have
+    * dropped some source dirs, so the stage is the only full copy);
+    * without the marker the sources are untouched — roll back by
+    * dropping the partial stage. Cheap for every index load to call:
+    * one existence check when no compaction ever ran. */
+  private def repairCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Unit = {
+    val next = new org.apache.hadoop.fs.Path(indexPath + "_cnext")
+    if (!fs.exists(next)) return
+    val marker = fs.listStatus(next).toSeq
+      .map(_.getPath.getName).find(_.startsWith("_STAGED_"))
+    marker match {
+      case Some(m) =>
+        promoteCompaction(fs, indexPath, next, m.stripPrefix("_STAGED_").toLong)
+      case None =>
+        if (!fs.delete(next, true))
+          throw new java.io.IOException(s"compact repair: cannot clear $next")
+    }
+  }
+
   /** The committed index as seen by batch `batchId`: signature
     * partitions of all PRIOR batches. A partial `batch_id=batchId`
     * dir left by a crashed attempt is excluded — it is this attempt's
@@ -64,6 +164,7 @@ object DedupStream {
     import org.apache.spark.sql.types._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCompaction(fs, path)
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField("shh", ArrayType(LongType)),
@@ -291,6 +392,7 @@ object DedupStream {
     import org.apache.spark.sql.types._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCompaction(fs, path)
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField(vecCol, vecType),
@@ -334,6 +436,7 @@ object DedupStream {
     import org.apache.spark.sql.types._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCompaction(fs, path)
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField("sig", LongType),

@@ -175,6 +175,64 @@ class DedupStreamSpec extends SparkSpec {
     assert(ids.length == ids.distinct.length && ids.length == emb.count())
   }
 
+  test("index compaction folds the committed prefix; ingest continues identically") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    def run(compactAfter: Option[Long]): (Seq[(Long, Long)], String) = {
+      val indexPath = tmp("dsc_idx") + "/index"
+      val pairsPath = tmp("dsc_pairs")
+      (0 until 4).foreach { r =>
+        DedupStream.processContainmentBatch(
+          docs.filter($"doc_id" % 4 === r), r.toLong, indexPath, pairsPath,
+          "doc_id", "text")
+        compactAfter.filter(_ == r.toLong).foreach(w =>
+          DedupStream.compactIndex(spark, indexPath, w))
+      }
+      val pairs = spark.read.parquet(s"$pairsPath/batch_id=*")
+        .select("src_id", "dst_id").as[(Long, Long)].collect().sorted.toSeq
+      (pairs, indexPath)
+    }
+    val (plain, _) = run(None)
+    val (compacted, indexPath) = run(Some(1L))
+    // identical accumulated pair sets — compaction is a pure relayout
+    assert(compacted == plain && plain.nonEmpty)
+    // the tree now holds ONE folded dir for batches 0-1 plus 2 and 3
+    val dirs = new java.io.File(indexPath).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("batch_id=1", "batch_id=2", "batch_id=3"))
+    // row set intact
+    assert(spark.read.parquet(indexPath).count() == docs.count())
+
+    // crash repair, roll BACK: a stage without its marker drops
+    val next = new java.io.File(indexPath + "_cnext")
+    next.mkdirs()
+    java.nio.file.Files.writeString(next.toPath.resolve("part-junk.parquet"), "x")
+    DedupStream.compactIndex(spark, indexPath, 2L)
+    assert(!next.exists())
+    assert(new java.io.File(indexPath).listFiles()
+      .count(_.getName.startsWith("batch_id=")) == 2) // 0-2 folded, 3 live
+
+    // crash repair, roll FORWARD: marker present + a source dir already
+    // dropped — the stage is the only full copy and must promote (here
+    // exercised via compactIndex's entry repair)
+    val rows = spark.read.parquet(indexPath).count()
+    val stage = new java.io.File(indexPath + "_cnext")
+    spark.read.parquet(indexPath).filter($"batch_id" <= 3)
+      .drop("batch_id").write.parquet(stage.toString)
+    java.nio.file.Files.createFile(stage.toPath.resolve("_STAGED_3"))
+    val victim = new java.io.File(indexPath, "batch_id=2")
+    assert(victim.exists())
+    def rm(f: java.io.File): Unit = {
+      val c = f.listFiles(); if (c != null) c.foreach(rm); f.delete()
+    }
+    rm(victim) // the crashed call got partway through dropping sources
+    DedupStream.compactIndex(spark, indexPath, 3L) // entry repair promotes
+    assert(!stage.exists())
+    assert(new java.io.File(indexPath).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
+      == Seq("batch_id=3"))
+    assert(spark.read.parquet(indexPath).count() == rows)
+  }
+
   test("containment batch: within-batch duplicate ids index once; empty crash debris readable") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 150)
