@@ -79,7 +79,7 @@ object DedupStream {
     * prefix) or back (no marker: sources are intact, the partial
     * stage drops). */
   def compactIndex(spark: SparkSession, indexPath: String,
-      upToBatch: Long): Unit = {
+      upToBatch: Long, partitionCols: Seq[String] = Nil): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCompaction(fs, indexPath)
@@ -92,19 +92,31 @@ object DedupStream {
     // all-empty prefix (every batch dropped everything): no rows to
     // fold and nothing for schema inference to read — leave the
     // (cheap, data-free) dirs alone
-    if (!ids.exists { n =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(hPath, s"batch_id=$n"))
-        .exists(_.getPath.getName.endsWith(".parquet"))
-    }) return
+    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { s =>
+        if (s.isDirectory) hasParquet(s.getPath)
+        else s.getPath.getName.endsWith(".parquet")
+      }
+    if (!ids.exists(n =>
+      hasParquet(new org.apache.hadoop.fs.Path(hPath, s"batch_id=$n"))))
+      return
     val tgt = ids.max
     val next = new org.apache.hadoop.fs.Path(indexPath + "_cnext")
     if (fs.exists(next) && !fs.delete(next, true))
       throw new java.io.IOException(s"compact: cannot clear $next")
-    spark.read.parquet(indexPath)
+    val folded = spark.read.parquet(indexPath)
       .filter(col("batch_id") <= tgt)
       .drop("batch_id")
-      .coalesce(math.max(1, ids.length / 8)) // fold ~8 batch dirs per file
-      .write.mode(SaveMode.Overwrite).parquet(next.toString)
+    // sub-partitioned trees (the ANN raw tree's batch_id=N/cell=M) keep
+    // their inner layout: shuffle by the partition keys so each folded
+    // sub-dir is one file — the read path's pruning contract survives
+    val writer = (if (partitionCols.isEmpty)
+        folded.coalesce(math.max(1, ids.length / 8)) // ~8 batch dirs/file
+      else folded.repartition(partitionCols.map(col): _*))
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*))
+      .parquet(next.toString)
     fs.create(new org.apache.hadoop.fs.Path(next, s"_STAGED_$tgt")).close()
     promoteCompaction(fs, indexPath, next, tgt)
   }

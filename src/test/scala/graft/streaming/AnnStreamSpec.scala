@@ -309,6 +309,44 @@ class AnnStreamSpec extends SparkSpec {
     assert(serve(servingPath) == serve(indexPath))
   }
 
+  test("raw-tree compaction keeps cell layout, serve answers, and the re-sent-id guard") {
+    val e = emb.filter($"vec_id" < 400).cache()
+    val indexPath = tmp("asc_idx") + "/index"
+    val centroidsPath = tmp("asc_cen") + "/centroids"
+    (0 until 3).foreach { r =>
+      AnnStream.processIvfBatch(e.filter($"vec_id" % 4 === r), r.toLong,
+        indexPath, centroidsPath, "vec_id", "embedding", dim = 64,
+        cells = 8, iters = 2)
+    }
+    def serve() = AnnStream.ivfServeTopK(spark, indexPath, centroidsPath,
+        e.filter($"vec_id" < 8), "vec_id", "embedding", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val before = serve()
+    val rows = spark.read.parquet(indexPath).count()
+
+    graft.streaming.DedupStream.compactIndex(spark, indexPath, 1L,
+      partitionCols = Seq("cell"))
+    val dirs = new java.io.File(indexPath).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("batch_id=1", "batch_id=2"))
+    // the folded dir keeps the cell= sub-partitioning (serve-time
+    // directory pruning must survive compaction)
+    assert(new java.io.File(indexPath, "batch_id=1").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    assert(spark.read.parquet(indexPath).count() == rows)
+    assert(serve() == before)
+
+    // the committed-id guard still sees the folded prefix: a batch
+    // re-sending batch-0 vectors indexes nothing new
+    AnnStream.processIvfBatch(e.filter($"vec_id" % 4 === 0), 3L,
+      indexPath, centroidsPath, "vec_id", "embedding", dim = 64,
+      cells = 8, iters = 2)
+    val ids = spark.read.parquet(indexPath).select("vec_id").as[Long]
+      .collect().toSeq
+    assert(ids.length == ids.distinct.length && ids.length == rows)
+  }
+
   test("publish bounds: empty/below-first-batch is a no-op; delta respects upToBatch") {
     val e = emb.filter($"vec_id" < 200).cache()
     val indexPath = tmp("asb_idx") + "/index"
