@@ -252,13 +252,33 @@ object DedupStream {
     Seq(index, fresh, newIdx, pairs, survivorIds).foreach(_.unpersist())
   }
 
+  /** The in-stream compaction cadence shared by every ingest entry
+    * point: after batch N commits its writes, fold the index prefix
+    * `batch_id <= N-1`. Inside foreachBatch the prior prefix is
+    * quiescent BY CONSTRUCTION (no concurrent batch), satisfying
+    * [[compactIndex]]'s contract with no coordination; and the bound
+    * is N-1, NOT N, so a crash between compaction and the stream's
+    * checkpoint commit replays batch N against a tree whose
+    * `batch_id < N` read still selects the full committed prefix
+    * (the folded `batch_id=N-1` dir) — folding N itself would hide
+    * the fold from its own replay. */
+  private def maybeCompact(spark: SparkSession, indexPath: String,
+      batchId: Long, compactEvery: Option[Int],
+      partitionCols: Seq[String] = Nil): Unit =
+    compactEvery.filter(n => batchId > 0 && batchId % n == 0)
+      .foreach(_ => compactIndex(spark, indexPath, batchId - 1, partitionCols))
+
   /** Run the ingest as a stream over parquet document files landing in
-    * `docsDir`. Returns the running query (caller stops). */
+    * `docsDir`. Returns the running query (caller stops).
+    * `compactEvery = Some(n)` folds the committed index prefix every n
+    * batches ([[maybeCompact]]) — the small-files cadence for a
+    * long-running ingest. */
   def dedupIngest(spark: SparkSession, docsDir: String, schema: StructType,
       indexPath: String, pairsPath: String, survivorsPath: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxFilesPerTrigger: Int = 8): StreamingQuery =
+      threshold: Double = 0.5, maxFilesPerTrigger: Int = 8,
+      compactEvery: Option[Int] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(docsDir)
@@ -267,6 +287,7 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexPath, pairsPath, survivorsPath,
           idCol, textCol, n, k, bands, threshold)
+        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
       }
       .start()
 
@@ -428,7 +449,8 @@ object DedupStream {
       schema: StructType, indexPath: String, pairsPath: String,
       checkpointDir: String, idCol: String, vecCol: String,
       blockOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      threshold: Double, maxFilesPerTrigger: Int = 1): StreamingQuery =
+      threshold: Double, maxFilesPerTrigger: Int = 1,
+      compactEvery: Option[Int] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -437,6 +459,7 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processEmbeddingBatch(batch, batchId, indexPath, pairsPath,
           idCol, vecCol, blockOf, threshold)
+        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
       }
       .start()
 
@@ -473,7 +496,8 @@ object DedupStream {
       schema: StructType, indexPath: String, pairsPath: String,
       checkpointDir: String, idCol: String, sigCol: String,
       maxHamming: Int = 3, maxFilesPerTrigger: Int = 1,
-      maxBucketSize: Option[Int] = None)
+      maxBucketSize: Option[Int] = None,
+      compactEvery: Option[Int] = None)
       (toSignatures: DataFrame => DataFrame): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -483,6 +507,7 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processSignatureBatch(toSignatures(batch), batchId, indexPath,
           pairsPath, idCol, sigCol, maxHamming, maxBucketSize)
+        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
       }
       .start()
 
@@ -494,7 +519,8 @@ object DedupStream {
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, k: Int = 64, bands: Int = 32,
       threshold: Double = 0.8, maxFilesPerTrigger: Int = 1,
-      maxBucketSize: Option[Int] = None): StreamingQuery =
+      maxBucketSize: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(docsDir)
@@ -503,6 +529,7 @@ object DedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processContainmentBatch(batch, batchId, indexPath, pairsPath,
           idCol, textCol, n, k, bands, threshold, maxBucketSize)
+        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
       }
       .start()
 }

@@ -175,6 +175,44 @@ class DedupStreamSpec extends SparkSpec {
     assert(ids.length == ids.distinct.length && ids.length == emb.count())
   }
 
+  test("in-stream compaction cadence: answers unchanged, prefix folded under the running query") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val expected = Dedup.minhashContainmentPairs(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 32, threshold = 0.8)
+      .select("src_id", "dst_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val docsDir = tmp("dscc_docs"); val indexPath = tmp("dscc_idx") + "/index"
+    val pairsPath = tmp("dscc_pairs"); val checkpoint = tmp("dscc_ckpt")
+    val q = DedupStream.containmentIngest(spark, docsDir, docs.schema,
+      indexPath, pairsPath, checkpoint, maxFilesPerTrigger = 1,
+      compactEvery = Some(2))
+    try {
+      for (r <- 0 until 4) {
+        val stage = tmp(s"dscc_stage$r") + "/out"
+        docs.filter($"doc_id" % 4 === r).coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(docsDir, f"round_$r%03d.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$pairsPath/batch_id=*")
+      .select("src_id", "dst_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.length == streamed.toSet.size, "duplicate pairs")
+    assert(streamed.toSet == expected)
+    // batch 2 folded 0-1, batch 3's dir is live, batch 2's own dir was
+    // NOT folded by its own trigger (the N-1 bound)
+    val dirs = new java.io.File(indexPath).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("batch_id=1", "batch_id=2", "batch_id=3"), dirs)
+    assert(spark.read.parquet(indexPath).count() ==
+      Dedup.minhashIndex(docs, "doc_id", "text", 3).count())
+  }
+
   test("index compaction folds the committed prefix; ingest continues identically") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
     def run(compactAfter: Option[Long]): (Seq[(Long, Long)], String) = {
