@@ -239,17 +239,41 @@ object DedupStream {
       .select(col("min_new").as(idCol))
       .cache()
 
-    // per-batch output dirs: every write is an idempotent overwrite
-    pairs.write.mode(SaveMode.Overwrite)
-      .parquet(s"$pairsPath/batch_id=$batchId")
-    fresh.join(survivorIds, Seq(idCol), "left_semi")
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$survivorsPath/batch_id=$batchId")
-    newIdx.join(survivorIds, Seq(idCol), "left_semi")
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexPath/batch_id=$batchId")
+    // materialize every cached frame ONCE (survivorIds sits downstream
+    // of them all), then the three writes share computed caches
+    // instead of racing to build them
+    survivorIds.count()
+    // per-batch output dirs: every write is an idempotent overwrite of
+    // a deterministic function of the committed prefix, with NO
+    // ordering requirement among the three (a replay recomputes all)
+    // — so they run CONCURRENTLY and the batch pays the slowest
+    // write's wall, not the sum
+    concurrently(
+      () => pairs.write.mode(SaveMode.Overwrite)
+        .parquet(s"$pairsPath/batch_id=$batchId"),
+      () => fresh.join(survivorIds, Seq(idCol), "left_semi")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$survivorsPath/batch_id=$batchId"),
+      () => newIdx.join(survivorIds, Seq(idCol), "left_semi")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexPath/batch_id=$batchId"))
 
     Seq(index, fresh, newIdx, pairs, survivorIds).foreach(_.unpersist())
+  }
+
+  /** Run independent per-batch writes concurrently: each is an
+    * idempotent per-batch overwrite with no ordering requirement (a
+    * crash anywhere leaves a replay that recomputes and overwrites
+    * them all), so the batch pays the SLOWEST write's wall instead of
+    * the sum. Callers materialize shared cached inputs first (one
+    * count) so the concurrent jobs read computed caches instead of
+    * racing to build them. Failures propagate: every write is awaited
+    * and the first failure rethrows. */
+  private def concurrently(writes: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    writes.map(w => Future(w())).foreach(Await.result(_, Duration.Inf))
   }
 
   /** The in-stream compaction cadence shared by every ingest entry
@@ -333,10 +357,12 @@ object DedupStream {
     val newIdx = Dedup.minhashIndex(fresh, idCol, textCol, n, k).cache()
     val pairs = Dedup.minhashContainmentPairsFromIndexes(index, newIdx,
       idCol, k, bands, threshold, maxBucketSize)
-    pairs.write.mode(SaveMode.Overwrite)
-      .parquet(s"$pairsPath/batch_id=$batchId")
-    newIdx.write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexPath/batch_id=$batchId")
+    newIdx.count() // materialize the shared caches once (see concurrently)
+    concurrently(
+      () => pairs.write.mode(SaveMode.Overwrite)
+        .parquet(s"$pairsPath/batch_id=$batchId"),
+      () => newIdx.write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexPath/batch_id=$batchId"))
     Seq(index, fresh, newIdx).foreach(_.unpersist())
   }
 
@@ -368,10 +394,12 @@ object DedupStream {
       .cache()
     val pairs = Dedup.hammingPairsFromIndexes(index, fresh, idCol, "sig",
       maxHamming, maxBucketSize)
-    pairs.write.mode(SaveMode.Overwrite)
-      .parquet(s"$pairsPath/batch_id=$batchId")
-    fresh.write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexPath/batch_id=$batchId")
+    fresh.count() // materialize the shared caches once (see concurrently)
+    concurrently(
+      () => pairs.write.mode(SaveMode.Overwrite)
+        .parquet(s"$pairsPath/batch_id=$batchId"),
+      () => fresh.write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexPath/batch_id=$batchId"))
     Seq(index, fresh).foreach(_.unpersist())
   }
 
@@ -409,10 +437,12 @@ object DedupStream {
       .cache()
     val pairs = Dedup.embeddingNearDupPairsFromIndexes(index, fresh,
       idCol, vecCol, "block", threshold)
-    pairs.write.mode(SaveMode.Overwrite)
-      .parquet(s"$pairsPath/batch_id=$batchId")
-    fresh.write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexPath/batch_id=$batchId")
+    fresh.count() // materialize the shared caches once (see concurrently)
+    concurrently(
+      () => pairs.write.mode(SaveMode.Overwrite)
+        .parquet(s"$pairsPath/batch_id=$batchId"),
+      () => fresh.write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexPath/batch_id=$batchId"))
     Seq(index, fresh).foreach(_.unpersist())
   }
 
