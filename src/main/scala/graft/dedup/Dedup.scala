@@ -581,7 +581,9 @@ object Dedup {
     * New-batch ids must be disjoint from index ids (the same contract
     * as [[minhashLshPairsFromIndexes]]): a doc_id present on both
     * sides joins its stale and fresh shingle sets interchangeably —
-    * re-ingest by retiring the old index row first. */
+    * re-ingest by retiring the old index row first
+    * ([[graft.streaming.DedupStream.retireIds]] — the crash-safe
+    * retire for the committed per-batch trees). */
   def minhashContainmentPairsFromIndexes(index: DataFrame,
       newIdx: DataFrame, idCol: String, k: Int = 64, bands: Int = 32,
       threshold: Double = 0.8,

@@ -110,6 +110,12 @@ object AnnStream {
     * an empty tree reads as an empty frame and the replay proceeds. */
   private def committedIds(spark: SparkSession, indexPath: String,
       idCol: String, idType: DataType, batchId: Long): DataFrame = {
+    // every raw-tree read repairs interrupted maintenance first (the
+    // DedupStream every-load rule): a compaction or retire that
+    // crashed mid-promote leaves the tree missing batch partitions
+    // until rolled forward — read without repairing and the re-sent-id
+    // guard misses ids, double-indexing them
+    DedupStream.repairIndexTree(spark, indexPath)
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = StructType(Seq(
@@ -173,6 +179,11 @@ object AnnStream {
     * call is a no-op (the live tree, if any, is left untouched). */
   def publishIndex(spark: SparkSession, indexPath: String,
       servingPath: String, upToBatch: Option[Long] = None): Unit = {
+    // roll interrupted raw-tree maintenance forward before folding: a
+    // mid-promote compaction/retire crash leaves batch partitions
+    // missing, and a publish reading that state would fold (and
+    // watermark past) rows it never saw
+    DedupStream.repairIndexTree(spark, indexPath)
     graft.operators.Sinks.recoverSwap(spark, servingPath)
     val ids = listBatchIds(spark, indexPath)
     val folded = upToBatch.fold(ids)(b => ids.filter(_ <= b))
@@ -236,6 +247,7 @@ object AnnStream {
   def publishIndexDelta(spark: SparkSession, indexPath: String,
       servingPath: String, idCol: String = "vec_id",
       upToBatch: Option[Long] = None): Unit = {
+    DedupStream.repairIndexTree(spark, indexPath) // the publishIndex rule
     val hServing = new org.apache.hadoop.fs.Path(servingPath)
     val fs = hServing.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCellPublish(fs, servingPath)
@@ -268,31 +280,89 @@ object AnnStream {
       val merged = existing
         .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
         .unionByName(delta)
-      val next = new org.apache.hadoop.fs.Path(servingPath + "_dnext")
-      val old = new org.apache.hadoop.fs.Path(servingPath + "_dold")
-      merged.repartition(col("cell")).write.mode(SaveMode.Overwrite)
-        .partitionBy("cell").parquet(next.toString)
-      if (fs.exists(old) && !fs.delete(old, true))
-        throw new java.io.IOException(s"delta publish: cannot clear $old")
-      if (!fs.mkdirs(old))
-        throw new java.io.IOException(s"delta publish: cannot stage $old")
-      affected.foreach { c =>
-        val live = new org.apache.hadoop.fs.Path(servingPath, s"cell=$c")
-        val staged = new org.apache.hadoop.fs.Path(next, s"cell=$c")
-        if (fs.exists(live) &&
-            !fs.rename(live, new org.apache.hadoop.fs.Path(old, s"cell=$c")))
-          throw new java.io.IOException(s"delta publish: cannot set aside $live")
-        if (fs.exists(staged) && !fs.rename(staged, live))
-          throw new java.io.IOException(s"delta publish: cannot promote $staged")
-      }
-      // `_dnext` is the commit marker: drops first, mandatorily — see
-      // repairCellPublish for why `_dold` without `_dnext` must only
-      // ever be deleted, never rolled back
-      if (!fs.delete(next, true))
-        throw new java.io.IOException(s"delta publish: cannot clear $next")
-      fs.delete(old, true) // best-effort; repair clears completed debris
+      replaceCells(spark, fs, servingPath, merged, affected)
       writePubWatermark(spark, servingPath, maxB)
     } finally delta.unpersist()
+  }
+
+  /** Replace exactly `affected` cell directories of a published tree
+    * with `merged`'s rows — the crash-safe cell-swap half of
+    * [[publishIndexDelta]], shared by [[retireIds]]: merged cells
+    * materialize under `_dnext`, live cell dirs are set aside under
+    * `_dold`, staged dirs promote (a cell with no merged rows stages
+    * nothing and its live dir simply drops), `_dnext` drops first as
+    * the commit marker. [[repairCellPublish]] repairs interruptions. */
+  private def replaceCells(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, servingPath: String,
+      merged: DataFrame, affected: Seq[String]): Unit = {
+    val next = new org.apache.hadoop.fs.Path(servingPath + "_dnext")
+    val old = new org.apache.hadoop.fs.Path(servingPath + "_dold")
+    merged.repartition(col("cell")).write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(next.toString)
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"cell replace: cannot clear $old")
+    if (!fs.mkdirs(old))
+      throw new java.io.IOException(s"cell replace: cannot stage $old")
+    affected.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(servingPath, s"cell=$c")
+      val staged = new org.apache.hadoop.fs.Path(next, s"cell=$c")
+      if (fs.exists(live) &&
+          !fs.rename(live, new org.apache.hadoop.fs.Path(old, s"cell=$c")))
+        throw new java.io.IOException(s"cell replace: cannot set aside $live")
+      if (fs.exists(staged) && !fs.rename(staged, live))
+        throw new java.io.IOException(s"cell replace: cannot promote $staged")
+    }
+    // `_dnext` is the commit marker: drops first, mandatorily — see
+    // repairCellPublish for why `_dold` without `_dnext` must only
+    // ever be deleted, never rolled back
+    if (!fs.delete(next, true))
+      throw new java.io.IOException(s"cell replace: cannot clear $next")
+    fs.delete(old, true) // best-effort; repair clears completed debris
+  }
+
+  /** RETIRE ids from a PUBLISHED cell tree (the serving layout of
+    * [[publishIndex]] or the PQ-coded tree of [[publishPqIndex]]) —
+    * the ANN half of [[DedupStream.retireIds]]'s re-ingest /
+    * right-to-erasure contract. The raw per-batch tree retires
+    * through [[DedupStream.retireIds]] (with
+    * `partitionCols = Seq("cell")`); this removes the same ids from
+    * the published layout so serve answers stop returning them
+    * immediately, without waiting for the next full republish.
+    *
+    * Cost mirrors [[publishIndexDelta]]: one pruned semi-join finds
+    * the AFFECTED cells (driver state ≤ the cell count — each id
+    * lives in exactly one cell), only those cell directories are
+    * re-read, filtered, and swapped; untouched cells are not read,
+    * not shuffled, not rewritten. The publish watermark sidecar is
+    * deliberately NOT advanced or rewound: it records which raw
+    * batches have been folded, and retiring rows changes no fold
+    * history (a later [[publishIndexDelta]] still folds exactly the
+    * raw batches past the watermark — if the retired ids were also
+    * retired from the raw tree, nothing re-introduces them).
+    *
+    * Crash safety is [[replaceCells]]'s: an interrupted call is
+    * repaired to a readable tree by the next reader's
+    * [[repairCellPublish]], and a re-invoked retire is idempotent
+    * (the anti-join removes nothing twice). */
+  def retireIds(spark: SparkSession, servingPath: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val hServing = new org.apache.hadoop.fs.Path(servingPath)
+    val fs = hServing.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCellPublish(fs, servingPath)
+    graft.operators.Sinks.recoverSwap(spark, servingPath)
+    if (!fs.exists(hServing)) return
+    val retire = ids.select(col(idCol)).distinct().cache()
+    try {
+      val tree = spark.read.parquet(servingPath)
+      // driver state: affected cell ids only (≤ cells, never rows)
+      val affected = tree.join(retire, Seq(idCol), "left_semi")
+        .select(col("cell").cast(LongType)).distinct()
+        .collect().map(_.getLong(0).toString).sorted
+      if (affected.isEmpty) return
+      val kept = tree.filter(col("cell").isin(affected.map(_.toLong): _*))
+        .join(retire, Seq(idCol), "left_anti")
+      replaceCells(spark, fs, servingPath, kept, affected)
+    } finally retire.unpersist()
   }
 
   /** Repair an interrupted [[publishIndexDelta]]: `_dnext` still on
@@ -361,6 +431,7 @@ object AnnStream {
   def ivfServeTopK(spark: SparkSession, indexPath: String,
       centroidsPath: String, queries: DataFrame, idCol: String,
       vecCol: String, topK: Int, nprobe: Int = 1): DataFrame = {
+    DedupStream.repairIndexTree(spark, indexPath) // every-load repair
     val cents = readCentroids(spark, centroidsPath)
     val q = Ann.portableQueryCells(queries, idCol, vecCol, cents, nprobe)
     val probed = q.select("cell").distinct()
@@ -385,10 +456,23 @@ object AnnStream {
   def trainPqCodebook(spark: SparkSession, indexPath: String,
       centroidsPath: String, m: Int, k: Int, iters: Int,
       salt: String = "pqres"): Seq[Seq[Seq[Long]]] = {
+    DedupStream.repairIndexTree(spark, indexPath) // every-load repair
+    // the training slice is the batch-0 PARTITION, read through
+    // partition pruning (`batch_id = 0` on the discovered partition
+    // column), not a literal sub-path: once compactIndex folds the
+    // prefix, `batch_id=0` no longer exists as a directory and the
+    // slice is no longer isolable — fail with the contract spelled
+    // out rather than a path-not-found from the scan
+    require(listBatchIds(spark, indexPath).contains(0L),
+      s"trainPqCodebook: no batch_id=0 partition under $indexPath — " +
+        "the batch-0 training slice is no longer isolable (compacted " +
+        "away?). Train and freeze the codebook BEFORE the first " +
+        "compaction of the raw tree, like the coarse centroids.")
     val cents = readCentroids(spark, centroidsPath)
     val dim = cents.head.length
     val centLit = typedLit(cents.map(_.toSeq))
-    val resid = spark.read.parquet(s"$indexPath/batch_id=0")
+    val resid = spark.read.parquet(indexPath)
+      .filter(col("batch_id") === 0L)
       .withColumn("r", zip_with(col("q"),
         element_at(centLit, (col("cell") + 1).cast(IntegerType)),
         (a, b) => a - b))
@@ -457,6 +541,7 @@ object AnnStream {
   private def publishPqIndexWith(spark: SparkSession, indexPath: String,
       centroidsPath: String, codedPath: String, idCol: String,
       m: Int, k: Int, cbOpt: Option[Seq[Seq[Seq[Long]]]]): Unit = {
+    DedupStream.repairIndexTree(spark, indexPath) // every-load repair
     val cents = readCentroids(spark, centroidsPath)
     val dim = cents.head.length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")

@@ -83,6 +83,7 @@ object DedupStream {
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCompaction(fs, indexPath)
+    repairRetire(fs, indexPath)
     if (!fs.exists(hPath)) return
     val ids = fs.listStatus(hPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
@@ -92,13 +93,8 @@ object DedupStream {
     // all-empty prefix (every batch dropped everything): no rows to
     // fold and nothing for schema inference to read — leave the
     // (cheap, data-free) dirs alone
-    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.listStatus(p).exists { s =>
-        if (s.isDirectory) hasParquet(s.getPath)
-        else s.getPath.getName.endsWith(".parquet")
-      }
-    if (!ids.exists(n =>
-      hasParquet(new org.apache.hadoop.fs.Path(hPath, s"batch_id=$n"))))
+    if (!ids.exists(n => hasParquetFiles(fs,
+      new org.apache.hadoop.fs.Path(hPath, s"batch_id=$n"))))
       return
     val tgt = ids.max
     val next = new org.apache.hadoop.fs.Path(indexPath + "_cnext")
@@ -123,7 +119,18 @@ object DedupStream {
 
   /** The commit half of [[compactIndex]] — also the roll-forward of
     * [[repairCompaction]]: drop every source dir the staged fold
-    * subsumes, then promote the stage to `batch_id=<tgt>`. */
+    * subsumes, then promote the stage to `batch_id=<tgt>`. The
+    * `_STAGED_<tgt>` marker is deleted only AFTER the rename commits
+    * (it travels with the renamed dir): the marker is the one bit
+    * that distinguishes "complete fold, sources may already be gone
+    * — roll FORWARD" from "partial stage, sources intact — roll
+    * back", so deleting it while the stage still sits at `_cnext`
+    * would turn a crash in that window into repair-by-deletion of
+    * the only copy of the folded prefix. Inside `batch_id=<tgt>` the
+    * leftover marker is inert (underscore-prefixed files are ignored
+    * by parquet reads, and [[repairCompaction]] only inspects
+    * `_cnext`), so even a crash before the final delete leaves
+    * nothing worse than a zero-byte debris file. */
   private def promoteCompaction(fs: org.apache.hadoop.fs.FileSystem,
       indexPath: String, next: org.apache.hadoop.fs.Path,
       tgt: Long): Unit = {
@@ -135,10 +142,10 @@ object DedupStream {
         if (!fs.delete(s.getPath, true))
           throw new java.io.IOException(s"compact: cannot drop ${s.getPath}")
       }
-    fs.delete(new org.apache.hadoop.fs.Path(next, s"_STAGED_$tgt"), false)
-    if (!fs.rename(next,
-        new org.apache.hadoop.fs.Path(hPath, s"batch_id=$tgt")))
+    val promoted = new org.apache.hadoop.fs.Path(hPath, s"batch_id=$tgt")
+    if (!fs.rename(next, promoted))
       throw new java.io.IOException(s"compact: cannot promote $next")
+    fs.delete(new org.apache.hadoop.fs.Path(promoted, s"_STAGED_$tgt"), false)
   }
 
   /** Repair an interrupted [[compactIndex]]: a `_cnext` stage with
@@ -163,6 +170,148 @@ object DedupStream {
     }
   }
 
+  /** Repair BOTH maintenance stagings of a per-batch index tree —
+    * an interrupted [[compactIndex]] and an interrupted [[retireIds]]
+    * — before any read. One existence check each when no maintenance
+    * ever ran; package-visible so [[AnnStream]]'s loaders, publishes,
+    * serves and trainer apply the same every-load repair rule to the
+    * raw ANN tree (its `batch_id=N/cell=M` layout goes through the
+    * identical machinery). */
+  private[streaming] def repairIndexTree(spark: SparkSession,
+      indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCompaction(fs, indexPath)
+    repairRetire(fs, indexPath)
+  }
+
+  /** RETIRE ids from a committed per-batch tree: remove every row of
+    * `ids` from every `batch_id=` partition of `treePath` — the
+    * missing half of the `…FromIndexes` re-ingest contract ("retire
+    * the old index row first", [[graft.dedup.Dedup]]) and the
+    * right-to-erasure / re-crawl path a 100 TB ingest needs: document
+    * deletions and re-crawls are routine, and hand-editing partition
+    * trees would break the replay discipline the ingests are built
+    * on. Works on ANY of the per-batch trees (signature / embedding /
+    * survivor-doc / ANN-raw — the filter is shape-agnostic;
+    * `partitionCols` keeps a sub-partitioned tree's inner layout, the
+    * [[compactIndex]] contract).
+    *
+    * Semantics: INDEX and SURVIVOR state recompute forward — a
+    * retired id is no longer in the committed index, so a later batch
+    * re-sending that id passes the fresh-id guard and is scored like
+    * any new arrival. PAIRS ARE HISTORY: the per-batch pair
+    * partitions are an emitted report of what was observed at each
+    * arrival, not a materialized view of the current index — retiring
+    * an id does not rewrite them (callers wanting a live view filter
+    * the report against the surviving id set).
+    *
+    * Cost: one column-pruned semi-join finds the AFFECTED batch
+    * partitions (driver state = the affected batch ids, ≤ #batches);
+    * only those partitions are re-read, filtered and rewritten —
+    * untouched batches are not read, not shuffled, not rewritten.
+    *
+    * Crash safety follows [[compactIndex]]'s staged-commit shape:
+    * filtered copies of every affected partition stage under
+    * `<treePath>_rnext` (a fully-retired batch stages as an EMPTY
+    * `batch_id=` dir, so the promote drops its live rows too); the
+    * `_RETIRE_STAGED` marker commits the staging; [[promoteRetire]]
+    * replaces each live partition with its staged copy and drops the
+    * staging last. [[repairRetire]] (run on entry here AND by every
+    * index load via [[repairIndexTree]]) rolls an interrupted retire
+    * forward (marker present: every staged partition is a complete
+    * filtered copy) or back (no marker: live partitions untouched,
+    * the partial stage drops). Like [[compactIndex]], the call must
+    * not race an in-flight batch or another maintenance op (run it
+    * from a quiesced window or between foreachBatch invocations). */
+  def retireIds(spark: SparkSession, treePath: String, ids: DataFrame,
+      idCol: String, partitionCols: Seq[String] = Nil): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(treePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCompaction(fs, treePath)
+    repairRetire(fs, treePath)
+    // no tree, or a tree with zero data files (every batch dropped or
+    // already retired everything): nothing to retire, and nothing for
+    // schema inference to read
+    if (!fs.exists(hPath) || !hasParquetFiles(fs, hPath)) return
+    val retire = ids.select(col(idCol)).distinct().cache()
+    try {
+      val tree = spark.read.parquet(treePath)
+      // driver state: affected batch ids only (≤ #batches, never rows)
+      val affected = tree.join(retire, Seq(idCol), "left_semi")
+        .select(col("batch_id").cast(org.apache.spark.sql.types.LongType))
+        .distinct().collect().map(_.getLong(0)).sorted
+      if (affected.isEmpty) return
+      val next = new org.apache.hadoop.fs.Path(treePath + "_rnext")
+      val kept = tree
+        .filter(col("batch_id").isin(affected: _*))
+        .join(retire, Seq(idCol), "left_anti")
+      kept.repartition((("batch_id" +: partitionCols).map(col)): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(("batch_id" +: partitionCols): _*)
+        .parquet(next.toString)
+      // a batch whose every row retired writes no partition dir — stage
+      // an EMPTY one so the promote still drops its live rows
+      affected.foreach { b =>
+        val staged = new org.apache.hadoop.fs.Path(next, s"batch_id=$b")
+        if (!fs.exists(staged) && !fs.mkdirs(staged))
+          throw new java.io.IOException(s"retire: cannot stage empty $staged")
+      }
+      fs.create(new org.apache.hadoop.fs.Path(next, "_RETIRE_STAGED")).close()
+      promoteRetire(fs, treePath, next)
+    } finally retire.unpersist()
+  }
+
+  /** The commit half of [[retireIds]] — also [[repairRetire]]'s
+    * roll-forward: each staged `batch_id=` partition REPLACES its
+    * live counterpart (drop live, rename staged in), then the staging
+    * dir (now holding only the marker) drops. Idempotent mid-crash:
+    * a partition already promoted has no staged copy left, so a
+    * replayed promote skips it; a live dir dropped but not yet
+    * replaced is restored by the staged rename. */
+  private def promoteRetire(fs: org.apache.hadoop.fs.FileSystem,
+      treePath: String, next: org.apache.hadoop.fs.Path): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(treePath)
+    fs.listStatus(next).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .foreach { s =>
+        val live = new org.apache.hadoop.fs.Path(hPath, s.getPath.getName)
+        if (fs.exists(live) && !fs.delete(live, true))
+          throw new java.io.IOException(s"retire: cannot drop $live")
+        if (!fs.rename(s.getPath, live))
+          throw new java.io.IOException(s"retire: cannot promote ${s.getPath}")
+      }
+    if (!fs.delete(next, true))
+      throw new java.io.IOException(s"retire: cannot clear $next")
+  }
+
+  /** Does the tree hold at least one parquet data file? (Partition
+    * dirs can legitimately be empty — a batch that dropped everything,
+    * a fully-retired batch — and schema inference throws on a tree
+    * with zero data files.) */
+  private def hasParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(p).exists { s =>
+      if (s.isDirectory) hasParquetFiles(fs, s.getPath)
+      else s.getPath.getName.endsWith(".parquet")
+    }
+
+  /** Repair an interrupted [[retireIds]]: a `_rnext` stage with its
+    * `_RETIRE_STAGED` marker holds a COMPLETE filtered copy of every
+    * affected partition — roll forward (the crashed promote may
+    * already have dropped some live partitions; the stage is the only
+    * full copy). Without the marker the live tree is untouched — roll
+    * back by dropping the partial stage. */
+  private def repairRetire(fs: org.apache.hadoop.fs.FileSystem,
+      treePath: String): Unit = {
+    val next = new org.apache.hadoop.fs.Path(treePath + "_rnext")
+    if (!fs.exists(next)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(next, "_RETIRE_STAGED")))
+      promoteRetire(fs, treePath, next)
+    else if (!fs.delete(next, true))
+      throw new java.io.IOException(s"retire repair: cannot clear $next")
+  }
+
   /** The committed index as seen by batch `batchId`: signature
     * partitions of all PRIOR batches. A partial `batch_id=batchId`
     * dir left by a crashed attempt is excluded — it is this attempt's
@@ -177,6 +326,7 @@ object DedupStream {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCompaction(fs, path)
+    repairRetire(fs, path)
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField("shh", ArrayType(LongType)),
@@ -196,69 +346,71 @@ object DedupStream {
       textCol: String, n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): Unit = {
     val spark = batch.sparkSession
-    val index =
-      loadIndex(spark, indexPath, idCol, batch.schema(idCol).dataType, batchId)
-        .cache()
-    // ingest contract: ids identify documents — a doc re-sent under an
-    // already-indexed id (across OR within a batch) is the same
-    // document, not a new one (within-batch dropDuplicates is
-    // deterministic under the same-id-same-payload contract)
-    val fresh = batch.dropDuplicates(idCol)
-      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
-      .cache()
-    val newIdx = Dedup.minhashIndex(fresh, idCol, textCol, n, k).cache()
-    val pairs = Dedup
-      .minhashLshPairsFromIndexes(index, newIdx, idCol, k, bands, threshold)
-      .cache()
+    // every per-batch cache is registered here and released in the
+    // finally below — a failed batch (including a failed concurrent
+    // write) must not leave its frames pinned across foreachBatch's
+    // retry, or the retry accumulates O(attempts) cached copies
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = { cached += df; df.cache() }
+    try {
+      val index = pin(loadIndex(spark, indexPath, idCol,
+        batch.schema(idCol).dataType, batchId))
+      // ingest contract: ids identify documents — a doc re-sent under
+      // an already-indexed id (across OR within a batch) is the same
+      // document, not a new one (within-batch dropDuplicates is
+      // deterministic under the same-id-same-payload contract)
+      val fresh = pin(batch.dropDuplicates(idCol)
+        .join(index.select(col(idCol)), Seq(idCol), "left_anti"))
+      val newIdx = pin(Dedup.minhashIndex(fresh, idCol, textCol, n, k))
+      val pairs = pin(Dedup
+        .minhashLshPairsFromIndexes(index, newIdx, idCol, k, bands, threshold))
 
-    // resolve survivors over the batch-touching pair graph: the graph's
-    // nodes are the batch plus only the indexed docs that appear in a
-    // pair (never the whole index)
-    val newIds = fresh.select(col(idCol))
-    val touchedOld = pairs.select(col("a_id").as(idCol))
-      .unionByName(pairs.select(col("b_id").as(idCol)))
-      .distinct()
-      .join(newIds, Seq(idCol), "left_anti")
-    val nodes = newIds.withColumn("is_new", lit(true))
-      .unionByName(touchedOld.withColumn("is_new", lit(false)))
-    val roots = Dedup.duplicateClusters(nodes, idCol, pairs)
-      .join(nodes, col("id") === col(idCol)).select("id", "root", "is_new")
-    // Survivor rule as ONE per-root aggregation (a cluster with any
-    // indexed member keeps the indexed representative — the whole
-    // batch side drops; an only-new cluster keeps its minimum id), so
-    // no window functions run over the node frame. Cached: BOTH
-    // per-batch outputs (survivor docs, survivor signatures) semi-join
-    // against this frame — uncached, the whole cluster-resolution
-    // chain (distinct + anti-join + union-find + this aggregation)
-    // would run once per write.
-    val survivorIds = roots
-      .groupBy("root")
-      .agg(max(when(!col("is_new"), 1).otherwise(0)).as("has_old"),
-        min(when(col("is_new"), col("id"))).as("min_new"))
-      .filter(col("has_old") === 0)
-      .select(col("min_new").as(idCol))
-      .cache()
+      // resolve survivors over the batch-touching pair graph: the
+      // graph's nodes are the batch plus only the indexed docs that
+      // appear in a pair (never the whole index)
+      val newIds = fresh.select(col(idCol))
+      val touchedOld = pairs.select(col("a_id").as(idCol))
+        .unionByName(pairs.select(col("b_id").as(idCol)))
+        .distinct()
+        .join(newIds, Seq(idCol), "left_anti")
+      val nodes = newIds.withColumn("is_new", lit(true))
+        .unionByName(touchedOld.withColumn("is_new", lit(false)))
+      val roots = Dedup.duplicateClusters(nodes, idCol, pairs)
+        .join(nodes, col("id") === col(idCol)).select("id", "root", "is_new")
+      // Survivor rule as ONE per-root aggregation (a cluster with any
+      // indexed member keeps the indexed representative — the whole
+      // batch side drops; an only-new cluster keeps its minimum id), so
+      // no window functions run over the node frame. Cached: BOTH
+      // per-batch outputs (survivor docs, survivor signatures) semi-join
+      // against this frame — uncached, the whole cluster-resolution
+      // chain (distinct + anti-join + union-find + this aggregation)
+      // would run once per write.
+      val survivorIds = pin(roots
+        .groupBy("root")
+        .agg(max(when(!col("is_new"), 1).otherwise(0)).as("has_old"),
+          min(when(col("is_new"), col("id"))).as("min_new"))
+        .filter(col("has_old") === 0)
+        .select(col("min_new").as(idCol)))
 
-    // materialize every cached frame ONCE (survivorIds sits downstream
-    // of them all), then the three writes share computed caches
-    // instead of racing to build them
-    survivorIds.count()
-    // per-batch output dirs: every write is an idempotent overwrite of
-    // a deterministic function of the committed prefix, with NO
-    // ordering requirement among the three (a replay recomputes all)
-    // — so they run CONCURRENTLY and the batch pays the slowest
-    // write's wall, not the sum
-    concurrently(
-      () => pairs.write.mode(SaveMode.Overwrite)
-        .parquet(s"$pairsPath/batch_id=$batchId"),
-      () => fresh.join(survivorIds, Seq(idCol), "left_semi")
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$survivorsPath/batch_id=$batchId"),
-      () => newIdx.join(survivorIds, Seq(idCol), "left_semi")
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$indexPath/batch_id=$batchId"))
-
-    Seq(index, fresh, newIdx, pairs, survivorIds).foreach(_.unpersist())
+      // materialize every cached frame ONCE (survivorIds sits downstream
+      // of them all), then the three writes share computed caches
+      // instead of racing to build them
+      survivorIds.count()
+      // per-batch output dirs: every write is an idempotent overwrite of
+      // a deterministic function of the committed prefix, with NO
+      // ordering requirement among the three (a replay recomputes all)
+      // — so they run CONCURRENTLY and the batch pays the slowest
+      // write's wall, not the sum
+      concurrently(
+        () => pairs.write.mode(SaveMode.Overwrite)
+          .parquet(s"$pairsPath/batch_id=$batchId"),
+        () => fresh.join(survivorIds, Seq(idCol), "left_semi")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$survivorsPath/batch_id=$batchId"),
+        () => newIdx.join(survivorIds, Seq(idCol), "left_semi")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch_id=$batchId"))
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Run independent per-batch writes concurrently: each is an
@@ -267,13 +419,23 @@ object DedupStream {
     * them all), so the batch pays the SLOWEST write's wall instead of
     * the sum. Callers materialize shared cached inputs first (one
     * count) so the concurrent jobs read computed caches instead of
-    * racing to build them. Failures propagate: every write is awaited
-    * and the first failure rethrows. */
+    * racing to build them. Failures propagate only after EVERY write
+    * has completed or failed: awaiting sequentially and rethrowing on
+    * the first failure would hand control back to the caller (and to
+    * foreachBatch's retry) while sibling writes were still running —
+    * two writers racing one per-batch output dir. Sibling failures
+    * attach as suppressed exceptions. */
   private def concurrently(writes: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    writes.map(w => Future(w())).foreach(Await.result(_, Duration.Inf))
+    val settled = writes.map(w => Future(w()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    val failures = settled.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
   }
 
   /** The in-stream compaction cadence shared by every ingest entry
@@ -344,26 +506,27 @@ object DedupStream {
       threshold: Double = 0.8,
       maxBucketSize: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
-    val index =
-      loadIndex(spark, indexPath, idCol, batch.schema(idCol).dataType, batchId)
-        .cache()
-    // ingest contract: ids identify documents — a doc re-sent under an
-    // already-indexed id (across OR within a batch) is the same
-    // document, not a new one (within-batch dropDuplicates is
-    // deterministic under the same-id-same-payload contract)
-    val fresh = batch.dropDuplicates(idCol)
-      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
-      .cache()
-    val newIdx = Dedup.minhashIndex(fresh, idCol, textCol, n, k).cache()
-    val pairs = Dedup.minhashContainmentPairsFromIndexes(index, newIdx,
-      idCol, k, bands, threshold, maxBucketSize)
-    newIdx.count() // materialize the shared caches once (see concurrently)
-    concurrently(
-      () => pairs.write.mode(SaveMode.Overwrite)
-        .parquet(s"$pairsPath/batch_id=$batchId"),
-      () => newIdx.write.mode(SaveMode.Overwrite)
-        .parquet(s"$indexPath/batch_id=$batchId"))
-    Seq(index, fresh, newIdx).foreach(_.unpersist())
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = { cached += df; df.cache() }
+    try {
+      val index = pin(loadIndex(spark, indexPath, idCol,
+        batch.schema(idCol).dataType, batchId))
+      // ingest contract: ids identify documents — a doc re-sent under
+      // an already-indexed id (across OR within a batch) is the same
+      // document, not a new one (within-batch dropDuplicates is
+      // deterministic under the same-id-same-payload contract)
+      val fresh = pin(batch.dropDuplicates(idCol)
+        .join(index.select(col(idCol)), Seq(idCol), "left_anti"))
+      val newIdx = pin(Dedup.minhashIndex(fresh, idCol, textCol, n, k))
+      val pairs = Dedup.minhashContainmentPairsFromIndexes(index, newIdx,
+        idCol, k, bands, threshold, maxBucketSize)
+      newIdx.count() // materialize the shared caches once (see concurrently)
+      concurrently(
+        () => pairs.write.mode(SaveMode.Overwrite)
+          .parquet(s"$pairsPath/batch_id=$batchId"),
+        () => newIdx.write.mode(SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch_id=$batchId"))
+    } finally cached.foreach(_.unpersist())
   }
 
   /** One micro-batch of the 64-bit-SIGNATURE ingest — the generic
@@ -383,24 +546,25 @@ object DedupStream {
       sigCol: String, maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None): Unit = {
     val spark = sigs.sparkSession
-    val index =
-      loadSigIndex(spark, indexPath, idCol, sigs.schema(idCol).dataType,
-        batchId).cache()
-    // ingest contract: ids identify media — re-sent ids (across or
-    // within a batch) are not new items
-    val fresh = sigs.dropDuplicates(idCol)
-      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol), col(sigCol).as("sig"))
-      .cache()
-    val pairs = Dedup.hammingPairsFromIndexes(index, fresh, idCol, "sig",
-      maxHamming, maxBucketSize)
-    fresh.count() // materialize the shared caches once (see concurrently)
-    concurrently(
-      () => pairs.write.mode(SaveMode.Overwrite)
-        .parquet(s"$pairsPath/batch_id=$batchId"),
-      () => fresh.write.mode(SaveMode.Overwrite)
-        .parquet(s"$indexPath/batch_id=$batchId"))
-    Seq(index, fresh).foreach(_.unpersist())
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = { cached += df; df.cache() }
+    try {
+      val index = pin(loadSigIndex(spark, indexPath, idCol,
+        sigs.schema(idCol).dataType, batchId))
+      // ingest contract: ids identify media — re-sent ids (across or
+      // within a batch) are not new items
+      val fresh = pin(sigs.dropDuplicates(idCol)
+        .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), col(sigCol).as("sig")))
+      val pairs = Dedup.hammingPairsFromIndexes(index, fresh, idCol, "sig",
+        maxHamming, maxBucketSize)
+      fresh.count() // materialize the shared caches once (see concurrently)
+      concurrently(
+        () => pairs.write.mode(SaveMode.Overwrite)
+          .parquet(s"$pairsPath/batch_id=$batchId"),
+        () => fresh.write.mode(SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch_id=$batchId"))
+    } finally cached.foreach(_.unpersist())
   }
 
   /** One micro-batch of the EMBEDDING near-dup ingest — the fourth
@@ -426,24 +590,26 @@ object DedupStream {
       blockOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       threshold: Double): Unit = {
     val spark = batch.sparkSession
-    val index = loadEmbIndex(spark, indexPath, idCol,
-      batch.schema(idCol).dataType, batch.schema(vecCol).dataType, vecCol,
-      batchId).cache()
-    // ingest contract: ids identify vectors — re-sent ids (across or
-    // within a batch) are not new items
-    val fresh = batch.dropDuplicates(idCol)
-      .join(index.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol), col(vecCol), blockOf(col(vecCol)).as("block"))
-      .cache()
-    val pairs = Dedup.embeddingNearDupPairsFromIndexes(index, fresh,
-      idCol, vecCol, "block", threshold)
-    fresh.count() // materialize the shared caches once (see concurrently)
-    concurrently(
-      () => pairs.write.mode(SaveMode.Overwrite)
-        .parquet(s"$pairsPath/batch_id=$batchId"),
-      () => fresh.write.mode(SaveMode.Overwrite)
-        .parquet(s"$indexPath/batch_id=$batchId"))
-    Seq(index, fresh).foreach(_.unpersist())
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = { cached += df; df.cache() }
+    try {
+      val index = pin(loadEmbIndex(spark, indexPath, idCol,
+        batch.schema(idCol).dataType, batch.schema(vecCol).dataType, vecCol,
+        batchId))
+      // ingest contract: ids identify vectors — re-sent ids (across or
+      // within a batch) are not new items
+      val fresh = pin(batch.dropDuplicates(idCol)
+        .join(index.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(col(idCol), col(vecCol), blockOf(col(vecCol)).as("block")))
+      val pairs = Dedup.embeddingNearDupPairsFromIndexes(index, fresh,
+        idCol, vecCol, "block", threshold)
+      fresh.count() // materialize the shared caches once (see concurrently)
+      concurrently(
+        () => pairs.write.mode(SaveMode.Overwrite)
+          .parquet(s"$pairsPath/batch_id=$batchId"),
+        () => fresh.write.mode(SaveMode.Overwrite)
+          .parquet(s"$indexPath/batch_id=$batchId"))
+    } finally cached.foreach(_.unpersist())
   }
 
   /** The committed embedding index for batch `batchId` (prior batches
@@ -456,6 +622,7 @@ object DedupStream {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCompaction(fs, path)
+    repairRetire(fs, path)
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField(vecCol, vecType),
@@ -502,6 +669,7 @@ object DedupStream {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCompaction(fs, path)
+    repairRetire(fs, path)
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField("sig", LongType),

@@ -418,6 +418,62 @@ class AnnStreamSpec extends SparkSpec {
     assert(ids.length == ids.distinct.length, "replay duplicated rows")
   }
 
+  test("retire: serving + raw trees drop the ids, affected cells only; re-ingest re-serves") {
+    val e = emb.cache()
+    val indexPath = tmp("asr_idx") + "/index"
+    val centroidsPath = tmp("asr_cen") + "/centroids"
+    AnnStream.processIvfBatch(e, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val servingPath = tmp("asr_pub") + "/serving"
+    AnnStream.publishIndex(spark, indexPath, servingPath)
+    val before = cellFileStamps(servingPath)
+
+    // retire one vector from BOTH trees (the d20 lifecycle: published
+    // serving state and the raw replay tree must both forget it)
+    val victim = 0L
+    val victimCell = spark.read.parquet(servingPath)
+      .filter($"vec_id" === victim).select($"cell".cast("string"))
+      .head().getString(0)
+    Thread.sleep(1100) // mtime granularity for the untouched-cell proof
+    val ids = Seq(victim).toDF("vec_id")
+    AnnStream.retireIds(spark, servingPath, ids, "vec_id")
+    DedupStream.retireIds(spark, indexPath, ids, "vec_id",
+      partitionCols = Seq("cell"))
+    assert(spark.read.parquet(servingPath).filter($"vec_id" === victim)
+      .isEmpty)
+    assert(spark.read.parquet(indexPath).filter($"vec_id" === victim)
+      .isEmpty)
+    // the raw tree keeps its cell sub-layout (pruning contract)
+    assert(new java.io.File(s"$indexPath/batch_id=0").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    // only the victim's cell was rewritten in the serving tree
+    val after = cellFileStamps(servingPath)
+    before.foreach { case (cell, stamps) =>
+      if (cell == s"cell=$victimCell") assert(after(cell) != stamps)
+      else assert(after(cell) == stamps, s"$cell rewritten outside retire")
+    }
+    // a query that previously returned the victim no longer does
+    val q = e.filter($"vec_id" === victim)
+      .select(lit(9999L).as("vec_id"), $"embedding")
+    val got = AnnStream.ivfServeTopK(spark, servingPath, centroidsPath,
+      q, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(victim))
+
+    // re-ingest the retired id (guard passes — it is gone from the raw
+    // tree), delta-publish, and the serve finds it again at rank 1
+    AnnStream.processIvfBatch(e.filter($"vec_id" === victim), 1L,
+      indexPath, centroidsPath, "vec_id", "embedding", dim = 64,
+      cells = 8, iters = 2)
+    assert(spark.read.parquet(indexPath).filter($"vec_id" === victim)
+      .count() == 1)
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+    val re = AnnStream.ivfServeTopK(spark, servingPath, centroidsPath,
+      q, "vec_id", "embedding", topK = 1, nprobe = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(re == victim) // its own vector is its exact nearest neighbor
+  }
+
   test("PQ publish stores codes only; serve prunes, planted duplicate wins rank 1") {
     val e = emb.cache()
     // plant an exact duplicate of vec 3 under a fresh id

@@ -271,6 +271,132 @@ class DedupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(indexPath).count() == rows)
   }
 
+  test("retireIds: affected partitions rewritten, untouched partitions not; re-sent id re-scores") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val indexPath = tmp("dsrt_idx") + "/index"
+    val pairsPath = tmp("dsrt_pairs")
+    (0 until 2).foreach { r =>
+      DedupStream.processContainmentBatch(docs.filter($"doc_id" % 2 === r),
+        r.toLong, indexPath, pairsPath, "doc_id", "text")
+    }
+    val all = spark.read.parquet(indexPath).select("doc_id").as[Long]
+      .collect().toSet
+    // retire ids living in batch 0 ONLY (doc_id % 2 == 0): batch 1's
+    // partition must not be rewritten
+    val retired = all.filter(id => id % 2 == 0 && id % 10 == 0)
+    assert(retired.nonEmpty)
+    val b1Files = new java.io.File(indexPath, "batch_id=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).sorted.toSeq
+    DedupStream.retireIds(spark, indexPath,
+      retired.toSeq.toDF("doc_id"), "doc_id")
+    assert(spark.read.parquet(indexPath).select("doc_id").as[Long]
+      .collect().toSet == all -- retired)
+    assert(new java.io.File(indexPath, "batch_id=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).sorted.toSeq == b1Files,
+      "unaffected partition was rewritten")
+    // retiring ids that are not in the tree is a no-op
+    DedupStream.retireIds(spark, indexPath,
+      Seq(-1L, -2L).toDF("doc_id"), "doc_id")
+    assert(spark.read.parquet(indexPath).select("doc_id").as[Long]
+      .collect().toSet == all -- retired)
+    // re-sent retired ids pass the fresh-id guard and re-index
+    DedupStream.processContainmentBatch(
+      docs.filter($"doc_id".isin(retired.toSeq: _*)), 2L,
+      indexPath, pairsPath, "doc_id", "text")
+    val after = spark.read.parquet(indexPath).select("doc_id").as[Long]
+      .collect().toSeq
+    assert(after.toSet == all && after.length == after.distinct.length)
+  }
+
+  test("retire repair: no marker rolls back, marker rolls forward (live dir already dropped)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 200)
+    val indexPath = tmp("dsrr_idx") + "/index"
+    val pairsPath = tmp("dsrr_pairs")
+    (0 until 2).foreach { r =>
+      DedupStream.processContainmentBatch(docs.filter($"doc_id" % 2 === r),
+        r.toLong, indexPath, pairsPath, "doc_id", "text")
+    }
+    val before = spark.read.parquet(indexPath).select("doc_id").as[Long]
+      .collect().toSet
+
+    // roll BACK: a partial stage without its marker drops; live intact
+    val next = new java.io.File(indexPath + "_rnext")
+    new java.io.File(next, "batch_id=0").mkdirs()
+    java.nio.file.Files.writeString(
+      next.toPath.resolve("part-junk.parquet"), "x")
+    DedupStream.retireIds(spark, indexPath, Seq(-1L).toDF("doc_id"),
+      "doc_id") // entry repair
+    assert(!next.exists())
+    assert(spark.read.parquet(indexPath).select("doc_id").as[Long]
+      .collect().toSet == before)
+
+    // roll FORWARD: marker present, one live partition already dropped
+    // by the crashed promote — the stage is the only full copy. Stage
+    // a filtered copy (drop doc_id < 50 from batch 0; batch 1 staged
+    // unfiltered), then simulate the crash.
+    spark.read.parquet(indexPath)
+      .filter(!($"batch_id" === 0 && $"doc_id" < 50))
+      .repartition($"batch_id")
+      .write.partitionBy("batch_id").parquet(next.toString)
+    java.nio.file.Files.createFile(next.toPath.resolve("_RETIRE_STAGED"))
+    def rm(f: java.io.File): Unit = {
+      val c = f.listFiles(); if (c != null) c.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(indexPath, "batch_id=0"))
+    // any index load repairs: drive one through a batch processor
+    DedupStream.processContainmentBatch(
+      docs.filter($"doc_id" === -1), 2L, indexPath, pairsPath,
+      "doc_id", "text")
+    assert(!next.exists())
+    assert(spark.read.parquet(indexPath)
+      .filter($"batch_id" < 2).select("doc_id").as[Long].collect().toSet
+      == before.filter(id => !(id % 2 == 0 && id < 50)))
+  }
+
+  test("survivor-family retire + re-ingest: guard bypassed only after retire, rule re-runs") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    val base = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta"),
+      mk(2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      mk(3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val indexPath = tmp("dsrv_idx") + "/index"
+    val pairsPath = tmp("dsrv_pairs"); val survPath = tmp("dsrv_surv")
+    DedupStream.processBatch(base.filter($"doc_id" <= 2), 0L, indexPath,
+      pairsPath, survPath, "doc_id", "text")
+    DedupStream.processBatch(base.filter($"doc_id" === 3), 1L, indexPath,
+      pairsPath, survPath, "doc_id", "text")
+    def survivors() = spark.read.parquet(s"$survPath/batch_id=*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors() == Set(1L, 3L)) // 2 dropped against 1
+
+    // WITHOUT retire, a re-sent id is the same document: guard drops it
+    DedupStream.processBatch(base.filter($"doc_id" === 1), 2L, indexPath,
+      pairsPath, survPath, "doc_id", "text")
+    assert(survivors() == Set(1L, 3L))
+    assert(spark.read.parquet(indexPath).count() == 2)
+
+    // retire id 1 from index AND survivor trees, then re-send it:
+    // it re-enters as a fresh arrival, has no indexed near-dup left
+    // (2 was never indexed), and survives again
+    DedupStream.retireIds(spark, indexPath, Seq(1L).toDF("doc_id"), "doc_id")
+    DedupStream.retireIds(spark, survPath, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(survivors() == Set(3L))
+    DedupStream.processBatch(base.filter($"doc_id" === 1), 3L, indexPath,
+      pairsPath, survPath, "doc_id", "text")
+    assert(survivors() == Set(1L, 3L))
+    // pairs are HISTORY: the batch-0 pair (1,2) is still on record
+    assert(spark.read.parquet(s"$pairsPath/batch_id=0")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      == Set((1L, 2L)))
+  }
+
   test("containment batch: within-batch duplicate ids index once; empty crash debris readable") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 150)
