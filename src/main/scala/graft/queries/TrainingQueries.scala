@@ -570,9 +570,15 @@ object TrainingQueries {
     // matter). The slice files are shared scaffolding — see
     // [[sharedArrivalSlices]].
     val in = sharedArrivalSlices(s, d, "docs", docs, "doc_id", 4)
+    // compactEvery=2: batch 2's trigger folds the committed batch 0-1
+    // index prefix mid-stream (the N-1 bound), so the small-files
+    // lifecycle runs INSIDE an oracle-gated query — the fold must not
+    // change the accumulated pair set (batch 3 reads the folded dir's
+    // identical row set), and the d13 oracle hash-checks exactly that.
     val q = graft.streaming.DedupStream.containmentIngest(s, in,
       docs.schema, idx, pairsDir, ckpt, "doc_id", "text",
-      n = 3, k = 64, bands = 32, threshold = 0.8)
+      n = 3, k = 64, bands = 32, threshold = 0.8,
+      compactEvery = Some(2))
     try q.processAllAvailable() finally q.stop()
     // explicit schema: a batch with no containment hits writes an
     // empty partition dir, and an all-empty tree must still read
@@ -739,6 +745,142 @@ object TrainingQueries {
        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |        CAST(b2.embedding AS DOUBLE[])) >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** d20: the RETIRE-AND-RE-INGEST lifecycle oracle-gated end to end —
+    * the operation the `…FromIndexes` re-ingest contract requires
+    * ("retire the old index row first") and the right-to-erasure /
+    * re-crawl path a 100 TB ingest needs. On a half-corpus
+    * (doc_id % 2 = 0), two survivor-dedup micro-batches commit
+    * ([[graft.streaming.DedupStream.processBatch]], the d18 rule),
+    * the committed index prefix is COMPACTED
+    * ([[graft.streaming.DedupStream.compactIndex]] — retire must work
+    * on a folded tree), every doc with doc_id % 10 = 0 is RETIRED
+    * from the index AND survivor trees
+    * ([[graft.streaming.DedupStream.retireIds]]), and batch 2
+    * re-sends exactly those docs: ids % 20 = 0 arrive MODIFIED (text
+    * replaced by a per-id unique token string — no shingle shared
+    * with anything, so they re-enter pair-free and survive), ids
+    * % 20 = 10 arrive with their ORIGINAL text (identical signatures,
+    * so the d18 exact-Jaccard ≡ LSH equivalence carries verbatim) and
+    * re-score against the post-retire survivor index. The oracle
+    * extends d18's sequential-survivor CTE: two batch blocks, the
+    * retire filter, then a third block whose edges are restricted to
+    * original-text re-sent docs and post-retire survivors (modified
+    * docs provably contribute no edges — their trigrams embed the
+    * doc_id), and whose kept set re-enters with the batch-2 text.
+    * PAIRS ARE HISTORY under retire (the d20 semantics pinned by
+    * spec); the survivor STATE recomputes forward, which is what this
+    * query hash-checks. */
+  def d20RetireReingest(s: SparkSession, d: String): DataFrame = {
+    val base = tempDirCleanedOnExit("graft_d20")
+    val idx = base.resolve("index").toString
+    val pairsDir = base.resolve("pairs").toString
+    val survDir = base.resolve("survivors").toString
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .filter(col("doc_id") % 2 === 0)
+    def send(batch: DataFrame, id: Long): Unit =
+      graft.streaming.DedupStream.processBatch(batch, id, idx, pairsDir,
+        survDir, "doc_id", "text", n = 3, k = 64, bands = 16,
+        threshold = 0.5)
+    // two arrival batches (the batch-mode entry point — d18 covers the
+    // streamed wrapper; d20's new surface is the maintenance lifecycle)
+    send(docs.filter(col("doc_id") % 4 === 0), 0L)
+    send(docs.filter(col("doc_id") % 4 === 2), 1L)
+    // fold the committed prefix, then retire on the FOLDED tree
+    graft.streaming.DedupStream.compactIndex(s, idx, upToBatch = 1L)
+    val retire = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+    graft.streaming.DedupStream.retireIds(s, idx, retire, "doc_id")
+    graft.streaming.DedupStream.retireIds(s, survDir, retire, "doc_id")
+    // re-send the retired ids: % 20 = 0 modified, % 20 = 10 original
+    send(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", when(col("doc_id") % 20 === 0,
+        concat_ws(" ", lit("zzrev0"), lit("zzrev1"),
+          col("doc_id").cast(StringType), lit("zzrev2"), lit("zzrev3")))
+        .otherwise(col("text"))), 2L)
+    val survSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    s.read.schema(survSchema).parquet(survDir)
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** The d20 oracle: d18's sequential-survivor simulation restricted
+    * to the half-corpus, two batch blocks (% 4 = 0, % 4 = 2), the
+    * retire filter (% 10 = 0 removed from the accumulated survivor
+    * set — compaction is a pure relayout and needs no oracle-side
+    * counterpart), then the re-ingest block: edges touch only
+    * original-text re-sent docs (% 20 = 10) and post-retire survivors
+    * — modified docs (% 20 = 0) share no trigram with anything (every
+    * replacement trigram embeds the doc_id), so they are pair-free by
+    * construction and always re-survive with the replacement text. */
+  val d20Sql: String = {
+    // one sequential batch block (d18's construction, parametrized by
+    // the is-new predicate): edges touching the batch → reach closure
+    // → has-old + min-new-id rule → accumulated survivor set
+    def block(k: Int, isNew: String => String, prev: String): String =
+      s"""e$k AS MATERIALIZED (
+         |  SELECT a, bb FROM (
+         |    SELECT a_id AS a, b_id AS bb FROM pe
+         |    UNION ALL SELECT b_id, a_id FROM pe) u
+         |  WHERE (${isNew("u.a")} AND ${isNew("u.bb")})
+         |     OR (${isNew("u.a")} AND u.bb IN (SELECT doc_id FROM $prev))
+         |     OR (${isNew("u.bb")} AND u.a IN (SELECT doc_id FROM $prev))),
+         |r$k AS (
+         |  SELECT a, bb FROM e$k
+         |  UNION
+         |  SELECT r.a, e.bb FROM r$k r JOIN e$k e ON r.bb = e.a
+         |  WHERE e.bb <> r.a),
+         |m$k AS MATERIALIZED (
+         |  SELECT d.doc_id AS id,
+         |    least(d.doc_id, coalesce(min(CASE WHEN ${isNew("r.bb")}
+         |      THEN r.bb END), d.doc_id)) AS minnew,
+         |    max(CASE WHEN r.bb IN (SELECT doc_id FROM $prev)
+         |      THEN 1 ELSE 0 END) AS hasold
+         |  FROM (SELECT doc_id FROM documents
+         |        WHERE doc_id % 2 = 0 AND ${isNew("doc_id")}) d
+         |  LEFT JOIN r$k r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id),
+         |s$k AS MATERIALIZED (
+         |  SELECT doc_id FROM $prev
+         |  UNION ALL
+         |  SELECT id AS doc_id FROM m$k
+         |  WHERE id = minnew AND coalesce(hasold, 0) = 0)""".stripMargin
+    s"""WITH RECURSIVE tok AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |        FROM documents WHERE doc_id % 2 = 0)),
+       |cnt AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM tok),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM tok) a
+       |  JOIN (SELECT doc_id, unnest(sh) AS s FROM tok) b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pe AS MATERIALIZED (
+       |  SELECT a_id, b_id
+       |  FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+       |  WHERE inter/(ca.n + cb.n - inter) >= 0.5),
+       |s_init AS MATERIALIZED (SELECT doc_id FROM documents WHERE 1=0),
+       |${block(0, c => s"$c % 4 = 0", "s_init")},
+       |${block(1, c => s"$c % 4 = 2", "s0")},
+       |s1r AS MATERIALIZED (SELECT doc_id FROM s1 WHERE doc_id % 10 <> 0),
+       |${block(2, c => s"$c % 20 = 10", "s1r")},
+       |mod2 AS MATERIALIZED (
+       |  SELECT doc_id FROM documents WHERE doc_id % 20 = 0)
+       |SELECT s.doc_id, d.text
+       |FROM s1r s JOIN documents d ON d.doc_id = s.doc_id
+       |UNION ALL
+       |SELECT k.doc_id, d.text
+       |FROM (SELECT doc_id FROM s2 EXCEPT SELECT doc_id FROM s1r) k
+       |JOIN documents d ON d.doc_id = k.doc_id
+       |UNION ALL
+       |SELECT doc_id,
+       |  'zzrev0 zzrev1 ' || CAST(doc_id AS VARCHAR) || ' zzrev2 zzrev3'
+       |  AS text
+       |FROM mod2
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Arrival-slice scaffolding shared per fixture: the parquet files
@@ -3830,6 +3972,7 @@ object TrainingQueries {
     ("d17_stream_containment", d17StreamContainment _, Some(d17Sql)),
     ("d18_stream_dedup", d18StreamDedup _, Some(d18Sql)),
     ("d19_stream_embedding_neardup", d19StreamEmbeddingNeardup _, Some(d19Sql)),
+    ("d20_retire_reingest", d20RetireReingest _, Some(d20Sql)),
     ("d16_incremental_containment", d16IncrementalContainment _, Some(d16Sql)),
     ("d14_substring_dedup", d14SubstringDedup _, Some(d14Sql)),
     ("d05_embedding_neardup", d05EmbeddingNearDup _, Some(d05Sql)),
