@@ -1711,6 +1711,60 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s19: RETIREMENT propagated to ANN serving — the deletion /
+    * re-crawl lifecycle on the vector side (d20's twin): a 2-batch
+    * index builds and publishes (batch 0 = the `vec_id % 4 = 0`
+    * training slice, frozen quantizer), every `vec_id % 10 = 3` is
+    * RETIRED from the published serving tree
+    * ([[graft.streaming.AnnStream.retireIds]] — affected cells only)
+    * AND the raw per-batch tree
+    * ([[graft.streaming.DedupStream.retireIds]] with the `cell`
+    * sub-layout preserved), then half the erased set re-arrives
+    * (`vec_id % 20 = 3` — a re-crawl; the frozen quantizer makes
+    * re-assignment deterministic) as a new batch, the delta publish
+    * folds it back into its affected cells, and the query serves from
+    * the published tree. `vec_id % 20 = 13` stays erased — the
+    * right-to-erasure half. Oracle: s13's frozen-quantizer serve with
+    * the INDEX side filtered by the erased set (queries keep their
+    * pure-function cell assignment; retirement changes what the
+    * probed inverted lists contain, nothing else). */
+  def s19RetireServe(s: SparkSession, d: String): DataFrame = {
+    val base = tempDirCleanedOnExit("graft_s19")
+    val idx = base.resolve("index").toString
+    val cen = base.resolve("centroids").toString
+    val pub = base.resolve("serving").toString
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    def send(batch: DataFrame, id: Long): Unit =
+      graft.streaming.AnnStream.processIvfBatch(batch, id, idx, cen,
+        "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    send(emb.filter(col("vec_id") % 4 === 0), 0L) // trains + freezes
+    send(emb.filter(col("vec_id") % 4 =!= 0), 1L)
+    graft.streaming.AnnStream.publishIndex(s, idx, pub)
+    val retire = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    graft.streaming.AnnStream.retireIds(s, pub, retire, "vec_id")
+    graft.streaming.DedupStream.retireIds(s, idx, retire, "vec_id",
+      partitionCols = Seq("cell"))
+    send(emb.filter(col("vec_id") % 20 === 3), 2L) // the re-crawl
+    graft.streaming.AnnStream.publishIndexDelta(s, idx, pub)
+    serveIvfTop3(s, d, pub, cen)
+  }
+
+  val s19Sql: String =
+    s"""WITH ${duckPkmeansCtesTrained("vec_id % 4 = 0")},
+       |j AS (
+       |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |    ${duckIntL2("qq.q", "cc.q")} AS d2
+       |  FROM a3 qq JOIN a3 cc
+       |    ON qq.cell = cc.cell AND qq.vec_id <> cc.vec_id
+       |  WHERE qq.vec_id < 10 AND NOT (cc.vec_id % 20 = 13)),
+       |r AS (
+       |  SELECT query_id, neighbor_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS rank
+       |  FROM j)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** s16: INCREMENTAL publish — the routine republish cadence of a
     * streamed index at 100 TB. A full [[graft.streaming.AnnStream
     * .publishIndex]] re-shuffles the whole raw tree every time;
@@ -4003,6 +4057,7 @@ object TrainingQueries {
     ("s12_ivfpq", s12IvfPq _, Some(s12Sql)),
     ("s13_stream_ivf", s13StreamIvfIngest _, Some(s13Sql)),
     ("s14_published_serve", s14PublishedServe _, Some(s14Sql)),
+    ("s19_retire_serve", s19RetireServe _, Some(s19Sql)),
     ("s15_nprobe_serve", s15NprobeServe _, Some(s15Sql)),
     ("s16_incremental_publish", s16IncrementalPublish _, Some(s16Sql)),
     ("s17_pq_coded_serve", s17PqCodedServe _, Some(s17Sql)),

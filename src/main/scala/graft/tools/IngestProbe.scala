@@ -219,6 +219,124 @@ object IngestProbe {
     println(f"[ingest] pq recall@5: spread $recallSpread%.3f  " +
       f"trained $recallTrained%.3f  ivf_ceiling $recallCeiling%.3f")
 
+    // PQ recall-knob SWEEP (round-13 verdict #4): the single trained
+    // point (shortlist 20, 2 Lloyd's iterations → recall@5 0.200 vs
+    // IVF ceiling 0.524) left the remaining coding loss unswept. One
+    // cell per (iters, shortlist) point — training iterations attack
+    // coding loss at PUBLISH time (better codebooks, same serve
+    // cost), shortlist attacks it at SERVE time (more exact reranks
+    // per query) — so the curve shows which knob buys recall per unit
+    // of serve wall, and where the ceiling caps further tuning.
+    val sweep = Seq(2, 5).flatMap { iters =>
+      val cb = graft.streaming.AnnStream.trainPqCodebook(spark, annIdx,
+        annCen, m = 8, k = 8, iters = iters)
+      val coded = base.resolve(s"pq_sweep_i$iters").toString
+      graft.streaming.AnnStream.publishPqIndex(spark, annIdx, annCen,
+        coded, "vec_id", m = 8, k = 8, cb)
+      Seq(20, 50, 100).map { shortlist =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val r = recallOf(graft.streaming.AnnStream.pqServeTopK(spark,
+          coded, annCen, vectors = vecs, queries = pqQueries, "vec_id",
+          "embedding", m = 8, k = 8, nprobe = 2, shortlist = shortlist,
+          topK = 5, cb))
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[ingest] pq sweep iters=$iters shortlist=$shortlist%3d  " +
+          f"recall@5 $r%.3f  serve $dt%5.2f s")
+        (iters, shortlist, r, dt)
+      }
+    }
+
+    // COMPACTION pricing (round-13 verdict #3): compactIndex exists so
+    // a months-long ingest's committed prefix does not decay into
+    // thousands of tiny partitions that every batch's index scan must
+    // list and open. Two signature ingests over the same `nComp`-batch
+    // arrival — compactEvery=8 (the in-stream cadence: fold
+    // `batch_id <= N-1` after batch N, the maybeCompact bound) vs
+    // never — recording per batch: ingest wall, the COMMITTED-INDEX
+    // SCAN wall as the next batch sees it (read + count of the full
+    // tree, cache cleared), and the tree's data-file / partition-dir
+    // counts. The claim priced: without compaction both file count and
+    // scan wall grow with batch NUMBER (corpus age); with it they stay
+    // bounded by the cadence.
+    val nComp = args.lift(3).map(_.toInt).getOrElse(60)
+    val sigsAll = docs.select(col("doc_id"),
+      graft.dedup.Dedup.simhash64(col("text")).as("sig"))
+    def countTree(path: String): (Long, Long) = {
+      val root = new java.io.File(path)
+      def files(f: java.io.File): Long = {
+        val c = f.listFiles(); if (c == null) 0L
+        else c.map(x => if (x.isDirectory) files(x)
+          else if (x.getName.endsWith(".parquet")) 1L else 0L).sum
+      }
+      val dirs = Option(root.listFiles()).map(
+        _.count(d => d.isDirectory && d.getName.startsWith("batch_id="))).getOrElse(0)
+      (files(root), dirs.toLong)
+    }
+    def compRun(tag: String, every: Option[Int]) = {
+      val idxP = base.resolve(s"comp_idx_$tag").toString
+      val prsP = base.resolve(s"comp_pairs_$tag").toString
+      (0 until nComp).map { i =>
+        val batch = sigsAll.filter(pmod(col("doc_id"), lit(nComp)) === i)
+        val t0 = System.nanoTime()
+        graft.streaming.DedupStream.processSignatureBatch(batch, i.toLong,
+          idxP, prsP, "doc_id", "sig", maxHamming = 3)
+        every.filter(n => i > 0 && i % n == 0).foreach(_ =>
+          graft.streaming.DedupStream.compactIndex(spark, idxP, i - 1L))
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val tS0 = System.nanoTime()
+        spark.read.parquet(idxP).count() // what batch i+1's guard scans
+        val tScan = (System.nanoTime() - tS0) / 1e9
+        val (nFiles, nDirs) = countTree(idxP)
+        (i, tIngest, tScan, nFiles, nDirs)
+      }
+    }
+    val compPlain = compRun("plain", None)
+    val compFolded = compRun("folded", Some(8))
+    Seq(("none", compPlain), ("every8", compFolded)).foreach { case (t, cs) =>
+      val last = cs.last
+      println(f"[ingest] compaction=$t%-7s batches=$nComp  " +
+        f"final files=${last._4}  dirs=${last._5}  " +
+        f"scan first=${cs.head._3}%5.2f s last=${last._3}%5.2f s")
+    }
+
+    // d18 AMORTIZATION at production batch size (round-13 verdict #5):
+    // the survivor ingest's per-batch cost at 500-doc batches is
+    // dominated by the resolution stages' fixed job count (~2.1 s per
+    // batch of overhead per the paired cells above). The claim that
+    // this AMORTIZES needs a cell at a production batch size: the same
+    // 10-batch arrival shape over a 10x corpus (distinct contents —
+    // the Scale10Probe replication: copy-shifted ids, copy-seeded
+    // token permutation so copies are not near-dups of each other),
+    // ~5k docs per batch. If the overhead is fixed, per-DOC cost must
+    // fall ~linearly with batch size vs the dedup_cells above.
+    val permuted = expr(
+      """array_join(transform(array_sort(transform(split(text, ' '),
+        |  (t, i) -> named_struct(
+        |    'h', md5(concat(t, '#', CAST(i AS STRING), '#', CAST(_k AS STRING))),
+        |    't', t))), s -> s.t), ' ')""".stripMargin)
+    val bigDocs = (0 until 10).map { c =>
+      docs.withColumn("_k", lit(c))
+        .select((col("doc_id") + lit(c * 10000000000L)).as("doc_id"),
+          (if (c == 0) col("text") else permuted).as("text"))
+    }.reduce(_ unionByName _)
+    val bigIdx = base.resolve("big_dedup_index").toString
+    val bigPairs = base.resolve("big_dedup_pairs").toString
+    val bigSurv = base.resolve("big_dedup_surv").toString
+    val bigCells = (0 until slices).map { i =>
+      val batch = bigDocs.filter(pmod(col("doc_id"), lit(slices)) === i)
+      val batchDocs = batch.count()
+      val t0 = System.nanoTime()
+      graft.streaming.DedupStream.processBatch(batch, i.toLong, bigIdx,
+        bigPairs, bigSurv, "doc_id", "text")
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[ingest] big dedup batch $i%2d  $dt%6.2f s  " +
+        f"batch=$batchDocs%6d  ms/doc=${dt * 1000 / batchDocs}%6.2f")
+      (i, dt, batchDocs)
+    }
+
     def block(name: String, rows: Seq[String]) =
       rows.mkString(s""""$name":[""", ",", "]")
     val json = Seq(
@@ -238,7 +356,19 @@ object IngestProbe {
       f""""pq_recall":{"spread":$recallSpread%.3f,""" +
         f""""trained":$recallTrained%.3f,""" +
         f""""ivf_ceiling":$recallCeiling%.3f,""" +
-        f""""queries":$qn,"topk":5,"nprobe":2,"shortlist":20}"""
+        f""""queries":$qn,"topk":5,"nprobe":2,"shortlist":20}""",
+      block("pq_sweep", sweep.map { case (it, sl, r, dt) =>
+        f"""{"iters":$it,"shortlist":$sl,"recall":$r%.3f,"serve_sec":$dt%.2f}"""
+      }),
+      block("compaction_none", compPlain.map { case (i, ti, ts, nf, nd) =>
+        f"""{"batch":$i,"ingest_sec":$ti%.2f,"index_scan_sec":$ts%.3f,"files":$nf,"dirs":$nd}"""
+      }),
+      block("compaction_every8", compFolded.map { case (i, ti, ts, nf, nd) =>
+        f"""{"batch":$i,"ingest_sec":$ti%.2f,"index_scan_sec":$ts%.3f,"files":$nf,"dirs":$nd}"""
+      }),
+      block("big_dedup_cells", bigCells.map { case (i, t, b) =>
+        f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"ms_per_doc":${t * 1000 / b}%.2f}"""
+      })
     ).mkString(s"""{"metric":"ingest_containment","slices":$slices,""",
       ",", "}")
     println(json)

@@ -24,7 +24,10 @@ class PlanAuditSpec extends SparkSpec {
     // d17/s13 run foreachBatch ingests that write per-batch index
     // partitions (p13's physical-write discipline, DedupStream/AnnStream)
     "d17_stream_containment", "s13_stream_ivf", "s14_published_serve",
-    "s15_nprobe_serve", "m13_stream_image_neardup")
+    "s15_nprobe_serve", "m13_stream_image_neardup",
+    // d20/s19 drive the maintenance lifecycle (batch ingests +
+    // compaction/retire/publish tree rewrites) during construction
+    "d20_retire_reingest", "s19_retire_serve")
 
   /** Intentional nested-loop/cross plans:
     * q22 is a cross join by definition; s01 brute-force ANN scores
@@ -202,7 +205,12 @@ class PlanAuditSpec extends SparkSpec {
   private val storageExempt =
     effectful -- Set("d17_stream_containment", "d18_stream_dedup",
       "m13_stream_image_neardup",
-      "s13_stream_ivf", "s14_published_serve", "s15_nprobe_serve")
+      "s13_stream_ivf", "s14_published_serve", "s15_nprobe_serve",
+      // the retire/re-ingest lifecycles are held to the same rule:
+      // every cache the batches, retires and publishes take must be
+      // released (retireIds pins only its caller-owned id frame, and
+      // releases it in a finally)
+      "d20_retire_reingest", "s19_retire_serve")
 
   test("no library query pins storage after materialization") {
     spark.catalog.clearCache() // drop registrations from earlier plan builds
