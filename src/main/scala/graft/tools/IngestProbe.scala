@@ -247,6 +247,32 @@ object IngestProbe {
       }
     }
 
+    // The nprobe axis of the same sweep: the spread→trained→shortlist
+    // knobs all chase the nprobe=2 CEILING (the recall the probe loss
+    // alone allows) — past shortlist ~100 the remaining loss is probe
+    // loss, and the knob that moves it is nprobe. One cell per nprobe
+    // at the sweep's best codebook/shortlist, with the matching
+    // ceiling, so the curve shows recall converging to (and the
+    // ceiling rising with) wider probes at linearly more read cost.
+    val cbBest = graft.streaming.AnnStream.trainPqCodebook(spark, annIdx,
+      annCen, m = 8, k = 8, iters = 5)
+    val codedBest = base.resolve("pq_sweep_i5").toString // published above
+    val nprobeSweep = Seq(2, 4, 8).map { np =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = recallOf(graft.streaming.AnnStream.pqServeTopK(spark,
+        codedBest, annCen, vectors = vecs, queries = pqQueries, "vec_id",
+        "embedding", m = 8, k = 8, nprobe = np, shortlist = 100,
+        topK = 5, cbBest))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val ceil = recallOf(graft.streaming.AnnStream.ivfServeTopK(
+        spark, annIdx, annCen, pqQueries, "vec_id", "embedding",
+        topK = 5, nprobe = np))
+      println(f"[ingest] pq nprobe=$np  recall@5 $r%.3f  " +
+        f"ceiling $ceil%.3f  serve $dt%5.2f s")
+      (np, r, ceil, dt)
+    }
+
     // COMPACTION pricing (round-13 verdict #3): compactIndex exists so
     // a months-long ingest's committed prefix does not decay into
     // thousands of tiny partitions that every batch's index scan must
@@ -359,6 +385,9 @@ object IngestProbe {
         f""""queries":$qn,"topk":5,"nprobe":2,"shortlist":20}""",
       block("pq_sweep", sweep.map { case (it, sl, r, dt) =>
         f"""{"iters":$it,"shortlist":$sl,"recall":$r%.3f,"serve_sec":$dt%.2f}"""
+      }),
+      block("pq_nprobe", nprobeSweep.map { case (np, r, ceil, dt) =>
+        f"""{"nprobe":$np,"recall":$r%.3f,"ivf_ceiling":$ceil%.3f,"serve_sec":$dt%.2f}"""
       }),
       block("compaction_none", compPlain.map { case (i, ti, ts, nf, nd) =>
         f"""{"batch":$i,"ingest_sec":$ti%.2f,"index_scan_sec":$ts%.3f,"files":$nf,"dirs":$nd}"""

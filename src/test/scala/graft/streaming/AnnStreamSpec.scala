@@ -474,6 +474,32 @@ class AnnStreamSpec extends SparkSpec {
     assert(re == victim) // its own vector is its exact nearest neighbor
   }
 
+  test("retire applies to the PQ-coded serving tree too") {
+    val e = emb.cache()
+    val indexPath = tmp("asrp_idx") + "/index"
+    val centroidsPath = tmp("asrp_cen") + "/centroids"
+    AnnStream.processIvfBatch(e, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val coded = tmp("asrp_pub") + "/coded"
+    AnnStream.publishPqIndex(spark, indexPath, centroidsPath, coded,
+      "vec_id", m = 8, k = 8)
+    val victim = 1L
+    def serve() = AnnStream.pqServeTopK(spark, coded, centroidsPath,
+      vectors = e,
+      queries = e.filter($"vec_id" === victim)
+        .select(lit(9999L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", m = 8, k = 8, nprobe = 2, shortlist = 20,
+      topK = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(serve().contains(victim)) // its own vector: exact-rerank hit
+    // the coded tree is cell-partitioned like the serving tree — the
+    // same retire removes the id's code row, so the ADC shortlist can
+    // never propose it again (the exact rerank only sees the shortlist)
+    AnnStream.retireIds(spark, coded, Seq(victim).toDF("vec_id"), "vec_id")
+    assert(spark.read.parquet(coded).filter($"vec_id" === victim).isEmpty)
+    assert(!serve().contains(victim))
+  }
+
   test("PQ publish stores codes only; serve prunes, planted duplicate wins rank 1") {
     val e = emb.cache()
     // plant an exact duplicate of vec 3 under a fresh id
