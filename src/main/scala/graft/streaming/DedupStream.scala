@@ -285,6 +285,49 @@ object DedupStream {
       throw new java.io.IOException(s"retire: cannot clear $next")
   }
 
+  /** Drain a RETIRE-REQUEST QUEUE: apply every pending request file
+    * under `queueDir` (parquet, each holding an `idCol` column of ids
+    * to retire) to every tree in `trees` (path → its partitionCols),
+    * then move the processed files into `queueDir/_done`. This is the
+    * continuous-operations form of [[retireIds]]: at 100 TB deletion
+    * requests and re-crawl notices arrive all the time, and requiring
+    * a quiesced maintenance window per request would stall the
+    * ingest — instead requesters drop id files in the queue and the
+    * ingest drains it at a safe point (between micro-batches, where
+    * [[retireIds]]' no-concurrent-batch contract holds by
+    * construction — the same reasoning as [[maybeCompact]]).
+    *
+    * Crash safety: [[retireIds]] is idempotent (an anti-join removes
+    * nothing twice) and the file move into `_done` happens only AFTER
+    * every tree processed the request — a crash anywhere replays the
+    * drain against already-retired trees (no-op) and then completes
+    * the move. The pending list is snapshotted once per drain;
+    * requests landing mid-drain wait for the next one. Returns the
+    * number of request files applied. */
+  def drainRetireQueue(spark: SparkSession, queueDir: String,
+      trees: Seq[(String, Seq[String])], idCol: String): Int = {
+    val qPath = new org.apache.hadoop.fs.Path(queueDir)
+    val fs = qPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(qPath)) return 0
+    val pending = fs.listStatus(qPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (pending.isEmpty) return 0
+    val ids = spark.read.parquet(pending.map(_.toString): _*)
+      .select(col(idCol))
+    trees.foreach { case (tree, pcols) =>
+      retireIds(spark, tree, ids, idCol, pcols)
+    }
+    val done = new org.apache.hadoop.fs.Path(qPath, "_done")
+    if (!fs.exists(done) && !fs.mkdirs(done))
+      throw new java.io.IOException(s"retire queue: cannot create $done")
+    pending.foreach { p =>
+      if (!fs.rename(p, new org.apache.hadoop.fs.Path(done, p.getName)))
+        throw new java.io.IOException(s"retire queue: cannot archive $p")
+    }
+    pending.size
+  }
+
   /** Does the tree hold at least one parquet data file? (Partition
     * dirs can legitimately be empty — a batch that dropped everything,
     * a fully-retired batch — and schema inference throws on a tree
@@ -458,19 +501,27 @@ object DedupStream {
     * `docsDir`. Returns the running query (caller stops).
     * `compactEvery = Some(n)` folds the committed index prefix every n
     * batches ([[maybeCompact]]) — the small-files cadence for a
-    * long-running ingest. */
+    * long-running ingest. `retireQueue = Some(dir)` drains pending
+    * retire-request files from `dir` BEFORE each batch
+    * ([[drainRetireQueue]] over the index AND survivor trees), so a
+    * deletion request followed by a re-crawl of the same id in the
+    * next arrival behaves like d20's retire-then-re-ingest without
+    * ever stopping the stream. */
   def dedupIngest(spark: SparkSession, docsDir: String, schema: StructType,
       indexPath: String, pairsPath: String, survivorsPath: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxFilesPerTrigger: Int = 8,
-      compactEvery: Option[Int] = None): StreamingQuery =
+      compactEvery: Option[Int] = None,
+      retireQueue: Option[String] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
+          Seq(indexPath -> Nil, survivorsPath -> Nil), idCol))
         processBatch(batch, batchId, indexPath, pairsPath, survivorsPath,
           idCol, textCol, n, k, bands, threshold)
         maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
@@ -647,13 +698,16 @@ object DedupStream {
       checkpointDir: String, idCol: String, vecCol: String,
       blockOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       threshold: Double, maxFilesPerTrigger: Int = 1,
-      compactEvery: Option[Int] = None): StreamingQuery =
+      compactEvery: Option[Int] = None,
+      retireQueue: Option[String] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
+          Seq(indexPath -> Nil), idCol))
         processEmbeddingBatch(batch, batchId, indexPath, pairsPath,
           idCol, vecCol, blockOf, threshold)
         maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
@@ -695,7 +749,8 @@ object DedupStream {
       checkpointDir: String, idCol: String, sigCol: String,
       maxHamming: Int = 3, maxFilesPerTrigger: Int = 1,
       maxBucketSize: Option[Int] = None,
-      compactEvery: Option[Int] = None)
+      compactEvery: Option[Int] = None,
+      retireQueue: Option[String] = None)
       (toSignatures: DataFrame => DataFrame): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -703,6 +758,8 @@ object DedupStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
+          Seq(indexPath -> Nil), idCol))
         processSignatureBatch(toSignatures(batch), batchId, indexPath,
           pairsPath, idCol, sigCol, maxHamming, maxBucketSize)
         maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
@@ -718,13 +775,16 @@ object DedupStream {
       textCol: String = "text", n: Int = 3, k: Int = 64, bands: Int = 32,
       threshold: Double = 0.8, maxFilesPerTrigger: Int = 1,
       maxBucketSize: Option[Int] = None,
-      compactEvery: Option[Int] = None): StreamingQuery =
+      compactEvery: Option[Int] = None,
+      retireQueue: Option[String] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
+          Seq(indexPath -> Nil), idCol))
         processContainmentBatch(batch, batchId, indexPath, pairsPath,
           idCol, textCol, n, k, bands, threshold, maxBucketSize)
         maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)

@@ -397,6 +397,59 @@ class DedupStreamSpec extends SparkSpec {
       == Set((1L, 2L)))
   }
 
+  test("retire queue drains between micro-batches: deletion + re-crawl without stopping the stream") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val docsDir = tmp("dsq_docs"); val indexPath = tmp("dsq_idx") + "/index"
+    val pairsPath = tmp("dsq_pairs"); val survPath = tmp("dsq_surv")
+    val ckpt = tmp("dsq_ckpt"); val queue = tmp("dsq_queue") + "/queue"
+    def land(df: org.apache.spark.sql.DataFrame, dir: String,
+        name: String): Unit = {
+      val stage = tmp(s"dsq_stage_$name") + "/out"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, s"$name.parquet"))
+    }
+    val q = DedupStream.dedupIngest(spark, docsDir, base.schema, indexPath,
+      pairsPath, survPath, ckpt, maxFilesPerTrigger = 1,
+      retireQueue = Some(queue))
+    try {
+      land(base, docsDir, "round_000")
+      q.processAllAvailable()
+      def survivors() = spark.read.parquet(s"$survPath/batch_id=*")
+        .select("doc_id").as[Long].collect().toSet
+      assert(survivors() == Set(1L, 3L))
+      // deletion request lands, then the SAME id re-arrives (re-crawl):
+      // the next trigger drains the queue before processing, so the
+      // re-sent doc passes the fresh-id guard and re-scores
+      land(Seq(1L).toDF("doc_id"), queue, "req_000")
+      land(base.filter($"doc_id" === 1), docsDir, "round_001")
+      q.processAllAvailable()
+      assert(survivors() == Set(1L, 3L))
+      // ...and the re-ingested copy lives in batch 1, not batch 0
+      assert(spark.read.parquet(s"$survPath/batch_id=1")
+        .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+      assert(spark.read.parquet(indexPath)
+        .filter($"doc_id" === 1).select($"batch_id".cast("long")).as[Long]
+        .head() == 1L)
+      // the processed request is archived, not re-applied
+      assert(new java.io.File(queue, "_done").listFiles()
+        .exists(_.getName == "req_000.parquet"))
+      assert(!new java.io.File(queue, "req_000.parquet").exists())
+      // drains with an empty queue are no-ops (the steady state)
+      land(base.filter($"doc_id" === 3), docsDir, "round_002") // re-sent id: guard drops it
+      q.processAllAvailable()
+      assert(survivors() == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("containment batch: within-batch duplicate ids index once; empty crash debris readable") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 150)
