@@ -134,18 +134,28 @@ object AnnStream {
   }
 
   /** Run the IVF index build as a stream over parquet embedding files
-    * landing in `vecsDir`. Returns the running query (caller stops). */
+    * landing in `vecsDir`. Returns the running query (caller stops).
+    * `retireQueue = Some(dir)` drains pending retire-request files
+    * from `dir` into the RAW tree before each batch
+    * ([[DedupStream.drainRetireQueue]], cell sub-layout preserved) —
+    * deletion requests and re-crawls apply continuously, and the
+    * retired rows leave the serving tree at the next publish (or
+    * immediately via [[retireIds]] on the published tree, the s19
+    * lifecycle, when right-to-erasure latency matters). */
   def ivfIngest(spark: SparkSession, vecsDir: String, schema: StructType,
       indexPath: String, centroidsPath: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, cells: Int = 8, iters: Int = 2,
-      salt: String = "pkmeans", maxFilesPerTrigger: Int = 1): StreamingQuery =
+      salt: String = "pkmeans", maxFilesPerTrigger: Int = 1,
+      retireQueue: Option[String] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(vecsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        retireQueue.foreach(q => DedupStream.drainRetireQueue(
+          batch.sparkSession, q, Seq(indexPath -> Seq("cell")), idCol))
         processIvfBatch(batch, batchId, indexPath, centroidsPath,
           idCol, vecCol, dim, cells, iters, salt)
       }

@@ -474,6 +474,37 @@ class AnnStreamSpec extends SparkSpec {
     assert(re == victim) // its own vector is its exact nearest neighbor
   }
 
+  test("ivf ingest drains the retire queue before each batch (re-crawl re-indexes)") {
+    val e = emb.cache()
+    val vecsDir = tmp("asq_vecs"); val indexPath = tmp("asq_idx") + "/index"
+    val centroidsPath = tmp("asq_cen") + "/centroids"
+    val ckpt = tmp("asq_ckpt"); val queue = tmp("asq_queue") + "/queue"
+    e.filter($"vec_id" >= 2).coalesce(1).write.mode("append").parquet(vecsDir)
+    val q = AnnStream.ivfIngest(spark, vecsDir, e.schema, indexPath,
+      centroidsPath, ckpt, dim = 64, cells = 8, iters = 2,
+      retireQueue = Some(queue))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(indexPath).filter($"vec_id" === 5L)
+        .select($"batch_id".cast("long")).as[Long].head() == 0L)
+      // deletion request for an indexed vector, then its re-crawl lands
+      // with the next arrival: the drain runs first, so the guard sees
+      // it gone and re-indexes it under the new batch
+      Seq(5L).toDF("vec_id").coalesce(1).write.mode("append").parquet(queue)
+      e.filter($"vec_id" < 2 || $"vec_id" === 5L).coalesce(1)
+        .write.mode("append").parquet(vecsDir)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(indexPath).filter($"vec_id" === 5L)
+        .select($"batch_id".cast("long")).as[Long].collect().toSeq
+      assert(rows == Seq(1L), s"expected one batch-1 row, got $rows")
+      // raw tree keeps its cell sub-layout through the queue's retire
+      assert(new java.io.File(s"$indexPath/batch_id=0").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+      assert(new java.io.File(queue, "_done").listFiles()
+        .exists(_.getName.endsWith(".parquet")))
+    } finally q.stop()
+  }
+
   test("retire applies to the PQ-coded serving tree too") {
     val e = emb.cache()
     val indexPath = tmp("asrp_idx") + "/index"
