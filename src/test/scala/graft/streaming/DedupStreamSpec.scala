@@ -450,6 +450,46 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: interleaved retires and compactions always leave tree = ingested minus retired") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 300).cache()
+    val indexPath = tmp("dsrp_idx") + "/index"
+    val pairsPath = tmp("dsrp_pairs")
+    (0 until 4).foreach { r =>
+      DedupStream.processContainmentBatch(docs.filter($"doc_id" % 4 === r),
+        r.toLong, indexPath, pairsPath, "doc_id", "text")
+    }
+    val all = spark.read.parquet(indexPath).select("doc_id").as[Long]
+      .collect().toSet
+    val rng = new scala.util.Random(14L)
+    var expected = all
+    // 6 rounds: retire a seeded random subset (sometimes ids already
+    // retired — idempotence; sometimes ids never ingested — no-op),
+    // interleaved with compactions at varying bounds
+    (0 until 6).foreach { round =>
+      val subset = all.filter(_ => rng.nextDouble() < 0.15) ++
+        Seq(900000L + round) // never-ingested id
+      DedupStream.retireIds(spark, indexPath, subset.toSeq.toDF("doc_id"),
+        "doc_id")
+      expected = expected -- subset
+      if (round % 2 == 1)
+        DedupStream.compactIndex(spark, indexPath, upToBatch = 3L)
+      val got = spark.read.parquet(indexPath).select("doc_id").as[Long]
+        .collect().toSeq
+      assert(got.toSet == expected && got.length == got.distinct.length,
+        s"round $round: tree diverged")
+    }
+    // the tree stays ingest-able after the churn: a new batch against
+    // the folded+retired prefix indexes exactly the fresh ids
+    DedupStream.processContainmentBatch(
+      docs.filter($"doc_id" % 4 === 0), 4L, indexPath, pairsPath,
+      "doc_id", "text")
+    val after = spark.read.parquet(indexPath).select("doc_id").as[Long]
+      .collect().toSet
+    assert(after == expected ++ all.filter(_ % 4 == 0))
+  }
+
   test("containment batch: within-batch duplicate ids index once; empty crash debris readable") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 150)
