@@ -902,20 +902,30 @@ object Dedup {
       pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val p = if (callerCached) pairs else pairs.cache()
     try {
-      if (integralIds && p.limit(driverPairLimit + 1).count() <= driverPairLimit)
-        duplicateClustersUnionFind(docs, idCol, p)
-      else duplicateClustersIterative(docs, idCol, p, maxIter)
+      if (integralIds) {
+        // ONE driver action probes the size AND fetches the edges: the
+        // old separate limit-count + collect ran the same bounded scan
+        // twice, and this resolver sits inside every streamed-ingest
+        // batch (d18/d20), where per-batch cost is fixed job count.
+        // Past the limit the (bounded, ≤ limit+1 rows) fetch is
+        // discarded and label propagation runs distributed.
+        val probe = p
+          .select(col("a_id").cast("long"), col("b_id").cast("long"))
+          .limit(driverPairLimit + 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        if (probe.length <= driverPairLimit)
+          duplicateClustersUnionFind(docs, idCol, probe)
+        else duplicateClustersIterative(docs, idCol, p, maxIter)
+      } else duplicateClustersIterative(docs, idCol, p, maxIter)
     } finally if (!callerCached) p.unpersist()
   }
 
   /** Driver union-find over the collected pair list; only non-singleton
     * membership is broadcast — every other doc is its own root. */
   private def duplicateClustersUnionFind(docs: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
+      edges: Array[(Long, Long)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
-      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
