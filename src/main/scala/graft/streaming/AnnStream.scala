@@ -133,29 +133,55 @@ object AnnStream {
         StructType(Seq(StructField(idCol, idType))))
   }
 
+  /** Drain a retire-request queue across the WHOLE serving lifecycle:
+    * one pending snapshot applies to every raw per-batch tree in
+    * `rawTrees` ([[DedupStream.retireIds]], path → partitionCols) AND
+    * every published/PQ-coded cell tree in `servingTrees`
+    * ([[retireIds]] — affected cells only), then archives. This is
+    * what makes queue-drained erasure COMPLETE: [[publishIndexDelta]]
+    * only folds raw batches past the watermark, so ids retired from
+    * already-folded raw batches would otherwise stay served until a
+    * FULL republish — draining the serving tree in the same pass
+    * closes that window. Landing contract, torn-file skip, archive
+    * semantics and crash safety are [[DedupStream.drainRetireQueue]]'s
+    * (both entry points share [[DedupStream.drainQueue]]). */
+  def drainRetireQueue(spark: SparkSession, queueDir: String,
+      rawTrees: Seq[(String, Seq[String])], servingTrees: Seq[String],
+      idCol: String): Int =
+    DedupStream.drainQueue(spark, queueDir, idCol) { ids =>
+      rawTrees.foreach { case (tree, pcols) =>
+        DedupStream.retireIds(spark, tree, ids, idCol, pcols)
+      }
+      servingTrees.foreach(t => retireIds(spark, t, ids, idCol))
+    }
+
   /** Run the IVF index build as a stream over parquet embedding files
     * landing in `vecsDir`. Returns the running query (caller stops).
     * `retireQueue = Some(dir)` drains pending retire-request files
-    * from `dir` into the RAW tree before each batch
-    * ([[DedupStream.drainRetireQueue]], cell sub-layout preserved) —
+    * from `dir` before each batch ([[drainRetireQueue]]): ids retire
+    * from the RAW tree (cell sub-layout preserved) and from every
+    * published/PQ-coded cell tree listed in `retireServing` —
     * deletion requests and re-crawls apply continuously, and the
-    * retired rows leave the serving tree at the next publish (or
-    * immediately via [[retireIds]] on the published tree, the s19
-    * lifecycle, when right-to-erasure latency matters). */
+    * erasure reaches SERVING in the same drain (a delta publish alone
+    * never re-erases ids from already-folded batches; without
+    * `retireServing`, queue-drained retires reach the serving tree
+    * only via a full [[publishIndex]] or a manual [[retireIds]], the
+    * s19 lifecycle). */
   def ivfIngest(spark: SparkSession, vecsDir: String, schema: StructType,
       indexPath: String, centroidsPath: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, cells: Int = 8, iters: Int = 2,
       salt: String = "pkmeans", maxFilesPerTrigger: Int = 1,
-      retireQueue: Option[String] = None): StreamingQuery =
+      retireQueue: Option[String] = None,
+      retireServing: Seq[String] = Nil): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(vecsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        retireQueue.foreach(q => DedupStream.drainRetireQueue(
-          batch.sparkSession, q, Seq(indexPath -> Seq("cell")), idCol))
+        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
+          Seq(indexPath -> Seq("cell")), retireServing, idCol))
         processIvfBatch(batch, batchId, indexPath, centroidsPath,
           idCol, vecCol, dim, cells, iters, salt)
       }
@@ -198,6 +224,11 @@ object AnnStream {
     val ids = listBatchIds(spark, indexPath)
     val folded = upToBatch.fold(ids)(b => ids.filter(_ <= b))
     if (folded.isEmpty) return
+    // a fully-retired raw tree keeps its batch_id= dirs but holds zero
+    // data files — nothing to fold, and schema inference would throw
+    val hIdx = new org.apache.hadoop.fs.Path(indexPath)
+    val idxFs = hIdx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!DedupStream.hasParquetFiles(idxFs, hIdx)) return
     val raw = spark.read.parquet(indexPath)
     val bounded = upToBatch.fold(raw)(b => raw.filter(col("batch_id") <= b))
     graft.operators.Sinks.overwriteViaSwap(spark,
@@ -276,6 +307,12 @@ object AnnStream {
     val ids = listBatchIds(spark, indexPath)
     val folded = upToBatch.fold(ids)(b => ids.filter(_ <= b)).filter(_ > wm)
     if (folded.isEmpty) return
+    // a fully-retired raw tree keeps its batch_id= dirs but holds zero
+    // data files — nothing to fold, and schema inference would throw
+    val hIdx = new org.apache.hadoop.fs.Path(indexPath)
+    if (!DedupStream.hasParquetFiles(
+        hIdx.getFileSystem(spark.sparkContext.hadoopConfiguration), hIdx))
+      return
     val maxB = folded.max
     val delta = spark.read.parquet(indexPath)
       .filter(col("batch_id") > wm && col("batch_id") <= maxB)
@@ -285,7 +322,14 @@ object AnnStream {
       val affected = delta.select(col("cell").cast(LongType)).distinct()
         .collect().map(_.getLong(0).toString).sorted
       if (affected.isEmpty) return
-      val existing = spark.read.parquet(servingPath)
+      // a fully-retired serving tree reads as the empty frame it is
+      // (delta's schema — the merge below only needs its columns)
+      val existing = (if (DedupStream.hasParquetFiles(fs, hServing))
+        spark.read.parquet(servingPath)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema))
         .filter(col("cell").isin(affected.map(_.toLong): _*)) // pruned scan
       val merged = existing
         .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
@@ -351,9 +395,11 @@ object AnnStream {
     * retired from the raw tree, nothing re-introduces them).
     *
     * Crash safety is [[replaceCells]]'s: an interrupted call is
-    * repaired to a readable tree by the next reader's
-    * [[repairCellPublish]], and a re-invoked retire is idempotent
-    * (the anti-join removes nothing twice). */
+    * repaired to a readable tree by the next entry point's
+    * [[repairCellPublish]] — every cell-tree reader and writer runs it
+    * on entry ([[ivfServeTopK]], [[pqServeTopK]],
+    * [[publishIndexDelta]], and this method) — and a re-invoked retire
+    * is idempotent (the anti-join removes nothing twice). */
   def retireIds(spark: SparkSession, servingPath: String, ids: DataFrame,
       idCol: String): Unit = {
     val hServing = new org.apache.hadoop.fs.Path(servingPath)
@@ -441,12 +487,33 @@ object AnnStream {
   def ivfServeTopK(spark: SparkSession, indexPath: String,
       centroidsPath: String, queries: DataFrame, idCol: String,
       vecCol: String, topK: Int, nprobe: Int = 1): DataFrame = {
-    DedupStream.repairIndexTree(spark, indexPath) // every-load repair
+    // every-load repair, BOTH layouts: raw-tree maintenance staging
+    // (compaction/retire) and the published tree's cell-swap staging —
+    // a crash inside retireIds/publishIndexDelta after live cells were
+    // set aside but before promotion would otherwise serve a tree
+    // silently missing whole non-retired cells until the next
+    // maintenance op. Each repair is one existence check when clean.
+    DedupStream.repairIndexTree(spark, indexPath)
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCellPublish(fs, indexPath)
+    graft.operators.Sinks.recoverSwap(spark, indexPath)
     val cents = readCentroids(spark, centroidsPath)
     val q = Ann.portableQueryCells(queries, idCol, vecCol, cents, nprobe)
     val probed = q.select("cell").distinct()
       .collect().map(_.getLong(0)) // ≤ nprobe per query
-    val index = spark.read.parquet(indexPath)
+    // a fully-retired tree can exist with zero data files — schema
+    // inference would throw; serve it as the empty index it is
+    val index = (if (fs.exists(hPath) &&
+        DedupStream.hasParquetFiles(fs, hPath))
+      spark.read.parquet(indexPath)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(idCol, queries.schema(idCol).dataType),
+          StructField("q", ArrayType(LongType)),
+          StructField("cell", LongType)))))
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol), col("q"), col("cell").cast(LongType).as("cell"))
     Ann.integerTopK(index, q, idCol, "cell", topK)
@@ -478,6 +545,13 @@ object AnnStream {
         "the batch-0 training slice is no longer isolable (compacted " +
         "away?). Train and freeze the codebook BEFORE the first " +
         "compaction of the raw tree, like the coarse centroids.")
+    val hB0 = new org.apache.hadoop.fs.Path(indexPath, "batch_id=0")
+    require(DedupStream.hasParquetFiles(
+      hB0.getFileSystem(spark.sparkContext.hadoopConfiguration), hB0),
+      s"trainPqCodebook: the batch_id=0 partition under $indexPath " +
+        "holds no data files (fully retired?) — there is no training " +
+        "slice left. Train and freeze the codebook before retiring " +
+        "the training batch.")
     val cents = readCentroids(spark, centroidsPath)
     val dim = cents.head.length
     val centLit = typedLit(cents.map(_.toSeq))
@@ -552,6 +626,15 @@ object AnnStream {
       centroidsPath: String, codedPath: String, idCol: String,
       m: Int, k: Int, cbOpt: Option[Seq[Seq[Seq[Long]]]]): Unit = {
     DedupStream.repairIndexTree(spark, indexPath) // every-load repair
+    // a fully-retired raw tree keeps its batch_id= dirs but holds zero
+    // data files — no rows to encode (and schema inference would
+    // throw); leave the live coded tree, if any, untouched — the
+    // publishIndex all-empty rule. Retire the coded tree directly
+    // ([[retireIds]]) when the erasure must reach serving too.
+    val hIdx = new org.apache.hadoop.fs.Path(indexPath)
+    val idxFs = hIdx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!idxFs.exists(hIdx) || !DedupStream.hasParquetFiles(idxFs, hIdx))
+      return
     val cents = readCentroids(spark, centroidsPath)
     val dim = cents.head.length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
@@ -611,6 +694,14 @@ object AnnStream {
       cbOpt: Option[Seq[Seq[Seq[Long]]]]): DataFrame = {
     require(shortlist >= topK, "shortlist must cover topK")
     import spark.implicits._
+    // every-load repair of the coded tree's cell-swap staging (the
+    // ivfServeTopK rule): retireIds on the PQ-coded tree goes through
+    // the same replaceCells protocol, and a crash there must not leave
+    // serves missing non-retired cells
+    val hCoded = new org.apache.hadoop.fs.Path(codedPath)
+    val codedFs = hCoded.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCellPublish(codedFs, codedPath)
+    graft.operators.Sinks.recoverSwap(spark, codedPath)
     val cents = readCentroids(spark, centroidsPath)
     val dim = cents.head.length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
@@ -643,8 +734,19 @@ object AnnStream {
     }.toSeq.toDF("query_id", "cell", "j", "code", "dcell")
     val probed = dtab.select("cell").distinct()
       .collect().map(_.getLong(0)) // ≤ |queries|·nprobe, model-sized
-    // probed cells only: partition-directory pruning on `cell=`
-    val codes = spark.read.parquet(codedPath)
+    // probed cells only: partition-directory pruning on `cell=`.
+    // A fully-retired coded tree can exist with zero data files —
+    // schema inference would throw; serve it as the empty index it is
+    val codes = (if (codedFs.exists(hCoded) &&
+        DedupStream.hasParquetFiles(codedFs, hCoded))
+      spark.read.parquet(codedPath)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(idCol, vectors.schema(idCol).dataType),
+          StructField("codes", ArrayType(IntegerType)),
+          StructField("cell", LongType)))))
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol).as("vec_id"), col("codes"),
         col("cell").cast(LongType).as("cell"))

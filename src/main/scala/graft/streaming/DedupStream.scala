@@ -297,6 +297,19 @@ object DedupStream {
     * [[retireIds]]' no-concurrent-batch contract holds by
     * construction — the same reasoning as [[maybeCompact]]).
     *
+    * LANDING CONTRACT: requesters must STAGE the file outside
+    * `queueDir` and RENAME it in (rename is atomic on every
+    * filesystem this targets), under a name that is never reused — a
+    * requester writing in place can be listed half-written. The drain
+    * defends against violations anyway: a pending file whose parquet
+    * footer does not read (torn write) is SKIPPED this drain and
+    * retried on the next (an in-place writer that eventually finishes
+    * gets applied then; a permanently corrupt file costs one footer
+    * probe per drain until an operator removes it), and archiving
+    * into `_done` overwrites a same-named leftover instead of
+    * throwing (a reused name means a replayed request — already
+    * applied, idempotent).
+    *
     * Crash safety: [[retireIds]] is idempotent (an anti-join removes
     * nothing twice) and the file move into `_done` happens only AFTER
     * every tree processed the request — a crash anywhere replays the
@@ -305,24 +318,43 @@ object DedupStream {
     * requests landing mid-drain wait for the next one. Returns the
     * number of request files applied. */
   def drainRetireQueue(spark: SparkSession, queueDir: String,
-      trees: Seq[(String, Seq[String])], idCol: String): Int = {
+      trees: Seq[(String, Seq[String])], idCol: String): Int =
+    drainQueue(spark, queueDir, idCol) { ids =>
+      trees.foreach { case (tree, pcols) =>
+        retireIds(spark, tree, ids, idCol, pcols)
+      }
+    }
+
+  /** The list → validate → apply → archive core of
+    * [[drainRetireQueue]], with the apply step pluggable so
+    * [[AnnStream.drainRetireQueue]] can retire from published/coded
+    * cell trees in the SAME drain (one pending snapshot, one archive —
+    * a request never half-applies across tree kinds on a clean run,
+    * and a crash replays all of them idempotently). */
+  private[streaming] def drainQueue(spark: SparkSession, queueDir: String,
+      idCol: String)(apply: DataFrame => Unit): Int = {
     val qPath = new org.apache.hadoop.fs.Path(queueDir)
     val fs = qPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(qPath)) return 0
+    // readability probe: one driver-side footer read per file — a torn
+    // in-place write is skipped this drain, not a stream-killer
     val pending = fs.listStatus(qPath).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
+      .filter(p => scala.util.Try(
+        spark.read.parquet(p.toString).schema.fieldNames.contains(idCol))
+        .getOrElse(false))
     if (pending.isEmpty) return 0
-    val ids = spark.read.parquet(pending.map(_.toString): _*)
-      .select(col(idCol))
-    trees.foreach { case (tree, pcols) =>
-      retireIds(spark, tree, ids, idCol, pcols)
-    }
+    apply(spark.read.parquet(pending.map(_.toString): _*)
+      .select(col(idCol)))
     val done = new org.apache.hadoop.fs.Path(qPath, "_done")
     if (!fs.exists(done) && !fs.mkdirs(done))
       throw new java.io.IOException(s"retire queue: cannot create $done")
     pending.foreach { p =>
-      if (!fs.rename(p, new org.apache.hadoop.fs.Path(done, p.getName)))
+      val tgt = new org.apache.hadoop.fs.Path(done, p.getName)
+      if (fs.exists(tgt) && !fs.delete(tgt, false))
+        throw new java.io.IOException(s"retire queue: cannot replace $tgt")
+      if (!fs.rename(p, tgt))
         throw new java.io.IOException(s"retire queue: cannot archive $p")
     }
     pending.size
@@ -331,8 +363,10 @@ object DedupStream {
   /** Does the tree hold at least one parquet data file? (Partition
     * dirs can legitimately be empty — a batch that dropped everything,
     * a fully-retired batch — and schema inference throws on a tree
-    * with zero data files.) */
-  private def hasParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+    * with zero data files.) Package-visible so [[AnnStream]]'s
+    * publish/serve/train entry points apply the same all-empty-tree
+    * guard to the raw, published and coded layouts. */
+  private[streaming] def hasParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean =
     fs.listStatus(p).exists { s =>
       if (s.isDirectory) hasParquetFiles(fs, s.getPath)

@@ -633,4 +633,140 @@ class AnnStreamSpec extends SparkSpec {
     assert(top._3 == 9003L && top._4 == 0L,
       s"planted duplicate did not win under the trained codebook: $top")
   }
+
+  test("serve repairs an interrupted cell swap before reading (no silently missing cells)") {
+    val e = emb.cache()
+    val indexPath = tmp("assr_idx") + "/index"
+    val centroidsPath = tmp("assr_cen") + "/centroids"
+    AnnStream.processIvfBatch(e, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val servingPath = tmp("assr_pub") + "/serving"
+    AnnStream.publishIndex(spark, indexPath, servingPath)
+    val queries = e.filter($"vec_id" < 10)
+    val intact = AnnStream.ivfServeTopK(spark, servingPath, centroidsPath,
+        queries, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+
+    // worst crash window of a retire/delta-publish on the PUBLISHED
+    // tree: a live cell set aside under _dold, its staged copy still
+    // in _dnext, the live dir GONE — an unrepaired serve would answer
+    // from a tree silently missing that whole (non-retired) cell
+    def tearOneCell(): String = {
+      val someCell = new java.io.File(servingPath).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+      val dold = new java.io.File(servingPath + "_dold", someCell.getName)
+      val dnext = new java.io.File(servingPath + "_dnext", someCell.getName)
+      dold.getParentFile.mkdirs(); dnext.getParentFile.mkdirs()
+      java.nio.file.Files.move(someCell.toPath, dold.toPath)
+      java.nio.file.Files.createDirectories(dnext.toPath)
+      java.nio.file.Files.copy(dold.toPath.resolve(
+          dold.list().filter(_.endsWith(".parquet")).head),
+        dnext.toPath.resolve("part-repair.parquet"))
+      someCell.getName
+    }
+    tearOneCell()
+    val served = AnnStream.ivfServeTopK(spark, servingPath, centroidsPath,
+        queries, "vec_id", "embedding", topK = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(served == intact, "serve answered from an unrepaired tree")
+    assert(!new java.io.File(servingPath + "_dold").exists())
+    assert(!new java.io.File(servingPath + "_dnext").exists())
+
+    // the PQ-coded tree goes through the same swap protocol — its
+    // serve must repair too
+    val codedPath = tmp("assr_pq") + "/coded"
+    AnnStream.publishPqIndex(spark, indexPath, centroidsPath, codedPath,
+      "vec_id", m = 8, k = 8)
+    val pqIntact = AnnStream.pqServeTopK(spark, codedPath, centroidsPath,
+        vectors = e, queries = queries, "vec_id", "embedding",
+        m = 8, k = 8, nprobe = 2, shortlist = 20, topK = 3)
+      .collect().map(_.toSeq).toSet
+    val someCell = new java.io.File(codedPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val dold = new java.io.File(codedPath + "_dold", someCell.getName)
+    dold.getParentFile.mkdirs()
+    new java.io.File(codedPath + "_dnext").mkdirs()
+    java.nio.file.Files.move(someCell.toPath, dold.toPath)
+    val pqServed = AnnStream.pqServeTopK(spark, codedPath, centroidsPath,
+        vectors = e, queries = queries, "vec_id", "embedding",
+        m = 8, k = 8, nprobe = 2, shortlist = 20, topK = 3)
+      .collect().map(_.toSeq).toSet
+    assert(pqServed == pqIntact, "pq serve answered from an unrepaired tree")
+    assert(!new java.io.File(codedPath + "_dold").exists())
+  }
+
+  test("ANN queue drain reaches the published and coded serving trees in the same pass") {
+    val e = emb.cache()
+    val vecsDir = tmp("asqd_vecs"); val indexPath = tmp("asqd_idx") + "/index"
+    val centroidsPath = tmp("asqd_cen") + "/centroids"
+    val ckpt = tmp("asqd_ckpt"); val queue = tmp("asqd_queue") + "/queue"
+    val servingPath = tmp("asqd_pub") + "/serving"
+    val codedPath = tmp("asqd_pq") + "/coded"
+    val victim = 5L
+    // batch 0 lands before start so the STREAM trains the quantizer
+    e.filter($"vec_id" >= 2).coalesce(1).write.mode("append").parquet(vecsDir)
+    val q = AnnStream.ivfIngest(spark, vecsDir, e.schema, indexPath,
+      centroidsPath, ckpt, dim = 64, cells = 8, iters = 2,
+      retireQueue = Some(queue),
+      retireServing = Seq(servingPath, codedPath))
+    try {
+      q.processAllAvailable()
+      // publish BOTH serving forms from the quiescent committed prefix
+      AnnStream.publishIndex(spark, indexPath, servingPath)
+      AnnStream.publishPqIndex(spark, indexPath, centroidsPath, codedPath,
+        "vec_id", m = 8, k = 8)
+      assert(spark.read.parquet(servingPath).filter($"vec_id" === victim)
+        .count() == 1)
+      // the retired id sits in an ALREADY-PUBLISHED batch: a delta
+      // publish would never re-fold it, so without the serving-tree
+      // drain it would be served forever — the closed ADVICE window
+      Seq(victim).toDF("vec_id").coalesce(1).write.mode("append")
+        .parquet(queue)
+      e.filter($"vec_id" < 2).coalesce(1).write.mode("append")
+        .parquet(vecsDir)
+      q.processAllAvailable()
+      assert(spark.read.parquet(indexPath).filter($"vec_id" === victim)
+        .isEmpty, "raw tree still holds the retired id")
+      assert(spark.read.parquet(servingPath).filter($"vec_id" === victim)
+        .isEmpty, "published tree still serves the retired id")
+      assert(spark.read.parquet(codedPath).filter($"vec_id" === victim)
+        .isEmpty, "coded tree still serves the retired id")
+      assert(new java.io.File(queue, "_done").listFiles()
+        .exists(_.getName.endsWith(".parquet")))
+    } finally q.stop()
+  }
+
+  test("an all-retired tree serves empty and publishes as a no-op instead of throwing") {
+    val e = emb.filter($"vec_id" < 50).cache()
+    val indexPath = tmp("asae_idx") + "/index"
+    val centroidsPath = tmp("asae_cen") + "/centroids"
+    AnnStream.processIvfBatch(e, 0L, indexPath, centroidsPath,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val servingPath = tmp("asae_pub") + "/serving"
+    AnnStream.publishIndex(spark, indexPath, servingPath)
+    val everything = e.select("vec_id")
+    AnnStream.retireIds(spark, servingPath, everything, "vec_id")
+    DedupStream.retireIds(spark, indexPath, everything, "vec_id",
+      partitionCols = Seq("cell"))
+    // raw tree: batch dirs remain, zero data files — every entry point
+    // that reads a full tree must survive it
+    val queries = e.filter($"vec_id" < 5)
+    assert(AnnStream.ivfServeTopK(spark, servingPath, centroidsPath,
+      queries, "vec_id", "embedding", topK = 3, nprobe = 2).isEmpty)
+    assert(AnnStream.ivfServeTopK(spark, indexPath, centroidsPath,
+      queries, "vec_id", "embedding", topK = 3, nprobe = 2).isEmpty)
+    AnnStream.publishIndex(spark, indexPath, servingPath) // no-op, no throw
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+    val codedPath = tmp("asae_pq") + "/coded"
+    AnnStream.publishPqIndex(spark, indexPath, centroidsPath, codedPath,
+      "vec_id", m = 8, k = 8) // no-op: no coded tree materializes
+    assert(!new java.io.File(codedPath).exists())
+    // the trainer's contract failure is the spelled-out one, not a
+    // schema-inference crash
+    val err = intercept[IllegalArgumentException] {
+      AnnStream.trainPqCodebook(spark, indexPath, centroidsPath,
+        m = 8, k = 8, iters = 2)
+    }
+    assert(err.getMessage.contains("no data files"))
+  }
 }

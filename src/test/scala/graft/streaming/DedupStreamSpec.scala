@@ -450,6 +450,98 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("queue drain skips torn request files and overwrites same-named archive leftovers") {
+    import spark.implicits._
+    val indexPath = tmp("dsqt_idx") + "/index"
+    val queue = tmp("dsqt_queue") + "/queue"
+    DedupStream.processContainmentBatch(
+      Tables.documents(spark, sf).select("doc_id", "text")
+        .filter($"doc_id" < 100),
+      0L, indexPath, tmp("dsqt_pairs"), "doc_id", "text")
+    def land(ids: Seq[Long], name: String): Unit = {
+      val stage = tmp(s"dsqt_stage_$name") + "/out"
+      ids.toDF("doc_id").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(queue))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(queue, s"$name.parquet"))
+    }
+    // a torn in-place write (no parquet footer) sits beside a good
+    // request: the drain must apply the good one and leave the torn
+    // one pending instead of dying inside foreachBatch
+    land(Seq(1L), "req_good")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(queue, "torn.parquet"),
+      Array.fill[Byte](64)(0x42))
+    assert(DedupStream.drainRetireQueue(spark, queue,
+      Seq(indexPath -> Nil), "doc_id") == 1)
+    assert(spark.read.parquet(indexPath).filter($"doc_id" === 1L).isEmpty)
+    assert(new java.io.File(queue, "torn.parquet").exists(),
+      "torn file should stay pending")
+    assert(new java.io.File(queue, "_done/req_good.parquet").exists())
+    // a requester reusing an archived name (replayed request): the
+    // archive overwrites instead of throwing
+    land(Seq(2L), "req_good")
+    assert(DedupStream.drainRetireQueue(spark, queue,
+      Seq(indexPath -> Nil), "doc_id") == 1)
+    assert(spark.read.parquet(indexPath).filter($"doc_id" === 2L).isEmpty)
+    assert(!new java.io.File(queue, "req_good.parquet").exists())
+  }
+
+  test("property: queue drains interleaved with in-stream compaction keep tree = ingested minus retired") {
+    import spark.implicits._
+    // BOTH maintenance ops fire between the same micro-batches of one
+    // RUNNING stream: containmentIngest drains the retire queue before
+    // each batch and folds the prefix after every 2nd (the shipped
+    // cadence wiring, not a hand-driven simulation)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 240).cache()
+    val docsDir = tmp("dsqc_docs"); val indexPath = tmp("dsqc_idx") + "/index"
+    val pairsPath = tmp("dsqc_pairs"); val ckpt = tmp("dsqc_ckpt")
+    val queue = tmp("dsqc_queue") + "/queue"
+    def land(df: org.apache.spark.sql.DataFrame, dir: String,
+        name: String): Unit = {
+      val stage = tmp(s"dsqc_stage_$name") + "/out"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, s"$name.parquet"))
+    }
+    val q = DedupStream.containmentIngest(spark, docsDir, docs.schema,
+      indexPath, pairsPath, ckpt, maxFilesPerTrigger = 1,
+      compactEvery = Some(2), retireQueue = Some(queue))
+    val rng = new scala.util.Random(15L)
+    var ingested = Set.empty[Long]
+    var retired = Set.empty[Long]
+    try {
+      (0 until 6).foreach { round =>
+        // a retire request for a seeded subset of what is already in
+        // (plus a never-ingested id) lands BEFORE the round's docs —
+        // the drain fires first, then the batch, then maybe the fold
+        val subset = ingested.filter(_ => rng.nextDouble() < 0.2) ++
+          Seq(900000L + round)
+        land(subset.toSeq.toDF("doc_id"), queue, f"req_$round%03d")
+        val arriving = docs.filter($"doc_id" % 6 === round)
+        land(arriving, docsDir, f"round_$round%03d")
+        retired ++= subset
+        ingested ++= arriving.select("doc_id").as[Long].collect()
+        q.processAllAvailable()
+        val got = spark.read.parquet(indexPath).select("doc_id").as[Long]
+          .collect().toSeq
+        // arrivals are disjoint across rounds (doc_id % 6) and each
+        // request only names earlier rounds' ids, so nothing ever
+        // re-ingests a retired id: the invariant is exactly
+        // tree = ingested − retired, at every round, through both
+        // maintenance ops
+        assert(got.toSet == ingested -- retired, s"round $round diverged")
+        assert(got.length == got.distinct.length, s"round $round dup rows")
+      }
+    } finally q.stop()
+  }
+
   test("property: interleaved retires and compactions always leave tree = ingested minus retired") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
