@@ -529,9 +529,12 @@ object AnnStream {
     * the raw tree plus two frozen models. Reads ONLY the `batch_id=0`
     * partition (pruned — training never rescans the corpus);
     * per-iteration work is one scan of that slice
-    * ([[graft.similarity.Ann.portablePqTrainCodebooks]]). */
+    * ([[graft.similarity.Ann.portablePqTrainCodebooks]]). The default
+    * `iters = 5` is the committed IngestProbe sweep's operating point
+    * (recall@5 0.424 vs 0.200 at iters=2/shortlist=20, for less serve
+    * wall) — s20 gates it. */
   def trainPqCodebook(spark: SparkSession, indexPath: String,
-      centroidsPath: String, m: Int, k: Int, iters: Int,
+      centroidsPath: String, m: Int, k: Int, iters: Int = 5,
       salt: String = "pqres"): Seq[Seq[Seq[Long]]] = {
     DedupStream.repairIndexTree(spark, indexPath) // every-load repair
     // the training slice is the batch-0 PARTITION, read through
@@ -669,11 +672,15 @@ object AnnStream {
     * never ships anything but its code rows. Integer-exact end to
     * end with ties to the lower id, so the full pipeline — probe
     * order, codes, ADC sums, shortlist, final ranks — is
-    * bit-reproducible (s17's oracle re-derives it in DuckDB). */
+    * bit-reproducible (s17's oracle re-derives it in DuckDB). The
+    * `nprobe = 2, shortlist = 100` defaults are the committed
+    * IngestProbe sweep's operating point (s20 gates its recall);
+    * spend nprobe for more recall once shortlist saturates —
+    * the sweep's `pq_nprobe` axis prices that path. */
   def pqServeTopK(spark: SparkSession, codedPath: String,
       centroidsPath: String, vectors: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, m: Int, k: Int, nprobe: Int,
-      shortlist: Int, topK: Int): DataFrame =
+      idCol: String, vecCol: String, m: Int, k: Int, nprobe: Int = 2,
+      shortlist: Int = 100, topK: Int): DataFrame =
     pqServeTopKWith(spark, codedPath, centroidsPath, vectors, queries,
       idCol, vecCol, m, k, nprobe, shortlist, topK, None)
 

@@ -204,7 +204,7 @@ object DedupStream {
     * partitions are an emitted report of what was observed at each
     * arrival, not a materialized view of the current index — retiring
     * an id does not rewrite them (callers wanting a live view filter
-    * the report against the surviving id set).
+    * the report against the surviving id set: [[livePairs]]).
     *
     * Cost: one column-pruned semi-join finds the AFFECTED batch
     * partitions (driver state = the affected batch ids, ≤ #batches);
@@ -360,6 +360,45 @@ object DedupStream {
     pending.size
   }
 
+  /** LIVE view of a pairs report: drop every pair that references a
+    * retired id. PAIRS ARE HISTORY ([[retireIds]]) — the per-batch
+    * pair partitions record what was observed at each arrival and are
+    * never rewritten by retirement; this is the documented "filter
+    * the report against the surviving id set" made into an API. A
+    * pair is live iff NEITHER endpoint is in `retired` (a pair whose
+    * other member was withdrawn no longer states a relation about
+    * anything in the corpus). Two broadcast-able anti-joins — the
+    * report never shuffles. */
+  def livePairs(pairs: DataFrame, retired: DataFrame, idCol: String,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val r = retired.select(col(idCol)).distinct()
+    pairs
+      .join(r.select(col(idCol).as(aCol)), Seq(aCol), "left_anti")
+      .join(r.select(col(idCol).as(bCol)), Seq(bCol), "left_anti")
+  }
+
+  /** [[livePairs]] with the retired set read from a retire QUEUE's
+    * archive: [[drainRetireQueue]] moves a request file into
+    * `queueDir/_done` only after every tree applied it, so the union
+    * of the archived files IS the set of ids withdrawn so far — the
+    * caller does not have to keep its own ledger. Nothing archived
+    * yet (or no queue dir): the whole report is live. */
+  def livePairs(spark: SparkSession, pairsPath: String, queueDir: String,
+      idCol: String, aCol: String, bCol: String): DataFrame = {
+    val pairs = spark.read.parquet(pairsPath)
+    val done = new org.apache.hadoop.fs.Path(queueDir, "_done")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val archived =
+      if (fs.exists(done))
+        fs.listStatus(done).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+      else Nil
+    if (archived.isEmpty) pairs
+    else livePairs(pairs, spark.read.parquet(archived: _*), idCol,
+      aCol, bCol)
+  }
+
   /** Does the tree hold at least one parquet data file? (Partition
     * dirs can legitimately be empty — a batch that dropped everything,
     * a fully-retired batch — and schema inference throws on a tree
@@ -444,50 +483,142 @@ object DedupStream {
 
       // resolve survivors over the batch-touching pair graph: the
       // graph's nodes are the batch plus only the indexed docs that
-      // appear in a pair (never the whole index)
-      val newIds = fresh.select(col(idCol))
-      val touchedOld = pairs.select(col("a_id").as(idCol))
-        .unionByName(pairs.select(col("b_id").as(idCol)))
-        .distinct()
-        .join(newIds, Seq(idCol), "left_anti")
-      val nodes = newIds.withColumn("is_new", lit(true))
-        .unionByName(touchedOld.withColumn("is_new", lit(false)))
-      val roots = Dedup.duplicateClusters(nodes, idCol, pairs)
-        .join(nodes, col("id") === col(idCol)).select("id", "root", "is_new")
-      // Survivor rule as ONE per-root aggregation (a cluster with any
-      // indexed member keeps the indexed representative — the whole
-      // batch side drops; an only-new cluster keeps its minimum id), so
-      // no window functions run over the node frame. Cached: BOTH
-      // per-batch outputs (survivor docs, survivor signatures) semi-join
-      // against this frame — uncached, the whole cluster-resolution
-      // chain (distinct + anti-join + union-find + this aggregation)
-      // would run once per write.
-      val survivorIds = pin(roots
-        .groupBy("root")
-        .agg(max(when(!col("is_new"), 1).otherwise(0)).as("has_old"),
-          min(when(col("is_new"), col("id"))).as("min_new"))
-        .filter(col("has_old") === 0)
-        .select(col("min_new").as(idCol)))
+      // appear in a pair (never the whole index). The driver fast
+      // path resolves the WHOLE rule inside the one bounded action
+      // that fetches the pair graph (this resolver sits inside every
+      // streamed batch, where per-batch cost is fixed job count), and
+      // hands back the LOSER set — bounded by the ids appearing in
+      // pairs, ≤ 2·driverPairLimit — so the survivor writes become
+      // broadcast anti-joins over the cached batch. Past the limit
+      // (or for non-integral ids) the distributed rule runs.
+      val (survDocs, survIdx) = driverLosers(fresh, pairs, idCol) match {
+        case Some(losers) =>
+          val l = broadcast(losers)
+          (fresh.join(l, Seq(idCol), "left_anti"),
+            newIdx.join(l, Seq(idCol), "left_anti"))
+        case None =>
+          val newIds = fresh.select(col(idCol))
+          val touchedOld = pairs.select(col("a_id").as(idCol))
+            .unionByName(pairs.select(col("b_id").as(idCol)))
+            .distinct()
+            .join(newIds, Seq(idCol), "left_anti")
+          val nodes = newIds.withColumn("is_new", lit(true))
+            .unionByName(touchedOld.withColumn("is_new", lit(false)))
+          val roots = Dedup.duplicateClusters(nodes, idCol, pairs)
+            .join(nodes, col("id") === col(idCol))
+            .select("id", "root", "is_new")
+          // Survivor rule as ONE per-root aggregation (a cluster with
+          // any indexed member keeps the indexed representative — the
+          // whole batch side drops; an only-new cluster keeps its
+          // minimum id), so no window functions run over the node
+          // frame. Cached + materialized ONCE: both per-batch outputs
+          // semi-join against this frame, and the distributed
+          // resolution chain must not run once per write.
+          val survivorIds = pin(roots
+            .groupBy("root")
+            .agg(max(when(!col("is_new"), 1).otherwise(0)).as("has_old"),
+              min(when(col("is_new"), col("id"))).as("min_new"))
+            .filter(col("has_old") === 0)
+            .select(col("min_new").as(idCol)))
+          survivorIds.count()
+          (fresh.join(survivorIds, Seq(idCol), "left_semi"),
+            newIdx.join(survivorIds, Seq(idCol), "left_semi"))
+      }
 
-      // materialize every cached frame ONCE (survivorIds sits downstream
-      // of them all), then the three writes share computed caches
-      // instead of racing to build them
-      survivorIds.count()
       // per-batch output dirs: every write is an idempotent overwrite of
       // a deterministic function of the committed prefix, with NO
       // ordering requirement among the three (a replay recomputes all)
       // — so they run CONCURRENTLY and the batch pays the slowest
-      // write's wall, not the sum
+      // write's wall, not the sum. The shared caches (index, fresh,
+      // newIdx, pairs) were all materialized by the resolution step —
+      // whenever the driver probe stays under its limit it has scanned
+      // every pairs partition (and everything upstream), and the
+      // distributed path counts — so the writes read computed caches
+      // instead of racing to build them.
       concurrently(
         () => pairs.write.mode(SaveMode.Overwrite)
           .parquet(s"$pairsPath/batch_id=$batchId"),
-        () => fresh.join(survivorIds, Seq(idCol), "left_semi")
-          .write.mode(SaveMode.Overwrite)
+        () => survDocs.write.mode(SaveMode.Overwrite)
           .parquet(s"$survivorsPath/batch_id=$batchId"),
-        () => newIdx.join(survivorIds, Seq(idCol), "left_semi")
-          .write.mode(SaveMode.Overwrite)
+        () => survIdx.write.mode(SaveMode.Overwrite)
           .parquet(s"$indexPath/batch_id=$batchId"))
     } finally cached.foreach(_.unpersist())
+  }
+
+  /** Driver fast path of the per-batch survivor rule: ONE bounded
+    * action fetches the batch-touching pair graph WITH endpoint
+    * novelty flags (an endpoint is "new" iff it is in `fresh` — the
+    * flags ride along in the same scan, so no extra job), union-find
+    * and the keep-indexed-representative / min-new-id rule run on the
+    * driver, and the result is the LOSER set: the new ids that do NOT
+    * survive their cluster. Driver state is bounded exactly like
+    * [[graft.dedup.Dedup.duplicateClusters]]'s probe — ≤
+    * `driverPairLimit`+1 pair rows, losers ≤ 2·limit ids, never the
+    * batch or the corpus. Returns None past the limit or for
+    * non-integral ids (callers fall back to the distributed rule).
+    *
+    * Semantics are bit-identical to the distributed aggregation: a
+    * cluster with any indexed member drops its whole batch side; an
+    * only-new cluster keeps its minimum id; batch docs in no pair are
+    * singleton clusters and never lose. The probe's `limit` is sound
+    * for the same reason the resolver's always was: under the limit,
+    * Spark had to scan every pairs partition to know no more rows
+    * exist — which also materializes every pinned cache upstream. */
+  private def driverLosers(fresh: DataFrame, pairs: DataFrame,
+      idCol: String, driverPairLimit: Int = 2000000): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    fresh.schema(idCol).dataType match {
+      case LongType | IntegerType => ()
+      case _ => return None
+    }
+    val newA = fresh.select(col(idCol).as("a_id"), lit(true).as("a_new"))
+    val newB = fresh.select(col(idCol).as("b_id"), lit(true).as("b_new"))
+    val probe = pairs
+      .join(newA, Seq("a_id"), "left")
+      .join(newB, Seq("b_id"), "left")
+      .select(col("a_id").cast(LongType), col("b_id").cast(LongType),
+        coalesce(col("a_new"), lit(false)),
+        coalesce(col("b_new"), lit(false)))
+      .limit(driverPairLimit + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    if (probe.length > driverPairLimit) return None
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nx = parent(c); parent(c) = r; c = nx
+      }
+      r
+    }
+    val isNew = scala.collection.mutable.Map.empty[Long, Boolean]
+    probe.foreach { case (a, b, an, bn) =>
+      isNew(a) = an; isNew(b) = bn
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo
+      }
+    }
+    val nodes = isNew.keys.toArray
+    val hasOld = scala.collection.mutable.Set.empty[Long]
+    nodes.foreach(x => if (!isNew(x)) hasOld += find(x))
+    val minNew = scala.collection.mutable.Map.empty[Long, Long]
+    nodes.foreach { x =>
+      if (isNew(x)) {
+        val r = find(x)
+        if (minNew.get(r).forall(_ > x)) minNew(r) = x
+      }
+    }
+    val losers = nodes.filter { x =>
+      isNew(x) && { val r = find(x); hasOld(r) || minNew(r) != x }
+    }
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    Some(losers.toSeq.toDF(idCol)
+      .select(col(idCol).cast(fresh.schema(idCol).dataType)))
   }
 
   /** Run independent per-batch writes concurrently: each is an

@@ -227,9 +227,12 @@ object IngestProbe {
     // cost), shortlist attacks it at SERVE time (more exact reranks
     // per query) — so the curve shows which knob buys recall per unit
     // of serve wall, and where the ceiling caps further tuning.
-    val sweep = Seq(2, 5).flatMap { iters =>
-      val cb = graft.streaming.AnnStream.trainPqCodebook(spark, annIdx,
+    val sweepCbs = Seq(2, 5).map { iters =>
+      iters -> graft.streaming.AnnStream.trainPqCodebook(spark, annIdx,
         annCen, m = 8, k = 8, iters = iters)
+    }.toMap
+    val sweep = Seq(2, 5).flatMap { iters =>
+      val cb = sweepCbs(iters)
       val coded = base.resolve(s"pq_sweep_i$iters").toString
       graft.streaming.AnnStream.publishPqIndex(spark, annIdx, annCen,
         coded, "vec_id", m = 8, k = 8, cb)
@@ -254,8 +257,10 @@ object IngestProbe {
     // at the sweep's best codebook/shortlist, with the matching
     // ceiling, so the curve shows recall converging to (and the
     // ceiling rising with) wider probes at linearly more read cost.
-    val cbBest = graft.streaming.AnnStream.trainPqCodebook(spark, annIdx,
-      annCen, m = 8, k = 8, iters = 5)
+    // the SAME frozen table pq_sweep_i5 was published with — a
+    // retrain here would rest the ADC sums' validity on trainer
+    // bit-determinism for no reason (the pqServeTopK MUST-match rule)
+    val cbBest = sweepCbs(5)
     val codedBest = base.resolve("pq_sweep_i5").toString // published above
     val nprobeSweep = Seq(2, 4, 8).map { np =>
       spark.catalog.clearCache()
@@ -302,7 +307,7 @@ object IngestProbe {
     def compRun(tag: String, every: Option[Int]) = {
       val idxP = base.resolve(s"comp_idx_$tag").toString
       val prsP = base.resolve(s"comp_pairs_$tag").toString
-      (0 until nComp).map { i =>
+      val cs = (0 until nComp).map { i =>
         val batch = sigsAll.filter(pmod(col("doc_id"), lit(nComp)) === i)
         val t0 = System.nanoTime()
         graft.streaming.DedupStream.processSignatureBatch(batch, i.toLong,
@@ -317,14 +322,129 @@ object IngestProbe {
         val (nFiles, nDirs) = countTree(idxP)
         (i, tIngest, tScan, nFiles, nDirs)
       }
+      (idxP, cs)
     }
-    val compPlain = compRun("plain", None)
-    val compFolded = compRun("folded", Some(8))
+    val (plainIdx, compPlain) = compRun("plain", None)
+    val (_, compFolded) = compRun("folded", Some(8))
     Seq(("none", compPlain), ("every8", compFolded)).foreach { case (t, cs) =>
       val last = cs.last
       println(f"[ingest] compaction=$t%-7s batches=$nComp  " +
         f"final files=${last._4}  dirs=${last._5}  " +
         f"scan first=${cs.head._3}%5.2f s last=${last._3}%5.2f s")
+    }
+
+    // RETIREMENT pricing (round-14 verdict #2a): retireIds' cost claim
+    // is "∝ affected partitions, tree-size-independent" — one pruned
+    // semi-join finds the affected batch dirs, only those are re-read,
+    // filtered and swapped. Cells: retire id sets touching 1 / 8 / 32
+    // of the plain tree's 60 batch dirs (5 ids per dir, picked from
+    // the current tree so each round retires live rows) at FIXED tree
+    // size. If the claim holds, wall grows with `affected`, with a
+    // fixed floor (the semi-join probe scans the whole tree's id
+    // column once — column-pruned, the committed-id-guard cost shape).
+    val retireCells = Seq(1, 8, 32).map { naff =>
+      import spark.implicits._
+      val ids = (0 until naff).flatMap { b =>
+        spark.read.parquet(s"$plainIdx/batch_id=$b").select("doc_id")
+          .limit(5).collect().map(_.getLong(0))
+      }
+      val idsDf = ids.toDF("doc_id")
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.streaming.DedupStream.retireIds(spark, plainIdx, idsDf,
+        "doc_id")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[ingest] retire affected=$naff%2d/60  $dt%6.2f s  " +
+        f"(${ids.length} ids)")
+      (naff, dt, ids.length)
+    }
+
+    // RETIREMENT pricing (round-14 verdict #2b): the per-batch cost of
+    // DRAINING the queue under a 20-batch ingest — a request landing
+    // every other batch vs a permanently empty queue. The empty-queue
+    // drain must be metadata-only (one directory listing); the
+    // non-empty drain pays one retire of its affected partition.
+    def drainRun(tag: String, withRequests: Boolean) = {
+      val idxP = base.resolve(s"drain_idx_$tag").toString
+      val prsP = base.resolve(s"drain_pairs_$tag").toString
+      val queueDir = base.resolve(s"drain_queue_$tag")
+      java.nio.file.Files.createDirectories(queueDir)
+      val nDrain = 20
+      (0 until nDrain).map { i =>
+        if (withRequests && i % 2 == 1) {
+          // stage-then-rename landing (the documented contract)
+          import spark.implicits._
+          val ids = spark.read.parquet(s"$idxP/batch_id=${i - 1}")
+            .select("doc_id").limit(5).collect().map(_.getLong(0)).toSeq
+          val stage = base.resolve(s"drain_stage_${tag}_$i")
+          ids.toDF("doc_id").coalesce(1).write
+            .parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            queueDir.resolve(f"req_$i%03d.parquet"))
+        }
+        val batch = sigsAll.filter(pmod(col("doc_id"), lit(nDrain)) === i)
+        val tD0 = System.nanoTime()
+        val applied = graft.streaming.DedupStream.drainRetireQueue(spark,
+          queueDir.toString, Seq(idxP -> Nil), "doc_id")
+        val tDrain = (System.nanoTime() - tD0) / 1e9
+        val tB0 = System.nanoTime()
+        graft.streaming.DedupStream.processSignatureBatch(batch, i.toLong,
+          idxP, prsP, "doc_id", "sig", maxHamming = 3)
+        val tBatch = (System.nanoTime() - tB0) / 1e9
+        spark.catalog.clearCache()
+        (i, tDrain, tBatch, applied)
+      }
+    }
+    val drainEmpty = drainRun("empty", withRequests = false)
+    val drainReq = drainRun("withreq", withRequests = true)
+    Seq(("empty", drainEmpty), ("withreq", drainReq)).foreach { case (t, cs) =>
+      val dsum = cs.map(_._2).sum
+      println(f"[ingest] drain=$t%-8s batches=${cs.length}  " +
+        f"drain total=$dsum%6.2f s  avg=${dsum / cs.length}%6.3f s/batch  " +
+        f"applied=${cs.map(_._4).sum}")
+    }
+
+    // ANN-tree compaction pricing (round-14 verdict #3): the r14
+    // pairing covered the flat signature layout; this is its twin on
+    // the CELL-PARTITIONED raw ANN tree (batch_id=N/cell=M — compact
+    // preserves the inner cell layout, so the serve path's pruning
+    // contract survives the fold). 60 one-batch arrivals
+    // with/without compactEvery=8, recording per batch: ingest wall,
+    // a timed cell-pruned SERVE against the raw tree (what the
+    // nprobe read path pays as the dir count grows), and the tree's
+    // file/dir counts.
+    val annQ = vecs.filter(col("vec_id") < 5)
+    def annCompRun(tag: String, every: Option[Int]) = {
+      val idxP = base.resolve(s"anncomp_idx_$tag").toString
+      val cenP = base.resolve(s"anncomp_cen_$tag").toString
+      (0 until nComp).map { i =>
+        val batch = vecs.filter(pmod(col("vec_id"), lit(nComp)) === i)
+        val t0 = System.nanoTime()
+        graft.streaming.AnnStream.processIvfBatch(batch, i.toLong, idxP,
+          cenP, "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+        every.filter(n => i > 0 && i % n == 0).foreach(_ =>
+          graft.streaming.DedupStream.compactIndex(spark, idxP, i - 1L,
+            partitionCols = Seq("cell")))
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val tS0 = System.nanoTime()
+        graft.streaming.AnnStream.ivfServeTopK(spark, idxP, cenP, annQ,
+          "vec_id", "embedding", topK = 3, nprobe = 2).count()
+        val tServe = (System.nanoTime() - tS0) / 1e9
+        val (nFiles, nDirs) = countTree(idxP)
+        (i, tIngest, tServe, nFiles, nDirs)
+      }
+    }
+    val annCompPlain = annCompRun("plain", None)
+    val annCompFolded = annCompRun("folded", Some(8))
+    Seq(("none", annCompPlain), ("every8", annCompFolded)).foreach {
+      case (t, cs) =>
+        val last = cs.last
+        println(f"[ingest] ann compaction=$t%-7s batches=$nComp  " +
+          f"final files=${last._4}  dirs=${last._5}  " +
+          f"serve first=${cs.head._3}%5.2f s last=${last._3}%5.2f s")
     }
 
     // d18 AMORTIZATION at production batch size (round-13 verdict #5):
@@ -394,6 +514,21 @@ object IngestProbe {
       }),
       block("compaction_every8", compFolded.map { case (i, ti, ts, nf, nd) =>
         f"""{"batch":$i,"ingest_sec":$ti%.2f,"index_scan_sec":$ts%.3f,"files":$nf,"dirs":$nd}"""
+      }),
+      block("retire_affected", retireCells.map { case (naff, dt, nids) =>
+        f"""{"affected_dirs":$naff,"tree_dirs":$nComp,"sec":$dt%.2f,"ids":$nids}"""
+      }),
+      block("drain_empty", drainEmpty.map { case (i, td, tb, ap) =>
+        f"""{"batch":$i,"drain_sec":$td%.3f,"ingest_sec":$tb%.2f,"applied":$ap}"""
+      }),
+      block("drain_withreq", drainReq.map { case (i, td, tb, ap) =>
+        f"""{"batch":$i,"drain_sec":$td%.3f,"ingest_sec":$tb%.2f,"applied":$ap}"""
+      }),
+      block("ann_compaction_none", annCompPlain.map { case (i, ti, ts, nf, nd) =>
+        f"""{"batch":$i,"ingest_sec":$ti%.2f,"serve_sec":$ts%.3f,"files":$nf,"dirs":$nd}"""
+      }),
+      block("ann_compaction_every8", annCompFolded.map { case (i, ti, ts, nf, nd) =>
+        f"""{"batch":$i,"ingest_sec":$ti%.2f,"serve_sec":$ts%.3f,"files":$nf,"dirs":$nd}"""
       }),
       block("big_dedup_cells", bigCells.map { case (i, t, b) =>
         f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"ms_per_doc":${t * 1000 / b}%.2f}"""

@@ -450,6 +450,51 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("livePairs filters the history report against the retired set (both endpoint sides)") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven")    // dup of 3
+    ).toDF("doc_id", "text")
+    val indexPath = tmp("dslp_idx") + "/index"
+    val pairsPath = tmp("dslp_pairs"); val survPath = tmp("dslp_surv")
+    DedupStream.processBatch(base, 0L, indexPath, pairsPath, survPath,
+      "doc_id", "text")
+    val report = spark.read.parquet(pairsPath)
+    assert(report.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      == Set((1L, 2L), (3L, 4L)))
+    // retiring 1 kills the (1,2) pair from the LIVE view whichever
+    // side it sits on; the report itself is untouched history
+    val live = DedupStream.livePairs(report, Seq(1L).toDF("doc_id"),
+      "doc_id")
+    assert(live.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      == Set((3L, 4L)))
+    val liveB = DedupStream.livePairs(report, Seq(4L).toDF("doc_id"),
+      "doc_id")
+    assert(liveB.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      == Set((1L, 2L)))
+    // queue-archive form: the _done files ARE the ledger
+    val queue = tmp("dslp_queue") + "/queue"
+    // nothing drained yet → whole report live
+    assert(DedupStream.livePairs(spark, pairsPath, queue, "doc_id",
+      "a_id", "b_id").count() == 2)
+    val stage = tmp("dslp_stage") + "/out"
+    Seq(3L).toDF("doc_id").coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(queue))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(queue, "req.parquet"))
+    DedupStream.drainRetireQueue(spark, queue,
+      Seq(indexPath -> Nil, survPath -> Nil), "doc_id")
+    assert(DedupStream.livePairs(spark, pairsPath, queue, "doc_id",
+        "a_id", "b_id")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      == Set((1L, 2L)))
+  }
+
   test("queue drain skips torn request files and overwrites same-named archive leftovers") {
     import spark.implicits._
     val indexPath = tmp("dsqt_idx") + "/index"
