@@ -920,29 +920,43 @@ object Dedup {
     } finally if (!callerCached) p.unpersist()
   }
 
-  /** Driver union-find over the collected pair list; only non-singleton
-    * membership is broadcast — every other doc is its own root. */
-  private def duplicateClustersUnionFind(docs: DataFrame, idCol: String,
-      edges: Array[(Long, Long)]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
+  /** Mutable driver-side union-find with path-compressing find and
+    * union by MINIMUM id — the root is always a cluster's smallest
+    * member, matching the oracle's least() rule. ONE implementation
+    * shared by [[duplicateClustersUnionFind]] and the streamed
+    * survivor resolver's driver fast path
+    * ([[graft.streaming.DedupStream]]); a divergence between the two
+    * would silently split the cluster semantics the oracles pin. */
+  private[graft] final class MinRootUnionFind {
+    private val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
       var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
       r
     }
-    edges.foreach { case (a, b) =>
+    def union(a: Long, b: Long): Unit = {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) {
         val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
         parent(hi) = lo // min-id root, matching the oracle's least()
       }
     }
+  }
+
+  /** Driver union-find over the collected pair list; only non-singleton
+    * membership is broadcast — every other doc is its own root. */
+  private def duplicateClustersUnionFind(docs: DataFrame, idCol: String,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val uf = new MinRootUnionFind
+    edges.foreach { case (a, b) => uf.union(a, b) }
     val mapping = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
-      .map(x => (x, find(x))).toSeq.toDF("id", "__root")
+      .map(x => (x, uf.find(x))).toSeq.toDF("id", "__root")
     docs.select(col(idCol).as("id"))
       .join(broadcast(mapping), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("root"))

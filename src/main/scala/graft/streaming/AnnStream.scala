@@ -166,7 +166,17 @@ object AnnStream {
     * never re-erases ids from already-folded batches; without
     * `retireServing`, queue-drained retires reach the serving tree
     * only via a full [[publishIndex]] or a manual [[retireIds]], the
-    * s19 lifecycle). */
+    * s19 lifecycle).
+    *
+    * SINGLE-MAINTAINER CONTRACT: `retireServing` makes the STREAM a
+    * writer of those serving trees, so external maintenance on them
+    * (publishIndex / publishIndexDelta / a manual retireIds) must not
+    * run concurrently with the stream — two cell-swap protocols
+    * racing the same tree can repair each other's in-flight staging
+    * (the same no-concurrent-maintenance rule every tree op carries;
+    * publish-while-ingest-continues only ever blessed concurrent RAW
+    * ingest, whose sole writer is the stream itself). Run publishes
+    * from a quiesced window, or from this stream's own cadence. */
   def ivfIngest(spark: SparkSession, vecsDir: String, schema: StructType,
       indexPath: String, centroidsPath: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -225,10 +235,28 @@ object AnnStream {
     val folded = upToBatch.fold(ids)(b => ids.filter(_ <= b))
     if (folded.isEmpty) return
     // a fully-retired raw tree keeps its batch_id= dirs but holds zero
-    // data files — nothing to fold, and schema inference would throw
+    // data files — schema inference would throw. The correct fold of
+    // an EMPTY corpus is an EMPTY serving tree, not a skip: rows
+    // previously published must leave at this publish (the
+    // right-to-erasure contract — "retired rows leave the serving
+    // tree at the next publish"). With no prior serving tree there is
+    // nothing to erase and nothing to write.
     val hIdx = new org.apache.hadoop.fs.Path(indexPath)
     val idxFs = hIdx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!DedupStream.hasParquetFiles(idxFs, hIdx)) return
+    if (!DedupStream.hasParquetFiles(idxFs, hIdx)) {
+      val hServing = new org.apache.hadoop.fs.Path(servingPath)
+      val srvFs = hServing.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (srvFs.exists(hServing) &&
+          DedupStream.hasParquetFiles(srvFs, hServing)) {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(servingPath).schema)
+        graft.operators.Sinks.overwriteViaSwap(spark, empty, servingPath,
+          Seq("cell"))
+        writePubWatermark(spark, servingPath, folded.max)
+      }
+      return
+    }
     val raw = spark.read.parquet(indexPath)
     val bounded = upToBatch.fold(raw)(b => raw.filter(col("batch_id") <= b))
     graft.operators.Sinks.overwriteViaSwap(spark,
@@ -406,7 +434,12 @@ object AnnStream {
     val fs = hServing.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCellPublish(fs, servingPath)
     graft.operators.Sinks.recoverSwap(spark, servingPath)
-    if (!fs.exists(hServing)) return
+    // no tree, or a tree with zero data files (already fully retired):
+    // nothing to remove, and nothing for schema inference to read — a
+    // queue drain hitting this state every batch must be a no-op, not
+    // a stream-killer (the DedupStream.retireIds guard)
+    if (!fs.exists(hServing) ||
+        !DedupStream.hasParquetFiles(fs, hServing)) return
     val retire = ids.select(col(idCol)).distinct().cache()
     try {
       val tree = spark.read.parquet(servingPath)
@@ -503,9 +536,12 @@ object AnnStream {
     val probed = q.select("cell").distinct()
       .collect().map(_.getLong(0)) // ≤ nprobe per query
     // a fully-retired tree can exist with zero data files — schema
-    // inference would throw; serve it as the empty index it is
-    val index = (if (fs.exists(hPath) &&
-        DedupStream.hasParquetFiles(fs, hPath))
+    // inference would throw; serve it as the empty index it is. A
+    // NONEXISTENT path is a misconfiguration and must fail loudly,
+    // not serve empty answers forever.
+    require(fs.exists(hPath),
+      s"ivfServeTopK: index path does not exist: $indexPath")
+    val index = (if (DedupStream.hasParquetFiles(fs, hPath))
       spark.read.parquet(indexPath)
     else
       spark.createDataFrame(
@@ -630,14 +666,26 @@ object AnnStream {
       m: Int, k: Int, cbOpt: Option[Seq[Seq[Seq[Long]]]]): Unit = {
     DedupStream.repairIndexTree(spark, indexPath) // every-load repair
     // a fully-retired raw tree keeps its batch_id= dirs but holds zero
-    // data files — no rows to encode (and schema inference would
-    // throw); leave the live coded tree, if any, untouched — the
-    // publishIndex all-empty rule. Retire the coded tree directly
-    // ([[retireIds]]) when the erasure must reach serving too.
+    // data files — schema inference would throw, and the correct
+    // publish of an EMPTY corpus is an EMPTY coded tree (the
+    // publishIndex erasure rule): previously published code rows must
+    // leave at this republish. A NONEXISTENT raw tree still fails
+    // loudly below (misconfigured path ≠ empty corpus).
     val hIdx = new org.apache.hadoop.fs.Path(indexPath)
     val idxFs = hIdx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!idxFs.exists(hIdx) || !DedupStream.hasParquetFiles(idxFs, hIdx))
+    if (idxFs.exists(hIdx) && !DedupStream.hasParquetFiles(idxFs, hIdx)) {
+      val hCoded = new org.apache.hadoop.fs.Path(codedPath)
+      val cFs = hCoded.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.Sinks.recoverSwap(spark, codedPath)
+      if (cFs.exists(hCoded) && DedupStream.hasParquetFiles(cFs, hCoded)) {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(codedPath).schema)
+        graft.operators.Sinks.overwriteViaSwap(spark, empty, codedPath,
+          Seq("cell"))
+      }
       return
+    }
     val cents = readCentroids(spark, centroidsPath)
     val dim = cents.head.length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
@@ -743,9 +791,12 @@ object AnnStream {
       .collect().map(_.getLong(0)) // ≤ |queries|·nprobe, model-sized
     // probed cells only: partition-directory pruning on `cell=`.
     // A fully-retired coded tree can exist with zero data files —
-    // schema inference would throw; serve it as the empty index it is
-    val codes = (if (codedFs.exists(hCoded) &&
-        DedupStream.hasParquetFiles(codedFs, hCoded))
+    // schema inference would throw; serve it as the empty index it
+    // is. A NONEXISTENT path is a misconfiguration and must fail
+    // loudly, not serve empty answers forever.
+    require(codedFs.exists(hCoded),
+      s"pqServeTopK: coded path does not exist: $codedPath")
+    val codes = (if (DedupStream.hasParquetFiles(codedFs, hCoded))
       spark.read.parquet(codedPath)
     else
       spark.createDataFrame(

@@ -305,10 +305,13 @@ object DedupStream {
     * footer does not read (torn write) is SKIPPED this drain and
     * retried on the next (an in-place writer that eventually finishes
     * gets applied then; a permanently corrupt file costs one footer
-    * probe per drain until an operator removes it), and archiving
-    * into `_done` overwrites a same-named leftover instead of
-    * throwing (a reused name means a replayed request — already
-    * applied, idempotent).
+    * probe per drain until an operator removes it); a READABLE file
+    * whose schema lacks `idCol` quarantines under `queueDir/_bad`
+    * (it can never self-heal — the misdirected request surfaces where
+    * an operator can see it instead of being silently re-skipped
+    * forever); and archiving into `_done` overwrites a same-named
+    * leftover instead of throwing (a reused name means a replayed
+    * request — already applied, idempotent).
     *
     * Crash safety: [[retireIds]] is idempotent (an anti-join removes
     * nothing twice) and the file move into `_done` happens only AFTER
@@ -336,14 +339,31 @@ object DedupStream {
     val qPath = new org.apache.hadoop.fs.Path(queueDir)
     val fs = qPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(qPath)) return 0
-    // readability probe: one driver-side footer read per file — a torn
-    // in-place write is skipped this drain, not a stream-killer
-    val pending = fs.listStatus(qPath).toSeq
+    // readability probe: one driver-side footer read per file. A TORN
+    // file (no readable footer — an in-place write in flight) is left
+    // pending and retried next drain; a READABLE file whose schema
+    // lacks `idCol` can never self-heal, so it quarantines under
+    // `_bad` (move, collision-tolerant) instead of being silently
+    // re-skipped forever — the requester finds its dropped request
+    // where an operator can see it.
+    val probed = fs.listStatus(qPath).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-      .filter(p => scala.util.Try(
-        spark.read.parquet(p.toString).schema.fieldNames.contains(idCol))
-        .getOrElse(false))
+      .map(s => s.getPath -> scala.util.Try(
+        spark.read.parquet(s.getPath.toString)
+          .schema.fieldNames.contains(idCol)))
+    probed.collect { case (p, scala.util.Success(false)) => p }
+      .foreach { p =>
+        val bad = new org.apache.hadoop.fs.Path(qPath, "_bad")
+        if (!fs.exists(bad) && !fs.mkdirs(bad))
+          throw new java.io.IOException(s"retire queue: cannot create $bad")
+        val tgt = new org.apache.hadoop.fs.Path(bad, p.getName)
+        if (fs.exists(tgt) && !fs.delete(tgt, false))
+          throw new java.io.IOException(s"retire queue: cannot replace $tgt")
+        if (!fs.rename(p, tgt))
+          throw new java.io.IOException(s"retire queue: cannot quarantine $p")
+      }
+    val pending = probed
+      .collect { case (p, scala.util.Success(true)) => p }
     if (pending.isEmpty) return 0
     apply(spark.read.parquet(pending.map(_.toString): _*)
       .select(col(idCol)))
@@ -583,37 +603,24 @@ object DedupStream {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
         r.getBoolean(3)))
     if (probe.length > driverPairLimit) return None
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val nx = parent(c); parent(c) = r; c = nx
-      }
-      r
-    }
+    val uf = new Dedup.MinRootUnionFind
     val isNew = scala.collection.mutable.Map.empty[Long, Boolean]
     probe.foreach { case (a, b, an, bn) =>
       isNew(a) = an; isNew(b) = bn
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) {
-        val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
-        parent(hi) = lo
-      }
+      uf.union(a, b)
     }
     val nodes = isNew.keys.toArray
     val hasOld = scala.collection.mutable.Set.empty[Long]
-    nodes.foreach(x => if (!isNew(x)) hasOld += find(x))
+    nodes.foreach(x => if (!isNew(x)) hasOld += uf.find(x))
     val minNew = scala.collection.mutable.Map.empty[Long, Long]
     nodes.foreach { x =>
       if (isNew(x)) {
-        val r = find(x)
+        val r = uf.find(x)
         if (minNew.get(r).forall(_ > x)) minNew(r) = x
       }
     }
     val losers = nodes.filter { x =>
-      isNew(x) && { val r = find(x); hasOld(r) || minNew(r) != x }
+      isNew(x) && { val r = uf.find(x); hasOld(r) || minNew(r) != x }
     }
     val spark = fresh.sparkSession
     import spark.implicits._

@@ -736,31 +736,45 @@ class AnnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("an all-retired tree serves empty and publishes as a no-op instead of throwing") {
+  test("all-retired raw tree: republish ERASES serving trees, serves empty, retire no-ops") {
     val e = emb.filter($"vec_id" < 50).cache()
     val indexPath = tmp("asae_idx") + "/index"
     val centroidsPath = tmp("asae_cen") + "/centroids"
     AnnStream.processIvfBatch(e, 0L, indexPath, centroidsPath,
       "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
     val servingPath = tmp("asae_pub") + "/serving"
+    val codedPath = tmp("asae_pq") + "/coded"
     AnnStream.publishIndex(spark, indexPath, servingPath)
-    val everything = e.select("vec_id")
-    AnnStream.retireIds(spark, servingPath, everything, "vec_id")
-    DedupStream.retireIds(spark, indexPath, everything, "vec_id",
+    AnnStream.publishPqIndex(spark, indexPath, centroidsPath, codedPath,
+      "vec_id", m = 8, k = 8)
+    // erase the WHOLE corpus from the raw tree only: batch dirs
+    // remain, zero data files
+    AnnStream.retireIds(spark, servingPath, e.limit(0).select("vec_id"),
+      "vec_id") // empty retire set: sanity no-op first
+    DedupStream.retireIds(spark, indexPath, e.select("vec_id"), "vec_id",
       partitionCols = Seq("cell"))
-    // raw tree: batch dirs remain, zero data files — every entry point
-    // that reads a full tree must survive it
+    assert(spark.read.parquet(servingPath).count() > 0) // not yet erased
+    // the republish of an EMPTY corpus is an EMPTY serving tree — the
+    // "retired rows leave the serving tree at the next publish"
+    // contract, not a silent skip
+    AnnStream.publishIndex(spark, indexPath, servingPath)
     val queries = e.filter($"vec_id" < 5)
     assert(AnnStream.ivfServeTopK(spark, servingPath, centroidsPath,
       queries, "vec_id", "embedding", topK = 3, nprobe = 2).isEmpty)
     assert(AnnStream.ivfServeTopK(spark, indexPath, centroidsPath,
       queries, "vec_id", "embedding", topK = 3, nprobe = 2).isEmpty)
-    AnnStream.publishIndex(spark, indexPath, servingPath) // no-op, no throw
-    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
-    val codedPath = tmp("asae_pq") + "/coded"
+    // the PQ republish erases the coded tree the same way
+    assert(spark.read.parquet(codedPath).count() > 0)
     AnnStream.publishPqIndex(spark, indexPath, centroidsPath, codedPath,
-      "vec_id", m = 8, k = 8) // no-op: no coded tree materializes
-    assert(!new java.io.File(codedPath).exists())
+      "vec_id", m = 8, k = 8)
+    assert(AnnStream.pqServeTopK(spark, codedPath, centroidsPath,
+      vectors = e, queries = queries, "vec_id", "embedding",
+      m = 8, k = 8, nprobe = 2, shortlist = 20, topK = 3).isEmpty)
+    // maintenance on the now-fileless trees: all safe no-ops (a queue
+    // drain hits retireIds every batch — it must not kill the stream)
+    AnnStream.retireIds(spark, servingPath, e.select("vec_id"), "vec_id")
+    AnnStream.retireIds(spark, codedPath, e.select("vec_id"), "vec_id")
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
     // the trainer's contract failure is the spelled-out one, not a
     // schema-inference crash
     val err = intercept[IllegalArgumentException] {
@@ -768,5 +782,19 @@ class AnnStreamSpec extends SparkSpec {
         m = 8, k = 8, iters = 2)
     }
     assert(err.getMessage.contains("no data files"))
+    // a NONEXISTENT path is a misconfiguration, not an empty corpus:
+    // serves fail loudly instead of answering empty forever
+    val missing = tmp("asae_missing") + "/nope"
+    val errServe = intercept[IllegalArgumentException] {
+      AnnStream.ivfServeTopK(spark, missing, centroidsPath,
+        queries, "vec_id", "embedding", topK = 3)
+    }
+    assert(errServe.getMessage.contains("does not exist"))
+    val errPq = intercept[IllegalArgumentException] {
+      AnnStream.pqServeTopK(spark, missing, centroidsPath,
+        vectors = e, queries = queries, "vec_id", "embedding",
+        m = 8, k = 8, nprobe = 2, shortlist = 20, topK = 3)
+    }
+    assert(errPq.getMessage.contains("does not exist"))
   }
 }

@@ -532,6 +532,21 @@ class DedupStreamSpec extends SparkSpec {
       Seq(indexPath -> Nil), "doc_id") == 1)
     assert(spark.read.parquet(indexPath).filter($"doc_id" === 2L).isEmpty)
     assert(!new java.io.File(queue, "req_good.parquet").exists())
+    // a READABLE request under the wrong column name can never
+    // self-heal: it quarantines to _bad (visible to an operator)
+    // instead of being silently re-skipped forever
+    val stage2 = tmp("dsqt_stage_wrong") + "/out"
+    Seq(7L).toDF("id").coalesce(1).write.parquet(stage2)
+    val part2 = new java.io.File(stage2).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part2.toPath,
+      java.nio.file.Paths.get(queue, "req_wrong.parquet"))
+    assert(DedupStream.drainRetireQueue(spark, queue,
+      Seq(indexPath -> Nil), "doc_id") == 0)
+    assert(!new java.io.File(queue, "req_wrong.parquet").exists())
+    assert(new java.io.File(queue, "_bad/req_wrong.parquet").exists())
+    assert(spark.read.parquet(indexPath).filter($"doc_id" === 7L)
+      .count() == 1, "wrong-schema request must not retire anything")
   }
 
   test("property: queue drains interleaved with in-stream compaction keep tree = ingested minus retired") {
