@@ -402,7 +402,12 @@ object DedupStream {
     * `queueDir/_done` only after every tree applied it, so the union
     * of the archived files IS the set of ids withdrawn so far — the
     * caller does not have to keep its own ledger. Nothing archived
-    * yet (or no queue dir): the whole report is live. */
+    * yet (or no queue dir): the whole report is live. Schema note:
+    * this overload infers the report's schema from its files — a
+    * pairs tree whose every batch partition is EMPTY (no pair ever
+    * observed) has nothing to infer from; read such a tree with an
+    * explicit schema (the d17/d18 discipline) and use the
+    * frame-argument overload. */
   def livePairs(spark: SparkSession, pairsPath: String, queueDir: String,
       idCol: String, aCol: String, bCol: String): DataFrame = {
     val pairs = spark.read.parquet(pairsPath)

@@ -796,5 +796,16 @@ class AnnStreamSpec extends SparkSpec {
         m = 8, k = 8, nprobe = 2, shortlist = 20, topK = 3)
     }
     assert(errPq.getMessage.contains("does not exist"))
+    // life after erasure: a re-crawl lands as a new batch and the
+    // routine delta publish folds it onto the ERASED serving tree
+    // (the empty-existing merge branch) — the corpus comes back
+    AnnStream.processIvfBatch(e.filter($"vec_id" < 10), 1L, indexPath,
+      centroidsPath, "vec_id", "embedding", dim = 64, cells = 8,
+      iters = 2)
+    AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+    assert(spark.read.parquet(servingPath).count() == 10)
+    val back = AnnStream.ivfServeTopK(spark, servingPath, centroidsPath,
+      queries, "vec_id", "embedding", topK = 1, nprobe = 2)
+    assert(!back.isEmpty)
   }
 }
