@@ -100,6 +100,91 @@ object PqKernels {
     total
   }
 
+  /** Exact-int64 argmin cell over integer centroids (cell id = array
+    * index); strict < keeps the first (= lowest cell) on distance ties
+    * — exactly `array_min` over (d, cell) structs, the declarative
+    * `portableCellScores` witness. Fail-fast policy on corrupt input
+    * (null component / dimension mismatch), like [[portablePqEncode]]:
+    * a quantized vector with holes is an error, not a zero. */
+  def nearestCellInt(v: ArrayData, cents: Array[Array[Long]]): Long = {
+    val dim = cents(0).length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_cell_int: vector dimension ${v.numElements()} vs $dim")
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"nearest_cell_int: null vector component at index $i")
+      q(i) = v.getLong(i)
+      i += 1
+    }
+    var bestD = Long.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0L
+      var t = 0
+      while (t < dim) {
+        val diff = q(t) - cent(t)
+        d += diff * diff
+        t += 1
+      }
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    bestC.toLong
+  }
+
+  /** Per-subspace exact-int64 argmin codes for an ALREADY-QUANTIZED
+    * vector against a caller-supplied codebook — the kernel twin of
+    * the declarative `Ann.portablePqEncodeIntCodesDeclarative` (slice →
+    * zip_with squared diff → aggregate sum → array_min struct, ties →
+    * lowest code), bit-for-bit on well-formed input, same fail-fast
+    * policy as [[portablePqEncode]] on corrupt input. */
+  def pqEncodeIntCodes(v: ArrayData, sub: Int,
+      cb: Array[Array[Array[Long]]]): Array[Int] = {
+    val m = cb.length
+    val dim = m * sub
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pq_encode_int: vector dimension ${v.numElements()} vs $dim")
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pq_encode_int: null vector component at index $i")
+      q(i) = v.getLong(i)
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      var bestD = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < cb(j).length) {
+        val cent = cb(j)(c)
+        var d = 0L
+        var t = 0
+        while (t < sub) {
+          val diff = q(off + t) - cent(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      codes(j) = bestC
+      j += 1
+    }
+    codes
+  }
+
   /** The deterministic integer portable-PQ codebook (single rendering —
     * `Ann.portablePqCodebook` and the DuckDB oracle SQL both derive
     * from this formula): centroid component (j, c, i) =
@@ -337,11 +422,96 @@ case class PortablePqEncode(child: Expression, m: Int, k: Int, sub: Int)
     copy(child = newChild)
 }
 
+/** `nearest_cell_int(array<bigint>) -> bigint`: exact-int64 argmin cell
+  * over integer centroids (cell id = array index, ties → lowest). The
+  * model rides as a reference object — ONE Catalyst node regardless of
+  * k·dim, and the generated code is identical across centroid VALUES,
+  * so janino's cache hits across Lloyd's iterations and micro-batches
+  * (the declarative witness builds k aggregate/zip_with literal
+  * subtrees per plan — a fresh analyze+codegen per iteration, which is
+  * pure fixed cost at every corpus size). */
+case class NearestCellInt(child: Expression, centroids: Seq[Seq[Long]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+    "centroids must be non-empty and rectangular")
+
+  override def prettyName: String = "nearest_cell_int"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $t")
+  }
+
+  @transient private lazy val cents: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+
+  protected override def nullSafeEval(input: Any): Any =
+    PqKernels.nearestCellInt(input.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("nciCents", cents, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernels.nearestCellInt($c, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellInt =
+    copy(child = newChild)
+}
+
+/** `pq_encode_int(array<bigint>) -> array<int>`: per-subspace exact-
+  * int64 argmin codes against a CALLER-SUPPLIED codebook — the trained
+  * serving path's encode ([[PortablePqEncode]] carries the formula
+  * codebook and quantizes floats; this one takes already-quantized
+  * residuals and any deterministic m×k×sub table). The codebook rides
+  * as a reference object, so the m·k aggregate/zip_with literal
+  * subtrees of the declarative formulation — a fresh multi-hundred-node
+  * analyze+codegen per Lloyd's iteration and per publish — collapse to
+  * one node with codegen identical across codebook VALUES. */
+case class PqEncodeIntExpr(child: Expression, codebook: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression {
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty) &&
+    codebook.forall(_.forall(_.length == codebook.head.head.length)),
+    "codebook must be non-empty and rectangular")
+
+  override def prettyName: String = "pq_encode_int"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $t")
+  }
+
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  private def sub: Int = codebook.head.head.length
+
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PqKernels.pqEncodeIntCodes(
+      input.asInstanceOf[ArrayData], sub, cb))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqiCb", cb, "long[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PqKernels.pqEncodeIntCodes($c, $sub, $cbRef));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeIntExpr =
+    copy(child = newChild)
+}
+
 object PqFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
   def nearestCell(vec: Column, centroids: Seq[(Long, Array[Float])]): Column =
     toCol(NearestCell(toExpr(vec), centroids))
+  def nearestCellInt(vec: Column, centroids: Seq[Seq[Long]]): Column =
+    toCol(NearestCellInt(toExpr(vec), centroids))
+  def pqEncodeInt(vec: Column, codebook: Seq[Seq[Seq[Long]]]): Column =
+    toCol(PqEncodeIntExpr(toExpr(vec), codebook))
   def pqEncode(vec: Column, codebooks: Seq[Seq[(Long, Array[Float])]]): Column =
     toCol(PqEncodeExpr(toExpr(vec), codebooks))
   def pqAdc(qvec: Column, codes: Column,

@@ -232,8 +232,21 @@ object Ann {
     }: _*)
 
   /** Exact integer squared-L2 argmin cell id for a quantized vector
-    * against literal centroids (ties → lower cell id). */
+    * (ties → lower cell id). Native kernel
+    * ([[graft.functions.NearestCellInt]]): the centroid model rides as
+    * a reference object, so assignment is one Catalyst node with
+    * codegen shared across model VALUES — the declarative witness
+    * below builds k aggregate/zip_with literal subtrees per plan, a
+    * fresh analyze+codegen for every Lloyd's iteration and every
+    * ingest micro-batch (pure fixed cost; the [[nearestCell]] /
+    * [[portablePqEncode]] lesson applied to the integer path — spec
+    * cross-checks the two on real embeddings and forced ties). */
   private def portableCellOf(q: Column, cents: Seq[Array[Long]]): Column =
+    graft.functions.PqFunctions.nearestCellInt(q, cents.map(_.toSeq))
+
+  /** Declarative witness of [[portableCellOf]] for the spec. */
+  private[graft] def portableCellOfDeclarative(q: Column,
+      cents: Seq[Array[Long]]): Column =
     array_min(portableCellScores(q, cents)).getField("cell")
 
   /** The top-`nprobe` cells for a quantized vector, ranked by
@@ -611,9 +624,26 @@ object Ann {
 
   /** [[portablePqEncodeIntCodes]] against a caller-chosen codebook
     * (the spread serving codebook, a trained one rendered to int —
-    * any deterministic `m × k × sub` table). */
+    * any deterministic `m × k × sub` table). Native kernel
+    * ([[graft.functions.PqEncodeIntExpr]]): the codebook rides as a
+    * reference object — the declarative witness below builds m·k
+    * aggregate/zip_with literal subtrees, a fresh multi-hundred-node
+    * analyze+codegen per plan, which the PQ TRAINER pays once per
+    * Lloyd's iteration and every publish pays once per fold (pure
+    * fixed cost at any corpus size; spec cross-checks the kernel
+    * against the witness on real residuals and forced ties). */
   private[graft] def portablePqEncodeIntCodes(qvec: Column, m: Int,
       k: Int, sub: Int, cb: Seq[Seq[Seq[Long]]]): Column = {
+    require(cb.length == m && cb.forall(_.length == k) &&
+      cb.forall(_.forall(_.length == sub)),
+      s"codebook must be m=$m × k=$k × sub=$sub")
+    graft.functions.PqFunctions.pqEncodeInt(qvec, cb)
+  }
+
+  /** Declarative witness of the caller-chosen-codebook
+    * [[portablePqEncodeIntCodes]] for the spec. */
+  private[graft] def portablePqEncodeIntCodesDeclarative(qvec: Column,
+      m: Int, k: Int, sub: Int, cb: Seq[Seq[Seq[Long]]]): Column = {
     val best = (0 until m).map { j =>
       val qsub = slice(qvec, j * sub + 1, sub)
       val scored = array((0 until k).map { c =>
