@@ -184,6 +184,7 @@ object ParityQueries {
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.streaming.DedupStream.restoreAqe(batch)
         val sess = batch.sparkSession
         Sinks.recoverSwap(sess, snapDir)
         val cur = sess.read.schema(EntitySchemas.managedDeviceSource)

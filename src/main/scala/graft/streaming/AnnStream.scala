@@ -190,6 +190,7 @@ object AnnStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DedupStream.restoreAqe(batch)
         retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
           Seq(indexPath -> Seq("cell")), retireServing, idCol))
         processIvfBatch(batch, batchId, indexPath, centroidsPath,

@@ -697,6 +697,7 @@ object DedupStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        restoreAqe(batch)
         retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
           Seq(indexPath -> Nil, survivorsPath -> Nil), idCol))
         processBatch(batch, batchId, indexPath, pairsPath, survivorsPath,
@@ -883,6 +884,7 @@ object DedupStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        restoreAqe(batch)
         retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
           Seq(indexPath -> Nil), idCol))
         processEmbeddingBatch(batch, batchId, indexPath, pairsPath,
@@ -935,6 +937,7 @@ object DedupStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        restoreAqe(batch)
         retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
           Seq(indexPath -> Nil), idCol))
         processSignatureBatch(toSignatures(batch), batchId, indexPath,
@@ -942,6 +945,39 @@ object DedupStream {
         maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
       }
       .start()
+
+  /** Re-enable ADAPTIVE execution for the batch plans a foreachBatch
+    * body runs. Structured Streaming's ResolveWriteToStream disables
+    * AQE on the streaming query's SESSION CLONE (runtime re-planning
+    * cannot apply to an incremental streaming plan) — but the clone is
+    * also the session every frame built inside foreachBatch executes
+    * under, so without this the ingest's per-batch BATCH queries (the
+    * pair joins, survivor resolution, index writes) lose partition
+    * coalescing and run every tiny shuffle at the full
+    * spark.sql.shuffle.partitions width: at micro-batch sizes that is
+    * pure task-scheduling overhead (measured: 32-task stages over
+    * row counts in the hundreds), and at cluster scale it is the
+    * difference between AQE sizing the ingest's shuffles and a fixed
+    * width chosen for the corpus. The streaming plan itself is
+    * unaffected: the rule disabled the conf when the stream was
+    * ANALYZED, incremental execution never consults AQE, and
+    * re-enabling here only governs the body's own actions. */
+  private[graft] def restoreAqe(batch: DataFrame): Unit = {
+    val conf = batch.sparkSession.conf
+    conf.set("spark.sql.adaptive.enabled", "true")
+    // cached-plan AQE, on the STREAMING CLONE ONLY: the ingests pin
+    // their per-batch frames, and with the default (false) every
+    // cache-materialization shuffle runs at the full
+    // shuffle-partition width even for a few-hundred-row batch. The
+    // conf stays at its default for BATCH sessions — there the
+    // stable-output-partitioning default protects cache reuse on
+    // corpus-sized frames (measured: forcing it globally tripled the
+    // d15b recall gate's wall), while a streamed batch's caches are
+    // batch-sized and discarded per trigger, so coalescing is pure
+    // win.
+    conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
+  }
 
   /** Run the containment report as a stream over parquet document
     * files landing in `docsDir`. Returns the running query (caller
@@ -960,6 +996,7 @@ object DedupStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        restoreAqe(batch)
         retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
           Seq(indexPath -> Nil), idCol))
         processContainmentBatch(batch, batchId, indexPath, pairsPath,

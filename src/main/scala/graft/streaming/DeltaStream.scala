@@ -74,6 +74,7 @@ object DeltaStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (changes: DataFrame, _: Long) =>
+        DedupStream.restoreAqe(changes)
         val s = changes.sparkSession
         val byRecency = org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("_page_file").desc)

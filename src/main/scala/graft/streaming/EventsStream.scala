@@ -81,6 +81,7 @@ object EventsStream {
         .outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          DedupStream.restoreAqe(batch)
           // batch-constant stamp: ONE driver-side timestamp per trigger,
           // derived per batchId (injectable for deterministic tests)
           graft.operators.Sinks.snapshot(batch, target,

@@ -1,0 +1,66 @@
+package graft.tools
+
+import scala.collection.mutable
+
+/** Dev probe: per-JOB wall-time attribution for one named SparkEntry
+  * query. The streamed lifecycle queries' cost is dominated by fixed
+  * per-micro-batch job count, not data ([[IngestProbe]] pins the
+  * per-batch totals); this listener breaks a single invocation into
+  * its jobs — submit→complete wall, stage count, task count, first
+  * line of the call site — so "which job is the 2 s" is measurable
+  * instead of guessed. Usage:
+  *   runMain graft.tools.JobProfile <sfDir> <query>
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: JobProfile <sfDir> <query>")
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val (dir, name) = (args(0), args(1))
+    // warm-up at the smallest SF: classloading + codegen out of the way
+    try { graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count() }
+    catch { case scala.util.control.NonFatal(_) => () }
+    spark.catalog.clearCache()
+
+    case class Job(id: Int, desc: String, site: String, submitted: Long,
+        var completed: Long = 0L, var stages: Int = 0, var tasks: Int = 0)
+    val jobs = mutable.LinkedHashMap[Int, Job]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        val site = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        jobs.synchronized {
+          jobs(e.jobId) = Job(e.jobId, desc.take(60), site, e.time,
+            stages = e.stageInfos.size,
+            tasks = e.stageInfos.map(_.numTasks).sum)
+        }
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.synchronized { jobs.get(e.jobId).foreach(_.completed = e.time) }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries(name)(spark, dir).count()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let the listener bus drain the tail events
+    val done = jobs.synchronized(jobs.values.toSeq)
+    println(f"[jobprofile] $name rows=$n total=$total%.2fs jobs=${done.size}")
+    var prevEnd = 0L
+    done.foreach { j =>
+      val wall = (j.completed - j.submitted) / 1e3
+      // gap between this job's submit and the previous job's end =
+      // driver-side work (plan build, fs ops, collect processing)
+      val gap = if (prevEnd == 0) 0.0 else (j.submitted - prevEnd) / 1e3
+      prevEnd = math.max(prevEnd, j.completed)
+      println(f"[job] id=${j.id}%-4d wall=$wall%6.3fs gap=$gap%6.3fs " +
+        f"stages=${j.stages}%-2d tasks=${j.tasks}%-4d ${j.site.take(45)}")
+    }
+    val jobWall = done.map(j => (j.completed - j.submitted) / 1e3).sum
+    println(f"[jobprofile] sum(job walls)=$jobWall%.2fs of $total%.2fs " +
+      "(rest = driver gaps/overlap)")
+    spark.stop()
+  }
+}
