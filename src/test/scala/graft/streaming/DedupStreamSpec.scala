@@ -678,6 +678,56 @@ class DedupStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq == idxFirst)
   }
 
+  test("foreachBatch bodies run ADAPTIVE plans (plain and cached)") {
+    // ResolveWriteToStream disables AQE on the streaming session clone;
+    // restoreAqe must bring it back for the body's batch queries —
+    // without it every per-batch shuffle runs at the full
+    // shuffle-partition width (pure task-scheduling overhead at
+    // micro-batch sizes). This pins the fix: a body aggregation and a
+    // CACHED body aggregation both compile to adaptive plans inside a
+    // shipped ingest wrapper's foreachBatch.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 30)
+    val docsDir = tmp("aqe_docs"); val indexPath = tmp("aqe_idx") + "/index"
+    val pairsPath = tmp("aqe_pairs"); val survivorsPath = tmp("aqe_surv")
+    val checkpoint = tmp("aqe_ckpt")
+    val stage = tmp("aqe_stage") + "/out"
+    docs.coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(docsDir, "round_000.parquet"))
+    @volatile var adaptivePlain = false
+    @volatile var adaptiveCached = false
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        DedupStream.restoreAqe(batch)
+        def isAdaptive(df: org.apache.spark.sql.DataFrame): Boolean = {
+          df.count()
+          df.queryExecution.executedPlan.isInstanceOf[
+            org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
+        }
+        adaptivePlain = isAdaptive(batch.groupBy($"doc_id" % 7).count())
+        val pinned = batch.select($"doc_id").cache()
+        try adaptiveCached =
+          isAdaptive(pinned.groupBy($"doc_id" % 5).count())
+        finally pinned.unpersist()
+        // and the real processor still works under the restored confs
+        DedupStream.processBatch(batch, batchId, indexPath, pairsPath,
+          survivorsPath, "doc_id", "text")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(adaptivePlain, "plain body aggregation was not adaptive")
+    assert(adaptiveCached, "cached body aggregation was not adaptive")
+    assert(spark.read.parquet(s"$survivorsPath/batch_id=0").count() > 0)
+  }
+
   test("replayed batch is a committed no-op: outputs unchanged, index not double-appended") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 100)
