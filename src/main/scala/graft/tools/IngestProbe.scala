@@ -447,6 +447,35 @@ object IngestProbe {
           f"serve first=${cs.head._3}%5.2f s last=${last._3}%5.2f s")
     }
 
+    // ANN SERVING-TREE retirement pricing: [[AnnStream.retireIds]]
+    // rewrites affected CELLS only (the replaceCells protocol — s19's
+    // spec pins untouched-cell files byte-stable; this prices the
+    // wall). Publish the 60-batch plain raw tree to the cell serving
+    // layout, then retire id sets confined to 1 / 2 / 4 / 8 of its 8
+    // cells (5 live ids per cell, picked fresh each round) at fixed
+    // tree size. The claim: wall grows with the affected-cell count
+    // over a fixed floor (the semi-join probe that finds the affected
+    // cells scans the tree's id/cell columns once), never with tree
+    // size.
+    val annServP = base.resolve("ann_retire_serving").toString
+    graft.streaming.AnnStream.publishIndex(spark,
+      base.resolve("anncomp_idx_plain").toString, annServP)
+    val annRetire = Seq(1, 2, 4, 8).map { ncells =>
+      import spark.implicits._
+      val ids = (0 until ncells).flatMap { c =>
+        spark.read.parquet(annServP).filter(col("cell") === c)
+          .select("vec_id").limit(5).collect().map(_.getLong(0))
+      }
+      val idsDf = ids.toDF("vec_id")
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.streaming.AnnStream.retireIds(spark, annServP, idsDf, "vec_id")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[ingest] ann retire cells=$ncells/8  $dt%6.2f s  " +
+        f"(${ids.length} ids)")
+      (ncells, dt, ids.length)
+    }
+
     // d18 AMORTIZATION at production batch size (round-13 verdict #5):
     // the survivor ingest's per-batch cost at 500-doc batches is
     // dominated by the resolution stages' fixed job count (~2.1 s per
@@ -529,6 +558,9 @@ object IngestProbe {
       }),
       block("ann_compaction_every8", annCompFolded.map { case (i, ti, ts, nf, nd) =>
         f"""{"batch":$i,"ingest_sec":$ti%.2f,"serve_sec":$ts%.3f,"files":$nf,"dirs":$nd}"""
+      }),
+      block("ann_retire", annRetire.map { case (ncells, dt, nids) =>
+        f"""{"affected_cells":$ncells,"tree_cells":8,"sec":$dt%.2f,"ids":$nids}"""
       }),
       block("big_dedup_cells", bigCells.map { case (i, t, b) =>
         f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"ms_per_doc":${t * 1000 / b}%.2f}"""
