@@ -958,10 +958,14 @@ object DedupStream {
     * pure task-scheduling overhead (measured: 32-task stages over
     * row counts in the hundreds), and at cluster scale it is the
     * difference between AQE sizing the ingest's shuffles and a fixed
-    * width chosen for the corpus. The streaming plan itself is
-    * unaffected: the rule disabled the conf when the stream was
-    * ANALYZED, incremental execution never consults AQE, and
-    * re-enabling here only governs the body's own actions. */
+    * width chosen for the corpus. The streaming plan itself stays
+    * safe: stateful operators pin their shuffle width through the
+    * checkpointed shuffle-partition count and their required
+    * distributions (which adaptive planning must respect), and the
+    * evidence gate is empirical — the stateful streaming twins
+    * (q19/q20/q31/q56/q57, c25) hash-match their oracles at all three
+    * scale factors with this restore in place, and a spec pins that
+    * body plans (plain and cached) actually compile adaptive. */
   private[graft] def restoreAqe(batch: DataFrame): Unit = {
     val conf = batch.sparkSession.conf
     conf.set("spark.sql.adaptive.enabled", "true")

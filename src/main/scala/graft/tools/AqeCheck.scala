@@ -50,5 +50,6 @@ object AqeCheck {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.stop()
+    graft.core.TempDirs.deleteRecursively(dir.toFile)
   }
 }
