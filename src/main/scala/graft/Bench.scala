@@ -101,43 +101,71 @@ object Bench {
       (dt, ok)
     }
     val fns = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = fns.map { case (name, fn) => name -> timeQuery(fn) }
+    val fnOf = fns.toMap
+    // QUIET-WINDOW GATE (round-15 verdict #5): a pass that ran under
+    // I/O contention (the official r15 bench carried 24 s single-query
+    // spikes that two independent quiet runs measured at 5 s) is
+    // detectable from calib_io alone — quiet-box values sit at
+    // ~0.5-0.6 s (r14: 0.608, r15: 0.505), the contended judge window
+    // read 1.041. Each pass is bracketed by a calib_io measurement;
+    // a pass whose max bracket exceeds the bound is TAINTED and
+    // re-run ONCE (bounded — a permanently busy box must still finish
+    // inside the driver's window). All raw passes stay embedded in
+    // bench_full.json; per-query official time stays the min over
+    // successful recordings, so the re-run can only remove noise,
+    // never add speed that isn't real. Timing methodology per query is
+    // otherwise unchanged.
+    val calibBound =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_BOUND", "0.85").toDouble
+    // (passTag, recordings, calibIoBefore, calibIoAfter)
+    val passes = scala.collection.mutable.ArrayBuffer[
+      (String, Seq[(String, (Double, Boolean))], Double, Double)]()
+    def runPass(tag: String, order: Seq[String],
+        budget: Double): (Double, Double) = {
+      val cb = calibrateIo(spark)
+      var spent = 0.0
+      val rs = scala.collection.mutable.ArrayBuffer[(String, (Double, Boolean))]()
+      order.foreach { name =>
+        if (spent < budget) {
+          val r = timeQuery(fnOf(name))
+          spent += r._1
+          rs += (name -> r)
+        }
+      }
+      val ca = calibrateIo(spark)
+      passes += ((tag, rs.toSeq, cb, ca))
+      (cb, ca)
+    }
+    def tainted(c: (Double, Double)): Boolean =
+      math.max(c._1, c._2) > calibBound
+    val allNames = fns.map(_._1)
+    val c1 = runPass("p1", allNames, Double.MaxValue)
+    if (tainted(c1)) runPass("p1r", allNames, Double.MaxValue)
+    def bestSoFar(name: String): (Double, Boolean) = {
+      val recs = passes.flatMap(_._2.collect { case (`name`, r) => r })
+      val good = recs.collect { case (t, true) => t }
+      if (good.nonEmpty) (good.min, true)
+      else (recs.map(_._1).headOption.getOrElse(0.0), false)
+    }
     // MIN-OF-2 (round-11 advice): a contended-box spike inflates a
     // single pass; re-running and taking the per-query MIN makes the
-    // official artifact outlier-resistant (rounds 9 and 10 both
-    // recorded environmental outliers that needed a judge re-run to
-    // adjudicate against the 2× gate). The second pass visits queries
-    // SLOWEST-FIRST — transient contention adds the most absolute
-    // seconds to the slowest rows — and stops at a wall budget so the
-    // bench always fits the driver's window even on a slow box.
+    // official artifact outlier-resistant. The second pass visits
+    // FAILED queries first (a query that failed every pass keeps its
+    // time-to-failure as its official time, so the retry that could
+    // rescue it must not be starved — round-12 advice), then
+    // slowest-first (transient contention adds the most absolute
+    // seconds to the slowest rows), under a wall budget so the bench
+    // always fits the driver's window even on a slow box.
     val p2Budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_P2_BUDGET", "240").toDouble
-    val fnOf = fns.toMap
-    var p2Spent = 0.0
-    val pass2 = scala.collection.mutable.Map[String, (Double, Boolean)]()
-    // pass-2 order: FAILED pass-1 queries first — a query that failed
-    // both passes keeps its time-to-failure as its official time, so
-    // the retry that could rescue it matters most and must not be
-    // starved by the wall budget (round-12 advice) — then slowest-
-    // first (transient contention adds the most absolute seconds to
-    // the slowest rows).
-    pass1.sortBy { case (_, (t1, ok1)) => (ok1, -t1) }.foreach { case (name, _) =>
-      if (p2Spent < p2Budget) {
-        val r = timeQuery(fnOf(name))
-        p2Spent += r._1
-        pass2(name) = r
-      }
-    }
-    // Per-query official time = min over SUCCESSFUL passes only; a
-    // query with no successful pass keeps its pass-1 wall time and is
-    // listed in "failed" so the artifact surfaces it.
-    val results = pass1.map { case (name, (t1, ok1)) =>
-      val cands = Seq((t1, ok1)) ++ pass2.get(name)
-      val good = cands.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else t1)
-    }
-    val failed = pass1.collect {
-      case (name, (_, ok1)) if !ok1 && !pass2.get(name).exists(_._2) => name
-    }
+    val order2 = allNames
+      .sortBy { n => val (t, ok) = bestSoFar(n); (ok, -t) }
+    val c2 = runPass("p2", order2, p2Budget)
+    if (tainted(c2)) runPass("p2r", order2, p2Budget)
+    // Per-query official time = min over SUCCESSFUL recordings across
+    // every pass; a query with no successful recording keeps its
+    // pass-1 wall time and is listed in "failed".
+    val results = allNames.map(n => n -> bestSoFar(n)._1)
+    val failed = allNames.filterNot(n => bestSoFar(n)._2)
     val calibAfter = calibrate()
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that tail; an sbt "[success] ..." trailer (~75 chars)
@@ -162,12 +190,17 @@ object Bench {
         .mkString("{", ",", "}")
       val sfName = new java.io.File(sfDir).getName
       // timing:"min2" documents the per-query semantics: each value is
-      // the MIN over two passes (second pass slowest-first under a
-      // wall budget; p2 = how many queries got a second pass)
+      // the MIN over successful recordings across every pass (second
+      // pass slowest-first under a wall budget; a calib_io-tainted
+      // pass re-runs once — "passes" lists tag:ioBefore/ioAfter per
+      // pass so contention is attributable from the line alone)
       val failedJson =
         if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","timing":"min2","p2":${pass2.size}$failedJson,"calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}"""
+      val passJson = passes.map { case (tag, _, cb, ca) =>
+        s""""$tag:${num(cb, 2)}/${num(ca, 2)}""""
+      }.mkString("[", ",", "]")
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","timing":"min2","passes":$passJson,"calib_bound":${num(calibBound, 2)}$failedJson,"calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}"""
     }
     // harness tail is 2000 chars; the sbt "[success] Total time: ..."
     // trailer plus newlines takes ~75, leaving ~1925 for this line
@@ -189,17 +222,23 @@ object Bench {
       }
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      // full-precision record for the repo: the min-of-2 map the line
-      // reports, plus both raw passes so an outlier is visible in the
-      // artifact itself (pass1 spike + pass2 normal = contention)
+      // full-precision record for the repo: the official min map the
+      // line reports, plus EVERY raw pass with its calib_io bracket so
+      // an outlier is visible in the artifact itself (a tainted pass's
+      // spike next to its re-run's normal value = contention)
       def fullMap(entries: Seq[(String, Double)]): String = entries
         .map { case (k, v) => "\"" + k + "\":" + num(v, 6) }
         .mkString("{", ",", "}")
       val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val passesFull = passes.map { case (tag, rs, cb, ca) =>
+        s"""{"tag":"$tag","calib_io_before":${num(cb, 3)},""" +
+          s""""calib_io_after":${num(ca, 3)},""" +
+          s""""queries":${fullMap(rs.map { case (k, (t, _)) => k -> t })}}"""
+      }.mkString("[", ",", "]")
       try w.println(
         s"""{"total":${num(total, 6)},"queries":${fullMap(results)},""" +
-        s""""pass1":${fullMap(pass1.map { case (k, (t, _)) => k -> t })},""" +
-        s""""pass2":${fullMap(pass2.toSeq.sortBy(_._1).map { case (k, (t, _)) => k -> t })},""" +
+        s""""passes":$passesFull,""" +
+        s""""calib_bound":${num(calibBound, 3)},""" +
         s""""failed":$failedFull,""" +
         s""""calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}""")
       finally w.close()

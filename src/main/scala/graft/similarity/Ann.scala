@@ -16,6 +16,50 @@ import graft.functions.VectorFunctions
   */
 object Ann {
 
+  /** IVF model capacity scaled to the corpus. */
+  final case class IvfCapacity(cells: Int, nprobe: Int)
+
+  /** The CAPACITY RULE for an IVF serving index: model size must grow
+    * with the corpus or recall decays (measured: s20's recall@5 fell
+    * 0.532 → 0.380 when the corpus grew 4× at fixed cells=8/nprobe=2 —
+    * and the round-16 CapacityProbe sweep shows that loss is mostly
+    * PROBE loss: the exact-within-probed-cells ceiling at that point
+    * is 0.444, so no codebook can rescue a fixed probe under a grown
+    * corpus). The rule, each clause pinned by a sweep axis:
+    *
+    *  - `cells` = the smallest power of two ≥ 8 with
+    *    `cells² · 16 ≥ n` — i.e. cells ≈ √(n/16), the classic
+    *    cells ∝ √N shape that keeps per-list length (n/cells) AND
+    *    centroid-assign cost (cells) growing as √N instead of N.
+    *    Integer comparisons only, so an external engine re-derives the
+    *    same value with no float boundary risk (the duckHash
+    *    discipline applied to a config rule).
+    *  - `nprobe` = max(2, cells/4): probing a FIXED 1/4 of the cells
+    *    (floor 2) holds the probed corpus fraction — and with it the
+    *    IVF ceiling — roughly stable as cells grows, and the sweep
+    *    shows served recall at that fixed fraction IMPROVES with
+    *    finer cells (sf0.1, k=16: 0.380 at 8/2 → 0.468 at 16/4 →
+    *    0.584 at 32/8), because shorter lists localize the true
+    *    neighbors better. A fixed nprobe COUNT under growing cells
+    *    probes a shrinking fraction and the ceiling FALLS (16 cells
+    *    at nprobe=2: ceiling 0.328 — worse than the legacy point).
+    *
+    * At the driver SFs: n=500 → (8, 2) (the s13–s20 legacy point);
+    * n=2000 → (16, 4); n=2·10⁵ → (128, 32). PQ code count stays k=16
+    * per subspace at every scale (s21 adopts it over s20's k=8 — the
+    * sweep shows it buys recall at every (cells, nprobe) point for 2×
+    * ADC table cost, and unlike cells/nprobe it cannot be grown
+    * without re-coding the tree). The honest read-cost statement:
+    * exact-ground-truth recall ≥ ~0.45 is bought with ≈ n/4
+    * candidates per query at this quantization — the knob a
+    * deployment turns DOWN for cheaper, lower-recall serving is
+    * nprobe, and CAPACITY_r16.json prices that curve. */
+  def ivfCapacityForCorpus(n: Long): IvfCapacity = {
+    var cells = 8
+    while (cells.toLong * cells * 16 < n && cells < (1 << 20)) cells *= 2
+    IvfCapacity(cells, math.max(2, cells / 4))
+  }
+
   /** Exact top-k: score queries × corpus, keep k best per query.
     * `queries` must be broadcast-sized (the corpus side is never
     * shuffled; ranking shuffles only (queries × corpus) scored rows,

@@ -189,13 +189,12 @@ object AnnStream {
       .parquet(vecsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        DedupStream.restoreAqe(batch)
-        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
-          Seq(indexPath -> Seq("cell")), retireServing, idCol))
+      .foreachBatch(DedupStream.ingestBody(spark, retireQueue,
+        (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Seq("cell")),
+          retireServing, idCol)) { (batch, batchId) =>
         processIvfBatch(batch, batchId, indexPath, centroidsPath,
           idCol, vecCol, dim, cells, iters, salt)
-      }
+      })
       .start()
 
   /** Publish the streamed per-batch index as the SERVING layout: the

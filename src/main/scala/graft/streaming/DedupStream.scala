@@ -674,6 +674,47 @@ object DedupStream {
     compactEvery.filter(n => batchId > 0 && batchId % n == 0)
       .foreach(_ => compactIndex(spark, indexPath, batchId - 1, partitionCols))
 
+  /** The ONE foreachBatch preamble/postamble every shipped streaming
+    * wrapper runs — built as a combinator so the invariants are
+    * STRUCTURAL instead of hand-repeated per wrapper (r15 verdict #4:
+    * five wrappers each re-typed restoreAqe + drain + process +
+    * compact, so a sixth could forget the AQE restore):
+    *
+    *  1. [[restoreAqe]] — gated on the PARENT (non-clone) session's
+    *    `spark.sql.adaptive.enabled`, captured HERE at stream-build
+    *    time (this runs on the parent, before Structured Streaming
+    *    clones the session and disables AQE on the clone): a user who
+    *    deliberately disabled AQE globally keeps it disabled in the
+    *    body too (r15 advice — the restore undoes the streaming
+    *    clone's forced disable, never the user's choice);
+    *  2. drain the retire queue, if configured (BEFORE the batch —
+    *    [[retireIds]]' no-concurrent-batch contract holds by
+    *    construction between micro-batches);
+    *  3. the wrapper's batch processor;
+    *  4. [[maybeCompact]] the committed index prefix, if configured
+    *    (AFTER the batch commits its writes — the N-1 bound rule).
+    *
+    * Returns the `(batch, batchId) => Unit` body for `foreachBatch`.
+    * The AqeCheck spec (DedupStreamSpec) pins this helper itself, so
+    * every wrapper built through it inherits the pinned behavior. */
+  private[streaming] def ingestBody(parent: SparkSession,
+      retireQueue: Option[String] = None,
+      drain: (SparkSession, String) => Unit = (_, _) => (),
+      compactPath: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      compactPartitionCols: Seq[String] = Nil)
+      (process: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val parentAqe = java.lang.Boolean.parseBoolean(
+      parent.conf.get("spark.sql.adaptive.enabled", "true"))
+    (batch: DataFrame, batchId: Long) => {
+      restoreAqe(batch, parentAqe)
+      retireQueue.foreach(q => drain(batch.sparkSession, q))
+      process(batch, batchId)
+      compactPath.foreach(p => maybeCompact(batch.sparkSession, p, batchId,
+        compactEvery, compactPartitionCols))
+    }
+  }
+
   /** Run the ingest as a stream over parquet document files landing in
     * `docsDir`. Returns the running query (caller stops).
     * `compactEvery = Some(n)` folds the committed index prefix every n
@@ -696,14 +737,13 @@ object DedupStream {
       .parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        restoreAqe(batch)
-        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
-          Seq(indexPath -> Nil, survivorsPath -> Nil), idCol))
+      .foreachBatch(ingestBody(spark, retireQueue,
+        (s, q) => drainRetireQueue(s, q,
+          Seq(indexPath -> Nil, survivorsPath -> Nil), idCol),
+        Some(indexPath), compactEvery) { (batch, batchId) =>
         processBatch(batch, batchId, indexPath, pairsPath, survivorsPath,
           idCol, textCol, n, k, bands, threshold)
-        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
-      }
+      })
       .start()
 
   /** One micro-batch of the CONTAINMENT ingest — the quote/inclusion
@@ -883,14 +923,12 @@ object DedupStream {
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        restoreAqe(batch)
-        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
-          Seq(indexPath -> Nil), idCol))
+      .foreachBatch(ingestBody(spark, retireQueue,
+        (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Nil), idCol),
+        Some(indexPath), compactEvery) { (batch, batchId) =>
         processEmbeddingBatch(batch, batchId, indexPath, pairsPath,
           idCol, vecCol, blockOf, threshold)
-        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
-      }
+      })
       .start()
 
   /** The committed signature index for batch `batchId` (prior batches
@@ -936,14 +974,12 @@ object DedupStream {
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        restoreAqe(batch)
-        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
-          Seq(indexPath -> Nil), idCol))
+      .foreachBatch(ingestBody(spark, retireQueue,
+        (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Nil), idCol),
+        Some(indexPath), compactEvery) { (batch, batchId) =>
         processSignatureBatch(toSignatures(batch), batchId, indexPath,
           pairsPath, idCol, sigCol, maxHamming, maxBucketSize)
-        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
-      }
+      })
       .start()
 
   /** Re-enable ADAPTIVE execution for the batch plans a foreachBatch
@@ -965,8 +1001,18 @@ object DedupStream {
     * evidence gate is empirical — the stateful streaming twins
     * (q19/q20/q31/q56/q57, c25) hash-match their oracles at all three
     * scale factors with this restore in place, and a spec pins that
-    * body plans (plain and cached) actually compile adaptive. */
-  private[graft] def restoreAqe(batch: DataFrame): Unit = {
+    * body plans (plain and cached) actually compile adaptive.
+    *
+    * `parentAdaptive` gates the restore on the PARENT session's own
+    * setting (r15 advice): the restore exists to undo the streaming
+    * clone's forced disable, not to override a user who deliberately
+    * turned AQE off globally — shipped wrappers capture the parent's
+    * value at stream-build time through [[ingestBody]]; the `true`
+    * default serves direct diagnostic callers (tools.AqeCheck, specs)
+    * where the parent is known to run the engine default. */
+  private[graft] def restoreAqe(batch: DataFrame,
+      parentAdaptive: Boolean = true): Unit = {
+    if (!parentAdaptive) return
     val conf = batch.sparkSession.conf
     conf.set("spark.sql.adaptive.enabled", "true")
     // cached-plan AQE, on the STREAMING CLONE ONLY: the ingests pin
@@ -999,13 +1045,11 @@ object DedupStream {
       .parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        restoreAqe(batch)
-        retireQueue.foreach(q => drainRetireQueue(batch.sparkSession, q,
-          Seq(indexPath -> Nil), idCol))
+      .foreachBatch(ingestBody(spark, retireQueue,
+        (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Nil), idCol),
+        Some(indexPath), compactEvery) { (batch, batchId) =>
         processContainmentBatch(batch, batchId, indexPath, pairsPath,
           idCol, textCol, n, k, bands, threshold, maxBucketSize)
-        maybeCompact(batch.sparkSession, indexPath, batchId, compactEvery)
-      }
+      })
       .start()
 }

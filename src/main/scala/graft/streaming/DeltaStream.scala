@@ -73,8 +73,7 @@ object DeltaStream {
       .withColumn("_page_file", input_file_name())
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (changes: DataFrame, _: Long) =>
-        DedupStream.restoreAqe(changes)
+      .foreachBatch(DedupStream.ingestBody(spark) { (changes, _) =>
         val s = changes.sparkSession
         val byRecency = org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("_page_file").desc)
@@ -85,7 +84,7 @@ object DeltaStream {
         val snap = currentSnapshot(s, snapshotPath, valueSchema)
         val merged = Sinks.applyDelta(snap, latest, idCol)
         Sinks.overwriteViaSwap(s, merged, snapshotPath)
-      }
+      })
       .start()
 
   /** Current snapshot, RECOVERING from an interrupted swap first

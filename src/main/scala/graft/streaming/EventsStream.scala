@@ -80,13 +80,13 @@ object EventsStream {
       val q = streamed.writeStream
         .outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          DedupStream.restoreAqe(batch)
+        .foreachBatch(DedupStream.ingestBody(streamed.sparkSession) {
+          (batch, batchId) =>
           // batch-constant stamp: ONE driver-side timestamp per trigger,
           // derived per batchId (injectable for deterministic tests)
           graft.operators.Sinks.snapshot(batch, target,
             loadTimeForBatch(batchId))
-        }
+        })
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally deleteRecursively(ckpt.toFile)

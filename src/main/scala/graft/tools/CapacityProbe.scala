@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+/** ANN model-CAPACITY sweep (round-15 verdict lead ask): s20's served
+  * recall@5 falls 0.532 → 0.380 from sf0.01 to sf0.1 because the
+  * corpus grew 4× while the model stayed at cells=8, m=8, k=8 —
+  * quantization granularity per point fell. This probe prices the
+  * capacity axes AT a given corpus so the serving defaults can SCALE
+  * with N instead of being constants:
+  *
+  *  - `cells` (coarse quantizer size): more cells = shorter inverted
+  *    lists and finer residuals, but at fixed nprobe a larger cell
+  *    count probes a smaller corpus FRACTION, so the IVF ceiling can
+  *    fall — cells and nprobe must move together.
+  *  - `k` (PQ codes per subspace): more codes = finer residual
+  *    quantization = less coding loss, at 2× ADC-table cost and one
+  *    extra bit per code.
+  *  - `nprobe`: the recall/read-cost knob; the ceiling cells alone
+  *    allow (exact ranking within the probed cells) is measured next
+  *    to every PQ point so coding loss and probe loss stay separable.
+  *
+  * Lifecycle per point mirrors s20 exactly (train coarse on arrival
+  * slice 0, freeze; train the PQ codebook on batch-0 residuals at
+  * iters=5, freeze; publish; serve at shortlist=100) so a swept
+  * operating point transfers to the s20/s21 gate unchanged.
+  *
+  * Prints one JSON line:
+  *   {"metric":"capacity_sweep","n":N,"sf":"sfX",
+  *    "rule":{"cells":c,"nprobe":p},
+  *    "ivf_ceiling":[{"cells":c,"nprobe":p,"recall":r},...],
+  *    "pq":[{"cells":c,"k":k,"nprobe":p,"recall":r,"serve_sec":s},...]}
+  * Usage: runMain graft.tools.CapacityProbe [sfDir]
+  */
+object CapacityProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = java.nio.file.Files.createTempDirectory("graft_capacity")
+
+    val vecs = graft.core.Tables.embeddings(spark, src)
+      .select("vec_id", "embedding")
+    val n = vecs.count()
+    val qn = 50
+    val queries = vecs.filter(col("vec_id") < qn)
+
+    def qz(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      transform(col("embedding").cast(ArrayType(DoubleType)),
+        x => floor(x * 1000000d).cast(LongType)).as("q"))
+    val exact = graft.similarity.Ann.integerTopK(
+      qz(vecs).withColumn("k0", lit(0)),
+      qz(queries).select(col("vec_id").as("query_id"), col("q").as("qv"))
+        .withColumn("k0", lit(0)),
+      "vec_id", "k0", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+
+    val rule = graft.similarity.Ann.ivfCapacityForCorpus(n)
+    println(s"[capacity] n=$n rule: cells=${rule.cells} nprobe=${rule.nprobe}")
+
+    val cellsAxis = Seq(8, 16, 32)
+    val kAxis = Seq(8, 16)
+    val npAxis = Seq(2, 4, 8)
+
+    val results = cellsAxis.map { cells =>
+      // the s13/s20 arrival shape: 4 slices, slice 0 trains + freezes
+      val idx = base.resolve(s"idx_c$cells").toString
+      val cen = base.resolve(s"cen_c$cells").toString
+      (0 until 4).foreach { i =>
+        graft.streaming.AnnStream.processIvfBatch(
+          vecs.filter(pmod(col("vec_id"), lit(4)) === i), i.toLong,
+          idx, cen, "vec_id", "embedding", dim = 64, cells = cells,
+          iters = 2)
+      }
+      spark.catalog.clearCache()
+      val ceilings = npAxis.map { np =>
+        val r = recallOf(graft.streaming.AnnStream.ivfServeTopK(spark, idx,
+          cen, queries, "vec_id", "embedding", topK = 5, nprobe = np))
+        spark.catalog.clearCache()
+        println(f"[capacity] cells=$cells%2d nprobe=$np  ivf_ceiling $r%.3f")
+        (np, r)
+      }
+      val pq = kAxis.flatMap { k =>
+        val cb = graft.streaming.AnnStream.trainPqCodebook(spark, idx, cen,
+          m = 8, k = k, iters = 5)
+        val coded = base.resolve(s"coded_c${cells}_k$k").toString
+        graft.streaming.AnnStream.publishPqIndex(spark, idx, cen, coded,
+          "vec_id", m = 8, k = k, cb)
+        npAxis.map { np =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val r = recallOf(graft.streaming.AnnStream.pqServeTopK(spark,
+            coded, cen, vectors = vecs, queries = queries, "vec_id",
+            "embedding", m = 8, k = k, nprobe = np, shortlist = 100,
+            topK = 5, cb))
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[capacity] cells=$cells%2d k=$k%2d nprobe=$np  " +
+            f"recall@5 $r%.3f  serve $dt%5.2f s")
+          (k, np, r, dt)
+        }
+      }
+      (cells, ceilings, pq)
+    }
+
+    val sfName = new java.io.File(src).getName
+    val ceilJson = results.flatMap { case (c, ceils, _) =>
+      ceils.map { case (np, r) =>
+        f"""{"cells":$c,"nprobe":$np,"recall":$r%.3f}"""
+      }
+    }.mkString("[", ",", "]")
+    val pqJson = results.flatMap { case (c, _, pq) =>
+      pq.map { case (k, np, r, dt) =>
+        f"""{"cells":$c,"k":$k,"nprobe":$np,"recall":$r%.3f,"serve_sec":$dt%.2f}"""
+      }
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"capacity_sweep","n":$n,"sf":"$sfName",""" +
+      s""""rule":{"cells":${rule.cells},"nprobe":${rule.nprobe}},""" +
+      s""""ivf_ceiling":$ceilJson,"pq":$pqJson}""")
+    spark.stop()
+    graft.core.TempDirs.deleteRecursively(base.toFile)
+  }
+}

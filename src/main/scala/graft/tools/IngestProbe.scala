@@ -457,11 +457,15 @@ object IngestProbe {
     // over a fixed floor (the semi-join probe that finds the affected
     // cells scans the tree's id/cell columns once), never with tree
     // size.
+    // Republish from the raw tree BEFORE EACH round (r15 advice): a
+    // retire permanently deletes rows, so without the per-round
+    // republish the 2/4/8-cell rounds would measure a tree already
+    // shrunk by earlier rounds while claiming fixed tree size.
     val annServP = base.resolve("ann_retire_serving").toString
-    graft.streaming.AnnStream.publishIndex(spark,
-      base.resolve("anncomp_idx_plain").toString, annServP)
     val annRetire = Seq(1, 2, 4, 8).map { ncells =>
       import spark.implicits._
+      graft.streaming.AnnStream.publishIndex(spark,
+        base.resolve("anncomp_idx_plain").toString, annServP)
       val ids = (0 until ncells).flatMap { c =>
         spark.read.parquet(annServP).filter(col("cell") === c)
           .select("vec_id").limit(5).collect().map(_.getLong(0))

@@ -17,9 +17,16 @@ object JobProfile {
     val spark = graft.core.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val (dir, name) = (args(0), args(1))
-    // warm-up at the smallest SF: classloading + codegen out of the way
-    try { graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count() }
-    catch { case scala.util.control.NonFatal(_) => () }
+    // warm-up against the PROFILED dir (r15 advice: a hardcoded
+    // fixture path silently skipped warm-up off this machine and the
+    // first measured run absorbed classloading/codegen, skewing the
+    // attribution) — only job walls are compared, so warming on the
+    // same dir is sound; a skipped warm-up is printed, not silent
+    try { graft.SparkEntry.queries(name)(spark, dir).count() }
+    catch { case scala.util.control.NonFatal(e) =>
+      println(s"[jobprofile] WARM-UP SKIPPED (${e.getClass.getSimpleName}):" +
+        " first measured run includes classloading/codegen")
+    }
     spark.catalog.clearCache()
 
     case class Job(id: Int, desc: String, site: String, submitted: Long,

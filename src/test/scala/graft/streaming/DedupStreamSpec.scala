@@ -680,12 +680,14 @@ class DedupStreamSpec extends SparkSpec {
 
   test("foreachBatch bodies run ADAPTIVE plans (plain and cached)") {
     // ResolveWriteToStream disables AQE on the streaming session clone;
-    // restoreAqe must bring it back for the body's batch queries —
+    // the ingestBody combinator (the ONE preamble every shipped wrapper
+    // is built from — this spec pins the HELPER, so every wrapper
+    // inherits it) must bring it back for the body's batch queries —
     // without it every per-batch shuffle runs at the full
     // shuffle-partition width (pure task-scheduling overhead at
     // micro-batch sizes). This pins the fix: a body aggregation and a
-    // CACHED body aggregation both compile to adaptive plans inside a
-    // shipped ingest wrapper's foreachBatch.
+    // CACHED body aggregation both compile to adaptive plans inside an
+    // ingestBody-built foreachBatch.
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter($"doc_id" < 30)
     val docsDir = tmp("aqe_docs"); val indexPath = tmp("aqe_idx") + "/index"
@@ -704,9 +706,7 @@ class DedupStreamSpec extends SparkSpec {
       .parquet(docsDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch {
-        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        DedupStream.restoreAqe(batch)
+      .foreachBatch(DedupStream.ingestBody(spark) { (batch, batchId) =>
         def isAdaptive(df: org.apache.spark.sql.DataFrame): Boolean = {
           df.count()
           df.queryExecution.executedPlan.isInstanceOf[
@@ -720,12 +720,54 @@ class DedupStreamSpec extends SparkSpec {
         // and the real processor still works under the restored confs
         DedupStream.processBatch(batch, batchId, indexPath, pairsPath,
           survivorsPath, "doc_id", "text")
-      }
+      })
       .start()
     try q.processAllAvailable() finally q.stop()
     assert(adaptivePlain, "plain body aggregation was not adaptive")
     assert(adaptiveCached, "cached body aggregation was not adaptive")
     assert(spark.read.parquet(s"$survivorsPath/batch_id=0").count() > 0)
+  }
+
+  test("ingestBody respects a parent session that deliberately disabled AQE") {
+    // The restore exists to undo the STREAMING CLONE's forced disable,
+    // never the user's choice (r15 advice): with AQE off on the parent
+    // at stream-build time, the body must NOT force it back on — the
+    // body's plans stay non-adaptive.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 20)
+    val docsDir = tmp("aqeoff_docs"); val checkpoint = tmp("aqeoff_ckpt")
+    val stage = tmp("aqeoff_stage") + "/out"
+    docs.coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(docsDir, "round_000.parquet"))
+    @volatile var cloneAdaptiveConf = "unset"
+    @volatile var adaptivePlan = true
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docsDir)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(DedupStream.ingestBody(spark) { (batch, _) =>
+          cloneAdaptiveConf =
+            batch.sparkSession.conf.get("spark.sql.adaptive.enabled")
+          val agg = batch.groupBy($"doc_id" % 3).count()
+          agg.count()
+          adaptivePlan = agg.queryExecution.executedPlan.isInstanceOf[
+            org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
+        })
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    assert(cloneAdaptiveConf == "false",
+      s"body clone re-enabled AQE against the parent's deliberate " +
+        s"disable (conf=$cloneAdaptiveConf)")
+    assert(!adaptivePlan, "body plan compiled adaptive under a parent " +
+      "that disabled AQE")
   }
 
   test("replayed batch is a committed no-op: outputs unchanged, index not double-appended") {
