@@ -557,7 +557,22 @@ object TrainingQueries {
     * pair set (recall 1.0 on this corpus per the d15 hash match;
     * hashed-shingle counts injective, d07/d16's argument). At 100 TB
     * this is the ingest-time quote/inclusion monitor: O(batch) work
-    * per round against stored signatures, never a corpus re-shingle. */
+    * per round against stored signatures, never a corpus re-shingle.
+    *
+    * Cost-shape note (round 16): the d18 driver fast path does NOT
+    * transfer here, by measurement. Three variants of lifting the
+    * per-batch report to the driver were A/B'd at sf0.1 (3 warm reps
+    * each, same box/JVM layout): limit-probe + local write 7.6 s,
+    * cache+count+collect + local write 6.7 s, sequential two-action
+    * writes 6.7 s — all WORSE than the shipped count + concurrent
+    * writes (5.9 s best rep). d18's win came from removing a
+    * distributed RESOLUTION stage (windows over the pair graph);
+    * a report ingest has no such stage — the candidate join itself is
+    * the cost, it already executes as broadcast joins with the batch
+    * side built (plan read), and the concurrent pairs/index writes
+    * genuinely overlap. d17's remaining premium over d18 is its
+    * declared extras: bands=32 (2× band rows) and the mid-stream
+    * compaction fold the oracle deliberately exercises. */
   def d17StreamContainment(s: SparkSession, d: String): DataFrame = {
     val base = tempDirCleanedOnExit("graft_d17")
     val idx = base.resolve("index").toString

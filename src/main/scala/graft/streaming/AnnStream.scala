@@ -157,6 +157,14 @@ object AnnStream {
 
   /** Run the IVF index build as a stream over parquet embedding files
     * landing in `vecsDir`. Returns the running query (caller stops).
+    *
+    * SIZE THE MODEL TO THE CORPUS: the `cells = 8` default is the
+    * small-corpus (n ≤ 1024) point — at larger n pass
+    * [[graft.similarity.Ann.ivfCapacityForCorpus]]'s cells (and serve
+    * with its nprobe): recall decays when the corpus grows under a
+    * fixed model (measured 0.532 → 0.380 over a 4× corpus at the
+    * fixed default; the scaled rule holds 0.47–0.53 across the same
+    * range — CAPACITY_r16.json, gated by s21).
     * `retireQueue = Some(dir)` drains pending retire-request files
     * from `dir` before each batch ([[drainRetireQueue]]): ids retire
     * from the RAW tree (cell sub-layout preserved) and from every
@@ -442,7 +450,21 @@ object AnnStream {
         !DedupStream.hasParquetFiles(fs, hServing)) return
     val retire = ids.select(col(idCol)).distinct().cache()
     try {
-      val tree = spark.read.parquet(servingPath)
+      // stats-pruned probe front (the DedupStream.retireIds rule):
+      // footer min/max bounds the candidate CELLS before any column
+      // data is read; the semi-join stays the exact decision over the
+      // candidates, so answers are unchanged
+      val cand = DedupStream.statsCandidateParts(spark, servingPath,
+        "cell=", retire, idCol)
+      if (cand.exists(_.isEmpty)) return // provably no row to retire
+      // candidates read by explicit partition paths (the
+      // DedupStream.retireIds rule): the scan's listing is O(candidate
+      // cells), not O(tree cells)
+      val tree = cand match {
+        case None => spark.read.parquet(servingPath)
+        case Some(c) => spark.read.option("basePath", servingPath)
+          .parquet(c.map(n => s"$servingPath/cell=$n"): _*)
+      }
       // driver state: affected cell ids only (≤ cells, never rows)
       val affected = tree.join(retire, Seq(idCol), "left_semi")
         .select(col("cell").cast(LongType)).distinct()

@@ -359,6 +359,47 @@ object IngestProbe {
       (naff, dt, ids.length)
     }
 
+    // RETIRE-PROBE scaling (round-16 verdict #3): the affected-
+    // partition probe is now FOOTER-STATS-BOUNDED
+    // (DedupStream.statsCandidateParts): per-partition id min/max come
+    // from parquet footers (metadata, no column data, no job over the
+    // tree), and only candidate partitions' id columns are probed
+    // exactly. Cells: a 60-dir and a 600-dir flat signature tree with
+    // RANGE-sliced ids (each batch dir holds a contiguous id range —
+    // the monotone-arrival-id shape real erasure requests hit, where
+    // stats genuinely discriminate), retiring 5 ids confined to one
+    // dir; plus a 600-dir MOD-sliced tree (every dir spans the full id
+    // range — stats prune nothing, the documented worst case) to show
+    // the fallback costs no more than the old full probe. Claim: the
+    // range-sliced walls stay near-flat from 60 → 600 dirs. The trees
+    // are built by one partitioned write each (the probe prices
+    // retireIds, not ingest).
+    val maxDoc = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    def retireProbeCell(tag: String, nd: Int, ranged: Boolean) = {
+      val treeP = base.resolve(s"rps_${tag}").toString
+      val bcol =
+        if (ranged) floor(col("doc_id") / lit(maxDoc / nd + 1))
+        else pmod(col("doc_id"), lit(nd))
+      sigsAll.withColumn("batch_id", bcol)
+        .repartition(col("batch_id"))
+        .write.partitionBy("batch_id").parquet(treeP)
+      import spark.implicits._
+      val ids = spark.read.parquet(s"$treeP/batch_id=7")
+        .select("doc_id").limit(5).collect().map(_.getLong(0)).toSeq
+      val idsDf = ids.toDF("doc_id")
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.streaming.DedupStream.retireIds(spark, treeP, idsDf, "doc_id")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[ingest] retire probe $tag%-12s dirs=$nd%4d  $dt%6.2f s  " +
+        f"(${ids.length} ids)")
+      (tag, nd, dt, ids.length)
+    }
+    val retireProbe = Seq(
+      retireProbeCell("ranged60", 60, ranged = true),
+      retireProbeCell("ranged600", 600, ranged = true),
+      retireProbeCell("mod600", 600, ranged = false))
+
     // RETIREMENT pricing (round-14 verdict #2b): the per-batch cost of
     // DRAINING the queue under a 20-batch ingest — a request landing
     // every other batch vs a permanently empty queue. The empty-queue
@@ -550,6 +591,9 @@ object IngestProbe {
       }),
       block("retire_affected", retireCells.map { case (naff, dt, nids) =>
         f"""{"affected_dirs":$naff,"tree_dirs":$nComp,"sec":$dt%.2f,"ids":$nids}"""
+      }),
+      block("retire_probe_scaling", retireProbe.map { case (tg, nd, dt, nids) =>
+        f"""{"tag":"$tg","tree_dirs":$nd,"sec":$dt%.2f,"ids":$nids}"""
       }),
       block("drain_empty", drainEmpty.map { case (i, td, tb, ap) =>
         f"""{"batch":$i,"drain_sec":$td%.3f,"ingest_sec":$tb%.2f,"applied":$ap}"""

@@ -736,6 +736,79 @@ class AnnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: queue drains, raw compactions and delta publishes interleave safely") {
+    // The documented safe window for maintenance is "between
+    // micro-batches, from the stream's own cadence"; the r15 property
+    // spec exercised drain × compaction — this drives the THIRD op,
+    // publishIndexDelta, through the same interleave against an
+    // ivfIngest running with retireServing. Invariants at every round:
+    //   raw tree  = ingested − retired        (drains erase, folds
+    //                                          relayout, never resurrect)
+    //   serving   = ingested-at-last-publish − retired-ever
+    //                                          (a drain erases from
+    //                                          serving in the same pass,
+    //                                          so ids retired AFTER their
+    //                                          batch was folded still
+    //                                          leave; a delta publish
+    //                                          never re-adds a retired
+    //                                          id because the drain
+    //                                          removed it from raw first)
+    // Compaction folds 0..N-1 into batch_id=N-1, which can sit PAST the
+    // publish watermark — the delta merge's anti-join makes the re-fold
+    // idempotent by id, and the assert catches any duplicate.
+    val e = emb.cache()
+    val vecsDir = tmp("as3i_vecs"); val indexPath = tmp("as3i_idx") + "/index"
+    val centroidsPath = tmp("as3i_cen") + "/centroids"
+    val ckpt = tmp("as3i_ckpt"); val queue = tmp("as3i_queue") + "/queue"
+    val servingPath = tmp("as3i_pub") + "/serving"
+    val slices = 6
+    def land(i: Int): Set[Long] = {
+      val s = e.filter(pmod($"vec_id", lit(slices)) === i)
+      s.coalesce(1).write.mode("append").parquet(vecsDir)
+      s.select("vec_id").as[Long].collect().toSet
+    }
+    def treeIds(p: String): Seq[Long] =
+      spark.read.parquet(p).select("vec_id").as[Long].collect().toSeq
+    val rng = new scala.util.Random(16L)
+    var ingested = land(0) // batch 0 trains the quantizer
+    var retired = Set.empty[Long]
+    var publishedAt = Set.empty[Long]
+    val q = AnnStream.ivfIngest(spark, vecsDir, e.schema, indexPath,
+      centroidsPath, ckpt, dim = 64, cells = 8, iters = 2,
+      retireQueue = Some(queue), retireServing = Seq(servingPath))
+    try {
+      q.processAllAvailable()
+      AnnStream.publishIndex(spark, indexPath, servingPath)
+      publishedAt = ingested -- retired
+      (1 until slices).foreach { round =>
+        // request: seeded subset of already-ingested ids (some possibly
+        // already retired — idempotence) plus a never-ingested id
+        val subset = ingested.filter(_ => rng.nextDouble() < 0.15) ++
+          Seq(900000L + round)
+        subset.toSeq.toDF("vec_id").coalesce(1).write.mode("append")
+          .parquet(queue)
+        retired ++= subset
+        ingested ++= land(round) // arrivals disjoint: never re-ingests
+        q.processAllAvailable()  // drain (raw + serving), then the batch
+        val raw = treeIds(indexPath)
+        assert(raw.toSet == ingested -- retired, s"round $round: raw diverged")
+        assert(raw.length == raw.distinct.length, s"round $round: raw dups")
+        if (round % 2 == 1) { // quiesced gap: fold the delta into serving
+          AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+          publishedAt = ingested -- retired
+        }
+        if (round % 3 == 2) // quiesced gap: fold the raw prefix
+          DedupStream.compactIndex(spark, indexPath, upToBatch = round - 1L,
+            partitionCols = Seq("cell"))
+        val served = treeIds(servingPath)
+        assert(served.toSet == publishedAt -- retired,
+          s"round $round: serving diverged")
+        assert(served.length == served.distinct.length,
+          s"round $round: serving dups")
+      }
+    } finally q.stop()
+  }
+
   test("all-retired raw tree: republish ERASES serving trees, serves empty, retire no-ops") {
     val e = emb.filter($"vec_id" < 50).cache()
     val indexPath = tmp("asae_idx") + "/index"

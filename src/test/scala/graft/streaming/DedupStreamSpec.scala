@@ -602,6 +602,42 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retire probe: footer stats bound the candidate partitions; answers unchanged") {
+    import spark.implicits._
+    // range-sliced tree: each batch dir holds a contiguous id range, so
+    // footer min/max genuinely discriminates
+    val treeP = tmp("dsfs_tree") + "/tree"
+    (0L until 300L).map(i => (i, s"sig$i")).toDF("doc_id", "payload")
+      .withColumn("batch_id", floor($"doc_id" / 50))
+      .repartition($"batch_id")
+      .write.partitionBy("batch_id").parquet(treeP)
+    // ids confined to batch dirs 1 and 4, plus a never-stored id far
+    // outside every range
+    val ids = Seq(55L, 57L, 230L, 900000L).toDF("doc_id")
+    val cand = DedupStream.statsCandidateParts(spark, treeP, "batch_id=",
+      ids, "doc_id")
+    assert(cand.contains(Seq(1L, 4L)),
+      s"stats candidates should be exactly dirs 1 and 4, got $cand")
+    // the retire itself: answers identical to the unpruned contract
+    DedupStream.retireIds(spark, treeP, ids, "doc_id")
+    val left = spark.read.parquet(treeP).select("doc_id").as[Long]
+      .collect().toSet
+    assert(left == (0L until 300L).toSet -- Set(55L, 57L, 230L))
+    // untouched dirs were not rewritten: still exactly one data file
+    // in a dir the stats excluded
+    assert(new java.io.File(treeP, "batch_id=2").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // ids with no overlap anywhere: probe proves no-op without a scan
+    assert(DedupStream.statsCandidateParts(spark, treeP, "batch_id=",
+      Seq(800000L).toDF("doc_id"), "doc_id").contains(Nil))
+    // non-integral id type: stats path declines, caller falls back
+    val strTree = tmp("dsfs_str") + "/tree"
+    Seq(("a", 0L), ("b", 1L)).toDF("doc_id", "batch_id")
+      .write.partitionBy("batch_id").parquet(strTree)
+    assert(DedupStream.statsCandidateParts(spark, strTree, "batch_id=",
+      Seq("a").toDF("doc_id"), "doc_id").isEmpty)
+  }
+
   test("property: interleaved retires and compactions always leave tree = ingested minus retired") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
