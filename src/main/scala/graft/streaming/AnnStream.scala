@@ -11,10 +11,11 @@ import graft.similarity.Ann
   * persisted as a CELL-PARTITIONED parquet index, so that
   *  1. ingest COMPUTE scales with the BATCH (quantize + k-way argmin
   *     per row against broadcast-literal centroids — no shuffle of
-  *     the corpus, no re-quantization of committed vectors; the one
-  *     index-sized touch per batch is the column-pruned id scan that
-  *     guards against re-sent ids, measured flat-in-practice by
-  *     tools.IngestProbe), and
+  *     the corpus, no re-quantization of committed vectors; the
+  *     re-sent-id guard's committed-index touch is bounded by parquet
+  *     footer stats to partitions whose id ranges intersect the
+  *     batch's id hull — metadata-only under monotone arrival ids —
+  *     see [[committedIds]]), and
   *  2. a serve-time query reads ONLY the probed cells' files
   *     (partition-directory pruning on `cell=`), i.e. query cost is
   *     proportional to the probed inverted lists, never the corpus —
@@ -89,11 +90,13 @@ object AnnStream {
     // ingest contract: ids identify vectors — a row re-sent under an
     // already-indexed id (across OR within a batch) is the same
     // vector, not a new one, and a duplicate index row would shift
-    // serve-time ranks. Cross-batch protection is one column-pruned
-    // id scan of the committed index; within-batch, dropDuplicates
-    // (deterministic under the same-id-same-payload contract).
-    val committed = committedIds(spark, indexPath, idCol,
-      batch.schema(idCol).dataType, batchId)
+    // serve-time ranks. Cross-batch protection is a column-pruned id
+    // scan of the committed index BOUNDED BY FOOTER STATS to the
+    // partitions whose id ranges intersect the batch's id hull
+    // ([[committedIds]] — for monotone arrival ids the guard is
+    // metadata-only); within-batch, dropDuplicates (deterministic
+    // under the same-id-same-payload contract).
+    val committed = committedIds(spark, indexPath, idCol, batch, batchId)
     val fresh = batch.dropDuplicates(idCol)
       .join(committed, Seq(idCol), "left_anti")
     Ann.portableAssignWithCentroids(fresh, idCol, vecCol, cents)
@@ -107,9 +110,26 @@ object AnnStream {
     * The schema is EXPLICIT: a crashed batch-0 attempt can leave the
     * index dir existing with zero committed data files, and schema
     * inference would throw on every replay — with the schema given,
-    * an empty tree reads as an empty frame and the replay proceeds. */
+    * an empty tree reads as an empty frame and the replay proceeds.
+    *
+    * FOOTER-STATS BOUND (round 16): this guard was the ONE
+    * index-sized touch per ingest batch — a column-pruned id scan of
+    * every committed partition. For integral ids the scan is now
+    * bounded to the partitions whose footer id bounds INTERSECT the
+    * batch's id hull (one tiny min/max aggregate over the batch, then
+    * [[DedupStream.footerCandidateParts]] — metadata only, short-
+    * circuit per dir): a committed id can only collide with a batch
+    * id if it lies inside the batch's [min, max], so partitions
+    * entirely outside it are provably collision-free and never read.
+    * Under monotone arrival ids — the common ingest shape — every
+    * committed partition sits below the new batch's range and the
+    * guard is METADATA-ONLY, making per-batch ingest work genuinely
+    * O(batch) at any index size. The anti-join over the candidate
+    * ids stays the exact decision; non-integral ids keep the full
+    * scan. */
   private def committedIds(spark: SparkSession, indexPath: String,
-      idCol: String, idType: DataType, batchId: Long): DataFrame = {
+      idCol: String, batch: DataFrame, batchId: Long): DataFrame = {
+    val idType = batch.schema(idCol).dataType
     // every raw-tree read repairs interrupted maintenance first (the
     // DedupStream every-load rule): a compaction or retire that
     // crashed mid-promote leaves the tree missing batch partitions
@@ -118,19 +138,39 @@ object AnnStream {
     DedupStream.repairIndexTree(spark, indexPath)
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val emptyIds = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(idCol, idType))))
+    if (!fs.exists(hPath)) return emptyIds
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField("q", ArrayType(LongType)),
       StructField("cell", LongType),
       StructField("batch_id", LongType)))
-    if (fs.exists(hPath))
-      spark.read.schema(schema).parquet(indexPath)
-        .filter(col("batch_id") < batchId)
-        .select(col(idCol))
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField(idCol, idType))))
+    val hull: Option[Option[(Long, Long)]] = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType =>
+        val r = batch.agg(
+          min(col(idCol).cast(LongType)).as("mn"),
+          max(col(idCol).cast(LongType)).as("mx")).collect()(0)
+        Some(if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1))))
+      case _ => None // non-integral ids: stats do not apply
+    }
+    hull match {
+      case None => // full guard scan (pre-round-16 behavior)
+        spark.read.schema(schema).parquet(indexPath)
+          .filter(col("batch_id") < batchId)
+          .select(col(idCol))
+      case Some(None) => emptyIds // empty batch: nothing can collide
+      case Some(Some((mn, mx))) =>
+        val cands = DedupStream.footerCandidateParts(spark, indexPath,
+          "batch_id=", idCol, _ < batchId)((bmn, bmx) =>
+          bmn <= mx && mn <= bmx)
+        if (cands.isEmpty) emptyIds
+        else spark.read.schema(schema).option("basePath", indexPath)
+          .parquet(cands.map(n => s"$indexPath/batch_id=$n"): _*)
+          .select(col(idCol))
+    }
   }
 
   /** Drain a retire-request queue across the WHOLE serving lifecycle:

@@ -224,9 +224,6 @@ object DedupStream {
       case LongType | IntegerType => ()
       case _ => return None
     }
-    val conf = spark.sparkContext.hadoopConfiguration
-    val hPath = new org.apache.hadoop.fs.Path(treePath)
-    val fs = hPath.getFileSystem(conf)
     val idArr = ids.select(col(idCol).cast(LongType)).na.drop()
       .limit(idLimit + 1).collect().map(_.getLong(0))
     if (idArr.length > idLimit) return None // not requester-sized
@@ -240,6 +237,24 @@ object DedupStream {
       }
       lo < sorted.length && sorted(lo) <= mx
     }
+    Some(footerCandidateParts(spark, treePath, prefix, idCol,
+      _ => true)(anyIdIn))
+  }
+
+  /** The footer walker behind [[statsCandidateParts]] and
+    * [[AnnStream]]'s ingest-guard pruning: the `<prefix>N` partitions
+    * of `treePath` (passing `partFilter`) whose footer bounds make
+    * `couldHit(min, max)` true — or whose bounds cannot be
+    * established, which is always a candidate (stats only ever
+    * over-approximate). Pool + per-dir short-circuit as documented on
+    * [[statsCandidateParts]]. */
+  private[streaming] def footerCandidateParts(spark: SparkSession,
+      treePath: String, prefix: String, idCol: String,
+      partFilter: Long => Boolean)
+      (couldHit: (Long, Long) => Boolean): Seq[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(treePath)
+    val fs = hPath.getFileSystem(conf)
     def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
       fs.listStatus(p).toSeq.flatMap { s =>
         if (s.isDirectory) files(s.getPath)
@@ -282,20 +297,21 @@ object DedupStream {
         Some((bs.map(_._1).min, bs.map(_._2).max))
       }
     }
-    // true iff the dir COULD hold a retire id: walk its files' footers,
+    // true iff the dir COULD hold a hit: walk its files' footers,
     // short-circuiting to candidate on unknown bounds or on the first
-    // containment hit; completing the walk with no hit proves absence
+    // couldHit; completing the walk with no hit proves absence
     def dirIsCandidate(dir: org.apache.hadoop.fs.Path): Boolean =
       files(dir).exists { f =>
         fileBounds(f) match {
           case None => true // unbounded: cannot prove absent
-          case Some((mn, mx)) => mn <= mx && anyIdIn(mn, mx)
+          case Some((mn, mx)) => mn <= mx && couldHit(mn, mx)
         }
       }
     val parts = fs.listStatus(hPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .map(s => (s.getPath.getName.stripPrefix(prefix).toLong, s.getPath))
-    if (parts.isEmpty) return Some(Nil)
+      .filter(p => partFilter(p._1))
+    if (parts.isEmpty) return Nil
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(32, parts.size))
     try {
@@ -305,8 +321,8 @@ object DedupStream {
           def call() = if (dirIsCandidate(dir)) Some(n) else None
         }
       }
-      Some(pool.invokeAll(tasks.asJava).asScala.toSeq
-        .flatMap(_.get()).sorted)
+      pool.invokeAll(tasks.asJava).asScala.toSeq
+        .flatMap(_.get()).sorted
     } finally pool.shutdown()
   }
 

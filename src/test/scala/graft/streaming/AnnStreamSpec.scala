@@ -736,6 +736,33 @@ class AnnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest guard bounded by footer stats: disjoint ranges prune, re-sent ids still dedupe") {
+    val e = emb.cache()
+    val idx = tmp("asfg_idx") + "/index"
+    val cen = tmp("asfg_cen") + "/centroids"
+    // two committed batches with DISJOINT id ranges
+    AnnStream.processIvfBatch(e.filter($"vec_id" < 100), 0L, idx, cen,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    AnnStream.processIvfBatch(
+      e.filter($"vec_id" >= 100 && $"vec_id" < 200), 1L, idx, cen,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    // a hull beyond both ranges: the guard's candidate set is EMPTY —
+    // the metadata-only case monotone arrival ids hit every batch
+    assert(DedupStream.footerCandidateParts(spark, idx, "batch_id=",
+      "vec_id", _ < 2L)((mn, mx) => mn <= 250L && 210L <= mx).isEmpty)
+    // a hull overlapping only batch 1's range prunes batch 0
+    assert(DedupStream.footerCandidateParts(spark, idx, "batch_id=",
+      "vec_id", _ < 2L)((mn, mx) => mn <= 150L && 110L <= mx) == Seq(1L))
+    // correctness through the pruned guard: a batch RE-SENDING every
+    // committed id plus 20 fresh ones indexes exactly the fresh ones
+    AnnStream.processIvfBatch(e.filter($"vec_id" < 220), 2L, idx, cen,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val ids = spark.read.parquet(idx).select("vec_id").as[Long]
+      .collect().toSeq
+    assert(ids.length == ids.distinct.length, "re-sent ids duplicated")
+    assert(ids.toSet == (0L until 220L).toSet)
+  }
+
   test("property: queue drains, raw compactions and delta publishes interleave safely") {
     // The documented safe window for maintenance is "between
     // micro-batches, from the stream's own cadence"; the r15 property
