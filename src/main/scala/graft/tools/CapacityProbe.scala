@@ -31,17 +31,41 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   *    "rule":{"cells":c,"nprobe":p},
   *    "ivf_ceiling":[{"cells":c,"nprobe":p,"recall":r},...],
   *    "pq":[{"cells":c,"k":k,"nprobe":p,"recall":r,"serve_sec":s},...]}
-  * Usage: runMain graft.tools.CapacityProbe [sfDir]
-  */
+  * Usage: runMain graft.tools.CapacityProbe [sfDir] [replicate]
+  *
+  * `replicate = R > 1` scales the corpus R× with PERTURBED copies
+  * (id-shifted, each component nudged by a deterministic per-(copy,
+  * id, position) hash — exact clones would make ANN degenerate: a
+  * query's true top-5 would be its own zero-distance clones) and
+  * restricts the grid to the RULE's point plus the fixed legacy point
+  * — the cell that shows the rule RE-DERIVING an appropriate model at
+  * a corpus the fixed configuration was never sized for. */
 object CapacityProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicate = args.lift(1).map(_.toInt).getOrElse(1)
     val base = java.nio.file.Files.createTempDirectory("graft_capacity")
 
-    val vecs = graft.core.Tables.embeddings(spark, src)
+    val vecsBase = graft.core.Tables.embeddings(spark, src)
       .select("vec_id", "embedding")
+    val vecs =
+      if (replicate <= 1) vecsBase
+      else (0 until replicate).map { c =>
+        if (c == 0) vecsBase
+        else vecsBase.select(
+          (col("vec_id") + lit(c * 10000000000L)).as("vec_id"),
+          // ±0.2 per component — comparable to inter-vector spacing,
+          // so a copy is a NEW point in the original's neighborhood,
+          // not a zero-distance clone the serve finds for free
+          // (measured: ±0.001 noise saturates every config at recall
+          // 1.000 — clones follow their query into its cell)
+          transform(col("embedding"),
+            (x, i) => x + (pmod(xxhash64(col("vec_id"), i, lit(c)),
+              lit(400000L)).cast("double") - 200000d) / 1000000d)
+            .as("embedding"))
+      }.reduce(_ unionByName _)
     val n = vecs.count()
     val qn = 50
     val queries = vecs.filter(col("vec_id") < qn)
@@ -66,9 +90,14 @@ object CapacityProbe {
     val rule = graft.similarity.Ann.ivfCapacityForCorpus(n)
     println(s"[capacity] n=$n rule: cells=${rule.cells} nprobe=${rule.nprobe}")
 
-    val cellsAxis = Seq(8, 16, 32)
-    val kAxis = Seq(8, 16)
-    val npAxis = Seq(2, 4, 8)
+    // full grid on the native corpus; rule point vs fixed legacy point
+    // on a replicated one (the grid would re-measure what the native
+    // sweep already priced, at 10x the wall)
+    val cellsAxis =
+      if (replicate <= 1) Seq(8, 16, 32) else Seq(8, rule.cells).distinct
+    val kAxis = if (replicate <= 1) Seq(8, 16) else Seq(16)
+    val npAxis =
+      if (replicate <= 1) Seq(2, 4, 8) else Seq(2, rule.nprobe).distinct
 
     val results = cellsAxis.map { cells =>
       // the s13/s20 arrival shape: 4 slices, slice 0 trains + freezes
@@ -122,6 +151,7 @@ object CapacityProbe {
       }
     }.mkString("[", ",", "]")
     println(s"""{"metric":"capacity_sweep","n":$n,"sf":"$sfName",""" +
+      s""""replicate":$replicate,""" +
       s""""rule":{"cells":${rule.cells},"nprobe":${rule.nprobe}},""" +
       s""""ivf_ceiling":$ceilJson,"pq":$pqJson}""")
     spark.stop()
