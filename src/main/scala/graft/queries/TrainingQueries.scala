@@ -2142,20 +2142,36 @@ object TrainingQueries {
     * defaults now match it. */
   def s20TunedServe(s: SparkSession, d: String): DataFrame = {
     val (idx, cen) = sharedIvfIngest(s, d)
-    val base = tempDirCleanedOnExit("graft_s20")
+    gatedPqServe(s, d, "s20", idx, cen, k = 8, nprobe = 2,
+      gatePermille = s20GatePermille,
+      pointDesc = "— serving quality regressed below the swept " +
+        "operating point")
+  }
+
+  /** The ONE gated trained-PQ serve body behind s20 and s21 (train the
+    * residual codebook at iters=5, freeze, publish the coded tree,
+    * serve at shortlist=100/topK=5, count-gate against the exhaustive
+    * exact integer top-5) — parameterized over the knobs the two
+    * operating points differ in (k, nprobe, gate floor), so a fix to
+    * the gate arithmetic or the quantizer can never leave one of the
+    * twins stale (the ingestBody structural-not-hand-repeated rule). */
+  private def gatedPqServe(s: SparkSession, d: String, tag: String,
+      idx: String, cen: String, k: Int, nprobe: Int, gatePermille: Int,
+      pointDesc: String): DataFrame = {
+    val base = tempDirCleanedOnExit(s"graft_$tag")
     val cbPath = base.resolve("codebook").toString
     val coded = base.resolve("coded").toString
     val cb = graft.streaming.AnnStream.trainPqCodebook(s, idx, cen,
-      m = 8, k = 8, iters = 5)
+      m = 8, k = k, iters = 5)
     graft.streaming.AnnStream.writePqCodebook(s, cb, cbPath)
     val frozen = graft.streaming.AnnStream.readPqCodebook(s, cbPath)
     graft.streaming.AnnStream.publishPqIndex(s, idx, cen, coded, "vec_id",
-      m = 8, k = 8, frozen)
+      m = 8, k = k, frozen)
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 50)
     val served = graft.streaming.AnnStream.pqServeTopK(s, coded, cen,
         vectors = emb, queries = queries, "vec_id", "embedding",
-        m = 8, k = 8, nprobe = 2, shortlist = 100, topK = 5, frozen)
+        m = 8, k = k, nprobe = nprobe, shortlist = 100, topK = 5, frozen)
       .select("query_id", "neighbor_id")
     // the recall reference: exhaustive exact integer top-5 over the
     // same quantization (brute force IS the oracle here — the gate
@@ -2176,10 +2192,9 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_hit"))))
       .collect()(0)
     val (nExact, nHit) = (row.getLong(0), row.getLong(1))
-    require(nHit * 1000 >= nExact * s20GatePermille,
-      s"s20 recall gate FAILED: hit $nHit of $nExact exact top-5 pairs " +
-        s"(< ${s20GatePermille} permille) — serving quality regressed " +
-        "below the swept operating point")
+    require(nHit * 1000 >= nExact * gatePermille,
+      s"$tag recall gate FAILED: hit $nHit of $nExact exact top-5 " +
+        s"pairs (< $gatePermille permille) $pointDesc")
     import s.implicits._
     Seq((nExact, nHit, true)).toDF("n_exact", "n_hit", "gate_ok")
   }
@@ -2232,11 +2247,16 @@ object TrainingQueries {
     * two ≥ 8 with cells²·16 ≥ n; nprobe = max(2, cells/4)), derived
     * from COUNT(*) of the same table, so the oracle re-computes the
     * configuration rather than having it pinned in (integer
-    * comparisons only — no float boundary risk). */
+    * comparisons only — no float boundary risk). The COALESCE mirrors
+    * the Scala rule's 2²⁰ ceiling: above n = 2⁴⁰·16 no grid row
+    * qualifies and MIN is NULL — without the cap the seed CTE's
+    * `rn <= NULL` would select zero centroids, diverging from the
+    * engine at exactly the scale the rule exists for (the grid's
+    * largest entry, 8·2¹⁷, IS the Scala cap). */
   private val duckCapacityCte: String =
     """cap AS (
       |  SELECT cells, GREATEST(2, cells // 4) AS nprobe FROM (
-      |    SELECT MIN(c) AS cells FROM (
+      |    SELECT COALESCE(MIN(c), 1048576) AS cells FROM (
       |      SELECT 8 * (1 << g) AS c
       |      FROM (SELECT unnest(range(0, 18)) AS g))
       |    WHERE CAST(c AS BIGINT) * c * 16 >=
@@ -2293,43 +2313,11 @@ object TrainingQueries {
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val cap = Ann.ivfCapacityForCorpus(emb.count())
     val (idx, cen) = sharedCapacityIngest(s, d, cap.cells)
-    val base = tempDirCleanedOnExit("graft_s21")
-    val cbPath = base.resolve("codebook").toString
-    val coded = base.resolve("coded").toString
-    val cb = graft.streaming.AnnStream.trainPqCodebook(s, idx, cen,
-      m = 8, k = 16, iters = 5)
-    graft.streaming.AnnStream.writePqCodebook(s, cb, cbPath)
-    val frozen = graft.streaming.AnnStream.readPqCodebook(s, cbPath)
-    graft.streaming.AnnStream.publishPqIndex(s, idx, cen, coded, "vec_id",
-      m = 8, k = 16, frozen)
-    val queries = emb.filter(col("vec_id") < 50)
-    val served = graft.streaming.AnnStream.pqServeTopK(s, coded, cen,
-        vectors = emb, queries = queries, "vec_id", "embedding",
-        m = 8, k = 16, nprobe = cap.nprobe, shortlist = 100, topK = 5,
-        frozen)
-      .select("query_id", "neighbor_id")
-    def qz(df: DataFrame) = df.select(col("vec_id"),
-      transform(col("embedding").cast(ArrayType(DoubleType)),
-        x => floor(x * lit(1000000d)).cast(LongType)).as("q"))
-    val exact = Ann.integerTopK(
-      qz(emb).withColumn("k0", lit(0)),
-      qz(queries).select(col("vec_id").as("query_id"), col("q").as("qv"))
-        .withColumn("k0", lit(0)),
-      "vec_id", "k0", 5)
-      .select("query_id", "neighbor_id")
-    val row = exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(broadcast(exact
-        .join(served, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("n_hit"))))
-      .collect()(0)
-    val (nExact, nHit) = (row.getLong(0), row.getLong(1))
-    require(nHit * 1000 >= nExact * s21GatePermille,
-      s"s21 recall gate FAILED: hit $nHit of $nExact exact top-5 pairs " +
-        s"(< ${s21GatePermille} permille) at capacity " +
-        s"cells=${cap.cells}/nprobe=${cap.nprobe}/k=16 — the scaled " +
-        "operating point regressed below the sweep's measurement")
-    import s.implicits._
-    Seq((nExact, nHit, true)).toDF("n_exact", "n_hit", "gate_ok")
+    gatedPqServe(s, d, "s21", idx, cen, k = 16, nprobe = cap.nprobe,
+      gatePermille = s21GatePermille,
+      pointDesc = s"at capacity cells=${cap.cells}/nprobe=${cap.nprobe}" +
+        "/k=16 — the scaled operating point regressed below the " +
+        "sweep's measurement")
   }
 
   /** The s21 oracle: the trained-serve CTEs at k=16 with cells and

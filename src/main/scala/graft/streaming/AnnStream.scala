@@ -76,9 +76,23 @@ object AnnStream {
     * frozen centroids and writes `(idCol, q, cell)` rows to
     * `indexPath/batch_id=N/cell=M/`, cell-partitioned for serve-time
     * directory pruning. */
-  def processIvfBatch(batch: DataFrame, batchId: Long, indexPath: String,
+  def processIvfBatch(batchIn: DataFrame, batchId: Long, indexPath: String,
       centroidsPath: String, idCol: String, vecCol: String, dim: Int,
       cells: Int, iters: Int, salt: String = "pkmeans"): Unit = {
+    // the batch backs several full passes (the guard's hull aggregate,
+    // dropDuplicates + anti-join, the assignment write; batch 0 adds
+    // the Lloyd's iterations) — pin it so they read one materialization
+    // instead of re-reading the source files per pass (r16 review)
+    val batch = batchIn.cache()
+    try processIvfBatchPinned(batch, batchId, indexPath, centroidsPath,
+      idCol, vecCol, dim, cells, iters, salt)
+    finally batch.unpersist()
+  }
+
+  private def processIvfBatchPinned(batch: DataFrame, batchId: Long,
+      indexPath: String, centroidsPath: String, idCol: String,
+      vecCol: String, dim: Int, cells: Int, iters: Int,
+      salt: String): Unit = {
     val spark = batch.sparkSession
     val cents =
       if (batchId == 0L) {

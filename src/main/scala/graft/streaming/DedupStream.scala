@@ -312,19 +312,31 @@ object DedupStream {
       .map(s => (s.getPath.getName.stripPrefix(prefix).toLong, s.getPath))
       .filter(p => partFilter(p._1))
     if (parts.isEmpty) return Nil
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, parts.size))
-    try {
-      import scala.jdk.CollectionConverters._
-      val tasks = parts.map { case (n, dir) =>
-        new java.util.concurrent.Callable[Option[Long]] {
-          def call() = if (dirIsCandidate(dir)) Some(n) else None
-        }
+    import scala.jdk.CollectionConverters._
+    val tasks = parts.map { case (n, dir) =>
+      new java.util.concurrent.Callable[Option[Long]] {
+        def call() = if (dirIsCandidate(dir)) Some(n) else None
       }
-      pool.invokeAll(tasks.asJava).asScala.toSeq
-        .flatMap(_.get()).sorted
-    } finally pool.shutdown()
+    }
+    footerPool.invokeAll(tasks.asJava).asScala.toSeq
+      .flatMap(_.get()).sorted
   }
+
+  /** Shared daemon pool for footer walks: the ingest guard runs one
+    * walk per micro-batch and a queue drain one per tree — allocating
+    * and tearing down a 32-thread pool per call would be continuous
+    * thread churn under a tight trigger cadence (r16 review). Daemon
+    * threads: the pool must never block JVM exit. */
+  private lazy val footerPool = java.util.concurrent.Executors
+    .newFixedThreadPool(32,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-footer-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 
   /** RETIRE ids from a committed per-batch tree: remove every row of
     * `ids` from every `batch_id=` partition of `treePath` — the
