@@ -136,27 +136,40 @@ object Bench {
       passes += ((tag, rs.toSeq, cb, ca))
       (cb, ca)
     }
-    // Taint rule: a pass is tainted only when its worst bracket clears
-    // BOTH the absolute bound (0.85 s — this box's quiet baseline is
-    // ~0.5-0.6) AND 1.75x the best bracket observed this run. The
-    // relative clause makes the gate portable: on a box whose BASELINE
-    // calib_io exceeds the absolute bound (slower disk, network fs)
-    // every bracket sits near that baseline, the relative clause never
-    // fires, and the bench is not condemned to re-run everything
-    // forever with zero discriminating signal.
+    // Taint rule: on a box whose best bracket this run sits at or
+    // under the absolute bound (a genuinely quiet baseline exists),
+    // the ABSOLUTE bound alone decides — under SUSTAINED contention
+    // the floor rises with the contamination, and requiring 1.75x the
+    // contaminated floor would mask exactly the case the gate exists
+    // for (r15: both brackets ~1.04 vs quiet 0.5 must taint). Only
+    // when even the run's best bracket exceeds the bound (a genuinely
+    // slow box — network fs, slow disk) does the relative clause take
+    // over, so the bench is not condemned to re-run everything forever
+    // with zero discriminating signal; operators of such boxes should
+    // raise SPARK_GRAFT_BENCH_CALIB_BOUND to their quiet baseline
+    // rather than rely on the relative fallback.
     def tainted(c: (Double, Double)): Boolean = {
       val floor = passes.flatMap(p => Seq(p._3, p._4)).min
-      math.max(c._1, c._2) > math.max(calibBound, 1.75 * floor)
+      val worst = math.max(c._1, c._2)
+      if (floor <= calibBound) worst > calibBound else worst > 1.75 * floor
     }
     val allNames = fns.map(_._1)
-    val c1 = runPass("p1", allNames, Double.MaxValue)
-    if (tainted(c1)) runPass("p1r", allNames, Double.MaxValue)
     def bestSoFar(name: String): (Double, Boolean) = {
       val recs = passes.flatMap(_._2.collect { case (`name`, r) => r })
       val good = recs.collect { case (t, true) => t }
       if (good.nonEmpty) (good.min, true)
       else (recs.map(_._1).headOption.getOrElse(0.0), false)
     }
+    // Taint re-runs are wall-budgeted like pass 2 (a contended box is
+    // often a SLOW box, and an unbudgeted full re-sweep could overrun
+    // the driver's window), and visit failed-then-slowest first so the
+    // budget rescues the rows contention hurt most.
+    val taintBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TAINT_BUDGET", "300").toDouble
+    def rescueOrder: Seq[String] = allNames
+      .sortBy { n => val (t, ok) = bestSoFar(n); (ok, -t) }
+    val c1 = runPass("p1", allNames, Double.MaxValue)
+    if (tainted(c1)) runPass("p1r", rescueOrder, taintBudget)
     // MIN-OF-2 (round-11 advice): a contended-box spike inflates a
     // single pass; re-running and taking the per-query MIN makes the
     // official artifact outlier-resistant. The second pass visits
@@ -167,10 +180,9 @@ object Bench {
     // seconds to the slowest rows), under a wall budget so the bench
     // always fits the driver's window even on a slow box.
     val p2Budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_P2_BUDGET", "240").toDouble
-    val order2 = allNames
-      .sortBy { n => val (t, ok) = bestSoFar(n); (ok, -t) }
+    val order2 = rescueOrder
     val c2 = runPass("p2", order2, p2Budget)
-    if (tainted(c2)) runPass("p2r", order2, p2Budget)
+    if (tainted(c2)) runPass("p2r", rescueOrder, math.min(p2Budget, taintBudget))
     // Per-query official time = min over SUCCESSFUL recordings across
     // every pass; a query with no successful recording keeps its
     // pass-1 wall time and is listed in "failed".

@@ -2148,16 +2148,17 @@ object TrainingQueries {
         "operating point")
   }
 
-  /** The ONE gated trained-PQ serve body behind s20 and s21 (train the
-    * residual codebook at iters=5, freeze, publish the coded tree,
-    * serve at shortlist=100/topK=5, count-gate against the exhaustive
-    * exact integer top-5) — parameterized over the knobs the two
-    * operating points differ in (k, nprobe, gate floor), so a fix to
-    * the gate arithmetic or the quantizer can never leave one of the
-    * twins stale (the ingestBody structural-not-hand-repeated rule). */
+  /** The ONE gated trained-PQ serve body behind s20, s21 and s22
+    * (train the residual codebook at iters=5, freeze, publish the
+    * coded tree, serve at shortlist=100/topK=5, count-gate against the
+    * exhaustive exact integer top-5) — parameterized over the knobs
+    * the operating points differ in (k, nprobe, gate floor, extra
+    * config columns), so a fix to the gate arithmetic or the quantizer
+    * can never leave one of the twins stale (the ingestBody
+    * structural-not-hand-repeated rule). */
   private def gatedPqServe(s: SparkSession, d: String, tag: String,
       idx: String, cen: String, k: Int, nprobe: Int, gatePermille: Int,
-      pointDesc: String): DataFrame = {
+      pointDesc: String, extraCols: Seq[(String, Long)] = Nil): DataFrame = {
     val base = tempDirCleanedOnExit(s"graft_$tag")
     val cbPath = base.resolve("codebook").toString
     val coded = base.resolve("coded").toString
@@ -2169,35 +2170,54 @@ object TrainingQueries {
       m = 8, k = k, frozen)
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 50)
+    // the served pair set is |queries|·topK = 250 rows — driver-tiny
     val served = graft.streaming.AnnStream.pqServeTopK(s, coded, cen,
         vectors = emb, queries = queries, "vec_id", "embedding",
         m = 8, k = k, nprobe = nprobe, shortlist = 100, topK = 5, frozen)
-      .select("query_id", "neighbor_id")
-    // the recall reference: exhaustive exact integer top-5 over the
-    // same quantization (brute force IS the oracle here — the gate
-    // measures the index against ground truth, so the reference must
-    // not itself be approximate)
-    def qz(df: DataFrame) = df.select(col("vec_id"),
-      transform(col("embedding").cast(ArrayType(DoubleType)),
-        x => floor(x * lit(1000000d)).cast(LongType)).as("q"))
-    val exact = Ann.integerTopK(
-      qz(emb).withColumn("k0", lit(0)),
-      qz(queries).select(col("vec_id").as("query_id"), col("q").as("qv"))
-        .withColumn("k0", lit(0)),
-      "vec_id", "k0", 5)
-      .select("query_id", "neighbor_id")
-    val row = exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(broadcast(exact
-        .join(served, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("n_hit"))))
-      .collect()(0)
-    val (nExact, nHit) = (row.getLong(0), row.getLong(1))
+      .select(col("query_id").cast(LongType),
+        col("neighbor_id").cast(LongType))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = sharedExactTop5(s, d)
+    val (nExact, nHit) = (exact.size.toLong,
+      served.count(exact.contains).toLong)
     require(nHit * 1000 >= nExact * gatePermille,
       s"$tag recall gate FAILED: hit $nHit of $nExact exact top-5 " +
         s"pairs (< $gatePermille permille) $pointDesc")
     import s.implicits._
-    Seq((nExact, nHit, true)).toDF("n_exact", "n_hit", "gate_ok")
+    extraCols.foldLeft(
+      Seq((nExact, nHit, true)).toDF("n_exact", "n_hit", "gate_ok")) {
+      case (df, (name, v)) => df.withColumn(name, lit(v))
+    }
   }
+
+  /** The recall reference behind every gated serve: the exhaustive
+    * EXACT integer top-5 pair set over the same quantized corpus and
+    * the same 50-query set (brute force IS the oracle here — the gate
+    * measures the index against ground truth, so the reference must
+    * not itself be approximate). Computed ONCE per fixture dir and
+    * shared by s20/s21/s22 (the [[sharedIvfIngest]] rationale — it is
+    * a pure function of the embeddings table, independent of every
+    * index configuration the gated queries vary), so the bench pays
+    * the exhaustive scan once instead of once per gated lifecycle
+    * (r16 verdict #5). Driver state: |queries|·5 = 250 id pairs. */
+  private val exactTop5Shared =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[(Long, Long)]]
+  private def sharedExactTop5(s: SparkSession, d: String): Set[(Long, Long)] =
+    exactTop5Shared.computeIfAbsent(d, _ => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      def qz(df: DataFrame) = df.select(col("vec_id"),
+        transform(col("embedding").cast(ArrayType(DoubleType)),
+          x => floor(x * lit(1000000d)).cast(LongType)).as("q"))
+      Ann.integerTopK(
+        qz(emb).withColumn("k0", lit(0)),
+        qz(emb.filter(col("vec_id") < 50))
+          .select(col("vec_id").as("query_id"), col("q").as("qv"))
+          .withColumn("k0", lit(0)),
+        "vec_id", "k0", 5)
+        .select(col("query_id").cast(LongType),
+          col("neighbor_id").cast(LongType))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    })
 
   /** The s20 oracle: the trained-serve CTEs at the TUNED knobs, the
     * served top-5 (`sv`), the exhaustive exact top-5 (`ex5`), and the

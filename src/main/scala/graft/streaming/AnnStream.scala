@@ -177,13 +177,19 @@ object AnnStream {
           .select(col(idCol))
       case Some(None) => emptyIds // empty batch: nothing can collide
       case Some(Some((mn, mx))) =>
-        val cands = DedupStream.footerCandidateParts(spark, indexPath,
+        DedupStream.footerCandidateParts(spark, indexPath,
           "batch_id=", idCol, _ < batchId)((bmn, bmx) =>
-          bmn <= mx && mn <= bmx)
-        if (cands.isEmpty) emptyIds
-        else spark.read.schema(schema).option("basePath", indexPath)
-          .parquet(cands.map(n => s"$indexPath/batch_id=$n"): _*)
-          .select(col(idCol))
+          bmn <= mx && mn <= bmx) match {
+          case None => // unparseable partition dir: unpruned guard
+            spark.read.schema(schema).parquet(indexPath)
+              .filter(col("batch_id") < batchId)
+              .select(col(idCol))
+          case Some(cands) if cands.isEmpty => emptyIds
+          case Some(cands) =>
+            spark.read.schema(schema).option("basePath", indexPath)
+              .parquet(cands.map(n => s"$indexPath/batch_id=$n"): _*)
+              .select(col(idCol))
+        }
     }
   }
 

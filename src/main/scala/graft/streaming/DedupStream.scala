@@ -218,14 +218,22 @@ object DedupStream {
     * the caller's semi-join stays the exact decision. */
   private[streaming] def statsCandidateParts(spark: SparkSession,
       treePath: String, prefix: String, ids: DataFrame,
-      idCol: String, idLimit: Int = 2000000): Option[Seq[Long]] = {
+      idCol: String, idLimit: Int = 100000): Option[Seq[Long]] = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     ids.schema(idCol).dataType match {
       case LongType | IntegerType => ()
       case _ => return None
     }
+    // the driver holds at most idLimit+1 UNBOXED longs (the Long
+    // encoder collects primitive arrays, never Row objects), and the
+    // default bound is requester-sized — erasure/re-crawl requests are
+    // human- or crawler-issued lists, not corpus slices (r16 advice:
+    // the prior 2M-Row bound could make this "metadata-only" path the
+    // largest driver allocation of a drain). Past the bound the caller
+    // runs the unpruned probe, exactly as for non-integral ids.
     val idArr = ids.select(col(idCol).cast(LongType)).na.drop()
-      .limit(idLimit + 1).collect().map(_.getLong(0))
+      .limit(idLimit + 1)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
     if (idArr.length > idLimit) return None // not requester-sized
     if (idArr.isEmpty) return Some(Nil)
     val sorted = idArr.distinct.sorted
@@ -237,8 +245,8 @@ object DedupStream {
       }
       lo < sorted.length && sorted(lo) <= mx
     }
-    Some(footerCandidateParts(spark, treePath, prefix, idCol,
-      _ => true)(anyIdIn))
+    footerCandidateParts(spark, treePath, prefix, idCol,
+      _ => true)(anyIdIn)
   }
 
   /** The footer walker behind [[statsCandidateParts]] and
@@ -247,11 +255,20 @@ object DedupStream {
     * `couldHit(min, max)` true — or whose bounds cannot be
     * established, which is always a candidate (stats only ever
     * over-approximate). Pool + per-dir short-circuit as documented on
-    * [[statsCandidateParts]]. */
+    * [[statsCandidateParts]].
+    *
+    * Returns None when any `<prefix>` directory's partition value does
+    * not parse as a long (e.g. `batch_id=__HIVE_DEFAULT_PARTITION__`
+    * from a null id) — such a dir can be neither pruned nor named in
+    * the candidate list (candidates are read back by `<prefix><N>`
+    * path), so the caller falls back to the unpruned probe, the same
+    * "stats only ever over-approximate" rule at tree granularity
+    * (r16 advice: the parse previously threw, turning a tolerated
+    * tree shape into a crash before the fallback could apply). */
   private[streaming] def footerCandidateParts(spark: SparkSession,
       treePath: String, prefix: String, idCol: String,
       partFilter: Long => Boolean)
-      (couldHit: (Long, Long) => Boolean): Seq[Long] = {
+      (couldHit: (Long, Long) => Boolean): Option[Seq[Long]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val hPath = new org.apache.hadoop.fs.Path(treePath)
     val fs = hPath.getFileSystem(conf)
@@ -307,19 +324,22 @@ object DedupStream {
           case Some((mn, mx)) => mn <= mx && couldHit(mn, mx)
         }
       }
-    val parts = fs.listStatus(hPath).toSeq
+    val parsed = fs.listStatus(hPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(s => (s.getPath.getName.stripPrefix(prefix).toLong, s.getPath))
+      .map(s => (scala.util.Try(
+        s.getPath.getName.stripPrefix(prefix).toLong), s.getPath))
+    if (parsed.exists(_._1.isFailure)) return None // unparseable dir
+    val parts = parsed.map { case (n, p) => (n.get, p) }
       .filter(p => partFilter(p._1))
-    if (parts.isEmpty) return Nil
+    if (parts.isEmpty) return Some(Nil)
     import scala.jdk.CollectionConverters._
     val tasks = parts.map { case (n, dir) =>
       new java.util.concurrent.Callable[Option[Long]] {
         def call() = if (dirIsCandidate(dir)) Some(n) else None
       }
     }
-    footerPool.invokeAll(tasks.asJava).asScala.toSeq
-      .flatMap(_.get()).sorted
+    Some(footerPool.invokeAll(tasks.asJava).asScala.toSeq
+      .flatMap(_.get()).sorted)
   }
 
   /** Shared daemon pool for footer walks: the ingest guard runs one

@@ -749,10 +749,21 @@ class AnnStreamSpec extends SparkSpec {
     // a hull beyond both ranges: the guard's candidate set is EMPTY —
     // the metadata-only case monotone arrival ids hit every batch
     assert(DedupStream.footerCandidateParts(spark, idx, "batch_id=",
-      "vec_id", _ < 2L)((mn, mx) => mn <= 250L && 210L <= mx).isEmpty)
+      "vec_id", _ < 2L)((mn, mx) => mn <= 250L && 210L <= mx)
+      .contains(Nil))
     // a hull overlapping only batch 1's range prunes batch 0
     assert(DedupStream.footerCandidateParts(spark, idx, "batch_id=",
-      "vec_id", _ < 2L)((mn, mx) => mn <= 150L && 110L <= mx) == Seq(1L))
+      "vec_id", _ < 2L)((mn, mx) => mn <= 150L && 110L <= mx)
+      .contains(Seq(1L)))
+    // an unparseable partition dir (a null id's
+    // batch_id=__HIVE_DEFAULT_PARTITION__) cannot be pruned OR named
+    // as an explicit candidate path — the walker returns None and the
+    // caller runs the unpruned probe instead of crashing (r16 advice)
+    val weird = new java.io.File(idx, "batch_id=__HIVE_DEFAULT_PARTITION__")
+    assert(weird.mkdirs())
+    try assert(DedupStream.footerCandidateParts(spark, idx, "batch_id=",
+      "vec_id", _ < 2L)((mn, mx) => mn <= 150L && 110L <= mx).isEmpty)
+    finally weird.delete()
     // correctness through the pruned guard: a batch RE-SENDING every
     // committed id plus 20 fresh ones indexes exactly the fresh ones
     AnnStream.processIvfBatch(e.filter($"vec_id" < 220), 2L, idx, cen,
