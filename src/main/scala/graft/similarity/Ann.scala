@@ -328,6 +328,17 @@ object Ann {
     quantizeVec(df, idCol, vecCol)
       .withColumn("cell", portableCellOf(col("q"), cents))
 
+  /** [[portableAssignWithCentroids]] for rows that are ALREADY
+    * quantized (the stored-index row shape — `qCol` holds the
+    * `floor(x·10⁶)` longs): argmin-assign without re-quantizing.
+    * Quantization is idempotent only in spirit, not in arithmetic
+    * (the stored longs would be re-scaled), so re-assignment of a
+    * persisted index — capacity migration's re-shard — must enter
+    * here. Output column is `cell`, overwriting any existing one. */
+  def portableAssignQuantized(df: DataFrame, qCol: String,
+      cents: Seq[Array[Long]]): DataFrame =
+    df.withColumn("cell", portableCellOf(col(qCol), cents))
+
   /** The trained centroids behind [[portableKmeansAssign]] (exposed so
     * composed indexes — IVF-PQ — can share one coarse model): k
     * md5-seeded integer vectors refined by `iters` exact-integer
@@ -335,10 +346,23 @@ object Ann {
     * the corpus. */
   def portableKmeansCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, iters: Int,
+      salt: String = "pkmeans"): Seq[Array[Long]] =
+    portableKmeansCentroidsQuantized(
+      quantizeVec(corpus, idCol, vecCol), idCol, "q", dim, k, iters, salt)
+
+  /** [[portableKmeansCentroids]] over ALREADY-quantized vectors — the
+    * trainer capacity migration runs against the persisted raw index
+    * tree, whose `q` longs are the same bits the float path would
+    * produce (quantization is a pure function), so a retrain from the
+    * store is bit-identical to a retrain from the source embeddings:
+    * seeds by the same salted md5 order, exact integer Lloyd's with
+    * floorDiv means, frozen thereafter. */
+  def portableKmeansCentroidsQuantized(corpus: DataFrame, idCol: String,
+      qCol: String, dim: Int, k: Int, iters: Int,
       salt: String = "pkmeans"): Seq[Array[Long]] = {
     require(k > 0 && iters >= 0 && dim > 0, "k, dim positive; iters >= 0")
     import graft.corpus.Selection
-    val q = quantizeVec(corpus, idCol, vecCol)
+    val q = corpus.select(col(idCol), col(qCol).as("q"))
     val seeds = q
       .orderBy(Selection.hashValue(Selection.saltedKey(col(idCol), salt)),
         col(idCol))

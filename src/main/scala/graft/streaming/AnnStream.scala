@@ -70,34 +70,253 @@ object AnnStream {
       .toSeq
   }
 
+  /** Is a complete centroid model committed at `path`? (Repairs a
+    * crashed swap first; a dir with zero data files — debris of a
+    * crashed first write — does not count.) */
+  private def centroidsExist(spark: SparkSession, path: String): Boolean = {
+    graft.operators.Sinks.recoverSwap(spark, path)
+    val h = new org.apache.hadoop.fs.Path(path)
+    val fs = h.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(h) && DedupStream.hasParquetFiles(fs, h)
+  }
+
+  /** CAPACITY MIGRATION — the growth half of the capacity rule
+    * ([[Ann.ivfCapacityForCorpus]]; s21 is the bootstrap half): when
+    * the committed corpus has outgrown the frozen model's cell count,
+    * RETRAIN the coarse quantizer at the rule's new point and RE-SHARD
+    * the raw tree under it, without stopping the stream. Without this
+    * op a long-running [[ivfIngest]] freezes cells at batch 0 forever,
+    * and a stream that grows 100× serves from a model the rule itself
+    * rejects — exactly the recall decay s20 documents (0.532 → 0.380
+    * over a 4× corpus), reintroduced through the lifecycle.
+    *
+    * TRIGGER (metadata-only when it declines): committed n comes from
+    * parquet FOOTER row counts ([[DedupStream.footerRowCount]] — the
+    * zero-staleness stats sidecar, pooled walk, no column data); the
+    * rule fires only when its cells EXCEED the live model's (the rule
+    * is monotone in n, so under append-mostly ingest this is a
+    * boundary crossing; it never shrinks a model — retires reducing n
+    * leave a roomier model, which costs read amplification, not
+    * recall). Expect O(log N) firings over a corpus's life.
+    *
+    * WORK (O(corpus), inherent — a re-shard rewrites every row's cell):
+    * one retrain over the committed quantized rows
+    * ([[Ann.portableKmeansCentroidsQuantized]] — the stored `q` longs
+    * ARE the quantization, so retraining from the store is
+    * bit-identical to retraining from the source embeddings: seeds by
+    * the same salted order over the committed ids, exact integer
+    * Lloyd's), then one shuffle by (batch_id, cell) that rewrites the
+    * tree PRESERVING the per-batch layout — so every downstream
+    * contract survives unchanged: replay discipline, compaction,
+    * retirement, the footer-bounded ingest guard, and the batch-0
+    * training slice [[trainPqCodebook]] needs.
+    *
+    * SERVING TREES ARE INVALIDATED, not patched: `servingTrees` (the
+    * published and/or PQ-coded layouts, plus a stored codebook path if
+    * any) are DELETED with their sidecars in the same commit — their
+    * cell geometry is meaningless under the new model, and a re-point
+    * is a full republish + codebook retrain (batch-0 residuals changed
+    * with the centroids), which the caller's maintenance cadence runs
+    * next (the s22 lifecycle). Serves against the raw tree pick up the
+    * new model atomically; serves against a deleted published tree
+    * fail LOUDLY (path does not exist) rather than silently answering
+    * from stale geometry.
+    *
+    * CRASH SAFETY (staged commit, the compactIndex/retireIds shape):
+    * the new tree stages under `<indexPath>_mnext`, the new model
+    * under `<indexPath>_mcen`; the `<indexPath>_mcommit` marker —
+    * written atomically via tmp+rename, carrying the centroids path
+    * and the serving-tree list — is the commit point; then
+    * [[promoteMigration]] swaps tree, model, drops serving trees, and
+    * clears the marker last. [[repairMigration]] (run on entry here
+    * AND by every raw-tree entry point) rolls an interrupted migration
+    * forward (marker present: the staging is complete) or back (no
+    * marker: the live tree and model are untouched). The one
+    * non-atomic window — tree promoted, model not yet — is closed by
+    * the marker: every reader that could pair them repairs first.
+    *
+    * CONCURRENCY: single-maintainer, like every tree op — run from the
+    * stream's own cadence (between micro-batches, where
+    * [[ivfIngest]]'s `autoCapacity` calls it) or a quiesced window;
+    * never concurrently with a batch, a publish, or a retire.
+    *
+    * Returns the new capacity when a migration committed, None when
+    * the model is absent (no batch 0 yet), the tree is empty, or the
+    * rule is already satisfied. */
+  def migrateCapacityIfNeeded(spark: SparkSession, indexPath: String,
+      centroidsPath: String, idCol: String = "vec_id", dim: Int = 64,
+      iters: Int = 2, salt: String = "pkmeans",
+      servingTrees: Seq[String] = Nil): Option[Ann.IvfCapacity] = {
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairMigration(spark, indexPath)
+    DedupStream.repairIndexTree(spark, indexPath)
+    graft.operators.Sinks.recoverSwap(spark, indexPath)
+    if (!centroidsExist(spark, centroidsPath)) return None // no model yet
+    if (!fs.exists(hPath) || !DedupStream.hasParquetFiles(fs, hPath))
+      return None // nothing committed (or fully retired)
+    val cur = readCentroids(spark, centroidsPath).length
+    val n = DedupStream.footerRowCount(spark, indexPath, "batch_id=")
+    val cap = Ann.ivfCapacityForCorpus(n)
+    if (cap.cells <= cur) return None // rule satisfied; never shrink
+    val raw = spark.read.parquet(indexPath).cache()
+    try {
+      val cents = Ann.portableKmeansCentroidsQuantized(raw, idCol, "q",
+        dim, cap.cells, iters, salt)
+      // stage the new model beside the tree (keyed off indexPath so
+      // repair needs no second path) and the re-sharded tree itself
+      import spark.implicits._
+      val mcen = new org.apache.hadoop.fs.Path(indexPath + "_mcen")
+      if (fs.exists(mcen) && !fs.delete(mcen, true))
+        throw new java.io.IOException(s"migrate: cannot clear $mcen")
+      cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+        .toDF("cell", "c").coalesce(1)
+        .write.parquet(mcen.toString)
+      Ann.portableAssignQuantized(raw.drop("cell"), "q", cents)
+        .select(col(idCol), col("q"), col("cell"), col("batch_id"))
+        .repartition(col("batch_id"), col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch_id", "cell")
+        .parquet(indexPath + "_mnext")
+      // the commit marker, atomically (tmp + rename): its existence is
+      // the one bit separating roll-back from roll-forward, and its
+      // CONTENT is what lets a repair driven from indexPath alone
+      // finish the model swap and the serving-tree invalidation
+      val tmp = new org.apache.hadoop.fs.Path(indexPath + "_mcommit.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((centroidsPath +: servingTrees).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val marker = new org.apache.hadoop.fs.Path(indexPath + "_mcommit")
+      if (!fs.rename(tmp, marker))
+        throw new java.io.IOException(s"migrate: cannot commit $marker")
+      promoteMigration(fs, indexPath)
+      Some(cap)
+    } finally raw.unpersist()
+  }
+
+  /** The commit half of [[migrateCapacityIfNeeded]] — also
+    * [[repairMigration]]'s roll-forward. Idempotent mid-crash: each
+    * step checks what still exists (a staged dir already promoted is
+    * gone, so a replay skips it), serving-tree deletion re-runs
+    * harmlessly, and the marker drops last. */
+  private def promoteMigration(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(indexPath + "_mcommit")
+    val lines = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val cenPath = lines.head
+    val serving = lines.tail.filter(_.nonEmpty)
+    val live = new org.apache.hadoop.fs.Path(indexPath)
+    val mnext = new org.apache.hadoop.fs.Path(indexPath + "_mnext")
+    val mold = new org.apache.hadoop.fs.Path(indexPath + "_mold")
+    val mcen = new org.apache.hadoop.fs.Path(indexPath + "_mcen")
+    if (fs.exists(mnext)) {
+      // _mold here can only be the superseded old tree of THIS
+      // migration (a crash between set-aside and promote) — the staged
+      // tree is the complete new state either way
+      if (fs.exists(mold) && !fs.delete(mold, true))
+        throw new java.io.IOException(s"migrate: cannot clear $mold")
+      if (fs.exists(live) && !fs.rename(live, mold))
+        throw new java.io.IOException(s"migrate: cannot set aside $live")
+      if (!fs.rename(mnext, live))
+        throw new java.io.IOException(s"migrate: cannot promote $mnext")
+    }
+    if (fs.exists(mcen)) {
+      val cen = new org.apache.hadoop.fs.Path(cenPath)
+      if (fs.exists(cen) && !fs.delete(cen, true))
+        throw new java.io.IOException(s"migrate: cannot clear $cen")
+      if (!fs.rename(mcen, cen))
+        throw new java.io.IOException(s"migrate: cannot promote $mcen")
+    }
+    // published/coded layouts (and a stored codebook) are geometry
+    // under the OLD model — delete with their sidecars; the caller's
+    // maintenance cadence republishes under the new one
+    serving.foreach { t =>
+      Seq(t, t + "_pubmeta", t + "_dnext", t + "_dold", t + "_next",
+        t + "_old", t + "_pubmeta_next", t + "_pubmeta_old").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp) && !fs.delete(hp, true))
+          throw new java.io.IOException(s"migrate: cannot invalidate $hp")
+      }
+    }
+    if (!fs.delete(marker, false))
+      throw new java.io.IOException(s"migrate: cannot clear $marker")
+    fs.delete(mold, true) // best-effort; repair clears completed debris
+  }
+
+  /** Repair an interrupted [[migrateCapacityIfNeeded]]: the
+    * `_mcommit` marker present means the staging was COMPLETE — roll
+    * forward ([[promoteMigration]] is replay-idempotent). No marker:
+    * any `_mnext`/`_mcen` staging is a pre-commit crash (live tree and
+    * model untouched — roll back by dropping it), `_mold` is
+    * completed-migration debris, and a leftover `_mcommit.tmp` never
+    * committed. One existence check when no migration ever ran;
+    * every raw-tree entry point runs this (the repairIndexTree
+    * every-load rule) so no reader can pair a promoted tree with the
+    * not-yet-promoted model. */
+  private[streaming] def repairMigration(spark: SparkSession,
+      indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(indexPath + "_mcommit"))) {
+      promoteMigration(fs, indexPath); return
+    }
+    Seq("_mcommit.tmp", "_mnext", "_mcen", "_mold").foreach { sfx =>
+      val p = new org.apache.hadoop.fs.Path(indexPath + sfx)
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new java.io.IOException(s"migrate repair: cannot clear $p")
+    }
+  }
+
   /** One micro-batch of the IVF index ingest — exposed for direct
     * (batch-mode) use and testing. Batch 0 trains and freezes the
     * coarse quantizer; every batch assigns its vectors under the
     * frozen centroids and writes `(idCol, q, cell)` rows to
     * `indexPath/batch_id=N/cell=M/`, cell-partitioned for serve-time
-    * directory pruning. */
+    * directory pruning. `autoCells = true` sizes the batch-0 model by
+    * the capacity rule ([[Ann.ivfCapacityForCorpus]] of the batch's
+    * distinct-id count) instead of the `cells` parameter — the
+    * bootstrap half of capacity-managed ingest
+    * ([[migrateCapacityIfNeeded]] is the growth half). */
   def processIvfBatch(batchIn: DataFrame, batchId: Long, indexPath: String,
       centroidsPath: String, idCol: String, vecCol: String, dim: Int,
-      cells: Int, iters: Int, salt: String = "pkmeans"): Unit = {
+      cells: Int, iters: Int, salt: String = "pkmeans",
+      autoCells: Boolean = false): Unit = {
     // the batch backs several full passes (the guard's hull aggregate,
     // dropDuplicates + anti-join, the assignment write; batch 0 adds
     // the Lloyd's iterations) — pin it so they read one materialization
     // instead of re-reading the source files per pass (r16 review)
     val batch = batchIn.cache()
     try processIvfBatchPinned(batch, batchId, indexPath, centroidsPath,
-      idCol, vecCol, dim, cells, iters, salt)
+      idCol, vecCol, dim, cells, iters, salt, autoCells)
     finally batch.unpersist()
   }
 
   private def processIvfBatchPinned(batch: DataFrame, batchId: Long,
       indexPath: String, centroidsPath: String, idCol: String,
       vecCol: String, dim: Int, cells: Int, iters: Int,
-      salt: String): Unit = {
+      salt: String, autoCells: Boolean): Unit = {
     val spark = batch.sparkSession
+    // batch 0 trains ONLY when no model is committed yet: a replay of
+    // batch 0 with the model present reads it instead of retraining.
+    // Behavior-identical to the always-retrain original when nothing
+    // intervened (the retrain is deterministic — the overwrite would
+    // be bit-identical), and REQUIRED once capacity migration exists:
+    // a batch-0 replay after a migration (crash between the migrated
+    // commit and the stream's checkpoint write) must not clobber the
+    // migrated model with a batch-0-sized retrain.
     val cents =
-      if (batchId == 0L) {
+      if (batchId == 0L && !centroidsExist(spark, centroidsPath)) {
+        val k =
+          if (autoCells)
+            Ann.ivfCapacityForCorpus(batch.dropDuplicates(idCol).count())
+              .cells
+          else cells
         val c = Ann.portableKmeansCentroids(batch, idCol, vecCol, dim,
-          cells, iters, salt)
+          k, iters, salt)
         writeCentroids(spark, c, centroidsPath)
         c
       } else readCentroids(spark, centroidsPath)
@@ -149,6 +368,7 @@ object AnnStream {
     // crashed mid-promote leaves the tree missing batch partitions
     // until rolled forward — read without repairing and the re-sent-id
     // guard misses ids, double-indexing them
+    repairMigration(spark, indexPath)
     DedupStream.repairIndexTree(spark, indexPath)
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -224,7 +444,13 @@ object AnnStream {
     * with its nprobe): recall decays when the corpus grows under a
     * fixed model (measured 0.532 → 0.380 over a 4× corpus at the
     * fixed default; the scaled rule holds 0.47–0.53 across the same
-    * range — CAPACITY_r16.json, gated by s21).
+    * range — CAPACITY_r16.json, gated by s21). `autoCapacity = true`
+    * makes the stream capacity-MANAGED end to end: batch 0 sizes the
+    * model by the rule, and after every batch the rule re-fires —
+    * when the committed corpus crosses the next capacity boundary the
+    * quantizer retrains and the tree re-shards in place
+    * ([[migrateCapacityIfNeeded]]), invalidating the `retireServing`
+    * trees for republish. Gated by s22 at a mid-ingest crossing.
     * `retireQueue = Some(dir)` drains pending retire-request files
     * from `dir` before each batch ([[drainRetireQueue]]): ids retire
     * from the RAW tree (cell sub-layout preserved) and from every
@@ -251,7 +477,8 @@ object AnnStream {
       dim: Int = 64, cells: Int = 8, iters: Int = 2,
       salt: String = "pkmeans", maxFilesPerTrigger: Int = 1,
       retireQueue: Option[String] = None,
-      retireServing: Seq[String] = Nil): StreamingQuery =
+      retireServing: Seq[String] = Nil,
+      autoCapacity: Boolean = false): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(vecsDir)
@@ -261,7 +488,18 @@ object AnnStream {
         (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Seq("cell")),
           retireServing, idCol)) { (batch, batchId) =>
         processIvfBatch(batch, batchId, indexPath, centroidsPath,
-          idCol, vecCol, dim, cells, iters, salt)
+          idCol, vecCol, dim, cells, iters, salt,
+          autoCells = autoCapacity)
+        // capacity-managed ingest: after the batch commits, re-fire
+        // the rule — between micro-batches is the quiesced maintenance
+        // slot every tree op uses, so the migration's single-maintainer
+        // contract holds by construction. The serving trees the stream
+        // itself maintains (retireServing) are invalidated in the same
+        // commit; external published layouts must be listed there or
+        // republished by the operator after a migration.
+        if (autoCapacity)
+          migrateCapacityIfNeeded(batch.sparkSession, indexPath,
+            centroidsPath, idCol, dim, iters, salt, retireServing)
       })
       .start()
 
@@ -297,6 +535,7 @@ object AnnStream {
     // mid-promote compaction/retire crash leaves batch partitions
     // missing, and a publish reading that state would fold (and
     // watermark past) rows it never saw
+    repairMigration(spark, indexPath)
     DedupStream.repairIndexTree(spark, indexPath)
     graft.operators.Sinks.recoverSwap(spark, servingPath)
     val ids = listBatchIds(spark, indexPath)
@@ -384,6 +623,7 @@ object AnnStream {
   def publishIndexDelta(spark: SparkSession, indexPath: String,
       servingPath: String, idCol: String = "vec_id",
       upToBatch: Option[Long] = None): Unit = {
+    repairMigration(spark, indexPath)
     DedupStream.repairIndexTree(spark, indexPath) // the publishIndex rule
     val hServing = new org.apache.hadoop.fs.Path(servingPath)
     val fs = hServing.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -608,6 +848,7 @@ object AnnStream {
     // set aside but before promotion would otherwise serve a tree
     // silently missing whole non-retired cells until the next
     // maintenance op. Each repair is one existence check when clean.
+    repairMigration(spark, indexPath)
     DedupStream.repairIndexTree(spark, indexPath)
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -654,6 +895,7 @@ object AnnStream {
   def trainPqCodebook(spark: SparkSession, indexPath: String,
       centroidsPath: String, m: Int, k: Int, iters: Int = 5,
       salt: String = "pqres"): Seq[Seq[Seq[Long]]] = {
+    repairMigration(spark, indexPath)
     DedupStream.repairIndexTree(spark, indexPath) // every-load repair
     // the training slice is the batch-0 PARTITION, read through
     // partition pruning (`batch_id = 0` on the discovered partition
@@ -746,6 +988,7 @@ object AnnStream {
   private def publishPqIndexWith(spark: SparkSession, indexPath: String,
       centroidsPath: String, codedPath: String, idCol: String,
       m: Int, k: Int, cbOpt: Option[Seq[Seq[Seq[Long]]]]): Unit = {
+    repairMigration(spark, indexPath)
     DedupStream.repairIndexTree(spark, indexPath) // every-load repair
     // a fully-retired raw tree keeps its batch_id= dirs but holds zero
     // data files — schema inference would throw, and the correct

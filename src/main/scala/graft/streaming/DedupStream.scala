@@ -342,6 +342,47 @@ object DedupStream {
       .flatMap(_.get()).sorted)
   }
 
+  /** Total committed row count of a partitioned tree from parquet
+    * FOOTER metadata alone — the capacity-migration trigger's input
+    * ([[AnnStream.migrateCapacityIfNeeded]] needs the committed corpus
+    * size after every batch, and a `count()` job would scan a column
+    * of the whole index per micro-batch). Footers carry exact row
+    * counts with the same zero-staleness property as their min/max
+    * stats (they travel with the data files), and the pooled walk is
+    * the same near-flat metadata cost the retire probe measured
+    * (INGEST_PROBE_r16: 0.46 s at 60 dirs → 0.92 s at 600). Counts
+    * only `<prefix>` partition directories, so maintenance staging
+    * debris beside them never counts. */
+  private[streaming] def footerRowCount(spark: SparkSession,
+      treePath: String, prefix: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(treePath)
+    val fs = hPath.getFileSystem(conf)
+    if (!fs.exists(hPath)) return 0L
+    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) files(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+        else Nil
+      }
+    val parts = fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+    if (parts.isEmpty) return 0L
+    import scala.jdk.CollectionConverters._
+    val tasks = parts.map { dir =>
+      new java.util.concurrent.Callable[Long] {
+        def call(): Long = files(dir).map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      }
+    }
+    footerPool.invokeAll(tasks.asJava).asScala.map(_.get()).sum
+  }
+
   /** Shared daemon pool for footer walks: the ingest guard runs one
     * walk per micro-batch and a queue drain one per tree — allocating
     * and tearing down a 32-thread pool per call would be continuous

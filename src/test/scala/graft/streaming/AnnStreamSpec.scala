@@ -774,6 +774,175 @@ class AnnStreamSpec extends SparkSpec {
     assert(ids.toSet == (0L until 220L).toSet)
   }
 
+  /** Deterministic synthetic embedding corpus large enough to cross
+    * the capacity rule's 8→16 boundary mid-ingest (the fixture table
+    * at this SF holds 500 rows — below the rule's floor forever). */
+  private def synthVecs(n: Int) =
+    spark.range(n.toLong).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(xxhash64(concat_ws(":", $"id", j)), lit(2000)) - lit(1000))
+          .cast("double") / 500.0).cast("float")).as("embedding"))
+
+  test("capacity migration: a mid-ingest boundary crossing retrains and re-shards; equals the one-shot twin") {
+    val e = synthVecs(2000).cache()
+    val idx = tmp("asmg_idx") + "/index"
+    val cen = tmp("asmg_cen") + "/centroids"
+    // 4 arrival slices of 500: committed 500 → 8 cells, 1000 → 8,
+    // 1500 → 16 (the crossing), 2000 → 16
+    (0 until 4).foreach { i =>
+      AnnStream.processIvfBatch(e.filter(pmod($"vec_id", lit(4)) === i),
+        i.toLong, idx, cen, "vec_id", "embedding", dim = 64, cells = 8,
+        iters = 2, autoCells = true)
+      val mig = AnnStream.migrateCapacityIfNeeded(spark, idx, cen,
+        "vec_id", dim = 64, iters = 2)
+      if (i == 2) assert(mig.contains(Ann.IvfCapacity(16, 4)),
+        s"expected the 8→16 crossing after batch 2, got $mig")
+      else assert(mig.isEmpty, s"spurious migration after batch $i: $mig")
+    }
+    // the migrated model equals a retrain on the committed prefix at
+    // the crossing (slices 0..2) at the rule's cells — and batch 3,
+    // arriving after, assigned under the migrated frozen model
+    val cents = Ann.portableKmeansCentroids(
+      e.filter(pmod($"vec_id", lit(4)) <= 2), "vec_id", "embedding",
+      dim = 64, k = 16, iters = 2)
+    assert(AnnStream.readCentroids(spark, cen).map(_.toSeq)
+      == cents.map(_.toSeq))
+    val expected = Ann
+      .portableAssignWithCentroids(e, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val stored = spark.read.parquet(idx)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(stored == expected, "re-shard diverged from the one-shot twin")
+    // the per-batch layout survived the re-shard (replay discipline,
+    // compaction, retirement and the PQ training slice all hang on it)
+    val dirs = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until 4).map(n => s"batch_id=$n"))
+    // the re-sent-id guard still dedupes against the re-sharded tree
+    // (footer stats refreshed by construction — they travel with files)
+    AnnStream.processIvfBatch(e.filter($"vec_id" < 100), 4L, idx, cen,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val ids = spark.read.parquet(idx).select("vec_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length, "re-sent ids duplicated")
+    // serve from the migrated tree matches the twin's cell restriction
+    val queries = e.filter($"vec_id" < 5)
+    val served = AnnStream.ivfServeTopK(spark, idx, cen, queries,
+      "vec_id", "embedding", topK = 3, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val twinIdx = Ann.portableAssignWithCentroids(e, "vec_id",
+      "embedding", cents)
+    val twinQ = Ann.portableQueryCells(queries, "vec_id", "embedding",
+      cents, nprobe = 2)
+    val twin = Ann.integerTopK(twinIdx, twinQ, "vec_id", "cell", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == twin)
+  }
+
+  test("capacity migration: no-op below the boundary, never shrinks, invalidates serving trees") {
+    val small = emb.cache() // 500 rows — the rule's floor
+    val idx = tmp("asmn_idx") + "/index"
+    val cen = tmp("asmn_cen") + "/centroids"
+    AnnStream.processIvfBatch(small, 0L, idx, cen, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2)
+    assert(AnnStream.migrateCapacityIfNeeded(spark, idx, cen,
+      "vec_id", dim = 64, iters = 2).isEmpty)
+    // never shrink: a 16-cell model over 500 rows stays (roomier costs
+    // read amplification, not recall — and thrash-free under retires)
+    val idx2 = tmp("asmn_idx2") + "/index"
+    val cen2 = tmp("asmn_cen2") + "/centroids"
+    AnnStream.processIvfBatch(small, 0L, idx2, cen2, "vec_id",
+      "embedding", dim = 64, cells = 16, iters = 2)
+    assert(AnnStream.migrateCapacityIfNeeded(spark, idx2, cen2,
+      "vec_id", dim = 64, iters = 2).isEmpty)
+    assert(AnnStream.readCentroids(spark, cen2).length == 16)
+    // a REAL migration deletes the published + coded layouts (their
+    // cell geometry is the old model's) and the next publish re-points
+    val e = synthVecs(1500).cache()
+    val idx3 = tmp("asmn_idx3") + "/index"
+    val cen3 = tmp("asmn_cen3") + "/centroids"
+    val pub = tmp("asmn_pub") + "/serving"
+    val coded = tmp("asmn_pq") + "/coded"
+    AnnStream.processIvfBatch(e.filter($"vec_id" < 1000), 0L, idx3, cen3,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    AnnStream.publishIndex(spark, idx3, pub)
+    AnnStream.publishPqIndex(spark, idx3, cen3, coded, "vec_id",
+      m = 8, k = 8)
+    AnnStream.processIvfBatch(e.filter($"vec_id" >= 1000), 1L, idx3, cen3,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2)
+    val mig = AnnStream.migrateCapacityIfNeeded(spark, idx3, cen3,
+      "vec_id", dim = 64, iters = 2, servingTrees = Seq(pub, coded))
+    assert(mig.contains(Ann.IvfCapacity(16, 4)))
+    assert(!new java.io.File(pub).exists(), "stale published tree kept")
+    assert(!new java.io.File(coded).exists(), "stale coded tree kept")
+    assert(!new java.io.File(pub + "_pubmeta").exists(),
+      "stale publish watermark kept")
+    // the maintenance cadence republises under the new model and
+    // serves from the re-pointed tree
+    AnnStream.publishIndex(spark, idx3, pub)
+    val q5 = e.filter($"vec_id" < 5)
+    assert(AnnStream.ivfServeTopK(spark, pub, cen3, q5, "vec_id",
+      "embedding", topK = 3, nprobe = 2).count() == 15)
+  }
+
+  test("capacity migration: crash repair rolls staging back and a committed marker forward") {
+    val e = synthVecs(1500).cache()
+    val idx = tmp("asmc_idx") + "/index"
+    val cen = tmp("asmc_cen") + "/centroids"
+    AnnStream.processIvfBatch(e, 0L, idx, cen, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2)
+    val before = spark.read.parquet(idx)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    // pre-commit crash: staging exists, NO marker — roll back (live
+    // tree and model untouched)
+    val mnext = new java.io.File(idx + "_mnext")
+    val mcen = new java.io.File(idx + "_mcen")
+    assert(mnext.mkdirs() && mcen.mkdirs())
+    AnnStream.migrateCapacityIfNeeded(spark, idx, cen, "vec_id",
+      dim = 64, iters = 2) // entry repair rolls the debris back...
+    assert(!mnext.exists() && !mcen.exists())
+    // ...and then COMMITS the real migration this corpus needs (1500
+    // rows under an 8-cell model): verify the post state, then rebuild
+    // the PRE state to exercise the roll-FORWARD path below
+    assert(AnnStream.readCentroids(spark, cen).length == 16)
+    // roll-forward: fabricate the exact staged state the real
+    // migration commits — staged model + staged re-shard + marker —
+    // and let a SERVE's entry repair finish it
+    val idx2 = tmp("asmc_idx2") + "/index"
+    val cen2 = tmp("asmc_cen2") + "/centroids"
+    AnnStream.processIvfBatch(e, 0L, idx2, cen2, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2)
+    val cents16 = Ann.portableKmeansCentroids(e, "vec_id", "embedding",
+      dim = 64, k = 16, iters = 2)
+    cents16.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+      .toDF("cell", "c").coalesce(1).write.parquet(idx2 + "_mcen")
+    Ann.portableAssignWithCentroids(e, "vec_id", "embedding", cents16)
+      .withColumn("batch_id", lit(0L))
+      .repartition($"batch_id", $"cell")
+      .write.partitionBy("batch_id", "cell").parquet(idx2 + "_mnext")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idx2 + "_mcommit"), cen2)
+    // any raw-tree entry point repairs: the serve must pair the
+    // promoted tree with the promoted model (never mix old/new)
+    val served = AnnStream.ivfServeTopK(spark, idx2, cen2,
+      e.filter($"vec_id" < 5), "vec_id", "embedding", topK = 3)
+    assert(served.count() == 15)
+    assert(AnnStream.readCentroids(spark, cen2).map(_.toSeq)
+      == cents16.map(_.toSeq))
+    assert(!new java.io.File(idx2 + "_mcommit").exists())
+    assert(!new java.io.File(idx2 + "_mnext").exists())
+    val stored = spark.read.parquet(idx2)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val expected = Ann
+      .portableAssignWithCentroids(e, "vec_id", "embedding", cents16)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    assert(stored == expected && stored != before)
+  }
+
   test("property: queue drains, raw compactions and delta publishes interleave safely") {
     // The documented safe window for maintenance is "between
     // micro-batches, from the stream's own cadence"; the r15 property
