@@ -60,6 +60,46 @@ object Ann {
     IvfCapacity(cells, math.max(2, cells / 4))
   }
 
+  /** The COMMITTED probed-fraction → recall@5 curve behind
+    * [[nprobeForRecall]]: measured points from the capacity sweep
+    * (CAPACITY_r16.json, sf0.1 — the largest driver corpus — at the
+    * rule's cells, k=16, iters=5, shortlist=100, the exact lifecycle
+    * s21/s22 gate). The smaller SFs measured HIGHER recall at the same
+    * fractions (0.500/0.532 vs 0.468 at the 1/4 point), so this curve
+    * is the conservative end of the committed evidence. Probing the
+    * full cell set is the exact-within-IVF ceiling only for the raw
+    * serve; through the PQ path coding loss keeps recall below 1, so
+    * the curve ends at its largest MEASURED point rather than
+    * extrapolating. */
+  private val recallByProbedFraction: Seq[(Double, Double)] = Seq(
+    0.125 -> 0.312, // nprobe = cells/8  (CAPACITY_r16 sf0.1, 16/2)
+    0.25 -> 0.468,  // nprobe = cells/4  — the rule's default point
+    0.5 -> 0.588)   // nprobe = cells/2  (16/8)
+
+  /** RECALL-TARGET serving point (round-16 verdict #3): the capacity
+    * sweep prices the (cells, nprobe) → recall surface, but a caller
+    * wanting "recall ≥ 0.55" should not have to read the JSON — this
+    * derives the cheapest committed operating point for a target:
+    * cells from [[ivfCapacityForCorpus]] (capacity is set by the
+    * corpus, not the target), nprobe = the smallest SWEPT probed
+    * fraction whose measured recall clears the target (read cost grows
+    * with the fraction — each probed cell is one more inverted list).
+    * The capacity rule's own default is exactly the 1/4 point on this
+    * curve. None when the target exceeds the committed curve's top —
+    * more nprobe is NOT evidence-backed past that point (coding loss,
+    * not probe loss, binds); the caller must change the capacity
+    * family (more PQ codes, larger shortlist, exact rerank width)
+    * rather than silently over-probing. Gated by a CAPACITY_r17
+    * `recall_target` cell at a non-default target. */
+  def nprobeForRecall(n: Long, target: Double): Option[IvfCapacity] = {
+    require(target > 0 && target <= 1, "target must be in (0, 1]")
+    val cells = ivfCapacityForCorpus(n).cells
+    recallByProbedFraction.find(_._2 >= target).map { case (frac, _) =>
+      IvfCapacity(cells,
+        math.max(2, math.min(cells, (cells * frac).round.toInt)))
+    }
+  }
+
   /** Exact top-k: score queries × corpus, keep k best per query.
     * `queries` must be broadcast-sized (the corpus side is never
     * shuffled; ranking shuffles only (queries × corpus) scored rows,

@@ -177,6 +177,13 @@ object AnnStream {
         .repartition(col("batch_id"), col("cell"))
         .write.mode(SaveMode.Overwrite).partitionBy("batch_id", "cell")
         .parquet(indexPath + "_mnext")
+      // the re-shard is a full rewrite — the one free moment to give
+      // EVERY batch partition a stats sidecar (staged with the tree,
+      // promoted in the same rename): post-migration, the retire probe,
+      // the ingest guard and this trigger's own row count all run from
+      // sidecar reads alone
+      StatsSidecar.writeForTree(spark, indexPath + "_mnext",
+        "batch_id=", idCol)
       // the commit marker, atomically (tmp + rename): its existence is
       // the one bit separating roll-back from roll-forward, and its
       // CONTENT is what lets a repair driven from indexPath alone

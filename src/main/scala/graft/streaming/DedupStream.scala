@@ -79,7 +79,8 @@ object DedupStream {
     * prefix) or back (no marker: sources are intact, the partial
     * stage drops). */
   def compactIndex(spark: SparkSession, indexPath: String,
-      upToBatch: Long, partitionCols: Seq[String] = Nil): Unit = {
+      upToBatch: Long, partitionCols: Seq[String] = Nil,
+      idCol: Option[String] = None): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCompaction(fs, indexPath)
@@ -113,6 +114,15 @@ object DedupStream {
     (if (partitionCols.isEmpty) writer
      else writer.partitionBy(partitionCols: _*))
       .parquet(next.toString)
+    // the folded target's stats sidecar, staged WITH it (`_cnext`
+    // promotes wholesale to `batch_id=<tgt>`, sidecar inside): the
+    // compacted BULK of a maintained tree then answers every future
+    // probe — retire candidates, ingest-guard hull, row counts — from
+    // one small read, min/max AND Bloom, instead of one footer per
+    // file. `idCol` is opt-in because the fold itself is shape-
+    // agnostic; the ingest wrappers pass theirs.
+    idCol.foreach(ic =>
+      StatsSidecar.writeForDir(spark, folded, next.toString, ic))
     fs.create(new org.apache.hadoop.fs.Path(next, s"_STAGED_$tgt")).close()
     promoteCompaction(fs, indexPath, next, tgt)
   }
@@ -246,7 +256,7 @@ object DedupStream {
       lo < sorted.length && sorted(lo) <= mx
     }
     footerCandidateParts(spark, treePath, prefix, idCol,
-      _ => true)(anyIdIn)
+      _ => true, idsOpt = Some(sorted))(anyIdIn)
   }
 
   /** The footer walker behind [[statsCandidateParts]] and
@@ -264,10 +274,19 @@ object DedupStream {
     * path), so the caller falls back to the unpruned probe, the same
     * "stats only ever over-approximate" rule at tree granularity
     * (r16 advice: the parse previously threw, turning a tolerated
-    * tree shape into a crash before the fallback could apply). */
+    * tree shape into a crash before the fallback could apply).
+    *
+    * SIDECAR FIRST (round 17): a dir carrying a [[StatsSidecar]] entry
+    * decides from ONE small read — its min/max (and, when `idsOpt`
+    * carries the probe's ids, its Bloom filter, which prunes the
+    * hashed-id layouts min/max cannot) — and its footers are never
+    * opened; dirs without one keep the footer walk. This is what makes
+    * proving absence O(dirs) instead of O(files) on maintained trees,
+    * and the mod-sliced worst case ~the ranged case
+    * (INGEST_PROBE_r17 manifest cells). */
   private[streaming] def footerCandidateParts(spark: SparkSession,
       treePath: String, prefix: String, idCol: String,
-      partFilter: Long => Boolean)
+      partFilter: Long => Boolean, idsOpt: Option[Array[Long]] = None)
       (couldHit: (Long, Long) => Boolean): Option[Seq[Long]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val hPath = new org.apache.hadoop.fs.Path(treePath)
@@ -314,14 +333,21 @@ object DedupStream {
         Some((bs.map(_._1).min, bs.map(_._2).max))
       }
     }
-    // true iff the dir COULD hold a hit: walk its files' footers,
-    // short-circuiting to candidate on unknown bounds or on the first
-    // couldHit; completing the walk with no hit proves absence
+    // true iff the dir COULD hold a hit: sidecar first (one small
+    // read — min/max, then Bloom when the probe's ids are at hand);
+    // without one, walk its files' footers, short-circuiting to
+    // candidate on unknown bounds or on the first couldHit; completing
+    // the walk with no hit proves absence
     def dirIsCandidate(dir: org.apache.hadoop.fs.Path): Boolean =
-      files(dir).exists { f =>
-        fileBounds(f) match {
-          case None => true // unbounded: cannot prove absent
-          case Some((mn, mx)) => mn <= mx && couldHit(mn, mx)
+      StatsSidecar.read(fs, dir, idCol) match {
+        case Some(e) =>
+          e.rows > 0L && couldHit(e.mn, e.mx) &&
+            idsOpt.forall(_.exists(e.mightContain))
+        case None => files(dir).exists { f =>
+          fileBounds(f) match {
+            case None => true // unbounded: cannot prove absent
+            case Some((mn, mx)) => mn <= mx && couldHit(mn, mx)
+          }
         }
       }
     val parsed = fs.listStatus(hPath).toSeq
@@ -372,12 +398,28 @@ object DedupStream {
     import scala.jdk.CollectionConverters._
     val tasks = parts.map { dir =>
       new java.util.concurrent.Callable[Long] {
-        def call(): Long = files(dir).map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(f, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }.sum
+        // sidecar first (row counts need no id column — any entry's
+        // count is exact for the files it was committed with)
+        def call(): Long = {
+          val sidecar = scala.util.Try {
+            val f = new org.apache.hadoop.fs.Path(dir,
+              StatsSidecar.FileName)
+            if (!fs.exists(f)) None
+            else {
+              val in = fs.open(f)
+              val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+                .mkString finally in.close()
+              """"rows":(-?\d+)""".r.findFirstMatchIn(txt)
+                .map(_.group(1).toLong)
+            }
+          }.toOption.flatten
+          sidecar.getOrElse(files(dir).map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum)
+        }
       }
     }
     footerPool.invokeAll(tasks.asJava).asScala.map(_.get()).sum
@@ -495,6 +537,15 @@ object DedupStream {
         if (!fs.exists(staged) && !fs.mkdirs(staged))
           throw new java.io.IOException(s"retire: cannot stage empty $staged")
       }
+      // fresh stats sidecars for the rewritten partitions, staged WITH
+      // them (they promote in the same renames, so sidecar and data
+      // commit atomically — an emptied batch's rows=0 sidecar prunes
+      // every future probe of it without a single footer open).
+      // Blooms CARRY OVER from the live dirs (a retire only removes
+      // rows, so the old filter stays a sound superset) — one
+      // aggregate job, no bloom rebuild on the erasure critical path.
+      StatsSidecar.writeForTree(spark, next.toString, "batch_id=", idCol,
+        bloomFrom = Some(treePath))
       fs.create(new org.apache.hadoop.fs.Path(next, "_RETIRE_STAGED")).close()
       promoteRetire(fs, treePath, next)
     } finally retire.unpersist()
@@ -908,9 +959,11 @@ object DedupStream {
     * the fold from its own replay. */
   private def maybeCompact(spark: SparkSession, indexPath: String,
       batchId: Long, compactEvery: Option[Int],
-      partitionCols: Seq[String] = Nil): Unit =
+      partitionCols: Seq[String] = Nil,
+      idCol: Option[String] = None): Unit =
     compactEvery.filter(n => batchId > 0 && batchId % n == 0)
-      .foreach(_ => compactIndex(spark, indexPath, batchId - 1, partitionCols))
+      .foreach(_ => compactIndex(spark, indexPath, batchId - 1,
+        partitionCols, idCol))
 
   /** The ONE foreachBatch preamble/postamble every shipped streaming
     * wrapper runs — built as a combinator so the invariants are
@@ -940,7 +993,8 @@ object DedupStream {
       drain: (SparkSession, String) => Unit = (_, _) => (),
       compactPath: Option[String] = None,
       compactEvery: Option[Int] = None,
-      compactPartitionCols: Seq[String] = Nil)
+      compactPartitionCols: Seq[String] = Nil,
+      compactIdCol: Option[String] = None)
       (process: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val parentAqe = java.lang.Boolean.parseBoolean(
       parent.conf.get("spark.sql.adaptive.enabled", "true"))
@@ -949,7 +1003,7 @@ object DedupStream {
       retireQueue.foreach(q => drain(batch.sparkSession, q))
       process(batch, batchId)
       compactPath.foreach(p => maybeCompact(batch.sparkSession, p, batchId,
-        compactEvery, compactPartitionCols))
+        compactEvery, compactPartitionCols, compactIdCol))
     }
   }
 
@@ -978,7 +1032,8 @@ object DedupStream {
       .foreachBatch(ingestBody(spark, retireQueue,
         (s, q) => drainRetireQueue(s, q,
           Seq(indexPath -> Nil, survivorsPath -> Nil), idCol),
-        Some(indexPath), compactEvery) { (batch, batchId) =>
+        Some(indexPath), compactEvery,
+        compactIdCol = Some(idCol)) { (batch, batchId) =>
         processBatch(batch, batchId, indexPath, pairsPath, survivorsPath,
           idCol, textCol, n, k, bands, threshold)
       })
@@ -1163,7 +1218,8 @@ object DedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(ingestBody(spark, retireQueue,
         (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Nil), idCol),
-        Some(indexPath), compactEvery) { (batch, batchId) =>
+        Some(indexPath), compactEvery,
+        compactIdCol = Some(idCol)) { (batch, batchId) =>
         processEmbeddingBatch(batch, batchId, indexPath, pairsPath,
           idCol, vecCol, blockOf, threshold)
       })
@@ -1214,7 +1270,8 @@ object DedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(ingestBody(spark, retireQueue,
         (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Nil), idCol),
-        Some(indexPath), compactEvery) { (batch, batchId) =>
+        Some(indexPath), compactEvery,
+        compactIdCol = Some(idCol)) { (batch, batchId) =>
         processSignatureBatch(toSignatures(batch), batchId, indexPath,
           pairsPath, idCol, sigCol, maxHamming, maxBucketSize)
       })
@@ -1285,7 +1342,8 @@ object DedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(ingestBody(spark, retireQueue,
         (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Nil), idCol),
-        Some(indexPath), compactEvery) { (batch, batchId) =>
+        Some(indexPath), compactEvery,
+        compactIdCol = Some(idCol)) { (batch, batchId) =>
         processContainmentBatch(batch, batchId, indexPath, pairsPath,
           idCol, textCol, n, k, bands, threshold, maxBucketSize)
       })

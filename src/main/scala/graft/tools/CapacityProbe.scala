@@ -45,11 +45,44 @@ object CapacityProbe {
     val spark = graft.core.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val replicate = args.lift(1).map(_.toInt).getOrElse(1)
+    // `natural` mode (round-17 verdict #4): the replicate cells pin the
+    // rule on hash-perturbed COPIES — an artificially clusterable
+    // corpus. The fixture tree has no natural 10x embeddings (sf0.1 is
+    // the largest, 2000 vectors), so the largest NATURAL corpus
+    // constructible is the sf0.1 DOCUMENTS table (5000 distinct real
+    // documents, 2.5x) rendered as deterministic 64-dim feature-hash
+    // vectors — their cluster structure is the text corpus's own, not
+    // perturbation's. The cell compares the rule's point against the
+    // legacy-sized model at the SAME probed fraction; whatever it
+    // shows is the finding.
+    val natural = args.lift(1).contains("natural")
+    val replicate =
+      if (natural) 1 else args.lift(1).map(_.toInt).getOrElse(1)
     val base = java.nio.file.Files.createTempDirectory("graft_capacity")
 
-    val vecsBase = graft.core.Tables.embeddings(spark, src)
-      .select("vec_id", "embedding")
+    val vecsBase =
+      if (!natural) graft.core.Tables.embeddings(spark, src)
+        .select("vec_id", "embedding")
+      else {
+        val docs = graft.core.Tables.documents(spark, src)
+          .select(col("doc_id").as("vec_id"), col("text"))
+        docs
+          .select(col("vec_id"),
+            explode(split(lower(col("text")), "\\s+")).as("t"))
+          .filter(length(col("t")) > 0)
+          .select(col("vec_id"),
+            pmod(xxhash64(col("t")), lit(64)).cast("int").as("p"),
+            when(pmod(xxhash64(col("t"), lit(1L)), lit(2)) === 0, 1.0)
+              .otherwise(-1.0).as("s"))
+          .groupBy("vec_id", "p").agg(sum("s").as("v"))
+          .groupBy("vec_id")
+          .agg(map_from_entries(collect_list(struct(col("p"), col("v"))))
+            .as("m"))
+          .select(col("vec_id"),
+            transform(sequence(lit(0), lit(63)), i =>
+              (coalesce(element_at(col("m"), i.cast("int")), lit(0.0))
+                / 50.0).cast("float")).as("embedding"))
+      }
     val vecs =
       if (replicate <= 1) vecsBase
       else (0 until replicate).map { c =>
@@ -91,13 +124,14 @@ object CapacityProbe {
     println(s"[capacity] n=$n rule: cells=${rule.cells} nprobe=${rule.nprobe}")
 
     // full grid on the native corpus; rule point vs fixed legacy point
-    // on a replicated one (the grid would re-measure what the native
-    // sweep already priced, at 10x the wall)
+    // on a replicated or natural one (the grid would re-measure what
+    // the native sweep already priced, at many times the wall)
+    val gridRun = replicate <= 1 && !natural
     val cellsAxis =
-      if (replicate <= 1) Seq(8, 16, 32) else Seq(8, rule.cells).distinct
-    val kAxis = if (replicate <= 1) Seq(8, 16) else Seq(16)
+      if (gridRun) Seq(8, 16, 32) else Seq(8, rule.cells).distinct
+    val kAxis = if (gridRun) Seq(8, 16) else Seq(16)
     val npAxis =
-      if (replicate <= 1) Seq(2, 4, 8) else Seq(2, rule.nprobe).distinct
+      if (gridRun) Seq(2, 4, 8) else Seq(2, rule.nprobe).distinct
 
     val results = cellsAxis.map { cells =>
       // the s13/s20 arrival shape: 4 slices, slice 0 trains + freezes
@@ -139,6 +173,34 @@ object CapacityProbe {
       (cells, ceilings, pq)
     }
 
+    // RECALL-TARGET cell (round-16 verdict #3, gates Ann.nprobeForRecall
+    // at a NON-default target): the API's point for "recall >= 0.55" is
+    // the 1/2-fraction entry of the committed curve — serve it through
+    // the same gated lifecycle and record whether the target was met.
+    val targetCell = if (!gridRun) "" else {
+      val target = 0.55
+      val api = graft.similarity.Ann.nprobeForRecall(n, target).get
+      val idx = base.resolve(s"idx_c${api.cells}").toString
+      val cen = base.resolve(s"cen_c${api.cells}").toString
+      val cb = graft.streaming.AnnStream.trainPqCodebook(spark, idx, cen,
+        m = 8, k = 16, iters = 5)
+      val coded = base.resolve(s"coded_target").toString
+      graft.streaming.AnnStream.publishPqIndex(spark, idx, cen, coded,
+        "vec_id", m = 8, k = 16, cb)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = recallOf(graft.streaming.AnnStream.pqServeTopK(spark,
+        coded, cen, vectors = vecs, queries = queries, "vec_id",
+        "embedding", m = 8, k = 16, nprobe = api.nprobe, shortlist = 100,
+        topK = 5, cb))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[capacity] recall_target $target%.2f -> cells=${api.cells} " +
+        f"nprobe=${api.nprobe}  recall $r%.3f  serve $dt%5.2f s")
+      f""","recall_target":{"target":$target%.2f,"cells":${api.cells},""" +
+        f""""nprobe":${api.nprobe},"recall":$r%.3f,""" +
+        f""""met":${r >= target},"serve_sec":$dt%.2f}"""
+    }
+
     val sfName = new java.io.File(src).getName
     val ceilJson = results.flatMap { case (c, ceils, _) =>
       ceils.map { case (np, r) =>
@@ -150,10 +212,11 @@ object CapacityProbe {
         f"""{"cells":$c,"k":$k,"nprobe":$np,"recall":$r%.3f,"serve_sec":$dt%.2f}"""
       }
     }.mkString("[", ",", "]")
+    val mode = if (natural) "natural" else "embeddings"
     println(s"""{"metric":"capacity_sweep","n":$n,"sf":"$sfName",""" +
-      s""""replicate":$replicate,""" +
+      s""""replicate":$replicate,"mode":"$mode",""" +
       s""""rule":{"cells":${rule.cells},"nprobe":${rule.nprobe}},""" +
-      s""""ivf_ceiling":$ceilJson,"pq":$pqJson}""")
+      s""""ivf_ceiling":$ceilJson,"pq":$pqJson$targetCell}""")
     spark.stop()
     graft.core.TempDirs.deleteRecursively(base.toFile)
   }

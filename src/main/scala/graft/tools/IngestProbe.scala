@@ -375,7 +375,14 @@ object IngestProbe {
     // are built by one partitioned write each (the probe prices
     // retireIds, not ingest).
     val maxDoc = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    def retireProbeCell(tag: String, nd: Int, ranged: Boolean) = {
+    // `sidecar = true` gives the tree per-dir [[StatsSidecar]] entries
+    // first (what any compaction/retire/migration would have written on
+    // a MAINTAINED tree) — the round-17 manifest cells: mod-sliced ids
+    // at 600 dirs must then cost ~the ranged case (the Bloom prunes
+    // what min/max cannot) and the ranged cases drop to O(dirs) small
+    // reads instead of O(files) footer opens.
+    def retireProbeCell(tag: String, nd: Int, ranged: Boolean,
+        sidecar: Boolean = false) = {
       val treeP = base.resolve(s"rps_${tag}").toString
       val bcol =
         if (ranged) floor(col("doc_id") / lit(maxDoc / nd + 1))
@@ -383,6 +390,9 @@ object IngestProbe {
       sigsAll.withColumn("batch_id", bcol)
         .repartition(col("batch_id"))
         .write.partitionBy("batch_id").parquet(treeP)
+      if (sidecar)
+        graft.streaming.StatsSidecar.writeForTree(spark, treeP,
+          "batch_id=", "doc_id")
       import spark.implicits._
       val ids = spark.read.parquet(s"$treeP/batch_id=7")
         .select("doc_id").limit(5).collect().map(_.getLong(0)).toSeq
@@ -391,14 +401,16 @@ object IngestProbe {
       val t0 = System.nanoTime()
       graft.streaming.DedupStream.retireIds(spark, treeP, idsDf, "doc_id")
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[ingest] retire probe $tag%-12s dirs=$nd%4d  $dt%6.2f s  " +
+      println(f"[ingest] retire probe $tag%-14s dirs=$nd%4d  $dt%6.2f s  " +
         f"(${ids.length} ids)")
       (tag, nd, dt, ids.length)
     }
     val retireProbe = Seq(
       retireProbeCell("ranged60", 60, ranged = true),
       retireProbeCell("ranged600", 600, ranged = true),
-      retireProbeCell("mod600", 600, ranged = false))
+      retireProbeCell("mod600", 600, ranged = false),
+      retireProbeCell("ranged600_sc", 600, ranged = true, sidecar = true),
+      retireProbeCell("mod600_sc", 600, ranged = false, sidecar = true))
 
     // RETIREMENT pricing (round-14 verdict #2b): the per-batch cost of
     // DRAINING the queue under a 20-batch ingest — a request landing
@@ -521,6 +533,50 @@ object IngestProbe {
       (ncells, dt, ids.length)
     }
 
+    // CAPACITY-MIGRATION pricing (round-17 verdict #1): two claims.
+    // (a) the per-batch check autoCapacity adds is METADATA-ONLY when
+    //     it declines — a pooled footer row-count walk plus one model
+    //     read — and near-flat in tree dirs (cells: the same 1k-row
+    //     corpus under 60 vs 600 batch dirs, rule already satisfied);
+    // (b) the migration itself is O(corpus) — one retrain over the
+    //     committed rows plus one re-shard shuffle — and fires O(log N)
+    //     times over a stream's life (cells: a 10k corpus crossing
+    //     8→32 and a 40k corpus crossing 8→64; wall should scale
+    //     ~linearly with rows, NOT with the boundary count it skips).
+    def synthV(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(xxhash64(concat_ws(":", col("id"), j)), lit(2000))
+          - lit(1000)).cast("double") / 500.0).cast("float"))
+        .as("embedding"))
+    def migCell(tag: String, n: Long, nd: Int) = {
+      val idxP = base.resolve(s"mig_${tag}_idx").toString
+      val cenP = base.resolve(s"mig_${tag}_cen").toString
+      val sv = synthV(n)
+      val cents = graft.similarity.Ann.portableKmeansCentroids(
+        sv.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        dim = 64, k = 8, iters = 2)
+      graft.streaming.AnnStream.writeCentroids(spark, cents, cenP)
+      graft.similarity.Ann
+        .portableAssignWithCentroids(sv, "vec_id", "embedding", cents)
+        .withColumn("batch_id", pmod(col("vec_id"), lit(nd)))
+        .repartition(col("batch_id"), col("cell"))
+        .write.partitionBy("batch_id", "cell").parquet(idxP)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val res = graft.streaming.AnnStream.migrateCapacityIfNeeded(spark,
+        idxP, cenP, "vec_id", dim = 64, iters = 2)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val to = res.map(_.cells).getOrElse(8)
+      println(f"[ingest] capacity $tag%-12s rows=$n%6d dirs=$nd%4d  " +
+        f"8->$to%-3d  $dt%6.2f s")
+      (tag, n, nd, to, dt)
+    }
+    val migCells = Seq(
+      migCell("check60", 1000L, 60),    // declines: rule(1000) = 8
+      migCell("check600", 1000L, 600),  // declines, 10x dirs
+      migCell("fire10k", 10000L, 4),    // fires: 8 -> 32
+      migCell("fire40k", 40000L, 4))    // fires: 8 -> 64
+
     // d18 AMORTIZATION at production batch size (round-13 verdict #5):
     // the survivor ingest's per-batch cost at 500-doc batches is
     // dominated by the resolution stages' fixed job count (~2.1 s per
@@ -609,6 +665,9 @@ object IngestProbe {
       }),
       block("ann_retire", annRetire.map { case (ncells, dt, nids) =>
         f"""{"affected_cells":$ncells,"tree_cells":8,"sec":$dt%.2f,"ids":$nids}"""
+      }),
+      block("capacity_migration", migCells.map { case (tg, n, nd, to, dt) =>
+        f"""{"tag":"$tg","rows":$n,"tree_dirs":$nd,"cells_from":8,"cells_to":$to,"sec":$dt%.2f}"""
       }),
       block("big_dedup_cells", bigCells.map { case (i, t, b) =>
         f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"ms_per_doc":${t * 1000 / b}%.2f}"""

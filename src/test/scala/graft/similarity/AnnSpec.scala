@@ -385,4 +385,28 @@ class AnnSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
     assert(perfect == Map(1L -> 1000000L, 2L -> 1000000L))
   }
+
+  test("nprobeForRecall: cheapest committed point per target; None past the curve; default is the 1/4 point") {
+    // the rule's own boundaries first (the s21/s22 oracles re-derive
+    // these from COUNT(*); this pins the Scala side at the edges)
+    assert(Ann.ivfCapacityForCorpus(1L) == Ann.IvfCapacity(8, 2))
+    assert(Ann.ivfCapacityForCorpus(1024L) == Ann.IvfCapacity(8, 2))
+    assert(Ann.ivfCapacityForCorpus(1025L) == Ann.IvfCapacity(16, 4))
+    assert(Ann.ivfCapacityForCorpus(16384L) == Ann.IvfCapacity(32, 8))
+    assert(Ann.ivfCapacityForCorpus(Long.MaxValue).cells == (1 << 20))
+    // targets walk the committed curve (CAPACITY_r16 sf0.1: 0.312 at
+    // 1/8, 0.468 at 1/4, 0.588 at 1/2); cells stay capacity-ruled
+    val n = 2000L // rule: cells = 16
+    assert(Ann.nprobeForRecall(n, 0.30).contains(Ann.IvfCapacity(16, 2)))
+    assert(Ann.nprobeForRecall(n, 0.45).contains(Ann.IvfCapacity(16, 4)))
+    // the capacity rule's default IS the 1/4 point on the curve
+    assert(Ann.nprobeForRecall(n, 0.45).get
+      == Ann.ivfCapacityForCorpus(n))
+    assert(Ann.nprobeForRecall(n, 0.55).contains(Ann.IvfCapacity(16, 8)))
+    // past the committed curve: refuse, never extrapolate (coding
+    // loss binds past the top point — more probing is not evidence)
+    assert(Ann.nprobeForRecall(n, 0.60).isEmpty)
+    // the nprobe floor holds at the smallest capacity
+    assert(Ann.nprobeForRecall(500L, 0.30).contains(Ann.IvfCapacity(8, 2)))
+  }
 }

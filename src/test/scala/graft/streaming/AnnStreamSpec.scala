@@ -1016,6 +1016,93 @@ class AnnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: drains, compactions, delta publishes AND capacity migrations interleave safely") {
+    // The r16 three-op property extended with the FOURTH maintenance
+    // op: an autoCapacity ivfIngest whose corpus CROSSES the 8→16
+    // boundary mid-run while seeded retires drain and the serving tree
+    // publishes incrementally. Invariants at every round:
+    //   raw tree   = ingested − retired   (ids are invariant under a
+    //                                      migration — it rewrites
+    //                                      cells, never rows)
+    //   centroids  = the rule's cells at the LARGEST committed count
+    //                any post-batch check saw (monotone; never shrinks
+    //                when retires reduce n)
+    //   serving    = published-at-last-publish − retired-ever while a
+    //                published tree exists; a migration DELETES it
+    //                (stale geometry must fail loudly, not serve), and
+    //                the next delta publish detects the missing tree
+    //                and re-points via a full fold under the new model
+    val e = synthVecs(3000).cache()
+    val slices = 6
+    val vecsDir = tmp("as4i_vecs"); val indexPath = tmp("as4i_idx") + "/index"
+    val centroidsPath = tmp("as4i_cen") + "/centroids"
+    val ckpt = tmp("as4i_ckpt"); val queue = tmp("as4i_queue") + "/queue"
+    val servingPath = tmp("as4i_pub") + "/serving"
+    def land(i: Int): Set[Long] = {
+      val s = e.filter(pmod($"vec_id", lit(slices)) === i)
+      s.coalesce(1).write.mode("append").parquet(vecsDir)
+      s.select("vec_id").as[Long].collect().toSet
+    }
+    def treeIds(p: String): Seq[Long] =
+      spark.read.parquet(p).select("vec_id").as[Long].collect().toSeq
+    val rng = new scala.util.Random(17L)
+    var ingested = land(0)
+    var retired = Set.empty[Long]
+    var publishedAt = Set.empty[Long]
+    var servingLive = false
+    var expectedCells = 8 // rule(500) — the autoCells bootstrap point
+    val q = AnnStream.ivfIngest(spark, vecsDir, e.schema, indexPath,
+      centroidsPath, ckpt, dim = 64, cells = 8, iters = 2,
+      retireQueue = Some(queue), retireServing = Seq(servingPath),
+      autoCapacity = true)
+    try {
+      q.processAllAvailable()
+      assert(AnnStream.readCentroids(spark, centroidsPath).length
+        == expectedCells)
+      (1 until slices).foreach { round =>
+        val subset = ingested.filter(_ => rng.nextDouble() < 0.15) ++
+          Seq(900000L + round)
+        subset.toSeq.toDF("vec_id").coalesce(1).write.mode("append")
+          .parquet(queue)
+        retired ++= subset
+        ingested ++= land(round)
+        q.processAllAvailable() // drain, batch, capacity check
+        val committed = (ingested -- retired).size.toLong
+        val newCells = math.max(expectedCells,
+          Ann.ivfCapacityForCorpus(committed).cells)
+        if (newCells != expectedCells) { // a migration must have fired
+          expectedCells = newCells
+          servingLive = false; publishedAt = Set.empty
+          assert(!new java.io.File(servingPath).exists(),
+            s"round $round: migration left a stale published tree")
+        }
+        assert(AnnStream.readCentroids(spark, centroidsPath).length
+          == expectedCells, s"round $round: capacity invariant broken")
+        val raw = treeIds(indexPath)
+        assert(raw.toSet == ingested -- retired, s"round $round: raw diverged")
+        assert(raw.length == raw.distinct.length, s"round $round: raw dups")
+        if (round % 2 == 1) { // quiesced gap: fold the delta in
+          AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+          publishedAt = ingested -- retired
+          servingLive = true
+        }
+        if (round % 3 == 2) // quiesced gap: fold the raw prefix
+          DedupStream.compactIndex(spark, indexPath, upToBatch = round - 1L,
+            partitionCols = Seq("cell"))
+        if (servingLive) {
+          val served = treeIds(servingPath)
+          assert(served.toSet == publishedAt -- retired,
+            s"round $round: serving diverged")
+          assert(served.length == served.distinct.length,
+            s"round $round: serving dups")
+        } else assert(!new java.io.File(servingPath).exists(),
+          s"round $round: un-republished serving tree reappeared")
+      }
+      // the crossing actually happened (the property is non-vacuous)
+      assert(expectedCells == 16, s"corpus never crossed: $expectedCells")
+    } finally q.stop()
+  }
+
   test("all-retired raw tree: republish ERASES serving trees, serves empty, retire no-ops") {
     val e = emb.filter($"vec_id" < 50).cache()
     val indexPath = tmp("asae_idx") + "/index"

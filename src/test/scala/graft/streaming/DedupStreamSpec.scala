@@ -638,6 +638,70 @@ class DedupStreamSpec extends SparkSpec {
       Seq("a").toDF("doc_id"), "doc_id").isEmpty)
   }
 
+  test("stats sidecar: blooms prune hashed layouts, travel with maintenance, answers unchanged") {
+    import spark.implicits._
+    // MOD-sliced tree: every dir spans the full id range, so footer
+    // min/max prunes NOTHING (the documented worst case) — the sidecar
+    // bloom must prune to ~the id-holding dirs
+    val treeP = tmp("dssc_tree") + "/tree"
+    (0L until 300L).map(i => (i, s"sig$i")).toDF("doc_id", "payload")
+      .withColumn("batch_id", pmod($"doc_id", lit(6)))
+      .repartition($"batch_id")
+      .write.partitionBy("batch_id").parquet(treeP)
+    val ids = Seq(55L, 57L).toDF("doc_id") // both live in dirs 1 and 3
+    // without sidecars: stats can't discriminate — every dir a candidate
+    assert(DedupStream.statsCandidateParts(spark, treeP, "batch_id=",
+      ids, "doc_id").contains(0L to 5L))
+    graft.streaming.StatsSidecar.writeForTree(spark, treeP,
+      "batch_id=", "doc_id")
+    // with sidecars: bloom membership bounds the candidates (a ~0.3%
+    // fp could admit an extra dir; never fewer than the true holders)
+    val cand = DedupStream.statsCandidateParts(spark, treeP, "batch_id=",
+      ids, "doc_id").get
+    assert(cand.contains(1L) && cand.contains(3L) && cand.length <= 3,
+      s"bloom should prune the non-holding dirs, got $cand")
+    // a provably-absent id set proves absence from sidecars alone
+    assert(DedupStream.statsCandidateParts(spark, treeP, "batch_id=",
+      Seq(900000L).toDF("doc_id"), "doc_id").contains(Nil))
+    // row counts come from the sidecars too
+    assert(DedupStream.footerRowCount(spark, treeP, "batch_id=") == 300L)
+    // the retire REWRITES dirs 1 and 3, staging fresh min/max/rows
+    // sidecars with the filtered copies and CARRYING the old blooms (a
+    // retire only removes rows, so the carried filter is a sound
+    // SUPERSET — re-probing the retired ids may still name the dirs
+    // that held them, never any other dir, and the semi-join stays the
+    // exact decision); row counts reflect the removal exactly
+    DedupStream.retireIds(spark, treeP, ids, "doc_id")
+    val left = spark.read.parquet(treeP).select("doc_id").as[Long]
+      .collect().toSet
+    assert(left == (0L until 300L).toSet -- Set(55L, 57L))
+    val reprobe = DedupStream.statsCandidateParts(spark, treeP,
+      "batch_id=", ids, "doc_id").get
+    assert(reprobe.toSet.subsetOf(Set(1L, 3L)),
+      s"carried blooms must never admit new dirs, got $reprobe")
+    assert(DedupStream.footerRowCount(spark, treeP, "batch_id=") == 298L)
+    // compaction writes the folded target's sidecar when given the id
+    // column; the folded bulk then decides from one read
+    DedupStream.compactIndex(spark, treeP, upToBatch = 5L,
+      idCol = Some("doc_id"))
+    assert(new java.io.File(treeP + "/batch_id=5",
+      graft.streaming.StatsSidecar.FileName).exists())
+    assert(DedupStream.footerRowCount(spark, treeP, "batch_id=") == 298L)
+    val cand2 = DedupStream.statsCandidateParts(spark, treeP, "batch_id=",
+      Seq(56L).toDF("doc_id"), "doc_id")
+    assert(cand2.contains(Seq(5L)))
+    // a sidecar written for ANOTHER id column is ignored (footer
+    // fallback), never trusted
+    val otherP = tmp("dssc_other") + "/tree"
+    (0L until 10L).map(i => (i, i + 1000L)).toDF("doc_id", "other_id")
+      .withColumn("batch_id", lit(0L)).repartition($"batch_id")
+      .write.partitionBy("batch_id").parquet(otherP)
+    graft.streaming.StatsSidecar.writeForTree(spark, otherP,
+      "batch_id=", "other_id")
+    assert(DedupStream.statsCandidateParts(spark, otherP, "batch_id=",
+      Seq(5L).toDF("doc_id"), "doc_id").contains(Seq(0L)))
+  }
+
   test("property: interleaved retires and compactions always leave tree = ingested minus retired") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
