@@ -485,15 +485,24 @@ object AnnStream {
       salt: String = "pkmeans", maxFilesPerTrigger: Int = 1,
       retireQueue: Option[String] = None,
       retireServing: Seq[String] = Nil,
-      autoCapacity: Boolean = false): StreamingQuery =
+      autoCapacity: Boolean = false,
+      compactEvery: Option[Int] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(vecsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
+      // compactEvery folds the committed prefix on the other wrappers'
+      // cadence (cell sub-layout preserved; the folded target gets a
+      // stats sidecar, so the capacity check and the maintenance
+      // probes on a long-running tree stay sidecar-read cheap). NOTE
+      // the trainPqCodebook contract: the batch-0 training slice must
+      // be trained BEFORE the first fold removes its partition.
       .foreachBatch(DedupStream.ingestBody(spark, retireQueue,
         (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Seq("cell")),
-          retireServing, idCol)) { (batch, batchId) =>
+          retireServing, idCol),
+        Some(indexPath), compactEvery, Seq("cell"),
+        Some(idCol)) { (batch, batchId) =>
         processIvfBatch(batch, batchId, indexPath, centroidsPath,
           idCol, vecCol, dim, cells, iters, salt,
           autoCells = autoCapacity)

@@ -537,15 +537,29 @@ object DedupStream {
         if (!fs.exists(staged) && !fs.mkdirs(staged))
           throw new java.io.IOException(s"retire: cannot stage empty $staged")
       }
-      // fresh stats sidecars for the rewritten partitions, staged WITH
-      // them (they promote in the same renames, so sidecar and data
-      // commit atomically — an emptied batch's rows=0 sidecar prunes
-      // every future probe of it without a single footer open).
-      // Blooms CARRY OVER from the live dirs (a retire only removes
-      // rows, so the old filter stays a sound superset) — one
-      // aggregate job, no bloom rebuild on the erasure critical path.
-      StatsSidecar.writeForTree(spark, next.toString, "batch_id=", idCol,
-        bloomFrom = Some(treePath))
+      // SIDECAR-MAINTAINED TREES STAY MAINTAINED: when any affected
+      // live dir carries a stats sidecar (a compaction or migration
+      // wrote one), the rewritten partitions stage fresh min/max/rows
+      // sidecars WITH their data (promoting in the same renames —
+      // atomic), blooms carried over from the live dirs (a retire only
+      // removes rows, so the old filter stays a sound superset; no
+      // bloom rebuild on the erasure critical path). A tree that never
+      // had sidecars pays NO extra job here — except the free rows=0
+      // entries for dirs this retire EMPTIED, which prune every future
+      // probe of them without a single footer open.
+      val anySidecar = affected.exists { b =>
+        StatsSidecar.read(fs,
+          new org.apache.hadoop.fs.Path(hPath, s"batch_id=$b"), idCol)
+          .isDefined
+      }
+      if (anySidecar)
+        StatsSidecar.writeForTree(spark, next.toString, "batch_id=",
+          idCol, bloomFrom = Some(treePath))
+      else affected.foreach { b =>
+        val staged = new org.apache.hadoop.fs.Path(next, s"batch_id=$b")
+        if (!hasParquetFiles(fs, staged))
+          StatsSidecar.writeEmpty(spark, staged.toString, idCol)
+      }
       fs.create(new org.apache.hadoop.fs.Path(next, "_RETIRE_STAGED")).close()
       promoteRetire(fs, treePath, next)
     } finally retire.unpersist()

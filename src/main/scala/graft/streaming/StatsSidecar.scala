@@ -214,6 +214,13 @@ object StatsSidecar {
     }
   }
 
+  /** A rows=0 sidecar for a dir known to hold no data files (an
+    * emptied batch) — no job, one small write, prunes every future
+    * probe of the dir. */
+  def writeEmpty(spark: SparkSession, dirPath: String,
+      idCol: String): Unit =
+    write(spark, dirPath, Entry(idCol, 1L, 0L, 0L, MinBits, None))
+
   private def write(spark: SparkSession, dirPath: String,
       e: Entry): Unit = {
     val dir = new org.apache.hadoop.fs.Path(dirPath)

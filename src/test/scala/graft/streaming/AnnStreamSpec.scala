@@ -783,6 +783,52 @@ class AnnStreamSpec extends SparkSpec {
         ((pmod(xxhash64(concat_ws(":", $"id", j)), lit(2000)) - lit(1000))
           .cast("double") / 500.0).cast("float")).as("embedding"))
 
+  test("ivfIngest compactEvery: stream-cadence folds keep answers and leave a sidecar'd target") {
+    val e = emb.cache()
+    val vecsDir = tmp("asic_vecs"); val indexPath = tmp("asic_idx") + "/index"
+    val centroidsPath = tmp("asic_cen") + "/centroids"
+    val ckpt = tmp("asic_ckpt")
+    val slices = 5
+    def land(i: Int): Unit =
+      e.filter(pmod($"vec_id", lit(slices)) === i)
+        .coalesce(1).write.mode("append").parquet(vecsDir)
+    land(0)
+    val q = AnnStream.ivfIngest(spark, vecsDir, e.schema, indexPath,
+      centroidsPath, ckpt, dim = 64, cells = 8, iters = 2,
+      compactEvery = Some(2))
+    try {
+      q.processAllAvailable()
+      (1 until slices).foreach { i => land(i); q.processAllAvailable() }
+    } finally q.stop()
+    // folds happened (fewer batch dirs than batches) and the folded
+    // target carries a stats sidecar (the maintained-tree invariant)
+    val dirs = new java.io.File(indexPath).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName)
+    assert(dirs.length < slices, s"no fold happened: ${dirs.toSeq}")
+    assert(dirs.exists(d => new java.io.File(
+      s"$indexPath/$d/${StatsSidecar.FileName}").exists()),
+      "folded target has no stats sidecar")
+    // row set unchanged by the folds; serve equals the batch twin
+    val ids = spark.read.parquet(indexPath).select("vec_id").as[Long]
+      .collect().toSeq
+    assert(ids.sorted == e.select("vec_id").as[Long].collect().toSeq.sorted)
+    val cents = Ann.portableKmeansCentroids(
+      e.filter(pmod($"vec_id", lit(slices)) === 0), "vec_id", "embedding",
+      dim = 64, k = 8, iters = 2)
+    val served = AnnStream.ivfServeTopK(spark, indexPath, centroidsPath,
+      e.filter($"vec_id" < 5), "vec_id", "embedding", topK = 3, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val twin = Ann.integerTopK(
+      Ann.portableAssignWithCentroids(e, "vec_id", "embedding", cents),
+      Ann.portableQueryCells(e.filter($"vec_id" < 5), "vec_id",
+        "embedding", cents, nprobe = 2),
+      "vec_id", "cell", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == twin)
+  }
+
   test("capacity migration: a mid-ingest boundary crossing retrains and re-shards; equals the one-shot twin") {
     val e = synthVecs(2000).cache()
     val idx = tmp("asmg_idx") + "/index"
