@@ -70,6 +70,18 @@ object AnnStream {
       .toSeq
   }
 
+  /** Does the raw index tree hold committed data (after rolling any
+    * interrupted maintenance forward)? The batch-0 retrain guard's
+    * second clause. */
+  private def committedIndexExists(spark: SparkSession,
+      indexPath: String): Boolean = {
+    repairMigration(spark, indexPath)
+    DedupStream.repairIndexTree(spark, indexPath)
+    val h = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = h.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(h) && DedupStream.hasParquetFiles(fs, h)
+  }
+
   /** Is a complete centroid model committed at `path`? (Repairs a
     * crashed swap first; a dir with zero data files — debris of a
     * crashed first write — does not count.) */
@@ -231,16 +243,16 @@ object AnnStream {
       if (!fs.rename(mnext, live))
         throw new java.io.IOException(s"migrate: cannot promote $mnext")
     }
-    if (fs.exists(mcen)) {
-      val cen = new org.apache.hadoop.fs.Path(cenPath)
-      if (fs.exists(cen) && !fs.delete(cen, true))
-        throw new java.io.IOException(s"migrate: cannot clear $cen")
-      if (!fs.rename(mcen, cen))
-        throw new java.io.IOException(s"migrate: cannot promote $mcen")
-    }
     // published/coded layouts (and a stored codebook) are geometry
-    // under the OLD model — delete with their sidecars; the caller's
-    // maintenance cadence republishes under the new one
+    // under the OLD model — delete with their sidecars BEFORE the
+    // model swap: a serve against a published/coded tree takes only
+    // that tree's path plus the centroids and CANNOT run this repair,
+    // so any window pairing the NEW model with OLD-geometry serving
+    // trees would be silently wrong answers. Deleting first keeps
+    // every crash window on the designed loud path (tree missing) —
+    // old model + old trees before this loop, missing trees after.
+    // The caller's maintenance cadence republishes under the new
+    // model.
     serving.foreach { t =>
       Seq(t, t + "_pubmeta", t + "_dnext", t + "_dold", t + "_next",
         t + "_old", t + "_pubmeta_next", t + "_pubmeta_old").foreach { p =>
@@ -248,6 +260,13 @@ object AnnStream {
         if (fs.exists(hp) && !fs.delete(hp, true))
           throw new java.io.IOException(s"migrate: cannot invalidate $hp")
       }
+    }
+    if (fs.exists(mcen)) {
+      val cen = new org.apache.hadoop.fs.Path(cenPath)
+      if (fs.exists(cen) && !fs.delete(cen, true))
+        throw new java.io.IOException(s"migrate: cannot clear $cen")
+      if (!fs.rename(mcen, cen))
+        throw new java.io.IOException(s"migrate: cannot promote $mcen")
     }
     if (!fs.delete(marker, false))
       throw new java.io.IOException(s"migrate: cannot clear $marker")
@@ -307,16 +326,23 @@ object AnnStream {
       vecCol: String, dim: Int, cells: Int, iters: Int,
       salt: String, autoCells: Boolean): Unit = {
     val spark = batch.sparkSession
-    // batch 0 trains ONLY when no model is committed yet: a replay of
-    // batch 0 with the model present reads it instead of retraining.
-    // Behavior-identical to the always-retrain original when nothing
-    // intervened (the retrain is deterministic — the overwrite would
-    // be bit-identical), and REQUIRED once capacity migration exists:
-    // a batch-0 replay after a migration (crash between the migrated
-    // commit and the stream's checkpoint write) must not clobber the
-    // migrated model with a batch-0-sized retrain.
+    // batch 0 trains unless BOTH a committed model AND a committed
+    // index tree exist: a replay of batch 0 with that evidence reads
+    // the model instead of retraining. Behavior-identical to the
+    // always-retrain original when nothing intervened (the retrain is
+    // deterministic — the overwrite would be bit-identical), and
+    // REQUIRED once capacity migration exists: a batch-0 replay after
+    // a migration (crash between the migrated commit and the stream's
+    // checkpoint write) must not clobber the migrated model with a
+    // batch-0-sized retrain — at that point the index tree necessarily
+    // exists, which is what distinguishes it from a FRESH ingest
+    // (deleted index + checkpoint) misconfigured to reuse an old
+    // centroids path: there the tree is absent and batch 0 retrains,
+    // never silently assigning a new corpus under stale centroids
+    // (r17 review).
     val cents =
-      if (batchId == 0L && !centroidsExist(spark, centroidsPath)) {
+      if (batchId == 0L && !(centroidsExist(spark, centroidsPath) &&
+          committedIndexExists(spark, indexPath))) {
         val k =
           if (autoCells)
             Ann.ivfCapacityForCorpus(batch.dropDuplicates(idCol).count())
@@ -437,6 +463,13 @@ object AnnStream {
       idCol: String): Int =
     DedupStream.drainQueue(spark, queueDir, idCol) { ids =>
       rawTrees.foreach { case (tree, pcols) =>
+        // roll an interrupted capacity migration forward BEFORE
+        // retiring: the drain runs ahead of the batch in ingestBody,
+        // so without this a retire could rewrite the SUPERSEDED live
+        // tree and then be thrown away when the batch's own entry
+        // repair promotes the staged pre-retire tree — a consumed
+        // erasure request whose ids come back (r17 review)
+        repairMigration(spark, tree)
         DedupStream.retireIds(spark, tree, ids, idCol, pcols)
       }
       servingTrees.foreach(t => retireIds(spark, t, ids, idCol))
@@ -497,7 +530,16 @@ object AnnStream {
       // stats sidecar, so the capacity check and the maintenance
       // probes on a long-running tree stay sidecar-read cheap). NOTE
       // the trainPqCodebook contract: the batch-0 training slice must
-      // be trained BEFORE the first fold removes its partition.
+      // be trained BEFORE the first fold removes its partition — and
+      // a PQ deployment combining compactEvery WITH autoCapacity must
+      // plan its codebook story: a capacity migration invalidates the
+      // stored codebook (residuals change with the centroids) and the
+      // batch-0 retrain slice is gone once folded, so such a
+      // deployment retrains from a retained sample store, or serves
+      // the raw published layout (ivfServeTopK needs no codebook)
+      // until a retained slice exists. trainPqCodebook fails LOUDLY
+      // either way — the combination can never serve silently stale
+      // codes.
       .foreachBatch(DedupStream.ingestBody(spark, retireQueue,
         (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Seq("cell")),
           retireServing, idCol),

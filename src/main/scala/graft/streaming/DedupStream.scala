@@ -120,9 +120,12 @@ object DedupStream {
     // probe — retire candidates, ingest-guard hull, row counts — from
     // one small read, min/max AND Bloom, instead of one footer per
     // file. `idCol` is opt-in because the fold itself is shape-
-    // agnostic; the ingest wrappers pass theirs.
-    idCol.foreach(ic =>
-      StatsSidecar.writeForDir(spark, folded, next.toString, ic))
+    // agnostic; the ingest wrappers pass theirs. Computed from the
+    // JUST-WRITTEN staged output, not the `folded` plan — re-executing
+    // the plan would re-read every source batch dir and re-run the
+    // fold's shuffle once per sidecar job (r17 review).
+    idCol.foreach(ic => StatsSidecar.writeForDir(spark,
+      spark.read.parquet(next.toString), next.toString, ic))
     fs.create(new org.apache.hadoop.fs.Path(next, s"_STAGED_$tgt")).close()
     promoteCompaction(fs, indexPath, next, tgt)
   }
@@ -341,8 +344,23 @@ object DedupStream {
     def dirIsCandidate(dir: org.apache.hadoop.fs.Path): Boolean =
       StatsSidecar.read(fs, dir, idCol) match {
         case Some(e) =>
-          e.rows > 0L && couldHit(e.mn, e.mx) &&
-            idsOpt.forall(_.exists(e.mightContain))
+          e.rows > 0L && couldHit(e.mn, e.mx) && idsOpt.forall { sorted =>
+            // narrow the (sorted — the statsCandidateParts contract)
+            // probe ids to the dir's [mn, mx] window before any
+            // hashing: only ids the range already admits are bloom-
+            // tested, so a ranged layout pays ~zero hashes per pruned
+            // dir instead of |ids|·k (r17 review)
+            var lo = 0; var hi = sorted.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (sorted(mid) < e.mn) lo = mid + 1 else hi = mid
+            }
+            var i = lo; var hit = false
+            while (!hit && i < sorted.length && sorted(i) <= e.mx) {
+              hit = e.mightContain(sorted(i)); i += 1
+            }
+            hit
+          }
         case None => files(dir).exists { f =>
           fileBounds(f) match {
             case None => true // unbounded: cannot prove absent

@@ -260,14 +260,21 @@ object StatsSidecar {
         }
         if (field("id_col") != idCol || field("k").toInt != K) None
         else {
+          val bits = field("bits").toInt
           val b64 = field("bloom")
           val bloom = if (b64.isEmpty) None else Some {
             val bytes = java.util.Base64.getDecoder.decode(b64)
             val bb = java.nio.ByteBuffer.wrap(bytes)
             Array.fill(bytes.length / 8)(bb.getLong)
           }
-          Some(Entry(idCol, field("mn").toLong, field("mx").toLong,
-            field("rows").toLong, field("bits").toInt, bloom))
+          // geometry check: a truncated/bit-rotted bloom that still
+          // base64-decodes must read as ABSENT (the accelerator-never-
+          // correctness-dependency contract), not throw inside the
+          // footer pool when mightContain indexes past the array
+          if (bits <= 0 || bloom.exists(_.length < ((bits + 63) >>> 6)))
+            None
+          else Some(Entry(idCol, field("mn").toLong, field("mx").toLong,
+            field("rows").toLong, bits, bloom))
         }
       }
     }.toOption.flatten

@@ -1062,6 +1062,80 @@ class AnnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("capacity migration: a queue drain against a mid-commit crash repairs FIRST — erasure is never resurrected") {
+    // the r17 review's erasure-resurrection scenario: migration
+    // committed its marker but crashed before promoting; the next
+    // thing to touch the tree is the DRAIN (it runs ahead of the
+    // batch in ingestBody). Without the drain-side repair the retire
+    // would rewrite the superseded live tree and the later roll-
+    // forward would promote the staged PRE-retire copy — a consumed
+    // request whose ids come back.
+    val e = synthVecs(1500).cache()
+    val idx = tmp("asmd_idx") + "/index"
+    val cen = tmp("asmd_cen") + "/centroids"
+    AnnStream.processIvfBatch(e, 0L, idx, cen, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2)
+    // fabricate the committed-but-unpromoted migration state
+    val cents16 = Ann.portableKmeansCentroids(e, "vec_id", "embedding",
+      dim = 64, k = 16, iters = 2)
+    cents16.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+      .toDF("cell", "c").coalesce(1).write.parquet(idx + "_mcen")
+    Ann.portableAssignWithCentroids(e, "vec_id", "embedding", cents16)
+      .withColumn("batch_id", lit(0L))
+      .repartition($"batch_id", $"cell")
+      .write.partitionBy("batch_id", "cell").parquet(idx + "_mnext")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idx + "_mcommit"), cen)
+    // a pending retire request lands and the drain runs (the
+    // ingestBody pre-batch path)
+    val queue = tmp("asmd_queue") + "/queue"
+    val victim = 7L
+    val stage = tmp("asmd_stage")
+    Seq(victim).toDF("vec_id").coalesce(1).write.parquet(stage + "/r")
+    new java.io.File(queue).mkdirs()
+    val part = new java.io.File(stage + "/r").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(queue, "req_001.parquet"))
+    assert(AnnStream.drainRetireQueue(spark, queue,
+      Seq(idx -> Seq("cell")), Nil, "vec_id") == 1)
+    // the drain repaired forward THEN retired: the tree is the
+    // MIGRATED assignment minus the victim, and stays so after any
+    // later entry repair
+    AnnStream.migrateCapacityIfNeeded(spark, idx, cen, "vec_id",
+      dim = 64, iters = 2) // entry repair; rule satisfied → no-op
+    val ids = spark.read.parquet(idx).select("vec_id").as[Long]
+      .collect().toSet
+    assert(!ids.contains(victim), "erasure resurrected by roll-forward")
+    assert(AnnStream.readCentroids(spark, cen).map(_.toSeq)
+      == cents16.map(_.toSeq))
+  }
+
+  test("batch-0 retrain guard: a fresh ingest never reuses a stale model from a recycled centroids path") {
+    val old = synthVecs(400).cache()
+    val fresh = emb.cache()
+    val cen = tmp("asbg_cen") + "/centroids"
+    // a model trained on UNRELATED old data sits at the path
+    AnnStream.writeCentroids(spark, Ann.portableKmeansCentroids(old,
+      "vec_id", "embedding", dim = 64, k = 8, iters = 2), cen)
+    val stale = AnnStream.readCentroids(spark, cen)
+    // fresh ingest: new index path, batch 0 — must RETRAIN (the skip
+    // is only for replays, evidenced by a committed index tree)
+    val idx = tmp("asbg_idx") + "/index"
+    AnnStream.processIvfBatch(fresh, 0L, idx, cen, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2)
+    val trained = AnnStream.readCentroids(spark, cen)
+    val expected = Ann.portableKmeansCentroids(fresh, "vec_id",
+      "embedding", dim = 64, k = 8, iters = 2)
+    assert(trained.map(_.toSeq) == expected.map(_.toSeq))
+    assert(trained.map(_.toSeq) != stale.map(_.toSeq))
+    // and a batch-0 REPLAY (committed tree now present) reads, never
+    // clobbers — the migration-survival half of the guard
+    AnnStream.processIvfBatch(fresh, 0L, idx, cen, "vec_id", "embedding",
+      dim = 64, cells = 16, iters = 2) // different cells param: ignored
+    assert(AnnStream.readCentroids(spark, cen).length == 8)
+  }
+
   test("property: drains, compactions, delta publishes AND capacity migrations interleave safely") {
     // The r16 three-op property extended with the FOURTH maintenance
     // op: an autoCapacity ivfIngest whose corpus CROSSES the 8→16
