@@ -56,8 +56,19 @@ object CapacityProbe {
     // legacy-sized model at the SAME probed fraction; whatever it
     // shows is the finding.
     val natural = args.lift(1).contains("natural")
+    // `seeds` mode (round-17): quantify the SEED-SENSITIVITY band the
+    // s22 gate doc cites — the same capacity point (the rule's cells,
+    // nprobe, on this corpus) trained from different md5 salt streams
+    // and from different training prefixes (arrival slice 0 — s21's
+    // shape — vs the committed 3/4 prefix a mid-run migration trains
+    // on — s22's shape). Measured as the IVF CEILING (exact ranking
+    // within the probed cells), which isolates quantizer quality from
+    // PQ coding loss. If the slice-0 vs prefix spread sits inside the
+    // cross-salt spread, the s21-vs-s22 recall gap is seed noise, not
+    // a training-set effect.
+    val seeds = args.lift(1).contains("seeds")
     val replicate =
-      if (natural) 1 else args.lift(1).map(_.toInt).getOrElse(1)
+      if (natural || seeds) 1 else args.lift(1).map(_.toInt).getOrElse(1)
     val base = java.nio.file.Files.createTempDirectory("graft_capacity")
 
     val vecsBase =
@@ -122,6 +133,38 @@ object CapacityProbe {
 
     val rule = graft.similarity.Ann.ivfCapacityForCorpus(n)
     println(s"[capacity] n=$n rule: cells=${rule.cells} nprobe=${rule.nprobe}")
+
+    if (seeds) {
+      val cellsSens = for (
+        salt <- Seq("pkmeans", "pkseed2", "pkseed3");
+        (tag, train) <- Seq(
+          "slice0" -> vecs.filter(pmod(col("vec_id"), lit(4)) === 0),
+          "prefix3" -> vecs.filter(pmod(col("vec_id"), lit(4)) <= 2))
+      ) yield {
+        val cents = graft.similarity.Ann.portableKmeansCentroids(train,
+          "vec_id", "embedding", dim = 64, k = rule.cells, iters = 2, salt)
+        val idxDf = graft.similarity.Ann.portableAssignWithCentroids(
+          vecs, "vec_id", "embedding", cents)
+        val qdf = graft.similarity.Ann.portableQueryCells(queries,
+          "vec_id", "embedding", cents, rule.nprobe)
+        val r = recallOf(graft.similarity.Ann.integerTopK(idxDf, qdf,
+          "vec_id", "cell", 5))
+        spark.catalog.clearCache()
+        println(f"[capacity] seeds salt=$salt%-8s train=$tag%-7s " +
+          f"ivf_ceiling $r%.3f")
+        (salt, tag, r)
+      }
+      val sfName0 = new java.io.File(src).getName
+      println(s"""{"metric":"capacity_sweep","n":$n,"sf":"$sfName0",""" +
+        s""""mode":"seeds","rule":{"cells":${rule.cells},""" +
+        s""""nprobe":${rule.nprobe}},"seed_sensitivity":""" +
+        cellsSens.map { case (s, t, r) =>
+          f"""{"salt":"$s","train":"$t","ivf_ceiling":$r%.3f}"""
+        }.mkString("[", ",", "]") + "}")
+      spark.stop()
+      graft.core.TempDirs.deleteRecursively(base.toFile)
+      return
+    }
 
     // full grid on the native corpus; rule point vs fixed legacy point
     // on a replicated or natural one (the grid would re-measure what
