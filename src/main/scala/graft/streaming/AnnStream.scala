@@ -75,8 +75,7 @@ object AnnStream {
     * second clause. */
   private def committedIndexExists(spark: SparkSession,
       indexPath: String): Boolean = {
-    repairMigration(spark, indexPath)
-    DedupStream.repairIndexTree(spark, indexPath)
+    DedupStream.repairIndexTree(spark, indexPath) // incl. migration repair
     val h = new org.apache.hadoop.fs.Path(indexPath)
     val fs = h.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(h) && DedupStream.hasParquetFiles(fs, h)
@@ -161,8 +160,7 @@ object AnnStream {
       servingTrees: Seq[String] = Nil): Option[Ann.IvfCapacity] = {
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairMigration(spark, indexPath)
-    DedupStream.repairIndexTree(spark, indexPath)
+    DedupStream.repairIndexTree(spark, indexPath) // incl. migration repair
     graft.operators.Sinks.recoverSwap(spark, indexPath)
     if (!centroidsExist(spark, centroidsPath)) return None // no model yet
     if (!fs.exists(hPath) || !DedupStream.hasParquetFiles(fs, hPath))
@@ -401,8 +399,7 @@ object AnnStream {
     // crashed mid-promote leaves the tree missing batch partitions
     // until rolled forward — read without repairing and the re-sent-id
     // guard misses ids, double-indexing them
-    repairMigration(spark, indexPath)
-    DedupStream.repairIndexTree(spark, indexPath)
+    DedupStream.repairIndexTree(spark, indexPath) // incl. migration repair
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val emptyIds = spark.createDataFrame(
@@ -463,13 +460,13 @@ object AnnStream {
       idCol: String): Int =
     DedupStream.drainQueue(spark, queueDir, idCol) { ids =>
       rawTrees.foreach { case (tree, pcols) =>
-        // roll an interrupted capacity migration forward BEFORE
-        // retiring: the drain runs ahead of the batch in ingestBody,
-        // so without this a retire could rewrite the SUPERSEDED live
-        // tree and then be thrown away when the batch's own entry
-        // repair promotes the staged pre-retire tree — a consumed
-        // erasure request whose ids come back (r17 review)
-        repairMigration(spark, tree)
+        // retireIds' own entry repair now rolls an interrupted
+        // capacity migration forward before retiring (the r17
+        // drain-side fix, hoisted into repairIndexTree for EVERY
+        // maintenance entry point — r18 advice): the drain runs ahead
+        // of the batch in ingestBody, and a retire against the
+        // superseded live tree would be discarded by the next entry's
+        // roll-forward, resurrecting consumed erasure requests
         DedupStream.retireIds(spark, tree, ids, idCol, pcols)
       }
       servingTrees.foreach(t => retireIds(spark, t, ids, idCol))
@@ -593,8 +590,7 @@ object AnnStream {
     // mid-promote compaction/retire crash leaves batch partitions
     // missing, and a publish reading that state would fold (and
     // watermark past) rows it never saw
-    repairMigration(spark, indexPath)
-    DedupStream.repairIndexTree(spark, indexPath)
+    DedupStream.repairIndexTree(spark, indexPath) // incl. migration repair
     graft.operators.Sinks.recoverSwap(spark, servingPath)
     val ids = listBatchIds(spark, indexPath)
     val folded = upToBatch.fold(ids)(b => ids.filter(_ <= b))
@@ -681,8 +677,7 @@ object AnnStream {
   def publishIndexDelta(spark: SparkSession, indexPath: String,
       servingPath: String, idCol: String = "vec_id",
       upToBatch: Option[Long] = None): Unit = {
-    repairMigration(spark, indexPath)
-    DedupStream.repairIndexTree(spark, indexPath) // the publishIndex rule
+    DedupStream.repairIndexTree(spark, indexPath) // the publishIndex rule (incl. migration)
     val hServing = new org.apache.hadoop.fs.Path(servingPath)
     val fs = hServing.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCellPublish(fs, servingPath)
@@ -906,8 +901,7 @@ object AnnStream {
     // set aside but before promotion would otherwise serve a tree
     // silently missing whole non-retired cells until the next
     // maintenance op. Each repair is one existence check when clean.
-    repairMigration(spark, indexPath)
-    DedupStream.repairIndexTree(spark, indexPath)
+    DedupStream.repairIndexTree(spark, indexPath) // incl. migration repair
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCellPublish(fs, indexPath)
@@ -953,8 +947,7 @@ object AnnStream {
   def trainPqCodebook(spark: SparkSession, indexPath: String,
       centroidsPath: String, m: Int, k: Int, iters: Int = 5,
       salt: String = "pqres"): Seq[Seq[Seq[Long]]] = {
-    repairMigration(spark, indexPath)
-    DedupStream.repairIndexTree(spark, indexPath) // every-load repair
+    DedupStream.repairIndexTree(spark, indexPath) // every-load repair (incl. migration)
     // the training slice is the batch-0 PARTITION, read through
     // partition pruning (`batch_id = 0` on the discovered partition
     // column), not a literal sub-path: once compactIndex folds the
@@ -1046,8 +1039,7 @@ object AnnStream {
   private def publishPqIndexWith(spark: SparkSession, indexPath: String,
       centroidsPath: String, codedPath: String, idCol: String,
       m: Int, k: Int, cbOpt: Option[Seq[Seq[Seq[Long]]]]): Unit = {
-    repairMigration(spark, indexPath)
-    DedupStream.repairIndexTree(spark, indexPath) // every-load repair
+    DedupStream.repairIndexTree(spark, indexPath) // every-load repair (incl. migration)
     // a fully-retired raw tree keeps its batch_id= dirs but holds zero
     // data files — schema inference would throw, and the correct
     // publish of an EMPTY corpus is an EMPTY coded tree (the

@@ -83,8 +83,11 @@ object DedupStream {
       idCol: Option[String] = None): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairCompaction(fs, indexPath)
-    repairRetire(fs, indexPath)
+    // the full three-repair entry (migration FIRST): compactIndex is a
+    // public quiesced-window API — called directly against a tree whose
+    // migration committed but never promoted, folding the SUPERSEDED
+    // live tree would be discarded by the next entry's roll-forward
+    repairIndexTree(spark, indexPath)
     if (!fs.exists(hPath)) return
     val ids = fs.listStatus(hPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
@@ -183,15 +186,25 @@ object DedupStream {
     }
   }
 
-  /** Repair BOTH maintenance stagings of a per-batch index tree —
-    * an interrupted [[compactIndex]] and an interrupted [[retireIds]]
-    * — before any read. One existence check each when no maintenance
-    * ever ran; package-visible so [[AnnStream]]'s loaders, publishes,
-    * serves and trainer apply the same every-load repair rule to the
-    * raw ANN tree (its `batch_id=N/cell=M` layout goes through the
-    * identical machinery). */
+  /** Repair ALL maintenance stagings of a per-batch index tree — an
+    * interrupted capacity migration ([[AnnStream.repairMigration]] —
+    * FIRST, because a committed-but-unpromoted migration supersedes
+    * the live tree wholesale: compaction/retire repair must run
+    * against the PROMOTED tree, and any op that skipped this would
+    * rewrite the superseded copy only to have the next entry's
+    * roll-forward discard it, resurrecting erased ids — the r17
+    * drain-side bug class, closed here for EVERY entry point per the
+    * r18 advice), then an interrupted [[compactIndex]], then an
+    * interrupted [[retireIds]]. One existence check each when no
+    * maintenance ever ran; package-visible so [[AnnStream]]'s
+    * loaders, publishes, serves and trainer apply the same every-load
+    * repair rule to the raw ANN tree (its `batch_id=N/cell=M` layout
+    * goes through the identical machinery). Dedup signature trees
+    * never migrate — their `_mcommit` probe is a no-op existence
+    * check. */
   private[streaming] def repairIndexTree(spark: SparkSession,
       indexPath: String): Unit = {
+    AnnStream.repairMigration(spark, indexPath)
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCompaction(fs, indexPath)
@@ -344,7 +357,12 @@ object DedupStream {
     def dirIsCandidate(dir: org.apache.hadoop.fs.Path): Boolean =
       StatsSidecar.read(fs, dir, idCol) match {
         case Some(e) =>
-          e.rows > 0L && couldHit(e.mn, e.mx) && idsOpt.forall { sorted =>
+          // mn > mx is the empty id interval (zero rows, or rows whose
+          // every id is null — `rows` counts them for footerRowCount,
+          // but no probed long can live there): prune before couldHit,
+          // which assumes a real interval (the fileBounds convention)
+          e.rows > 0L && e.mn <= e.mx && couldHit(e.mn, e.mx) &&
+            idsOpt.forall { sorted =>
             // narrow the (sorted — the statsCandidateParts contract)
             // probe ids to the dir's [mn, mx] window before any
             // hashing: only ids the range already admits are bloom-
@@ -506,8 +524,13 @@ object DedupStream {
       idCol: String, partitionCols: Seq[String] = Nil): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(treePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairCompaction(fs, treePath)
-    repairRetire(fs, treePath)
+    // the full three-repair entry (migration FIRST): retireIds is the
+    // public quiesced-window erasure API — applied to a tree whose
+    // migration committed but never promoted, the retire would rewrite
+    // the SUPERSEDED live copy and the next entry's roll-forward would
+    // promote the staged PRE-retire tree, resurrecting erased ids (the
+    // r17 drain-side bug class at a different entry point — r18 advice)
+    repairIndexTree(spark, treePath)
     // no tree, or a tree with zero data files (every batch dropped or
     // already retired everything): nothing to retire, and nothing for
     // schema inference to read
@@ -787,8 +810,7 @@ object DedupStream {
     import org.apache.spark.sql.types._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairCompaction(fs, path)
-    repairRetire(fs, path)
+    repairIndexTree(spark, path) // the shared three-repair entry
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField("shh", ArrayType(LongType)),
@@ -1215,8 +1237,7 @@ object DedupStream {
     import org.apache.spark.sql.types._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairCompaction(fs, path)
-    repairRetire(fs, path)
+    repairIndexTree(spark, path) // the shared three-repair entry
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField(vecCol, vecType),
@@ -1265,8 +1286,7 @@ object DedupStream {
     import org.apache.spark.sql.types._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairCompaction(fs, path)
-    repairRetire(fs, path)
+    repairIndexTree(spark, path) // the shared three-repair entry
     val schema = StructType(Seq(
       StructField(idCol, idType),
       StructField("sig", LongType),

@@ -54,12 +54,22 @@ object StatsSidecar {
   private val MaxBits = 1 << 20
   private val MinBits = 1 << 10
 
+  /** `rows` is the dir's TOTAL row count — null ids included — because
+    * [[DedupStream.footerRowCount]] feeds it to the capacity-migration
+    * trigger as the committed corpus size (r18 advice: counting only
+    * non-null ids undercounted n on trees with null ids, sizing the
+    * model too small). `mn`/`mx` and the Bloom describe the NON-NULL
+    * ids only (a null id can never match a probed long); a dir whose
+    * every id is null carries the empty interval `mn > mx`, which
+    * every range probe already treats as prune-everything (the
+    * zero-row parquet-footer convention). */
   final case class Entry(idCol: String, mn: Long, mx: Long, rows: Long,
       bits: Int, bloom: Option[Array[Long]]) {
     /** Bloom membership (true = might contain; bloom absent = always
-      * might). Empty dirs (rows == 0) contain nothing. */
+      * might). Empty dirs (rows == 0) and dirs with no non-null id
+      * (mn > mx) contain no probe-able id. */
     def mightContain(id: Long): Boolean =
-      if (rows == 0L) false
+      if (rows == 0L || mn > mx) false
       else bloom.forall { bs =>
         (0 until K).forall { i =>
           val p = position(id, i, bits)
@@ -85,9 +95,11 @@ object StatsSidecar {
 
   /** Write one sidecar into `dirPath` describing `rows` (a frame whose
     * `idCol` casts to long — non-integral id trees get no sidecar and
-    * keep the footer fallback). Two bounded jobs: a scalar min/max/
-    * count aggregate and a per-position distinct-collect whose driver
-    * state is ≤ `bits` ints. */
+    * keep the footer fallback). Two bounded jobs: one scalar aggregate
+    * (min/max over non-null ids — the SQL aggregates skip nulls
+    * natively — plus the TOTAL row count), and a packed-word Bloom
+    * build whose driver state is ≤ `bits`/8 bytes
+    * ([[packedBloomWords]]). */
   def writeForDir(spark: SparkSession, rows: DataFrame, dirPath: String,
       idCol: String): Unit = {
     import org.apache.spark.sql.types.{IntegerType, LongType => LT}
@@ -95,31 +107,60 @@ object StatsSidecar {
       case LT | IntegerType => ()
       case _ => return
     }
-    val ids = rows.select(col(idCol).cast(LongType).as("_id")).na.drop()
-    val r = ids.agg(min("_id"), max("_id"), count(lit(1))).collect()(0)
-    val n = r.getLong(2)
-    val entry = if (n == 0L) Entry(idCol, 1L, 0L, 0L, MinBits, None)
-    else {
-      val bits = bitsFor(n)
-      val posCols = (0 until K).map(i =>
-        pmod(xxhash64(col("_id"), lit(i.toLong)), lit(bits.toLong))
-          .cast("int"))
-      val pos = ids.select(explode(array(posCols: _*)).as("p"))
-        .distinct().collect().map(_.getInt(0))
-      val bs = new Array[Long]((bits + 63) >>> 6)
-      pos.foreach(p => bs(p >>> 6) |= (1L << (p & 63)))
-      Entry(idCol, r.getLong(0), r.getLong(1), n, bits, Some(bs))
-    }
+    val ids = rows.select(col(idCol).cast(LongType).as("_id"))
+    val r = ids.agg(min("_id"), max("_id"), count(lit(1)),
+      count(col("_id"))).collect()(0)
+    val total = r.getLong(2)
+    val nn = r.getLong(3) // non-null ids — the Bloom's population
+    val entry =
+      if (total == 0L) Entry(idCol, 1L, 0L, 0L, MinBits, None)
+      else if (nn == 0L) Entry(idCol, 1L, 0L, total, MinBits, None)
+      else {
+        val bits = bitsFor(nn)
+        val bs = new Array[Long]((bits + 63) >>> 6)
+        packedBloomWords(ids.na.drop(), Nil, bits)
+          .collect().foreach(w => bs(w.getInt(0)) = w.getLong(1))
+        Entry(idCol, r.getLong(0), r.getLong(1), total, bits, Some(bs))
+      }
     write(spark, dirPath, entry)
   }
 
+  /** The executor-side Bloom build shared by [[writeForDir]] and
+    * [[writeForTree]]: each `_id`'s K chained-xxhash64 positions
+    * become single-bit longs OR-merged per 64-bit WORD of the filter —
+    * the codegen'd built-ins `xxhash64`/`shiftleft`/`bit_or` end to
+    * end, so what crosses to the driver is the packed bitmask itself
+    * (≤ bits/64 non-zero words per group), never a position set (r18
+    * advice: the previous per-dir `collect_set` of Int positions held
+    * up to 32× the filter's size in boxed driver state — multiple GB
+    * at a 600-dir migration). `groupCols` is empty for one dir, `_p`
+    * for a whole tree; output columns: [groupCols…, `_w` (word
+    * index, Int), `_word` (word value, Long)]. */
+  private def packedBloomWords(ids: DataFrame, groupCols: Seq[String],
+      bits: Int): DataFrame = {
+    val posCols = (0 until K).map(i =>
+      pmod(xxhash64(col("_id"), lit(i.toLong)), lit(bits.toLong))
+        .cast("long"))
+    ids
+      .select(groupCols.map(col) :+ explode(array(posCols: _*)).as("_pos"): _*)
+      .groupBy(groupCols.map(col) :+ expr("int(_pos div 64)").as("_w"): _*)
+      .agg(expr("bit_or(shiftleft(1L, int(_pos % 64)))").as("_word"))
+  }
+
   /** Sidecars for EVERY `<prefix>` partition dir of a (staged) tree in
-    * two jobs total — grouped min/max/count, then grouped position
-    * sets (driver state ≤ dirs × bits bits; bits is sized from the
-    * LARGEST dir) — plus rows=0 sidecars for partition dirs holding no
-    * data files (a fully-retired batch: future probes prune it from
-    * the sidecar alone). Dirs whose partition value is not the long
-    * the probes walk are left alone (footer fallback).
+    * two jobs total — a grouped min/max/total-count aggregate, then
+    * the packed-word Bloom build ([[packedBloomWords]]) STREAMED to
+    * the driver ONE DIR AT A TIME (ordered `toLocalIterator`), so the
+    * driver never holds more than the per-dir stats map (3 longs/dir)
+    * plus a single dir's bitmask (≤ `bits`/8 bytes ≤ 128 KiB at the
+    * 2²⁰ cap) — bounded regardless of dir count (r18 advice: the
+    * previous grouped `collect_set` held up to dirs × 4 MB of boxed
+    * positions at a 600-dir migration). Each dir's sidecar writes as
+    * its group completes; dirs with no non-null id (empty, fully
+    * retired, or all-null) get min/max-free entries afterwards.
+    * `bits` is sized from the LARGEST dir's non-null-id count. Dirs
+    * whose partition value is not the long the probes walk are left
+    * alone (footer fallback).
     *
     * `bloomFrom` (the RETIRE path): instead of rebuilding Bloom
     * filters, CARRY each staged dir's filter over from its live
@@ -143,7 +184,12 @@ object StatsSidecar {
         n => n -> s.getPath))
       .toMap
     if (dirs.isEmpty) return
-    val stats: Map[Long, (Long, Long, Long)] =
+    // per-dir (id bounds — None when the dir has no non-null id,
+    // TOTAL rows incl. null ids, non-null-id rows): min/max skip
+    // nulls natively, count(lit(1)) counts everything (the
+    // footerRowCount contract — r18 advice), count(_id) the Bloom
+    // population
+    val stats: Map[Long, (Option[(Long, Long)], Long, Long)] =
       if (!DedupStream.hasParquetFiles(fs, hPath)) Map.empty
       else {
         val df = spark.read.parquet(treePath)
@@ -152,18 +198,31 @@ object StatsSidecar {
           case LT | IntegerType => ()
           case _ => return
         }
-        val base = df
-          .select(col(pcol).cast(LongType).as("_p"),
+        df.select(col(pcol).cast(LongType).as("_p"),
             col(idCol).cast(LongType).as("_id"))
-          .na.drop(Seq("_id"))
-        val agg = base.groupBy("_p")
-          .agg(min("_id"), max("_id"), count(lit(1))).collect()
-          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
-            r.getLong(3))).toMap
-        agg
+          .groupBy("_p")
+          .agg(min("_id"), max("_id"), count(lit(1)), count(col("_id")))
+          .collect()
+          .map { r =>
+            val bounds = if (r.isNullAt(1)) None
+              else Some((r.getLong(1), r.getLong(2)))
+            r.getLong(0) -> (bounds, r.getLong(3), r.getLong(4))
+          }.toMap
       }
-    val maxRows = (stats.values.map(_._3) ++ Seq(0L)).max
-    val bits = bitsFor(maxRows)
+    val maxNn = (stats.values.map(_._3) ++ Seq(0L)).max
+    val bits = bitsFor(maxNn)
+    def entryFor(n: Long, bloom: Option[(Int, Array[Long])]): Entry =
+      stats.get(n) match {
+        case Some((Some((mn, mx)), total, _)) =>
+          // a supplied bloom's bits describe THAT filter (a carried
+          // one keeps its own geometry), so the pair stays
+          // self-consistent
+          bloom.map { case (b, w) => Entry(idCol, mn, mx, total, b, Some(w)) }
+            .getOrElse(Entry(idCol, mn, mx, total, bits, None))
+        case Some((None, total, _)) => // rows, but no non-null id
+          Entry(idCol, 1L, 0L, total, MinBits, None)
+        case None => Entry(idCol, 1L, 0L, 0L, MinBits, None) // empty dir
+      }
     bloomFrom match {
       case Some(liveRoot) =>
         val liveH = new org.apache.hadoop.fs.Path(liveRoot)
@@ -173,44 +232,47 @@ object StatsSidecar {
           val carried = read(liveFs,
             new org.apache.hadoop.fs.Path(liveH, s"$prefix$n"), idCol)
             .filter(_.bloom.isDefined)
-          val entry = stats.get(n) match {
-            case Some((mn, mx, rows)) =>
-              // the carried entry's bits describe ITS bloom, so the
-              // carried filter stays self-consistent
-              carried.map(c => Entry(idCol, mn, mx, rows, c.bits, c.bloom))
-                .getOrElse(Entry(idCol, mn, mx, rows, bits, None))
-            case None => Entry(idCol, 1L, 0L, 0L, MinBits, None)
-          }
-          write(spark, dir.toString, entry)
+          write(spark, dir.toString,
+            entryFor(n, carried.map(c => (c.bits, c.bloom.get))))
         }
         return
       case None => ()
     }
-    val blooms: Map[Long, Array[Long]] =
-      if (stats.isEmpty) Map.empty
-      else {
-        val posCols = (0 until K).map(i =>
-          pmod(xxhash64(col("_id"), lit(i.toLong)), lit(bits.toLong))
-            .cast("int"))
+    val written = scala.collection.mutable.Set[Long]()
+    if (stats.exists(_._2._3 > 0L)) {
+      val packed = packedBloomWords(
         spark.read.parquet(treePath)
           .select(col(pcol).cast(LongType).as("_p"),
             col(idCol).cast(LongType).as("_id"))
-          .na.drop(Seq("_id"))
-          .select(col("_p"), explode(array(posCols: _*)).as("pos"))
-          .groupBy("_p").agg(collect_set("pos").as("ps"))
-          .collect().map { r =>
-            val bs = new Array[Long]((bits + 63) >>> 6)
-            r.getSeq[Int](1).foreach(p => bs(p >>> 6) |= (1L << (p & 63)))
-            r.getLong(0) -> bs
-          }.toMap
+          .na.drop(Seq("_id")),
+        Seq("_p"), bits)
+        .orderBy("_p", "_w")
+      // ordered toLocalIterator: Spark ships one range partition at a
+      // time; the driver materializes one dir's words, writes its
+      // sidecar, and moves on
+      val it = packed.toLocalIterator()
+      var curP = 0L
+      var curW: Array[Long] = null
+      def flush(): Unit = if (curW != null) {
+        dirs.get(curP).foreach { d =>
+          write(spark, d.toString, entryFor(curP, Some((bits, curW))))
+          written += curP
+        }
+        curW = null
       }
+      while (it.hasNext) {
+        val r = it.next()
+        val p = r.getLong(0)
+        if (curW == null || p != curP) {
+          flush(); curP = p
+          curW = new Array[Long]((bits + 63) >>> 6)
+        }
+        curW(r.getInt(1)) = r.getLong(2)
+      }
+      flush()
+    }
     dirs.foreach { case (n, dir) =>
-      val entry = stats.get(n) match {
-        case Some((mn, mx, rows)) =>
-          Entry(idCol, mn, mx, rows, bits, blooms.get(n))
-        case None => Entry(idCol, 1L, 0L, 0L, MinBits, None) // empty dir
-      }
-      write(spark, dir.toString, entry)
+      if (!written.contains(n)) write(spark, dir.toString, entryFor(n, None))
     }
   }
 

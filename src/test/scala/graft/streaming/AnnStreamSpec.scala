@@ -1111,6 +1111,63 @@ class AnnStreamSpec extends SparkSpec {
       == cents16.map(_.toSeq))
   }
 
+  test("capacity migration: a DIRECT retireIds/compactIndex against a mid-commit crash repairs FIRST — erasure is never resurrected") {
+    // the r18 advice's scenario: same bug class as the drain-side r17
+    // fix, but through the PUBLIC quiesced-window APIs — retireIds and
+    // compactIndex called directly (not via drainRetireQueue) against
+    // a tree whose migration committed its marker but never promoted.
+    // Without the hoisted repair the retire rewrites the SUPERSEDED
+    // live tree and the next entry's roll-forward promotes the staged
+    // PRE-retire copy, resurrecting the erased id.
+    val e = synthVecs(1500).cache()
+    val idx = tmp("asmr_idx") + "/index"
+    val cen = tmp("asmr_cen") + "/centroids"
+    AnnStream.processIvfBatch(e, 0L, idx, cen, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2)
+    // fabricate the committed-but-unpromoted migration state
+    val cents16 = Ann.portableKmeansCentroids(e, "vec_id", "embedding",
+      dim = 64, k = 16, iters = 2)
+    cents16.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+      .toDF("cell", "c").coalesce(1).write.parquet(idx + "_mcen")
+    Ann.portableAssignWithCentroids(e, "vec_id", "embedding", cents16)
+      .withColumn("batch_id", lit(0L))
+      .repartition($"batch_id", $"cell")
+      .write.partitionBy("batch_id", "cell").parquet(idx + "_mnext")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idx + "_mcommit"), cen)
+    // the public erasure API runs DIRECTLY (a quiesced-window operator
+    // action) — its entry repair must roll the migration forward first
+    val victim = 7L
+    DedupStream.retireIds(spark, idx, Seq(victim).toDF("vec_id"),
+      "vec_id", Seq("cell"))
+    val ids = spark.read.parquet(idx).select("vec_id").as[Long]
+      .collect().toSet
+    assert(!ids.contains(victim), "retire applied to the superseded tree")
+    assert(AnnStream.readCentroids(spark, cen).map(_.toSeq)
+      == cents16.map(_.toSeq), "retireIds entry did not promote the model")
+    // and compactIndex on a SECOND fabricated mid-commit crash: the
+    // fold must run on the promoted tree, not the superseded one
+    val cents32 = Ann.portableKmeansCentroids(e, "vec_id", "embedding",
+      dim = 64, k = 32, iters = 2)
+    cents32.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+      .toDF("cell", "c").coalesce(1).write.parquet(idx + "_mcen")
+    Ann.portableAssignWithCentroids(
+        e.filter($"vec_id" =!= victim), "vec_id", "embedding", cents32)
+      .withColumn("batch_id", lit(0L))
+      .repartition($"batch_id", $"cell")
+      .write.partitionBy("batch_id", "cell").parquet(idx + "_mnext")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idx + "_mcommit"), cen)
+    DedupStream.compactIndex(spark, idx, upToBatch = 0L,
+      partitionCols = Seq("cell"))
+    assert(AnnStream.readCentroids(spark, cen).length == 32,
+      "compactIndex entry did not promote the model")
+    val cells = spark.read.parquet(idx).select($"cell".cast("long"))
+      .distinct().as[Long].collect()
+    assert(cells.forall(_ < 32) && cells.exists(_ >= 16),
+      "fold ran against the superseded 16-cell tree")
+  }
+
   test("batch-0 retrain guard: a fresh ingest never reuses a stale model from a recycled centroids path") {
     val old = synthVecs(400).cache()
     val fresh = emb.cache()

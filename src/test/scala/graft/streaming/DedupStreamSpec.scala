@@ -702,6 +702,39 @@ class DedupStreamSpec extends SparkSpec {
       Seq(5L).toDF("doc_id"), "doc_id").contains(Seq(0L)))
   }
 
+  test("stats sidecar: rows counts null-id rows, id probes still prune them") {
+    import spark.implicits._
+    // r18 advice: the sidecar's rows field feeds footerRowCount, whose
+    // consumer is the capacity-migration TRIGGER (committed corpus
+    // size) — counting only non-null ids undercounted n on trees with
+    // null ids. Null ids can never match a probed long, so the id
+    // probes must still prune through the non-null min/max/bloom.
+    val treeP = tmp("dsnn_tree") + "/tree"
+    val rows = (0L until 100L).map(i => (Some(i), 0L)) ++
+      (0 until 10).map(_ => (Option.empty[Long], 0L)) ++
+      (0 until 5).map(_ => (Option.empty[Long], 1L)) // dir 1: ALL null
+    rows.toDF("doc_id", "batch_id").repartition($"batch_id")
+      .write.partitionBy("batch_id").parquet(treeP)
+    graft.streaming.StatsSidecar.writeForTree(spark, treeP,
+      "batch_id=", "doc_id")
+    // committed corpus size counts EVERY row — null ids included
+    assert(DedupStream.footerRowCount(spark, treeP, "batch_id=") == 115L)
+    // a held id names only dir 0; the all-null dir prunes (its empty
+    // id interval can hold no probed long)
+    assert(DedupStream.statsCandidateParts(spark, treeP, "batch_id=",
+      Seq(55L).toDF("doc_id"), "doc_id").contains(Seq(0L)))
+    // absence still proves from sidecars alone
+    assert(DedupStream.statsCandidateParts(spark, treeP, "batch_id=",
+      Seq(900000L).toDF("doc_id"), "doc_id").contains(Nil))
+    // writeForDir (the compaction path) agrees on the total-rows rule
+    val dirP = treeP + "/batch_id=0"
+    graft.streaming.StatsSidecar.writeForDir(spark,
+      spark.read.parquet(dirP), dirP, "doc_id")
+    assert(DedupStream.footerRowCount(spark, treeP, "batch_id=") == 115L)
+    assert(DedupStream.statsCandidateParts(spark, treeP, "batch_id=",
+      Seq(55L).toDF("doc_id"), "doc_id").contains(Seq(0L)))
+  }
+
   test("property: interleaved retires and compactions always leave tree = ingested minus retired") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
