@@ -308,21 +308,21 @@ object AnnStream {
   def processIvfBatch(batchIn: DataFrame, batchId: Long, indexPath: String,
       centroidsPath: String, idCol: String, vecCol: String, dim: Int,
       cells: Int, iters: Int, salt: String = "pkmeans",
-      autoCells: Boolean = false): Unit = {
+      autoCells: Boolean = false, trainSliceRows: Int = 0): Unit = {
     // the batch backs several full passes (the guard's hull aggregate,
     // dropDuplicates + anti-join, the assignment write; batch 0 adds
     // the Lloyd's iterations) — pin it so they read one materialization
     // instead of re-reading the source files per pass (r16 review)
     val batch = batchIn.cache()
     try processIvfBatchPinned(batch, batchId, indexPath, centroidsPath,
-      idCol, vecCol, dim, cells, iters, salt, autoCells)
+      idCol, vecCol, dim, cells, iters, salt, autoCells, trainSliceRows)
     finally batch.unpersist()
   }
 
   private def processIvfBatchPinned(batch: DataFrame, batchId: Long,
       indexPath: String, centroidsPath: String, idCol: String,
       vecCol: String, dim: Int, cells: Int, iters: Int,
-      salt: String, autoCells: Boolean): Unit = {
+      salt: String, autoCells: Boolean, trainSliceRows: Int): Unit = {
     val spark = batch.sparkSession
     // batch 0 trains unless BOTH a committed model AND a committed
     // index tree exist: a replay of batch 0 with that evidence reads
@@ -366,6 +366,100 @@ object AnnStream {
     Ann.portableAssignWithCentroids(fresh, idCol, vecCol, cents)
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$indexPath/batch_id=$batchId")
+    if (trainSliceRows > 0)
+      maintainTrainSlice(spark, indexPath, batchId, idCol, trainSliceRows)
+  }
+
+  /** The RETAINED TRAINING-SLICE store (round-18 verdict #2): a small
+    * per-batch reservoir tree at `<indexPath>_tslice` holding sampled
+    * `(idCol, q)` rows, capped at `cap` rows total, so the PQ codebook
+    * can RETRAIN after a capacity migration even once compaction has
+    * folded the `batch_id=0` training partition away — the documented
+    * loud failure of `autoCapacity × compactEvery`
+    * ([[trainPqCodebook]]'s contract), closed by
+    * [[trainPqCodebookFromSlice]].
+    *
+    * SAMPLING is the frozen-prefix discipline batch-0 training uses,
+    * extended across batches: each batch contributes its
+    * lowest-md5-hash rows (the [[graft.corpus.Selection]] determinism)
+    * until the cap is reached — batch N's contribution is a pure
+    * function of (committed slice prefix, batch N's committed index
+    * dir), so a crash replay rewrites `batch_id=N` with the identical
+    * row set (the ingest's replay discipline, unchanged). Rows store
+    * the QUANTIZED vector only — `q` is model-independent (quantization
+    * precedes assignment), so a migration never invalidates the slice;
+    * the retrain assigns it under whatever centroids are current.
+    *
+    * ERASURE: the slice is one more per-batch tree —
+    * [[DedupStream.retireIds]] applies (partitionCols = Nil), and
+    * [[ivfIngest]] adds it to the queue drain when the slice is
+    * enabled, so a retained sample never outlives its document's
+    * right-to-erasure.
+    *
+    * COST per batch: one footer/sidecar row count over the slice tree
+    * (≤ cap rows across ≤ #batches small dirs) plus, while the cap is
+    * unmet, one hash-order limit over the just-committed batch dir.
+    * Once the cap is reached the maintainer is the row count alone. */
+  private def maintainTrainSlice(spark: SparkSession, indexPath: String,
+      batchId: Long, idCol: String, cap: Int): Unit = {
+    import graft.corpus.Selection
+    val slicePath = indexPath + "_tslice"
+    DedupStream.repairIndexTree(spark, slicePath)
+    val committed = DedupStream.footerRowCount(spark, slicePath,
+      "batch_id=", _ < batchId)
+    val remaining = cap - committed
+    val staged = new org.apache.hadoop.fs.Path(s"$slicePath/batch_id=$batchId")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (remaining <= 0L) {
+      // cap already met by the committed prefix: a batch_id=batchId dir
+      // can only be a crashed attempt from a run whose prefix was
+      // smaller (retires shrank it since) — clear it so the slice stays
+      // a deterministic function of the committed state
+      if (fs.exists(staged) && !fs.delete(staged, true))
+        throw new java.io.IOException(s"train slice: cannot clear $staged")
+      return
+    }
+    spark.read.parquet(s"$indexPath/batch_id=$batchId")
+      .select(col(idCol), col("q"))
+      .orderBy(Selection.hashValue(Selection.saltedKey(col(idCol),
+        "tslice")), col(idCol))
+      .limit(math.min(remaining, cap.toLong).toInt)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+  }
+
+  /** [[trainPqCodebook]] from the RETAINED slice instead of the
+    * `batch_id=0` partition — the trainer that survives `autoCapacity ×
+    * compactEvery`: residuals are computed by assigning the slice's
+    * stored `q` vectors under the CURRENT frozen centroids
+    * ([[Ann.portableAssignQuantized]] — never re-quantizing), so after
+    * a capacity migration this retrains the codebook against the NEW
+    * geometry from the same retained sample. Fails loudly when no
+    * slice exists (ingest ran without `trainSliceRows`) — the
+    * [[trainPqCodebook]] contract, with the remedy in the message. */
+  def trainPqCodebookFromSlice(spark: SparkSession, indexPath: String,
+      centroidsPath: String, m: Int, k: Int, iters: Int = 5,
+      salt: String = "pqres", idCol: String = "vec_id"): Seq[Seq[Seq[Long]]] = {
+    val slicePath = indexPath + "_tslice"
+    DedupStream.repairIndexTree(spark, slicePath)
+    val hSlice = new org.apache.hadoop.fs.Path(slicePath)
+    val fs = hSlice.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hSlice) && DedupStream.hasParquetFiles(fs, hSlice),
+      s"trainPqCodebookFromSlice: no retained training slice at " +
+        s"$slicePath — run the ingest with trainSliceRows > 0 (the " +
+        "autoCapacity × compactEvery codebook story), or train from " +
+        "batch 0 before the first compaction (trainPqCodebook).")
+    val cents = readCentroids(spark, centroidsPath)
+    val dim = cents.head.length
+    val centLit = typedLit(cents.map(_.toSeq))
+    val resid = Ann.portableAssignQuantized(
+        spark.read.parquet(slicePath).select(col(idCol), col("q")),
+        "q", cents)
+      .withColumn("r", zip_with(col("q"),
+        element_at(centLit, (col("cell") + 1).cast(IntegerType)),
+        (a, b) => a - b))
+    Ann.portablePqTrainCodebooks(resid, idCol, "r", dim, m, k, iters,
+      salt)
   }
 
   /** Ids of all PRIOR batches' index rows (a partial `batch_id=batchId`
@@ -516,7 +610,8 @@ object AnnStream {
       retireQueue: Option[String] = None,
       retireServing: Seq[String] = Nil,
       autoCapacity: Boolean = false,
-      compactEvery: Option[Int] = None): StreamingQuery =
+      compactEvery: Option[Int] = None,
+      trainSliceRows: Int = 0): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(vecsDir)
@@ -527,24 +622,29 @@ object AnnStream {
       // stats sidecar, so the capacity check and the maintenance
       // probes on a long-running tree stay sidecar-read cheap). NOTE
       // the trainPqCodebook contract: the batch-0 training slice must
-      // be trained BEFORE the first fold removes its partition — and
-      // a PQ deployment combining compactEvery WITH autoCapacity must
-      // plan its codebook story: a capacity migration invalidates the
-      // stored codebook (residuals change with the centroids) and the
-      // batch-0 retrain slice is gone once folded, so such a
-      // deployment retrains from a retained sample store, or serves
-      // the raw published layout (ivfServeTopK needs no codebook)
-      // until a retained slice exists. trainPqCodebook fails LOUDLY
-      // either way — the combination can never serve silently stale
-      // codes.
+      // be trained BEFORE the first fold removes its partition. A PQ
+      // deployment combining compactEvery WITH autoCapacity passes
+      // trainSliceRows > 0: the retained sample store survives both
+      // the fold and the migration, and trainPqCodebookFromSlice
+      // retrains the codebook under the migrated centroids (r18 —
+      // closing the documented loud failure of the combination).
+      // Without a slice, trainPqCodebook still fails LOUDLY after a
+      // fold — the combination can never serve silently stale codes.
       .foreachBatch(DedupStream.ingestBody(spark, retireQueue,
-        (s, q) => drainRetireQueue(s, q, Seq(indexPath -> Seq("cell")),
+        // the retained training slice is one more per-batch tree the
+        // drain erases from — a sampled row must never outlive its
+        // document's retire request
+        (s, q) => drainRetireQueue(s, q,
+          Seq(indexPath -> Seq("cell")) ++
+            (if (trainSliceRows > 0)
+              Seq((indexPath + "_tslice") -> Seq.empty[String])
+            else Nil),
           retireServing, idCol),
         Some(indexPath), compactEvery, Seq("cell"),
         Some(idCol)) { (batch, batchId) =>
         processIvfBatch(batch, batchId, indexPath, centroidsPath,
           idCol, vecCol, dim, cells, iters, salt,
-          autoCells = autoCapacity)
+          autoCells = autoCapacity, trainSliceRows = trainSliceRows)
         // capacity-managed ingest: after the batch commits, re-fire
         // the rule — between micro-batches is the quiesced maintenance
         // slot every tree op uses, so the migration's single-maintainer

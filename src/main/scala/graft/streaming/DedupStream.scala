@@ -416,7 +416,8 @@ object DedupStream {
     * only `<prefix>` partition directories, so maintenance staging
     * debris beside them never counts. */
   private[streaming] def footerRowCount(spark: SparkSession,
-      treePath: String, prefix: String): Long = {
+      treePath: String, prefix: String,
+      partFilter: Long => Boolean = _ => true): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val hPath = new org.apache.hadoop.fs.Path(treePath)
     val fs = hPath.getFileSystem(conf)
@@ -429,6 +430,15 @@ object DedupStream {
       }
     val parts = fs.listStatus(hPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      // partFilter bounds the count to the COMMITTED prefix for callers
+      // that must exclude an in-flight dir (the training-slice
+      // maintainer counts batches < batchId). A dir whose partition
+      // value does not parse is ALWAYS counted — the pre-filter
+      // behavior, and for bounded callers the conservative side (a
+      // larger committed count can only shrink what they add)
+      .filter(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(prefix).toLong).toOption
+        .forall(partFilter))
       .map(_.getPath)
     if (parts.isEmpty) return 0L
     import scala.jdk.CollectionConverters._

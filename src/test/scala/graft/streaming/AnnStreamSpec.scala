@@ -829,6 +829,77 @@ class AnnStreamSpec extends SparkSpec {
     assert(served == twin)
   }
 
+  test("retained training slice: PQ retrains after migrate-after-fold; capped, replay-stable, erasable") {
+    // the r18 verdict's ask #2: autoCapacity × compactEvery was
+    // documented to fail loudly once a migration invalidated the
+    // codebook AND compaction folded the batch-0 training slice — the
+    // retained sample store closes it: trainPqCodebookFromSlice
+    // retrains under the MIGRATED centroids from the slice.
+    val e = synthVecs(2000).cache()
+    val dup = e.filter($"vec_id" === 3)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding")
+    val corpus = e.unionByName(dup).cache()
+    val idx = tmp("asts_idx") + "/index"
+    val cen = tmp("asts_cen") + "/centroids"
+    (0 until 4).foreach { i =>
+      AnnStream.processIvfBatch(
+        corpus.filter(pmod($"vec_id", lit(4)) === i), i.toLong, idx, cen,
+        "vec_id", "embedding", dim = 64, cells = 8, iters = 2,
+        trainSliceRows = 800)
+    }
+    // capped at 800, spanning batches 0 and 1 (the frozen-prefix
+    // sampling: each batch tops up until the cap)
+    def sliceRows = spark.read.parquet(idx + "_tslice")
+      .select("vec_id").as[Long].collect().toSet
+    val slice0 = sliceRows
+    assert(slice0.size == 800)
+    assert(new java.io.File(idx + "_tslice").listFiles()
+      .count(_.getName.startsWith("batch_id=")) == 2,
+      "cap of 800 over ~500-row batches must span exactly 2 batch dirs")
+    // replay of batch 1 rewrites an IDENTICAL slice contribution
+    AnnStream.processIvfBatch(
+      corpus.filter(pmod($"vec_id", lit(4)) === 1), 1L, idx, cen,
+      "vec_id", "embedding", dim = 64, cells = 8, iters = 2,
+      trainSliceRows = 800)
+    assert(sliceRows == slice0, "slice not replay-stable")
+    // fold EVERYTHING (batch 0's training partition gone), then the
+    // capacity migration fires 8→16
+    DedupStream.compactIndex(spark, idx, upToBatch = 3L,
+      partitionCols = Seq("cell"), idCol = Some("vec_id"))
+    val mig = AnnStream.migrateCapacityIfNeeded(spark, idx, cen,
+      "vec_id", dim = 64, iters = 2)
+    assert(mig.exists(_.cells == 16), s"expected 8→16 migration, got $mig")
+    // the batch-0 trainer fails loudly, as its contract documents
+    intercept[IllegalArgumentException] {
+      AnnStream.trainPqCodebook(spark, idx, cen, m = 8, k = 8, iters = 2)
+    }
+    // the retained slice retrains under the migrated geometry…
+    val cb = AnnStream.trainPqCodebookFromSlice(spark, idx, cen,
+      m = 8, k = 8, iters = 2)
+    assert(cb != Ann.portablePqCodebookSpread(8, 8, 8))
+    // …and the full PQ lifecycle serves green: the planted duplicate's
+    // residual codes attain the query's ADC minimum in its cell, so it
+    // shortlists and the exact rerank ranks it first
+    val codedPath = tmp("asts_pq") + "/coded"
+    AnnStream.publishPqIndex(spark, idx, cen, codedPath, "vec_id",
+      m = 8, k = 8, cb)
+    val top = AnnStream.pqServeTopK(spark, codedPath, cen,
+        vectors = corpus, queries = corpus.filter($"vec_id" === 3),
+        "vec_id", "embedding", m = 8, k = 8, nprobe = 1, shortlist = 20,
+        topK = 5, codebook = cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .find(t => t._1 == 3L && t._2 == 1L).get
+    assert(top._3 == 9003L && top._4 == 0L,
+      s"planted duplicate did not win under the slice-trained codebook: $top")
+    // erasure reaches the retained sample (the right-to-erasure rule:
+    // a sampled row never outlives its document)
+    val victim = slice0.head
+    DedupStream.retireIds(spark, idx + "_tslice",
+      Seq(victim).toDF("vec_id"), "vec_id")
+    assert(!sliceRows.contains(victim), "retire did not reach the slice")
+  }
+
   test("capacity migration: a mid-ingest boundary crossing retrains and re-shards; equals the one-shot twin") {
     val e = synthVecs(2000).cache()
     val idx = tmp("asmg_idx") + "/index"
