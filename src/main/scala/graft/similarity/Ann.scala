@@ -70,8 +70,18 @@ object Ann {
     * full cell set is the exact-within-IVF ceiling only for the raw
     * serve; through the PQ path coding loss keeps recall below 1, so
     * the curve ends at its largest MEASURED point rather than
-    * extrapolating. */
-  private val recallByProbedFraction: Seq[(Double, Double)] = Seq(
+    * extrapolating.
+    *
+    * VALIDITY SCOPE: k = 16 codes/subspace, shortlist = 100, recall@5
+    * — the exact lifecycle the sweep ran; a deployment changing any of
+    * those must re-run the capacity family, not reuse this curve.
+    * PROVENANCE IS PINNED BY SPEC (r18 #4): `package-visible` so
+    * AnnSpec re-reads the committed CAPACITY_r16.json artifact and
+    * asserts this table IS its sf0.1 rule-point slice — the test goes
+    * red if either side changes alone, closing the silent-drift gap
+    * between a hard-coded constants table and the evidence it
+    * transcribes. */
+  private[graft] val recallByProbedFraction: Seq[(Double, Double)] = Seq(
     0.125 -> 0.312, // nprobe = cells/8  (CAPACITY_r16 sf0.1, 16/2)
     0.25 -> 0.468,  // nprobe = cells/4  — the rule's default point
     0.5 -> 0.588)   // nprobe = cells/2  (16/8)

@@ -70,6 +70,54 @@ object AnnStream {
       .toSeq
   }
 
+  /** EMBEDDED GEOMETRY (round-18 verdict #1 — zero-outage migration):
+    * a serving cell tree can carry its OWN copy of the model inside
+    * the tree directory — centroids under `<tree>/_model`, and for a
+    * PQ-coded tree the codebook under `<tree>/_codebook` (underscore
+    * prefix: invisible to the tree's own parquet reads and to
+    * partition discovery). Because every serving-tree commit here is
+    * ONE directory rename (the staged-promote protocols), geometry
+    * staged INSIDE the tree commits atomically WITH it — a reader that
+    * takes only the tree path can never pair new-geometry rows with an
+    * old model, the same placed-where-it-cannot-go-stale argument as
+    * the stats sidecars. Serves prefer the embedded model and fall
+    * back to the external `centroidsPath` when absent (trees published
+    * before a migration, or by the plain publish cadence — there the
+    * external model is current by construction, since only a
+    * migration ever changes it). */
+  private[streaming] val ModelDir = "_model"
+  private[streaming] val CodebookDir = "_codebook"
+
+  /** A PQ-coded serving tree to REPUBLISH atomically inside a capacity
+    * migration's commit ([[migrateCapacityIfNeeded]]): the codebook
+    * retrains from the retained training slice (`trainSliceRows` — it
+    * must exist, [[trainPqCodebookFromSlice]]'s contract) under the
+    * migrated centroids, and tree + centroids + codebook stage
+    * together. */
+  final case class CodedRepublish(codedPath: String, m: Int, k: Int,
+      iters: Int = 5, salt: String = "pqres")
+
+  /** Write `cents` as an embedded model into a (staged) tree dir. */
+  private def writeEmbeddedCentroids(spark: SparkSession,
+      cents: Seq[Array[Long]], treePath: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+      .toDF("cell", "c").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$treePath/$ModelDir")
+  }
+
+  /** The model a serve of `treePath` must rank under: the embedded
+    * copy when the tree carries one (committed atomically with the
+    * rows it describes), the external store otherwise. */
+  private def readServingCentroids(spark: SparkSession, treePath: String,
+      centroidsPath: String): Seq[Array[Long]] = {
+    val h = new org.apache.hadoop.fs.Path(treePath, ModelDir)
+    val fs = h.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(h) && DedupStream.hasParquetFiles(fs, h))
+      readCentroids(spark, h.toString)
+    else readCentroids(spark, centroidsPath)
+  }
+
   /** Does the raw index tree hold committed data (after rolling any
     * interrupted maintenance forward)? The batch-0 retrain guard's
     * second clause. */
@@ -122,16 +170,20 @@ object AnnStream {
     * retirement, the footer-bounded ingest guard, and the batch-0
     * training slice [[trainPqCodebook]] needs.
     *
-    * SERVING TREES ARE INVALIDATED, not patched: `servingTrees` (the
-    * published and/or PQ-coded layouts, plus a stored codebook path if
-    * any) are DELETED with their sidecars in the same commit — their
-    * cell geometry is meaningless under the new model, and a re-point
-    * is a full republish + codebook retrain (batch-0 residuals changed
-    * with the centroids), which the caller's maintenance cadence runs
-    * next (the s22 lifecycle). Serves against the raw tree pick up the
-    * new model atomically; serves against a deleted published tree
-    * fail LOUDLY (path does not exist) rather than silently answering
-    * from stale geometry.
+    * SERVING TREES: two dispositions, both inside the ONE commit.
+    * Trees listed in `republishPublished` (raw-published cell layouts)
+    * or `republishCoded` (PQ-coded layouts + their codebook spec) are
+    * REPUBLISHED from the staged re-sharded tree with their geometry
+    * EMBEDDED (`_model`, `_codebook` — [[ModelDir]]) — the r18
+    * zero-outage path: a serve taking only the tree path sees old
+    * rows + old model before the promote and new rows + new model
+    * after, never a mixed pair and never path-missing (the coded
+    * republish retrains the codebook from the retained training
+    * slice, so `trainSliceRows` must be enabled). Any OTHER tree in
+    * `servingTrees` keeps the r17 invalidate semantics: DELETED with
+    * its sidecars in the same commit — stale geometry fails LOUDLY
+    * (path does not exist) rather than silently answering, and the
+    * caller's maintenance cadence republishes (the s22 lifecycle).
     *
     * CRASH SAFETY (staged commit, the compactIndex/retireIds shape):
     * the new tree stages under `<indexPath>_mnext`, the new model
@@ -157,7 +209,9 @@ object AnnStream {
   def migrateCapacityIfNeeded(spark: SparkSession, indexPath: String,
       centroidsPath: String, idCol: String = "vec_id", dim: Int = 64,
       iters: Int = 2, salt: String = "pkmeans",
-      servingTrees: Seq[String] = Nil): Option[Ann.IvfCapacity] = {
+      servingTrees: Seq[String] = Nil,
+      republishPublished: Seq[String] = Nil,
+      republishCoded: Seq[CodedRepublish] = Nil): Option[Ann.IvfCapacity] = {
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     DedupStream.repairIndexTree(spark, indexPath) // incl. migration repair
@@ -194,13 +248,75 @@ object AnnStream {
       // sidecar reads alone
       StatsSidecar.writeForTree(spark, indexPath + "_mnext",
         "batch_id=", idCol)
+      // ZERO-OUTAGE REPUBLISH (r18 #1): serving layouts listed for
+      // republish are rebuilt from the STAGED re-sharded tree and
+      // stage under `<indexPath>_mpub/<i>`, each with its geometry
+      // EMBEDDED (`_model`, plus `_codebook` for coded trees — the
+      // codebook retrained from the retained training slice under the
+      // new centroids), so ONE marker commits raw tree + model + every
+      // serving layout together and a serve never sees path-missing —
+      // the reference's atomic snapshot-swap discipline (MD-SQL:105,
+      // 113 — DELETE+INSERT in ONE transaction) extended to the whole
+      // index family. Trees NOT republished keep the r17 invalidate
+      // semantics (deleted loudly; the operator cadence republishes).
+      val mpub = new org.apache.hadoop.fs.Path(indexPath + "_mpub")
+      if (fs.exists(mpub) && !fs.delete(mpub, true))
+        throw new java.io.IOException(s"migrate: cannot clear $mpub")
+      val stagedTree = spark.read.parquet(indexPath + "_mnext")
+      val maxBatch = listBatchIds(spark, indexPath).max
+      republishPublished.zipWithIndex.foreach { case (_, i) =>
+        val st = s"$mpub/$i"
+        stagedTree.drop("batch_id").repartition(col("cell"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(st)
+        writeEmbeddedCentroids(spark, cents, st)
+        Seq(maxBatch).toDF("last_batch").coalesce(1)
+          .write.parquet(s"$mpub/${i}_pubmeta")
+      }
+      republishCoded.zipWithIndex.foreach { case (cr, j) =>
+        val i = republishPublished.length + j
+        val st = s"$mpub/$i"
+        require(cr.m > 0 && dim % cr.m == 0,
+          s"migrate: m=${cr.m} must divide dim=$dim")
+        val cb = trainPqCodebookFromSliceWith(spark, indexPath, cents,
+          cr.m, cr.k, cr.iters, cr.salt, idCol)
+        val centLit = typedLit(cents.map(_.toSeq))
+        stagedTree.drop("batch_id")
+          .withColumn("r", zip_with(col("q"),
+            element_at(centLit, (col("cell") + 1).cast(IntegerType)),
+            (a, b) => a - b))
+          .select(col(idCol),
+            Ann.portablePqEncodeIntCodes(col("r"), cr.m, cr.k,
+              dim / cr.m, cb).as("codes"),
+            col("cell"))
+          .repartition(col("cell"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(st)
+        writeEmbeddedCentroids(spark, cents, st)
+        cb.zipWithIndex.flatMap { case (codes, jj) =>
+          codes.zipWithIndex.map { case (c, code) => (jj, code, c) }
+        }.toDF("j", "code", "c").coalesce(1)
+          .write.parquet(s"$st/$CodebookDir")
+      }
       // the commit marker, atomically (tmp + rename): its existence is
       // the one bit separating roll-back from roll-forward, and its
       // CONTENT is what lets a repair driven from indexPath alone
-      // finish the model swap and the serving-tree invalidation
+      // finish the model swap, the staged republishes and the
+      // serving-tree invalidation. Format: line 1 the centroids path;
+      // then `drop<TAB>path` (invalidate), `pub<TAB>i<TAB>path`
+      // (promote `_mpub/i` + its watermark), `pqpub<TAB>i<TAB>path`
+      // (promote `_mpub/i`); a tab-free line reads as drop — the r17
+      // marker shape, so an in-flight old-format marker still repairs.
+      val dropTrees = servingTrees
+        .filterNot(republishPublished.contains)
+        .filterNot(t => republishCoded.exists(_.codedPath == t))
+      val lines = centroidsPath +:
+        (dropTrees.map(t => s"drop\t$t") ++
+          republishPublished.zipWithIndex.map { case (t, i) =>
+            s"pub\t$i\t$t" } ++
+          republishCoded.zipWithIndex.map { case (cr, j) =>
+            s"pqpub\t${republishPublished.length + j}\t${cr.codedPath}" })
       val tmp = new org.apache.hadoop.fs.Path(indexPath + "_mcommit.tmp")
       val out = fs.create(tmp, true)
-      try out.write((centroidsPath +: servingTrees).mkString("\n")
+      try out.write(lines.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val marker = new org.apache.hadoop.fs.Path(indexPath + "_mcommit")
@@ -225,11 +341,21 @@ object AnnStream {
       finally in.close()
     }
     val cenPath = lines.head
-    val serving = lines.tail.filter(_.nonEmpty)
+    // marker grammar (r18): `drop\tpath` | `pub\ti\tpath` |
+    // `pqpub\ti\tpath`; a tab-free line is a drop (the r17 shape)
+    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+      l.split('\t') match {
+        case Array("pub", i, p) => ("pub", i.toInt, p)
+        case Array("pqpub", i, p) => ("pqpub", i.toInt, p)
+        case Array("drop", p) => ("drop", -1, p)
+        case _ => ("drop", -1, l)
+      }
+    }
     val live = new org.apache.hadoop.fs.Path(indexPath)
     val mnext = new org.apache.hadoop.fs.Path(indexPath + "_mnext")
     val mold = new org.apache.hadoop.fs.Path(indexPath + "_mold")
     val mcen = new org.apache.hadoop.fs.Path(indexPath + "_mcen")
+    val mpub = new org.apache.hadoop.fs.Path(indexPath + "_mpub")
     if (fs.exists(mnext)) {
       // _mold here can only be the superseded old tree of THIS
       // migration (a crash between set-aside and promote) — the staged
@@ -241,23 +367,61 @@ object AnnStream {
       if (!fs.rename(mnext, live))
         throw new java.io.IOException(s"migrate: cannot promote $mnext")
     }
-    // published/coded layouts (and a stored codebook) are geometry
-    // under the OLD model — delete with their sidecars BEFORE the
-    // model swap: a serve against a published/coded tree takes only
-    // that tree's path plus the centroids and CANNOT run this repair,
-    // so any window pairing the NEW model with OLD-geometry serving
-    // trees would be silently wrong answers. Deleting first keeps
-    // every crash window on the designed loud path (tree missing) —
-    // old model + old trees before this loop, missing trees after.
-    // The caller's maintenance cadence republishes under the new
-    // model.
-    serving.foreach { t =>
-      Seq(t, t + "_pubmeta", t + "_dnext", t + "_dold", t + "_next",
-        t + "_old", t + "_pubmeta_next", t + "_pubmeta_old").foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        if (fs.exists(hp) && !fs.delete(hp, true))
-          throw new java.io.IOException(s"migrate: cannot invalidate $hp")
-      }
+    // REPUBLISHED serving layouts swap in from the `_mpub` staging,
+    // geometry EMBEDDED (`_model`/`_codebook` travel inside the one
+    // rename) — a serve taking only the tree path reads new rows WITH
+    // the new model in the same instant, which is what removes the
+    // loud window the r17 invalidate-only design had. Idempotent
+    // mid-crash: a staged dir already promoted is gone and its steps
+    // skip; the old tree's maintenance debris drops only while the
+    // staged copy still exists (pre-promote).
+    entries.foreach {
+      case ("drop", _, t) =>
+        // invalidate-only trees: geometry under the OLD model — delete
+        // with their sidecars BEFORE the model swap, so every crash
+        // window stays on the designed loud path (tree missing), never
+        // a silent new-model/old-geometry pairing. The operator's
+        // cadence republishes.
+        Seq(t, t + "_pubmeta", t + "_dnext", t + "_dold", t + "_next",
+          t + "_old", t + "_pubmeta_next", t + "_pubmeta_old").foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          if (fs.exists(hp) && !fs.delete(hp, true))
+            throw new java.io.IOException(s"migrate: cannot invalidate $hp")
+        }
+      case (kind, i, t) =>
+        val staged = new org.apache.hadoop.fs.Path(mpub, i.toString)
+        val hLive = new org.apache.hadoop.fs.Path(t)
+        if (fs.exists(staged)) {
+          // the old tree and its in-flight maintenance staging are all
+          // old-geometry — clear them, then promote in one rename
+          (Seq(t, t + "_dnext", t + "_dold", t + "_next", t + "_old",
+            t + "_pubmeta_next", t + "_pubmeta_old") ++
+            (if (kind == "pub") Seq(t + "_pubmeta") else Nil)).foreach { p =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            if (fs.exists(hp) && !fs.delete(hp, true))
+              throw new java.io.IOException(s"migrate: cannot clear $hp")
+          }
+          val parent = hLive.getParent
+          if (parent != null && !fs.exists(parent) && !fs.mkdirs(parent))
+            throw new java.io.IOException(s"migrate: cannot create $parent")
+          if (!fs.rename(staged, hLive))
+            throw new java.io.IOException(s"migrate: cannot promote $staged")
+        }
+        if (kind == "pub") {
+          // the watermark sidecar promotes right after its tree; a
+          // crash between the two re-enters here (marker still
+          // present) and finds only this step left
+          val stagedMeta = new org.apache.hadoop.fs.Path(mpub,
+            s"${i}_pubmeta")
+          if (fs.exists(stagedMeta)) {
+            val meta = new org.apache.hadoop.fs.Path(t + "_pubmeta")
+            if (fs.exists(meta) && !fs.delete(meta, true))
+              throw new java.io.IOException(s"migrate: cannot clear $meta")
+            if (!fs.rename(stagedMeta, meta))
+              throw new java.io.IOException(
+                s"migrate: cannot promote $stagedMeta")
+          }
+        }
     }
     if (fs.exists(mcen)) {
       val cen = new org.apache.hadoop.fs.Path(cenPath)
@@ -269,6 +433,7 @@ object AnnStream {
     if (!fs.delete(marker, false))
       throw new java.io.IOException(s"migrate: cannot clear $marker")
     fs.delete(mold, true) // best-effort; repair clears completed debris
+    fs.delete(mpub, true) // best-effort; now-empty staging shell
   }
 
   /** Repair an interrupted [[migrateCapacityIfNeeded]]: the
@@ -288,7 +453,7 @@ object AnnStream {
     if (fs.exists(new org.apache.hadoop.fs.Path(indexPath + "_mcommit"))) {
       promoteMigration(fs, indexPath); return
     }
-    Seq("_mcommit.tmp", "_mnext", "_mcen", "_mold").foreach { sfx =>
+    Seq("_mcommit.tmp", "_mnext", "_mcen", "_mold", "_mpub").foreach { sfx =>
       val p = new org.apache.hadoop.fs.Path(indexPath + sfx)
       if (fs.exists(p) && !fs.delete(p, true))
         throw new java.io.IOException(s"migrate repair: cannot clear $p")
@@ -439,7 +604,17 @@ object AnnStream {
     * [[trainPqCodebook]] contract, with the remedy in the message. */
   def trainPqCodebookFromSlice(spark: SparkSession, indexPath: String,
       centroidsPath: String, m: Int, k: Int, iters: Int = 5,
-      salt: String = "pqres", idCol: String = "vec_id"): Seq[Seq[Seq[Long]]] = {
+      salt: String = "pqres", idCol: String = "vec_id"): Seq[Seq[Seq[Long]]] =
+    trainPqCodebookFromSliceWith(spark, indexPath,
+      readCentroids(spark, centroidsPath), m, k, iters, salt, idCol)
+
+  /** [[trainPqCodebookFromSlice]] against caller-supplied centroids —
+    * the migration's staged-republish path trains against the NEW
+    * model before it is promoted (the external store still holds the
+    * old one at that point). */
+  private[streaming] def trainPqCodebookFromSliceWith(spark: SparkSession,
+      indexPath: String, cents: Seq[Array[Long]], m: Int, k: Int,
+      iters: Int, salt: String, idCol: String): Seq[Seq[Seq[Long]]] = {
     val slicePath = indexPath + "_tslice"
     DedupStream.repairIndexTree(spark, slicePath)
     val hSlice = new org.apache.hadoop.fs.Path(slicePath)
@@ -449,7 +624,6 @@ object AnnStream {
         s"$slicePath — run the ingest with trainSliceRows > 0 (the " +
         "autoCapacity × compactEvery codebook story), or train from " +
         "batch 0 before the first compaction (trainPqCodebook).")
-    val cents = readCentroids(spark, centroidsPath)
     val dim = cents.head.length
     val centLit = typedLit(cents.map(_.toSeq))
     val resid = Ann.portableAssignQuantized(
@@ -611,7 +785,9 @@ object AnnStream {
       retireServing: Seq[String] = Nil,
       autoCapacity: Boolean = false,
       compactEvery: Option[Int] = None,
-      trainSliceRows: Int = 0): StreamingQuery =
+      trainSliceRows: Int = 0,
+      migratePublished: Seq[String] = Nil,
+      migrateCoded: Seq[CodedRepublish] = Nil): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(vecsDir)
@@ -648,13 +824,16 @@ object AnnStream {
         // capacity-managed ingest: after the batch commits, re-fire
         // the rule — between micro-batches is the quiesced maintenance
         // slot every tree op uses, so the migration's single-maintainer
-        // contract holds by construction. The serving trees the stream
-        // itself maintains (retireServing) are invalidated in the same
-        // commit; external published layouts must be listed there or
-        // republished by the operator after a migration.
+        // contract holds by construction. Serving trees listed in
+        // migratePublished/migrateCoded are REPUBLISHED inside the
+        // migration commit (zero-outage — geometry embedded, one
+        // rename); any other retireServing tree is invalidated in the
+        // same commit and the operator's cadence republishes.
         if (autoCapacity)
           migrateCapacityIfNeeded(batch.sparkSession, indexPath,
-            centroidsPath, idCol, dim, iters, salt, retireServing)
+            centroidsPath, idCol, dim, iters, salt, retireServing,
+            republishPublished = migratePublished,
+            republishCoded = migrateCoded)
       })
       .start()
 
@@ -1006,7 +1185,10 @@ object AnnStream {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCellPublish(fs, indexPath)
     graft.operators.Sinks.recoverSwap(spark, indexPath)
-    val cents = readCentroids(spark, centroidsPath)
+    // embedded model first (a migrated republished tree commits its
+    // geometry in the same rename as its rows — r18 zero-outage);
+    // external store otherwise
+    val cents = readServingCentroids(spark, indexPath, centroidsPath)
     val q = Ann.portableQueryCells(queries, idCol, vecCol, cents, nprobe)
     val probed = q.select("cell").distinct()
       .collect().map(_.getLong(0)) // ≤ nprobe per query
@@ -1232,11 +1414,30 @@ object AnnStream {
     val codedFs = hCoded.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCellPublish(codedFs, codedPath)
     graft.operators.Sinks.recoverSwap(spark, codedPath)
-    val cents = readCentroids(spark, centroidsPath)
+    // embedded geometry first (r18 zero-outage: a migrated republished
+    // coded tree carries the centroids AND the retrained codebook it
+    // was encoded under, committed in the same rename as its rows);
+    // explicit codebook argument wins, then the embedded one, then the
+    // deterministic spread table — and a caller whose (m, k) disagree
+    // with an embedded codebook fails loudly below, never decodes
+    // under the wrong table
+    val cents = readServingCentroids(spark, codedPath, centroidsPath)
     val dim = cents.head.length
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    val cb = cbOpt.getOrElse(Ann.portablePqCodebookSpread(m, k, sub))
+    val hCb = new org.apache.hadoop.fs.Path(codedPath, CodebookDir)
+    val cb = cbOpt
+      .orElse {
+        if (codedFs.exists(hCb) &&
+            DedupStream.hasParquetFiles(codedFs, hCb))
+          Some(readPqCodebook(spark, hCb.toString))
+        else None
+      }
+      .getOrElse(Ann.portablePqCodebookSpread(m, k, sub))
+    require(cb.length == m && cb.forall(_.length == k) &&
+      cb.forall(_.forall(_.length == sub)),
+      s"pqServeTopK: codebook geometry ${cb.length}×${cb.headOption
+        .map(_.length).getOrElse(0)} does not match m=$m k=$k sub=$sub")
     // query-side model-sized driver work: quantize, rank cells under
     // the frozen centroids, per probed cell the residual's distance
     // to every code centroid

@@ -778,17 +778,25 @@ object DedupStream {
       aCol, bCol)
   }
 
-  /** Does the tree hold at least one parquet data file? (Partition
+  /** Does the tree hold at least one parquet DATA file? (Partition
     * dirs can legitimately be empty — a batch that dropped everything,
     * a fully-retired batch — and schema inference throws on a tree
-    * with zero data files.) Package-visible so [[AnnStream]]'s
-    * publish/serve/train entry points apply the same all-empty-tree
-    * guard to the raw, published and coded layouts. */
+    * with zero data files.) Hidden entries — names starting `_` or `.`
+    * — are skipped, matching what the parquet reader itself lists:
+    * an embedded `_model`/`_codebook` sidecar dir (a migrated serving
+    * tree's geometry, r18) holds parquet files that are NOT data of
+    * this tree, and counting them would make a fully-retired tree
+    * look populated and send schema inference into a zero-data-file
+    * read. Package-visible so [[AnnStream]]'s publish/serve/train
+    * entry points apply the same all-empty-tree guard to the raw,
+    * published and coded layouts. */
   private[streaming] def hasParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean =
     fs.listStatus(p).exists { s =>
-      if (s.isDirectory) hasParquetFiles(fs, s.getPath)
-      else s.getPath.getName.endsWith(".parquet")
+      val n = s.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) false
+      else if (s.isDirectory) hasParquetFiles(fs, s.getPath)
+      else n.endsWith(".parquet")
     }
 
   /** Repair an interrupted [[retireIds]]: a `_rnext` stage with its

@@ -67,9 +67,109 @@ object CapacityProbe {
     // cross-salt spread, the s21-vs-s22 recall gap is seed noise, not
     // a training-set effect.
     val seeds = args.lift(1).contains("seeds")
+    // `drift` mode (round-18 verdict #5): s22 grows by MODULAR slices
+    // of one corpus, so the capacity migration's prefix-retrained
+    // model has seen the distribution it serves. This cell makes the
+    // post-crossing slice GENUINELY different data: the natural
+    // document vectors arrive ordered by (lang, n_chars) — a real
+    // attribute order, so the last quartile is a different language/
+    // length mix than the prefix — and the cell compares the
+    // prefix-retrained model's IVF ceiling ON THE NEW SLICE's queries
+    // against a full retrain at the same (cells, nprobe). The ceiling
+    // isolates quantizer quality from PQ coding loss (the seeds-mode
+    // precedent). Whatever the delta shows is the finding: if drift
+    // erodes the prefix-retrain margin, that prices the re-fire
+    // cadence a drifting deployment needs.
+    val drift = args.lift(1).contains("drift")
     val replicate =
-      if (natural || seeds) 1 else args.lift(1).map(_.toInt).getOrElse(1)
+      if (natural || seeds || drift) 1
+      else args.lift(1).map(_.toInt).getOrElse(1)
     val base = java.nio.file.Files.createTempDirectory("graft_capacity")
+
+    if (drift) {
+      val docs = graft.core.Tables.documents(spark, src)
+        .select(col("doc_id").as("vec_id"), col("text"), col("lang"),
+          col("n_chars"))
+      val feats = docs
+        .select(col("vec_id"),
+          explode(split(lower(col("text")), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("vec_id"),
+          pmod(xxhash64(col("t")), lit(64)).cast("int").as("p"),
+          when(pmod(xxhash64(col("t"), lit(1L)), lit(2)) === 0, 1.0)
+            .otherwise(-1.0).as("s"))
+        .groupBy("vec_id", "p").agg(sum("s").as("v"))
+        .groupBy("vec_id")
+        .agg(map_from_entries(collect_list(struct(col("p"), col("v"))))
+          .as("m"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (coalesce(element_at(col("m"), i.cast("int")), lit(0.0))
+              / 50.0).cast("float")).as("embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("lang"), col("n_chars"), col("vec_id"))
+      val total = docs.count()
+      val withQ = feats.join(
+        docs.select(col("vec_id"), col("lang"), col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .select(col("vec_id"),
+            (((col("rk") - 1) * 4) / total).cast("int").as("quartile")),
+        "vec_id").cache()
+      val all = withQ.select("vec_id", "embedding").cache()
+      val nAll = all.count()
+      val ruleD = graft.similarity.Ann.ivfCapacityForCorpus(nAll)
+      val prefix = withQ.filter(col("quartile") <= 2)
+        .select("vec_id", "embedding")
+      def qzL(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+        transform(col("embedding").cast(ArrayType(DoubleType)),
+          x => floor(x * 1000000d).cast(LongType)).as("q"))
+      def exactOf(qs: org.apache.spark.sql.DataFrame) =
+        graft.similarity.Ann.integerTopK(
+          qzL(all).withColumn("k0", lit(0)),
+          qzL(qs).select(col("vec_id").as("query_id"), col("q").as("qv"))
+            .withColumn("k0", lit(0)),
+          "vec_id", "k0", 5)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val qNew = withQ.filter(col("quartile") === 3)
+        .orderBy("vec_id").limit(50).select("vec_id", "embedding").cache()
+      val qOld = withQ.filter(col("quartile") === 0)
+        .orderBy("vec_id").limit(50).select("vec_id", "embedding").cache()
+      val exNew = exactOf(qNew); val exOld = exactOf(qOld)
+      val cells = for (
+        (ttag, train) <- Seq("prefix_retrain" -> prefix,
+          "full_retrain" -> all);
+        (qtag, qs, ex) <- Seq(("new_slice", qNew, exNew),
+          ("prefix", qOld, exOld))
+      ) yield {
+        val cents = graft.similarity.Ann.portableKmeansCentroids(train,
+          "vec_id", "embedding", dim = 64, k = ruleD.cells, iters = 2)
+        val idxDf = graft.similarity.Ann.portableAssignWithCentroids(
+          all, "vec_id", "embedding", cents)
+        val qdf = graft.similarity.Ann.portableQueryCells(qs, "vec_id",
+          "embedding", cents, ruleD.nprobe)
+        val got = graft.similarity.Ann.integerTopK(idxDf, qdf,
+          "vec_id", "cell", 5)
+          .select(col("query_id").cast("long"),
+            col("neighbor_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val r = ex.intersect(got).size.toDouble / ex.size
+        spark.catalog.clearCache()
+        println(f"[capacity] drift train=$ttag%-14s queries=$qtag%-9s " +
+          f"ivf_ceiling $r%.3f")
+        (ttag, qtag, r)
+      }
+      val sfNameD = new java.io.File(src).getName
+      println(s"""{"metric":"capacity_sweep","n":$nAll,"sf":"$sfNameD",""" +
+        s""""mode":"drift","order":"lang,n_chars",""" +
+        s""""rule":{"cells":${ruleD.cells},"nprobe":${ruleD.nprobe}},""" +
+        s""""drift":""" + cells.map { case (t, q, r) =>
+          f"""{"train":"$t","queries":"$q","ivf_ceiling":$r%.3f}"""
+        }.mkString("[", ",", "]") + "}")
+      spark.stop()
+      graft.core.TempDirs.deleteRecursively(base.toFile)
+      return
+    }
 
     val vecsBase =
       if (!natural) graft.core.Tables.embeddings(spark, src)

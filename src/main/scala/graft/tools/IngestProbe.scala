@@ -577,6 +577,74 @@ object IngestProbe {
       migCell("fire10k", 10000L, 4),    // fires: 8 -> 32
       migCell("fire40k", 40000L, 4))    // fires: 8 -> 64
 
+    // ZERO-OUTAGE REPUBLISH pricing (round-18 #1): the same firing
+    // migration with serving layouts attached, two dispositions —
+    // r17's invalidate (trees deleted; the serve after fails loudly
+    // until an operator republish) vs r18's staged republish (tree +
+    // model + codebook promote under the one _mcommit; the serve
+    // after answers immediately). The cell prices what the atomic
+    // republish ADDS to the migration (one extra fold + one encode of
+    // the re-sharded tree — O(corpus), the same family as the
+    // migration itself) and evidences the availability claim (the
+    // serve-after column).
+    def migPubCell(tag: String, n: Long, repub: Boolean) = {
+      val idxP = base.resolve(s"migp_${tag}_idx").toString
+      val cenP = base.resolve(s"migp_${tag}_cen").toString
+      val pubP = base.resolve(s"migp_${tag}_pub").toString
+      val codedP = base.resolve(s"migp_${tag}_pq").toString
+      val sv = synthV(n)
+      val cents = graft.similarity.Ann.portableKmeansCentroids(
+        sv.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        dim = 64, k = 8, iters = 2)
+      graft.streaming.AnnStream.writeCentroids(spark, cents, cenP)
+      val assigned = graft.similarity.Ann
+        .portableAssignWithCentroids(sv, "vec_id", "embedding", cents)
+      assigned
+        .withColumn("batch_id", pmod(col("vec_id"), lit(4)))
+        .repartition(col("batch_id"), col("cell"))
+        .write.partitionBy("batch_id", "cell").parquet(idxP)
+      // the retained training slice a trainSliceRows ingest maintains
+      // (the codebook retrain's input) — 1024 lowest-md5 rows
+      assigned.select(col("vec_id"), col("q"))
+        .orderBy(md5(concat_ws("#", lit("tslice"), col("vec_id"))),
+          col("vec_id"))
+        .limit(1024).coalesce(1)
+        .write.parquet(s"${idxP}_tslice/batch_id=0")
+      graft.streaming.AnnStream.publishIndex(spark, idxP, pubP)
+      val cb = graft.streaming.AnnStream.trainPqCodebookFromSlice(spark,
+        idxP, cenP, m = 8, k = 16, iters = 2)
+      graft.streaming.AnnStream.publishPqIndex(spark, idxP, cenP, codedP,
+        "vec_id", m = 8, k = 16, cb)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val res = graft.streaming.AnnStream.migrateCapacityIfNeeded(spark,
+        idxP, cenP, "vec_id", dim = 64, iters = 2,
+        servingTrees = if (repub) Nil else Seq(pubP, codedP),
+        republishPublished = if (repub) Seq(pubP) else Nil,
+        republishCoded = if (repub)
+          Seq(graft.streaming.AnnStream.CodedRepublish(codedP, 8, 16, 2))
+        else Nil)
+      val dtMig = (System.nanoTime() - t0) / 1e9
+      val to = res.map(_.cells).getOrElse(8)
+      val queries = sv.filter(col("vec_id") < 8)
+      val t1 = System.nanoTime()
+      val pubOk = scala.util.Try(graft.streaming.AnnStream.ivfServeTopK(
+        spark, pubP, cenP, queries, "vec_id", "embedding", topK = 3,
+        nprobe = 4).count() > 0).getOrElse(false)
+      val dtServe = (System.nanoTime() - t1) / 1e9
+      val codedOk = scala.util.Try(graft.streaming.AnnStream.pqServeTopK(
+        spark, codedP, cenP, vectors = sv, queries = queries, "vec_id",
+        "embedding", m = 8, k = 16, nprobe = 2, shortlist = 20,
+        topK = 3).count() > 0).getOrElse(false)
+      println(f"[ingest] mig-repub $tag%-14s rows=$n%6d  8->$to%-3d  " +
+        f"mig=$dtMig%6.2f s  pub_after=$pubOk%-5s coded_after=$codedOk%-5s " +
+        f"serve=$dtServe%5.2f s")
+      (tag, n, to, dtMig, pubOk, codedOk, dtServe)
+    }
+    val migPubCells = Seq(
+      migPubCell("invalidate10k", 10000L, repub = false),
+      migPubCell("republish10k", 10000L, repub = true))
+
     // d18 AMORTIZATION at production batch size (round-13 verdict #5):
     // the survivor ingest's per-batch cost at 500-doc batches is
     // dominated by the resolution stages' fixed job count (~2.1 s per
@@ -668,6 +736,12 @@ object IngestProbe {
       }),
       block("capacity_migration", migCells.map { case (tg, n, nd, to, dt) =>
         f"""{"tag":"$tg","rows":$n,"tree_dirs":$nd,"cells_from":8,"cells_to":$to,"sec":$dt%.2f}"""
+      }),
+      block("migration_republish", migPubCells.map {
+        case (tg, n, to, dt, pok, cok, ds) =>
+          f"""{"tag":"$tg","rows":$n,"cells_from":8,"cells_to":$to,""" +
+            f""""mig_sec":$dt%.2f,"pub_serve_after":$pok,""" +
+            f""""coded_serve_after":$cok,"pub_serve_sec":$ds%.2f}"""
       }),
       block("big_dedup_cells", bigCells.map { case (i, t, b) =>
         f"""{"batch":$i,"sec":$t%.2f,"batch_docs":$b,"ms_per_doc":${t * 1000 / b}%.2f}"""

@@ -409,4 +409,32 @@ class AnnSpec extends SparkSpec {
     // the nprobe floor holds at the smallest capacity
     assert(Ann.nprobeForRecall(500L, 0.30).contains(Ann.IvfCapacity(8, 2)))
   }
+
+  test("recallByProbedFraction provenance: the committed CAPACITY_r16 artifact IS the curve") {
+    // r18 #4: the curve behind nprobeForRecall is a hard-coded
+    // constants table transcribed from CAPACITY_r16.json — nothing
+    // failed if the capacity family and the table drifted apart. This
+    // spec re-reads the COMMITTED artifact and asserts the table
+    // equals its sf0.1 rule-point slice (n=2000 → rule cells=16, the
+    // k=16 PQ lifecycle the curve's scope documents), fraction by
+    // fraction, with no swept point missing and none invented: either
+    // side changing alone goes red.
+    import org.apache.spark.sql.functions.explode
+    val path = Seq("CAPACITY_r16.json", "/root/repo/CAPACITY_r16.json")
+      .map(new java.io.File(_)).find(_.exists())
+      .getOrElse(fail("CAPACITY_r16.json artifact not found"))
+    val art = spark.read.option("multiLine", true)
+      .json(path.getAbsolutePath)
+    val run = art.select(explode(col("runs")).as("r"))
+      .filter(col("r.sf") === "sf0.1" && col("r.rule.cells") === 16)
+    assert(run.count() == 1, "exactly one sf0.1 rule-cells=16 sweep run")
+    val swept = run.select(explode(col("r.pq")).as("p"))
+      .filter(col("p.k") === 16 && col("p.cells") === 16)
+      .select(col("p.nprobe").cast("double"), col("p.recall"))
+      .collect().map(r => (r.getDouble(0) / 16.0) -> r.getDouble(1))
+      .toMap
+    val curve = Ann.recallByProbedFraction.toMap
+    assert(swept == curve,
+      s"curve/artifact drift: artifact=$swept table=$curve")
+  }
 }

@@ -829,6 +829,99 @@ class AnnStreamSpec extends SparkSpec {
     assert(served == twin)
   }
 
+  test("zero-outage migration: republished serving layouts swap with embedded geometry in one commit") {
+    // the r18 lead ask: a migration used to DELETE the published/coded
+    // trees (serves failed loudly until the operator republished — an
+    // availability hole sized by the cadence). Republished layouts now
+    // stage under the migration's own _mcommit with their geometry
+    // EMBEDDED, so a serve right after the migration — with NO manual
+    // republish — answers under the new model immediately.
+    val e = synthVecs(2000).cache()
+    val dup = e.filter($"vec_id" === 3)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding")
+    val corpus = e.unionByName(dup).cache()
+    val idx = tmp("aszo_idx") + "/index"
+    val cen = tmp("aszo_cen") + "/centroids"
+    (0 until 2).foreach { i =>
+      AnnStream.processIvfBatch(
+        corpus.filter(pmod($"vec_id", lit(2)) === i), i.toLong, idx, cen,
+        "vec_id", "embedding", dim = 64, cells = 8, iters = 2,
+        trainSliceRows = 600)
+    }
+    val cents8 = AnnStream.readCentroids(spark, cen)
+    assert(cents8.length == 8)
+    val pub = tmp("aszo_pub") + "/serving"
+    val coded = tmp("aszo_pq") + "/coded"
+    AnnStream.publishIndex(spark, idx, pub)
+    val cb0 = AnnStream.trainPqCodebook(spark, idx, cen, m = 8, k = 8,
+      iters = 2)
+    AnnStream.publishPqIndex(spark, idx, cen, coded, "vec_id",
+      m = 8, k = 8, cb0)
+    val queries = corpus.filter($"vec_id" < 8).cache()
+    assert(AnnStream.ivfServeTopK(spark, pub, cen, queries, "vec_id",
+      "embedding", topK = 3, nprobe = 2).count() > 0)
+    // the migration republishes BOTH layouts inside its commit
+    val mig = AnnStream.migrateCapacityIfNeeded(spark, idx, cen,
+      "vec_id", dim = 64, iters = 2,
+      republishPublished = Seq(pub),
+      republishCoded = Seq(AnnStream.CodedRepublish(coded, m = 8, k = 8,
+        iters = 2)))
+    assert(mig.exists(_.cells == 16), s"expected 8→16 migration, got $mig")
+    val cents16 = AnnStream.readCentroids(spark, cen)
+    assert(cents16.length == 16)
+    // published layout serves IMMEDIATELY under the new geometry,
+    // equal to the batch twin — the loud window is gone
+    def servePub() = AnnStream.ivfServeTopK(spark, pub, cen, queries,
+        "vec_id", "embedding", topK = 3, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val served = servePub()
+    val twin = Ann.integerTopK(
+        Ann.portableAssignWithCentroids(corpus, "vec_id", "embedding",
+          cents16),
+        Ann.portableQueryCells(queries, "vec_id", "embedding", cents16,
+          nprobe = 4),
+        "vec_id", "cell", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == twin && served.nonEmpty)
+    // the serve does NOT depend on the (tree, external model) pair
+    // being updated together: poison the external store with the OLD
+    // model — the embedded copy (committed in the tree's own rename)
+    // wins, so answers are unchanged
+    AnnStream.writeCentroids(spark, cents8, cen)
+    assert(servePub() == served,
+      "published serve read the external model, not the embedded one")
+    AnnStream.writeCentroids(spark, cents16, cen)
+    // coded layout: serves with NO explicit codebook — the embedded
+    // retrained one wins — and the planted duplicate takes rank 1
+    val top = AnnStream.pqServeTopK(spark, coded, cen, vectors = corpus,
+        queries = corpus.filter($"vec_id" === 3), "vec_id", "embedding",
+        m = 8, k = 8, nprobe = 1, shortlist = 20, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .find(t => t._1 == 3L && t._2 == 1L).get
+    assert(top._3 == 9003L && top._4 == 0L,
+      s"planted duplicate did not win from the embedded codebook: $top")
+    // a mismatched caller fails loudly, never decodes under the wrong
+    // embedded table
+    intercept[IllegalArgumentException] {
+      AnnStream.pqServeTopK(spark, coded, cen, vectors = corpus,
+        queries = corpus.filter($"vec_id" === 3), "vec_id", "embedding",
+        m = 8, k = 16, nprobe = 1, shortlist = 20, topK = 5)
+    }
+    // the republished watermark carried: a later batch folds as a
+    // DELTA (only the new rows), continuity unbroken
+    val extra = synthVecs(2100).filter($"vec_id" >= 2000)
+    AnnStream.processIvfBatch(extra, 2L, idx, cen, "vec_id", "embedding",
+      dim = 64, cells = 8, iters = 2, trainSliceRows = 600)
+    AnnStream.publishIndexDelta(spark, idx, pub)
+    assert(spark.read.parquet(pub).count() == corpus.count() + 100)
+    assert(AnnStream.ivfServeTopK(spark, pub, cen,
+      extra.filter($"vec_id" < 2003), "vec_id", "embedding",
+      topK = 3, nprobe = 4).count() > 0)
+  }
+
   test("retained training slice: PQ retrains after migrate-after-fold; capped, replay-stable, erasable") {
     // the r18 verdict's ask #2: autoCapacity × compactEvery was
     // documented to fail loudly once a migration invalidated the
