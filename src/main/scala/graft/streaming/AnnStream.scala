@@ -262,8 +262,11 @@ object AnnStream {
       val mpub = new org.apache.hadoop.fs.Path(indexPath + "_mpub")
       if (fs.exists(mpub) && !fs.delete(mpub, true))
         throw new java.io.IOException(s"migrate: cannot clear $mpub")
-      val stagedTree = spark.read.parquet(indexPath + "_mnext")
-      val maxBatch = listBatchIds(spark, indexPath).max
+      // the staged-tree frame and the watermark are only for the
+      // republish stages — the autoCapacity-only deployment skips both
+      // (no schema inference over _mnext, no extra listing)
+      lazy val stagedTree = spark.read.parquet(indexPath + "_mnext")
+      lazy val maxBatch = listBatchIds(spark, indexPath).max
       republishPublished.zipWithIndex.foreach { case (_, i) =>
         val st = s"$mpub/$i"
         stagedTree.drop("batch_id").repartition(col("cell"))
@@ -391,22 +394,37 @@ object AnnStream {
       case (kind, i, t) =>
         val staged = new org.apache.hadoop.fs.Path(mpub, i.toString)
         val hLive = new org.apache.hadoop.fs.Path(t)
+        val gone = new org.apache.hadoop.fs.Path(t + "_mgone")
         if (fs.exists(staged)) {
-          // the old tree and its in-flight maintenance staging are all
-          // old-geometry — clear them, then promote in one rename
-          (Seq(t, t + "_dnext", t + "_dold", t + "_next", t + "_old",
+          // the old tree's in-flight maintenance staging is all
+          // old-geometry — clear it (small metadata dirs), set the old
+          // tree itself ASIDE by rename (a recursive delete here would
+          // be O(files) with the live path missing the whole time —
+          // r18 review), and promote in one rename: the live path is
+          // absent only between the two renames
+          (Seq(t + "_dnext", t + "_dold", t + "_next", t + "_old",
             t + "_pubmeta_next", t + "_pubmeta_old") ++
             (if (kind == "pub") Seq(t + "_pubmeta") else Nil)).foreach { p =>
             val hp = new org.apache.hadoop.fs.Path(p)
             if (fs.exists(hp) && !fs.delete(hp, true))
               throw new java.io.IOException(s"migrate: cannot clear $hp")
           }
+          if (fs.exists(gone) && !fs.delete(gone, true))
+            throw new java.io.IOException(s"migrate: cannot clear $gone")
+          if (fs.exists(hLive) && !fs.rename(hLive, gone))
+            throw new java.io.IOException(s"migrate: cannot set aside $hLive")
           val parent = hLive.getParent
           if (parent != null && !fs.exists(parent) && !fs.mkdirs(parent))
             throw new java.io.IOException(s"migrate: cannot create $parent")
           if (!fs.rename(staged, hLive))
             throw new java.io.IOException(s"migrate: cannot promote $staged")
         }
+        // the set-aside old tree drops only after its staged successor
+        // promoted (staged gone ⇒ the rename landed); a throw keeps
+        // the marker, so a crash anywhere re-enters and finds exactly
+        // the steps left
+        if (fs.exists(gone) && !fs.delete(gone, true))
+          throw new java.io.IOException(s"migrate: cannot drop $gone")
         if (kind == "pub") {
           // the watermark sidecar promotes right after its tree; a
           // crash between the two re-enters here (marker still
@@ -575,11 +593,19 @@ object AnnStream {
     val remaining = cap - committed
     val staged = new org.apache.hadoop.fs.Path(s"$slicePath/batch_id=$batchId")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (remaining <= 0L) {
-      // cap already met by the committed prefix: a batch_id=batchId dir
-      // can only be a crashed attempt from a run whose prefix was
-      // smaller (retires shrank it since) — clear it so the slice stays
-      // a deterministic function of the committed state
+    val hBatch = new org.apache.hadoop.fs.Path(s"$indexPath/batch_id=$batchId")
+    if (remaining <= 0L ||
+        !fs.exists(hBatch) || !DedupStream.hasParquetFiles(fs, hBatch)) {
+      // Two empty-contribution cases, same disposition. (a) cap already
+      // met by the committed prefix: a batch_id=batchId dir can only be
+      // a crashed attempt from a run whose prefix was smaller (retires
+      // shrank it since). (b) the batch committed NO data files — every
+      // row was an already-indexed re-send (the committedIds guard) or
+      // the batch was empty; partitionBy writes only _SUCCESS then, and
+      // reading it back would throw schema inference (a stream-killer —
+      // r18 review). Either way the batch's slice contribution is
+      // empty: clear any crashed staged contribution so the slice stays
+      // a deterministic function of the committed state.
       if (fs.exists(staged) && !fs.delete(staged, true))
         throw new java.io.IOException(s"train slice: cannot clear $staged")
       return
@@ -787,7 +813,16 @@ object AnnStream {
       compactEvery: Option[Int] = None,
       trainSliceRows: Int = 0,
       migratePublished: Seq[String] = Nil,
-      migrateCoded: Seq[CodedRepublish] = Nil): StreamingQuery =
+      migrateCoded: Seq[CodedRepublish] = Nil): StreamingQuery = {
+    // fail at WIRING time, not mid-migration: a coded republish
+    // retrains its codebook from the retained training slice, which
+    // only exists when this ingest maintains one. Without this check
+    // the misconfiguration still fails loudly (the
+    // trainPqCodebookFromSlice contract) but only when the first
+    // migration fires — possibly days into the stream's life.
+    require(migrateCoded.isEmpty || trainSliceRows > 0,
+      "ivfIngest: migrateCoded republishes retrain the PQ codebook " +
+        "from the retained training slice — pass trainSliceRows > 0")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(vecsDir)
@@ -809,12 +844,15 @@ object AnnStream {
       .foreachBatch(DedupStream.ingestBody(spark, retireQueue,
         // the retained training slice is one more per-batch tree the
         // drain erases from — a sampled row must never outlive its
-        // document's retire request
+        // document's retire request. The slice target is UNCONDITIONAL,
+        // not gated on trainSliceRows: a stream restarted with the
+        // slice turned OFF still owns the slice its earlier config
+        // built, and gating on the CURRENT config would let retained
+        // samples outlive their document's erasure (r18 review);
+        // retireIds on an absent tree is a metadata-only no-op.
         (s, q) => drainRetireQueue(s, q,
-          Seq(indexPath -> Seq("cell")) ++
-            (if (trainSliceRows > 0)
-              Seq((indexPath + "_tslice") -> Seq.empty[String])
-            else Nil),
+          Seq(indexPath -> Seq("cell"),
+            (indexPath + "_tslice") -> Seq.empty[String]),
           retireServing, idCol),
         Some(indexPath), compactEvery, Seq("cell"),
         Some(idCol)) { (batch, batchId) =>
@@ -836,6 +874,7 @@ object AnnStream {
             republishCoded = migrateCoded)
       })
       .start()
+  }
 
   /** Publish the streamed per-batch index as the SERVING layout: the
     * crash-safe `batch_id=N/cell=M` ingest tree is folded into
@@ -1426,13 +1465,24 @@ object AnnStream {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     val hCb = new org.apache.hadoop.fs.Path(codedPath, CodebookDir)
-    val cb = cbOpt
-      .orElse {
-        if (codedFs.exists(hCb) &&
-            DedupStream.hasParquetFiles(codedFs, hCb))
-          Some(readPqCodebook(spark, hCb.toString))
-        else None
-      }
+    val embedded =
+      if (codedFs.exists(hCb) && DedupStream.hasParquetFiles(codedFs, hCb))
+        Some(readPqCodebook(spark, hCb.toString))
+      else None
+    // a tree carrying an embedded codebook was ENCODED under it — an
+    // explicit argument that disagrees is a stale external store (the
+    // migration republished the tree; nobody refreshed the caller's
+    // codebook path). Same-shape-different-values passes the geometry
+    // require below, and ADC under the wrong table is silent recall
+    // collapse — so the disagreement itself fails loudly (r18 review).
+    embedded.zip(cbOpt).foreach { case (e, c) =>
+      require(e == c,
+        s"pqServeTopK: explicit codebook differs from the one embedded" +
+          s" in $codedPath — the tree was (re)encoded under the " +
+          "embedded table (capacity-migration republish); drop the " +
+          "explicit argument or re-read it from the tree")
+    }
+    val cb = cbOpt.orElse(embedded)
       .getOrElse(Ann.portablePqCodebookSpread(m, k, sub))
     require(cb.length == m && cb.forall(_.length == k) &&
       cb.forall(_.forall(_.length == sub)),

@@ -154,7 +154,10 @@ object CapacityProbe {
             col("neighbor_id").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val r = ex.intersect(got).size.toDouble / ex.size
-        spark.catalog.clearCache()
+        // no clearCache here: withQ/all/qNew/qOld are cached ONCE above
+        // and every remaining cell reads them — a global clear would
+        // recompute the whole feature build per cell (r18 review); the
+        // per-cell kmeans/assign frames are never cached
         println(f"[capacity] drift train=$ttag%-14s queries=$qtag%-9s " +
           f"ivf_ceiling $r%.3f")
         (ttag, qtag, r)

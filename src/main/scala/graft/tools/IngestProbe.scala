@@ -604,9 +604,13 @@ object IngestProbe {
         .repartition(col("batch_id"), col("cell"))
         .write.partitionBy("batch_id", "cell").parquet(idxP)
       // the retained training slice a trainSliceRows ingest maintains
-      // (the codebook retrain's input) — 1024 lowest-md5 rows
+      // (the codebook retrain's input) — the SAME Selection hash-order
+      // discipline maintainTrainSlice uses, so the fixture holds the
+      // row set a real trainSliceRows=1024 ingest of this batch would
+      // (r18 review: a hand-rolled md5 order sampled a different set)
       assigned.select(col("vec_id"), col("q"))
-        .orderBy(md5(concat_ws("#", lit("tslice"), col("vec_id"))),
+        .orderBy(graft.corpus.Selection.hashValue(
+          graft.corpus.Selection.saltedKey(col("vec_id"), "tslice")),
           col("vec_id"))
         .limit(1024).coalesce(1)
         .write.parquet(s"${idxP}_tslice/batch_id=0")

@@ -910,6 +910,17 @@ class AnnStreamSpec extends SparkSpec {
         queries = corpus.filter($"vec_id" === 3), "vec_id", "embedding",
         m = 8, k = 16, nprobe = 1, shortlist = 20, topK = 5)
     }
+    // …and so does an explicit but STALE codebook (the pre-migration
+    // external store): its 8×8 shape passes the geometry check, but the
+    // tree was re-encoded under the embedded retrained table — decoding
+    // under cb0 would be silent recall collapse, the one disposition
+    // this design exists to prevent (r18 review)
+    intercept[IllegalArgumentException] {
+      AnnStream.pqServeTopK(spark, coded, cen, vectors = corpus,
+        queries = corpus.filter($"vec_id" === 3), "vec_id", "embedding",
+        m = 8, k = 8, nprobe = 1, shortlist = 20, topK = 5,
+        codebook = cb0)
+    }
     // the republished watermark carried: a later batch folds as a
     // DELTA (only the new rows), continuity unbroken
     val extra = synthVecs(2100).filter($"vec_id" >= 2000)
@@ -920,6 +931,83 @@ class AnnStreamSpec extends SparkSpec {
     assert(AnnStream.ivfServeTopK(spark, pub, cen,
       extra.filter($"vec_id" < 2003), "vec_id", "embedding",
       topK = 3, nprobe = 4).count() > 0)
+  }
+
+  test("retained training slice: an all-resend batch contributes nothing and does not kill the ingest") {
+    val e = synthVecs(1200).cache()
+    val idx = tmp("asnf_idx") + "/index"
+    val cen = tmp("asnf_cen") + "/centroids"
+    def ingest(part: org.apache.spark.sql.DataFrame, b: Long) =
+      AnnStream.processIvfBatch(part, b, idx, cen, "vec_id", "embedding",
+        dim = 64, cells = 8, iters = 2, trainSliceRows = 2000)
+    ingest(e.filter($"vec_id" < 600), 0L)
+    def sliceRows = spark.read.parquet(idx + "_tslice")
+      .select("vec_id").as[Long].collect().toSet
+    val slice0 = sliceRows
+    assert(slice0.size == 600) // cap unmet: every batch-0 row retained
+    // batch 1 re-sends batch 0's rows verbatim: the committedIds guard
+    // drops them ALL, so the batch dir commits with no data files —
+    // reading that dir back for the slice threw schema inference and
+    // killed the ivfIngest stream (r18 review); the contribution must
+    // simply be empty
+    ingest(e.filter($"vec_id" < 600), 1L)
+    assert(sliceRows == slice0, "an all-resend batch changed the slice")
+    assert(!new java.io.File(idx + "_tslice/batch_id=1").exists())
+    // a later genuinely-fresh batch still tops the slice up
+    ingest(e.filter($"vec_id" >= 600), 2L)
+    assert(sliceRows.size == 1200)
+  }
+
+  test("zero-outage migration: repair completes the republish swap from the rename-aside crash window") {
+    // the republish promote sets the old serving tree ASIDE by rename
+    // (not an O(files) recursive delete — r18 review), so the one
+    // window where the live path is missing is between two renames.
+    // This spec fabricates a crash INSIDE that window — marker
+    // committed, staged copy under _mpub/0, old tree at <pub>_mgone,
+    // live path absent — and asserts any raw-tree entry point's repair
+    // finishes the swap.
+    val e = synthVecs(1000).cache()
+    val idx = tmp("asrw_idx") + "/index"
+    val cen = tmp("asrw_cen") + "/centroids"
+    (0 until 2).foreach { i =>
+      AnnStream.processIvfBatch(e.filter(pmod($"vec_id", lit(2)) === i),
+        i.toLong, idx, cen, "vec_id", "embedding", dim = 64, cells = 8,
+        iters = 2)
+    }
+    val pub = tmp("asrw_pub") + "/serving"
+    val staged2 = tmp("asrw_pub2") + "/serving2"
+    AnnStream.publishIndex(spark, idx, pub)
+    AnnStream.publishIndex(spark, idx, staged2) // the staged twin
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(idx + "_mpub"))
+    Files.move(Paths.get(staged2), Paths.get(idx + "_mpub/0"))
+    Files.move(Paths.get(staged2 + "_pubmeta"),
+      Paths.get(idx + "_mpub/0_pubmeta"))
+    Files.move(Paths.get(pub), Paths.get(pub + "_mgone"))
+    Files.write(Paths.get(idx + "_mcommit"),
+      (cen + "\n" + s"pub\t0\t$pub").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    DedupStream.repairIndexTree(spark, idx)
+    assert(new java.io.File(pub).exists(), "staged copy did not promote")
+    assert(!new java.io.File(pub + "_mgone").exists(),
+      "set-aside old tree not dropped")
+    assert(!new java.io.File(idx + "_mcommit").exists())
+    assert(!new java.io.File(idx + "_mpub").exists())
+    // the promoted tree serves, equal to its batch twin
+    val queries = e.filter($"vec_id" < 5)
+    val served = AnnStream.ivfServeTopK(spark, pub, cen, queries,
+        "vec_id", "embedding", topK = 3, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val cents = AnnStream.readCentroids(spark, cen)
+    val twin = Ann.integerTopK(
+        Ann.portableAssignWithCentroids(e, "vec_id", "embedding", cents),
+        Ann.portableQueryCells(queries, "vec_id", "embedding", cents,
+          nprobe = 2),
+        "vec_id", "cell", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == twin && served.nonEmpty)
   }
 
   test("retained training slice: PQ retrains after migrate-after-fold; capped, replay-stable, erasable") {
