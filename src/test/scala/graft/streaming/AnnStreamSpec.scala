@@ -1532,6 +1532,101 @@ class AnnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: drains, compactions, delta publishes and ZERO-OUTAGE republishing migrations interleave safely") {
+    // The four-op property with the migration's r18 disposition
+    // flipped: the serving tree is LISTED for republish
+    // (migratePublished), so a boundary crossing republishes it INSIDE
+    // the migration commit instead of deleting it. Invariants:
+    //   raw tree   = ingested − retired (unchanged)
+    //   centroids  = monotone rule cells (unchanged)
+    //   serving    = after a migration, exactly the raw tree at the
+    //                commit (ingested − retired at that instant — the
+    //                zero-outage claim); between publishes,
+    //                published-at-last-(re)publish − retired-ever.
+    //                The four-op variant's loud window (tree deleted
+    //                until the next publish) never opens: once the
+    //                first publish lands, the tree EXISTS at every
+    //                quiesced observation point for the rest of the
+    //                run, through two maintenance ops that rewrite it
+    //                (delta publish, drain-retire) and one that swaps
+    //                it wholesale (the migration republish).
+    val e = synthVecs(3000).cache()
+    val slices = 6
+    val vecsDir = tmp("as5i_vecs"); val indexPath = tmp("as5i_idx") + "/index"
+    val centroidsPath = tmp("as5i_cen") + "/centroids"
+    val ckpt = tmp("as5i_ckpt"); val queue = tmp("as5i_queue") + "/queue"
+    val servingPath = tmp("as5i_pub") + "/serving"
+    def land(i: Int): Set[Long] = {
+      val s = e.filter(pmod($"vec_id", lit(slices)) === i)
+      s.coalesce(1).write.mode("append").parquet(vecsDir)
+      s.select("vec_id").as[Long].collect().toSet
+    }
+    def treeIds(p: String): Seq[Long] =
+      spark.read.parquet(p).select("vec_id").as[Long].collect().toSeq
+    val rng = new scala.util.Random(23L)
+    var ingested = land(0)
+    var retired = Set.empty[Long]
+    var publishedAt = Set.empty[Long]
+    var servingLive = false
+    var expectedCells = 8
+    val q = AnnStream.ivfIngest(spark, vecsDir, e.schema, indexPath,
+      centroidsPath, ckpt, dim = 64, cells = 8, iters = 2,
+      retireQueue = Some(queue), retireServing = Seq(servingPath),
+      autoCapacity = true, migratePublished = Seq(servingPath))
+    try {
+      q.processAllAvailable()
+      (1 until slices).foreach { round =>
+        val subset = ingested.filter(_ => rng.nextDouble() < 0.15) ++
+          Seq(900000L + round)
+        subset.toSeq.toDF("vec_id").coalesce(1).write.mode("append")
+          .parquet(queue)
+        retired ++= subset
+        ingested ++= land(round)
+        q.processAllAvailable() // drain, batch, capacity check
+        val committed = (ingested -- retired).size.toLong
+        val newCells = math.max(expectedCells,
+          Ann.ivfCapacityForCorpus(committed).cells)
+        if (newCells != expectedCells) { // a migration fired — and the
+          expectedCells = newCells      // serving tree came WITH it
+          publishedAt = ingested -- retired
+          servingLive = true
+          assert(new java.io.File(servingPath).exists(),
+            s"round $round: zero-outage migration left no serving tree")
+        }
+        assert(AnnStream.readCentroids(spark, centroidsPath).length
+          == expectedCells, s"round $round: capacity invariant broken")
+        val raw = treeIds(indexPath)
+        assert(raw.toSet == ingested -- retired, s"round $round: raw diverged")
+        assert(raw.length == raw.distinct.length, s"round $round: raw dups")
+        if (round % 2 == 1) { // quiesced gap: fold the delta in
+          AnnStream.publishIndexDelta(spark, indexPath, servingPath)
+          publishedAt = ingested -- retired
+          servingLive = true
+        }
+        if (round % 3 == 2) // quiesced gap: fold the raw prefix
+          DedupStream.compactIndex(spark, indexPath, upToBatch = round - 1L,
+            partitionCols = Seq("cell"))
+        if (servingLive) {
+          val served = treeIds(servingPath)
+          assert(served.toSet == publishedAt -- retired,
+            s"round $round: serving diverged")
+          assert(served.length == served.distinct.length,
+            s"round $round: serving dups")
+          // the zero-outage contract is not just existence — the tree
+          // ANSWERS at every observation point (embedded geometry
+          // after a migration, external model otherwise)
+          assert(AnnStream.ivfServeTopK(spark, servingPath, centroidsPath,
+            e.filter($"vec_id" === 6), "vec_id", "embedding",
+            topK = 3, nprobe = 2).count() > 0,
+            s"round $round: live serving tree did not answer")
+        }
+      }
+      // the crossing actually happened (the property is non-vacuous)
+      assert(expectedCells == 16, s"corpus never crossed: $expectedCells")
+      assert(servingLive, "serving tree never went live")
+    } finally q.stop()
+  }
+
   test("all-retired raw tree: republish ERASES serving trees, serves empty, retire no-ops") {
     val e = emb.filter($"vec_id" < 50).cache()
     val indexPath = tmp("asae_idx") + "/index"
