@@ -48,13 +48,34 @@ object AnnStream {
     * discipline [[publishIndex]] applies to the index tree). */
   def writeCentroids(spark: SparkSession, cents: Seq[Array[Long]],
       path: String): Unit = {
-    import spark.implicits._
     graft.operators.Sinks.recoverSwap(spark, path)
     graft.operators.Sinks.overwriteViaSwap(spark,
-      cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
-        .toDF("cell", "c")
-        .coalesce(1),
-      path)
+      centroidsFrame(spark, cents), path)
+  }
+
+  /** The ONE serialization of each frozen model — shared by the
+    * swap-writing stores AND the migration's direct staging writes, so
+    * a format change cannot drift the two apart and leave embedded
+    * geometry unreadable only on migrated trees (r18 review). */
+  private def centroidsFrame(spark: SparkSession,
+      cents: Seq[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
+      .toDF("cell", "c").coalesce(1)
+  }
+
+  private def codebookFrame(spark: SparkSession,
+      cb: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (c, code) => (j, code, c) }
+    }.toDF("j", "code", "c").coalesce(1)
+  }
+
+  private def watermarkFrame(spark: SparkSession,
+      batchId: Long): DataFrame = {
+    import spark.implicits._
+    Seq(batchId).toDF("last_batch").coalesce(1)
   }
 
   /** Load frozen centroids back as the literal model object (repairing
@@ -99,12 +120,9 @@ object AnnStream {
 
   /** Write `cents` as an embedded model into a (staged) tree dir. */
   private def writeEmbeddedCentroids(spark: SparkSession,
-      cents: Seq[Array[Long]], treePath: String): Unit = {
-    import spark.implicits._
-    cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }
-      .toDF("cell", "c").coalesce(1)
+      cents: Seq[Array[Long]], treePath: String): Unit =
+    centroidsFrame(spark, cents)
       .write.mode(SaveMode.Overwrite).parquet(s"$treePath/$ModelDir")
-  }
 
   /** The model a serve of `treePath` must rank under: the embedded
     * copy when the tree carries one (committed atomically with the
@@ -264,16 +282,21 @@ object AnnStream {
         throw new java.io.IOException(s"migrate: cannot clear $mpub")
       // the staged-tree frame and the watermark are only for the
       // republish stages — the autoCapacity-only deployment skips both
-      // (no schema inference over _mnext, no extra listing)
-      lazy val stagedTree = spark.read.parquet(indexPath + "_mnext")
+      // (no schema inference over _mnext, no extra listing). CACHED:
+      // each republish target folds/encodes the full re-shard, and
+      // without pinning, N targets would each rescan the staged tree
+      // (r18 review)
+      val republishing =
+        republishPublished.nonEmpty || republishCoded.nonEmpty
+      lazy val stagedTree =
+        spark.read.parquet(indexPath + "_mnext").cache()
       lazy val maxBatch = listBatchIds(spark, indexPath).max
       republishPublished.zipWithIndex.foreach { case (_, i) =>
         val st = s"$mpub/$i"
         stagedTree.drop("batch_id").repartition(col("cell"))
           .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(st)
         writeEmbeddedCentroids(spark, cents, st)
-        Seq(maxBatch).toDF("last_batch").coalesce(1)
-          .write.parquet(s"$mpub/${i}_pubmeta")
+        watermarkFrame(spark, maxBatch).write.parquet(s"$mpub/${i}_pubmeta")
       }
       republishCoded.zipWithIndex.foreach { case (cr, j) =>
         val i = republishPublished.length + j
@@ -294,11 +317,9 @@ object AnnStream {
           .repartition(col("cell"))
           .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(st)
         writeEmbeddedCentroids(spark, cents, st)
-        cb.zipWithIndex.flatMap { case (codes, jj) =>
-          codes.zipWithIndex.map { case (c, code) => (jj, code, c) }
-        }.toDF("j", "code", "c").coalesce(1)
-          .write.parquet(s"$st/$CodebookDir")
+        codebookFrame(spark, cb).write.parquet(s"$st/$CodebookDir")
       }
+      if (republishing) stagedTree.unpersist()
       // the commit marker, atomically (tmp + rename): its existence is
       // the one bit separating roll-back from roll-forward, and its
       // CONTENT is what lets a repair driven from indexPath alone
@@ -853,7 +874,13 @@ object AnnStream {
         (s, q) => drainRetireQueue(s, q,
           Seq(indexPath -> Seq("cell"),
             (indexPath + "_tslice") -> Seq.empty[String]),
-          retireServing, idCol),
+          // erasure reaches EVERY serving layout this stream maintains:
+          // a tree listed only for migration republish still serves
+          // between migrations (which fire O(log N) times), so leaving
+          // it out of the drain would keep erased ids queryable there
+          // indefinitely (r18 review)
+          (retireServing ++ migratePublished ++
+            migrateCoded.map(_.codedPath)).distinct, idCol),
         Some(indexPath), compactEvery, Seq("cell"),
         Some(idCol)) { (batch, batchId) =>
         processIvfBatch(batch, batchId, indexPath, centroidsPath,
@@ -1185,11 +1212,9 @@ object AnnStream {
     * index size; [[publishIndexDelta]]'s whole cost model hangs off
     * knowing the fold point without scanning the index. */
   private def writePubWatermark(spark: SparkSession, servingPath: String,
-      batchId: Long): Unit = {
-    import spark.implicits._
+      batchId: Long): Unit =
     graft.operators.Sinks.overwriteViaSwap(spark,
-      Seq(batchId).toDF("last_batch").coalesce(1), servingPath + "_pubmeta")
-  }
+      watermarkFrame(spark, batchId), servingPath + "_pubmeta")
 
   private def readPubWatermark(spark: SparkSession,
       servingPath: String): Long = {
@@ -1224,20 +1249,24 @@ object AnnStream {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCellPublish(fs, indexPath)
     graft.operators.Sinks.recoverSwap(spark, indexPath)
-    // embedded model first (a migrated republished tree commits its
-    // geometry in the same rename as its rows — r18 zero-outage);
-    // external store otherwise
-    val cents = readServingCentroids(spark, indexPath, centroidsPath)
-    val q = Ann.portableQueryCells(queries, idCol, vecCol, cents, nprobe)
-    val probed = q.select("cell").distinct()
-      .collect().map(_.getLong(0)) // ≤ nprobe per query
     // a fully-retired tree can exist with zero data files — schema
     // inference would throw; serve it as the empty index it is. A
     // NONEXISTENT path is a misconfiguration and must fail loudly,
     // not serve empty answers forever.
     require(fs.exists(hPath),
       s"ivfServeTopK: index path does not exist: $indexPath")
-    val index = (if (DedupStream.hasParquetFiles(fs, hPath))
+    // READ ORDER IS LOAD-BEARING: the tree's FILE LISTING pins first
+    // (spark.read.parquet builds its file index eagerly), the
+    // geometry second. A migration promote landing BETWEEN the two
+    // leaves new geometry over an old listing whose files the promote
+    // renamed away — the job fails loudly (FileNotFound), never
+    // silently ranks rows under the wrong model. The reverse order
+    // would read old geometry, then list the NEW tree's files: a
+    // successful job with silently wrong answers (r18 review). With
+    // this order every interleaving of a concurrent promote is either
+    // consistent or loud, matching the r17 invalidate design's
+    // guarantee.
+    val indexRaw = if (DedupStream.hasParquetFiles(fs, hPath))
       spark.read.parquet(indexPath)
     else
       spark.createDataFrame(
@@ -1245,7 +1274,15 @@ object AnnStream {
         StructType(Seq(
           StructField(idCol, queries.schema(idCol).dataType),
           StructField("q", ArrayType(LongType)),
-          StructField("cell", LongType)))))
+          StructField("cell", LongType))))
+    // embedded model first (a migrated republished tree commits its
+    // geometry in the same rename as its rows — r18 zero-outage);
+    // external store otherwise
+    val cents = readServingCentroids(spark, indexPath, centroidsPath)
+    val q = Ann.portableQueryCells(queries, idCol, vecCol, cents, nprobe)
+    val probed = q.select("cell").distinct()
+      .collect().map(_.getLong(0)) // ≤ nprobe per query
+    val index = indexRaw
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol), col("q"), col("cell").cast(LongType).as("cell"))
     Ann.integerTopK(index, q, idCol, "cell", topK)
@@ -1304,13 +1341,9 @@ object AnnStream {
     * sees a complete model). */
   def writePqCodebook(spark: SparkSession, cb: Seq[Seq[Seq[Long]]],
       path: String): Unit = {
-    import spark.implicits._
     graft.operators.Sinks.recoverSwap(spark, path)
     graft.operators.Sinks.overwriteViaSwap(spark,
-      cb.zipWithIndex.flatMap { case (codes, j) =>
-        codes.zipWithIndex.map { case (c, code) => (j, code, c) }
-      }.toDF("j", "code", "c").coalesce(1),
-      path)
+      codebookFrame(spark, cb), path)
   }
 
   /** Load the frozen codebook back as the nested literal model. */
@@ -1453,7 +1486,23 @@ object AnnStream {
     val codedFs = hCoded.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairCellPublish(codedFs, codedPath)
     graft.operators.Sinks.recoverSwap(spark, codedPath)
-    // embedded geometry first (r18 zero-outage: a migrated republished
+    // READ ORDER IS LOAD-BEARING (the ivfServeTopK rule): the coded
+    // tree's file listing pins FIRST, geometry second — a migration
+    // promote landing between the two renames the listed files away
+    // and the job fails loudly, never decodes new rows under old
+    // geometry (r18 review)
+    require(codedFs.exists(hCoded),
+      s"pqServeTopK: coded path does not exist: $codedPath")
+    val codesRaw = if (DedupStream.hasParquetFiles(codedFs, hCoded))
+      spark.read.parquet(codedPath)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(idCol, vectors.schema(idCol).dataType),
+          StructField("codes", ArrayType(IntegerType)),
+          StructField("cell", LongType))))
+    // embedded geometry next (r18 zero-outage: a migrated republished
     // coded tree carries the centroids AND the retrained codebook it
     // was encoded under, committed in the same rename as its rows);
     // explicit codebook argument wins, then the embedded one, then the
@@ -1515,22 +1564,9 @@ object AnnStream {
     }.toSeq.toDF("query_id", "cell", "j", "code", "dcell")
     val probed = dtab.select("cell").distinct()
       .collect().map(_.getLong(0)) // ≤ |queries|·nprobe, model-sized
-    // probed cells only: partition-directory pruning on `cell=`.
-    // A fully-retired coded tree can exist with zero data files —
-    // schema inference would throw; serve it as the empty index it
-    // is. A NONEXISTENT path is a misconfiguration and must fail
-    // loudly, not serve empty answers forever.
-    require(codedFs.exists(hCoded),
-      s"pqServeTopK: coded path does not exist: $codedPath")
-    val codes = (if (DedupStream.hasParquetFiles(codedFs, hCoded))
-      spark.read.parquet(codedPath)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField(idCol, vectors.schema(idCol).dataType),
-          StructField("codes", ArrayType(IntegerType)),
-          StructField("cell", LongType)))))
+    // probed cells only: partition-directory pruning on `cell=` over
+    // the listing pinned ABOVE (before the geometry reads)
+    val codes = codesRaw
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol).as("vec_id"), col("codes"),
         col("cell").cast(LongType).as("cell"))

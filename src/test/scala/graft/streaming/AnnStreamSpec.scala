@@ -1569,9 +1569,14 @@ class AnnStreamSpec extends SparkSpec {
     var publishedAt = Set.empty[Long]
     var servingLive = false
     var expectedCells = 8
+    // retireServing deliberately EMPTY: the serving tree is listed only
+    // for migration republish, and the drain must reach it through that
+    // list alone — a tree serving between migrations must honor erasure
+    // without being double-listed (r18 review); the four-op property
+    // covers the retireServing route
     val q = AnnStream.ivfIngest(spark, vecsDir, e.schema, indexPath,
       centroidsPath, ckpt, dim = 64, cells = 8, iters = 2,
-      retireQueue = Some(queue), retireServing = Seq(servingPath),
+      retireQueue = Some(queue), retireServing = Nil,
       autoCapacity = true, migratePublished = Seq(servingPath))
     try {
       q.processAllAvailable()
