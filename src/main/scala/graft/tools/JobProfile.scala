@@ -75,25 +75,33 @@ object JobProfile {
         jobs.synchronized { jobs.get(e.jobId).foreach(_.completed = e.time) }
     }
     spark.sparkContext.addSparkListener(listener)
-    val t0 = System.nanoTime()
-    val n = graft.SparkEntry.queries(name)(spark, dir).count()
-    val total = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500) // let the listener bus drain the tail events
-    val done = jobs.synchronized(jobs.values.toSeq)
-    println(f"[jobprofile] $name rows=$n total=$total%.2fs jobs=${done.size}")
-    var prevEnd = 0L
-    done.foreach { j =>
-      val wall = (j.completed - j.submitted) / 1e3
-      // gap between this job's submit and the previous job's end =
-      // driver-side work (plan build, fs ops, collect processing)
-      val gap = if (prevEnd == 0) 0.0 else (j.submitted - prevEnd) / 1e3
-      prevEnd = math.max(prevEnd, j.completed)
-      println(f"[job] id=${j.id}%-4d wall=$wall%6.3fs gap=$gap%6.3fs " +
-        f"stages=${j.stages}%-2d tasks=${j.tasks}%-4d ${j.site.take(45)}")
+    // accepts several query names: each profiled in turn in the same
+    // JVM (classloading/codegen amortized by the shared warm-up above;
+    // per-dir shared fixtures noted per query — the first of a family
+    // pays them, the caveat the warm-up section documents)
+    args.drop(1).foreach { qname =>
+      jobs.synchronized(jobs.clear())
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(qname)(spark, dir).count()
+      val total = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the listener bus drain the tail events
+      val done = jobs.synchronized(jobs.values.toSeq)
+      println(f"[jobprofile] $qname rows=$n total=$total%.2fs jobs=${done.size}")
+      var prevEnd = 0L
+      done.foreach { j =>
+        val wall = (j.completed - j.submitted) / 1e3
+        // gap between this job's submit and the previous job's end =
+        // driver-side work (plan build, fs ops, collect processing)
+        val gap = if (prevEnd == 0) 0.0 else (j.submitted - prevEnd) / 1e3
+        prevEnd = math.max(prevEnd, j.completed)
+        println(f"[job] id=${j.id}%-4d wall=$wall%6.3fs gap=$gap%6.3fs " +
+          f"stages=${j.stages}%-2d tasks=${j.tasks}%-4d ${j.site.take(45)}")
+      }
+      val jobWall = done.map(j => (j.completed - j.submitted) / 1e3).sum
+      println(f"[jobprofile] sum(job walls)=$jobWall%.2fs of $total%.2fs " +
+        "(rest = driver gaps/overlap)")
     }
-    val jobWall = done.map(j => (j.completed - j.submitted) / 1e3).sum
-    println(f"[jobprofile] sum(job walls)=$jobWall%.2fs of $total%.2fs " +
-      "(rest = driver gaps/overlap)")
     spark.stop()
   }
 }
