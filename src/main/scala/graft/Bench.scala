@@ -62,6 +62,33 @@ object Bench {
     val spark: SparkSession =
       graft.core.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SCALING CREDIBILITY (r18 verdict #2): the 8-core and 32-core
+    // bench totals were statistically identical and the artifact could
+    // not prove the env took effect. Two additions, both read-only:
+    // (a) the EFFECTIVE master + shuffle-partition count go into the
+    // JSON line (proof the $SPARK_GRAFT_CPUS contract reached the
+    // JVM), and (b) a listener sums executor task time per query —
+    // wall >> task time identifies the fixed driver/planning overhead
+    // that no core count changes (why sf0.1 wall cannot scale), while
+    // genuinely data-bound queries show task time ≈ cores × wall.
+    // Listener delivery is async; the per-query attribution can skew
+    // by the few ms of queue drain — harmless for a scaling signal.
+    val effMaster = spark.sparkContext.master
+    // rendered bare into JSON — numeric by the GraftSession contract,
+    // quoted defensively if an override made either non-numeric
+    def jsonNum(s: String): String =
+      if (s.nonEmpty && s.forall(_.isDigit)) s else "\"" + s + "\""
+    val effCpus = jsonNum(cpus)
+    val effShufflePartitions =
+      jsonNum(spark.conf.get("spark.sql.shuffle.partitions"))
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            taskTimeMs.addAndGet(e.taskMetrics.executorRunTime)
+      })
     // Warm-up: run the whole corpus once at the smallest SF so timed
     // numbers measure the queries, not first-touch classloading and
     // janino codegen compilation (several seconds for the widest
@@ -86,11 +113,14 @@ object Bench {
     val calibBefore = calibrate()
     calibrateIo(spark) // unrecorded: write-path JIT warm-up
     val calibIo = calibrateIo(spark)
-    // Returns (elapsed, succeeded). A failed pass must NOT contribute
-    // to the min-of-2: a query that dies fast in pass 2 (transient
-    // OOM, temp-dir collision) would otherwise record an artificially
-    // LOW official time with no failure marker (round-12 advice).
-    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // Returns (elapsed, succeeded, taskSec). A failed pass must NOT
+    // contribute to the min-of-2: a query that dies fast in pass 2
+    // (transient OOM, temp-dir collision) would otherwise record an
+    // artificially LOW official time with no failure marker (round-12
+    // advice). taskSec is the listener-summed executor task time
+    // attributed to this query (r18 verdict #2 — the scaling signal).
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Double) = {
+      val tt0 = taskTimeMs.get()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
@@ -98,7 +128,7 @@ object Bench {
       // drop per-query caches so later queries aren't taxed by
       // accumulated executor memory pressure
       spark.catalog.clearCache()
-      (dt, ok)
+      (dt, ok, (taskTimeMs.get() - tt0) / 1e3)
     }
     val fns = SparkEntry.queries.toSeq.sortBy(_._1)
     val fnOf = fns.toMap
@@ -117,14 +147,15 @@ object Bench {
     // otherwise unchanged.
     val calibBound =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_BOUND", "0.85").toDouble
-    // (passTag, recordings, calibIoBefore, calibIoAfter)
+    // (passTag, recordings, calibIoBefore, calibIoAfter); a recording
+    // is (wallSec, succeeded, taskSec)
     val passes = scala.collection.mutable.ArrayBuffer[
-      (String, Seq[(String, (Double, Boolean))], Double, Double)]()
+      (String, Seq[(String, (Double, Boolean, Double))], Double, Double)]()
     def runPass(tag: String, order: Seq[String],
         budget: Double): (Double, Double) = {
       val cb = calibrateIo(spark)
       var spent = 0.0
-      val rs = scala.collection.mutable.ArrayBuffer[(String, (Double, Boolean))]()
+      val rs = scala.collection.mutable.ArrayBuffer[(String, (Double, Boolean, Double))]()
       order.foreach { name =>
         if (spent < budget) {
           val r = timeQuery(fnOf(name))
@@ -156,9 +187,17 @@ object Bench {
     val allNames = fns.map(_._1)
     def bestSoFar(name: String): (Double, Boolean) = {
       val recs = passes.flatMap(_._2.collect { case (`name`, r) => r })
-      val good = recs.collect { case (t, true) => t }
+      val good = recs.collect { case (t, true, _) => t }
       if (good.nonEmpty) (good.min, true)
       else (recs.map(_._1).headOption.getOrElse(0.0), false)
+    }
+    // task time of the recording the official (min-wall) number comes
+    // from — the scaling-sensitive companion of each official second
+    def bestTaskOf(name: String): Double = {
+      val recs = passes.flatMap(_._2.collect { case (`name`, r) => r })
+      val good = recs.collect { case (t, true, ts) => (t, ts) }
+      if (good.nonEmpty) good.minBy(_._1)._2
+      else recs.headOption.map(_._3).getOrElse(0.0)
     }
     // Taint re-runs are wall-budgeted like pass 2 (a contended box is
     // often a SLOW box, and an unbudgeted full re-sweep could overrun
@@ -222,7 +261,12 @@ object Bench {
       val passJson = passes.map { case (tag, _, cb, ca) =>
         s""""$tag:${num(cb, 2)}/${num(ca, 2)}""""
       }.mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","timing":"min2","passes":$passJson,"calib_bound":${num(calibBound, 2)}$failedJson,"calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}"""
+      // cpus/master/shuffle_parts: PROOF the $SPARK_GRAFT_CPUS contract
+      // took effect in this JVM; task_total: listener-summed executor
+      // task seconds over the official (min-wall) recordings — the
+      // scaling-sensitive signal wall time at sf0.1 is not (r18 #2)
+      val taskTotal = allNames.map(bestTaskOf).sum
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","timing":"min2","cpus":$effCpus,"master":"$effMaster","shuffle_parts":$effShufflePartitions,"task_total":${num(taskTotal, 1)},"passes":$passJson,"calib_bound":${num(calibBound, 2)}$failedJson,"calib_before":${num(calibBefore, 3)},"calib_after":${num(calibAfter, 3)},"calib_io":${num(calibIo, 3)}}"""
     }
     // harness tail is 2000 chars; the sbt "[success] Total time: ..."
     // trailer plus newlines takes ~75, leaving ~1925 for this line
@@ -255,10 +299,13 @@ object Bench {
       val passesFull = passes.map { case (tag, rs, cb, ca) =>
         s"""{"tag":"$tag","calib_io_before":${num(cb, 3)},""" +
           s""""calib_io_after":${num(ca, 3)},""" +
-          s""""queries":${fullMap(rs.map { case (k, (t, _)) => k -> t })}}"""
+          s""""queries":${fullMap(rs.map { case (k, (t, _, _)) => k -> t })},""" +
+          s""""task_times":${fullMap(rs.map { case (k, (_, _, ts)) => k -> ts })}}"""
       }.mkString("[", ",", "]")
       try w.println(
         s"""{"total":${num(total, 6)},"queries":${fullMap(results)},""" +
+        s""""task_times":${fullMap(allNames.map(n => n -> bestTaskOf(n)))},""" +
+        s""""cpus":$effCpus,"master":"$effMaster","shuffle_parts":$effShufflePartitions,""" +
         s""""passes":$passesFull,""" +
         s""""calib_bound":${num(calibBound, 3)},""" +
         s""""failed":$failedFull,""" +
